@@ -1,0 +1,96 @@
+"""Text-analysis primitives for large-scale training-data pipelines.
+
+All functions are pure ``pyspark.sql.functions`` compositions — JVM-side,
+whole-stage-codegen'd, no Python UDFs — so they run at full scan speed on
+100 TB of documents.  Tokenization is the shared contract: whitespace
+split of the trimmed text, mirrored exactly by the DuckDB oracle
+(``regexp_split_to_array(trim(text), '\\s+')``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny deterministic stopword lists per language for the language-ID
+# heuristic and stopword-ratio quality signal.  Intentionally small: the
+# point is the operator shape (argmax over per-language evidence counts),
+# not lexicon quality.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "is", "in"),
+    "fr": ("le", "la", "de", "et", "les", "des", "un"),
+    "es": ("el", "la", "de", "y", "los", "que", "un"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "nicht"),
+    "zh": ("的", "是", "了", "在", "我", "有", "和"),
+}
+
+# Deterministic tie-break priority for argmax (must match oracle SQL).
+LANG_PRIORITY: tuple[str, ...] = ("en", "fr", "es", "de", "zh")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens of the trimmed text (the tokenizer contract)."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def distinct_tokens(text: Column) -> Column:
+    return F.array_distinct(tokens(text))
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def distinct_token_count(text: Column) -> Column:
+    return F.size(distinct_tokens(text)).cast("long")
+
+
+def char_count(text: Column) -> Column:
+    return F.length(F.trim(text)).cast("long")
+
+
+def non_ws_char_count(text: Column) -> Column:
+    """Characters excluding all whitespace (numerator for avg token len)."""
+    return F.length(F.regexp_replace(F.trim(text), r"\s+", "")).cast("long")
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    """Occurrences (not distinct) of ``lang`` stopwords among tokens."""
+    stoplist = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(
+        F.filter(tokens(text), lambda tok: F.array_contains(stoplist, tok))
+    ).cast("long")
+
+
+def punct_count(text: Column) -> Column:
+    """Count of sentence-punctuation characters."""
+    return F.length(F.regexp_replace(text, r"[^.,;:!?]", "")).cast("long")
+
+
+def language_scores(text: Column) -> dict[str, Column]:
+    return {lang: stopword_hits(text, lang) for lang in LANG_PRIORITY}
+
+
+def predict_language(text: Column) -> Column:
+    """Argmax of per-language stopword evidence with the fixed
+    LANG_PRIORITY tie-break — a deterministic n-gram-style language-ID
+    heuristic (lexicon-based; oracle replicates the same CASE chain)."""
+    scores = language_scores(text)
+    expr = None
+    langs = list(LANG_PRIORITY)
+    for i, lang in enumerate(langs[:-1]):
+        rest = langs[i + 1 :]
+        cond = None
+        for other in rest:
+            c = scores[lang] >= scores[other]
+            cond = c if cond is None else (cond & c)
+        expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
+    return expr.otherwise(langs[-1])
+
+
+def fingerprint(text: Column) -> Column:
+    """Canonical document fingerprint: md5 of the lowercased,
+    whitespace-collapsed text.  Identical duplicates (modulo case and
+    spacing) collide; stable across engines for oracle checks."""
+    normalized = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.md5(normalized)

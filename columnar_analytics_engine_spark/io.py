@@ -1,0 +1,183 @@
+"""Table I/O: read/write Parquet tables and inspect file-level metadata.
+
+Reference parity (SURVEY.md §2.1):
+  - FileWriter (format.h:93-112, src/format.cpp:130-441)  -> ``write_table``
+    Parquet owns row groups / column chunks / pages / encodings / stats;
+    ``rows_per_row_group`` maps to ``parquet.block.size``-style chunking
+    the reference exposed as flushRowGroup().
+  - FileReader (format.h:115-131, src/format.cpp:444-718) -> ``read_table``
+  - CLI ``scan`` metadata dump (src/cli.cpp:120-170)      -> ``describe``
+    Spark doesn't expose page-level detail; PyArrow (already a PySpark
+    dependency) reads the same Parquet footer.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _ns_timestamp_fields(path: str) -> list[str]:
+    """Names of TIMESTAMP(NANOS) columns in a parquet file/directory.
+
+    Spark has no nanosecond timestamp type; such columns are read as
+    raw int64 (``spark.sql.legacy.parquet.nanosAsLong``) and converted
+    to microsecond timestamps — the same truncation DuckDB applies.
+    """
+    import pyarrow.parquet as pq
+    import pyarrow.types as pat
+
+    file_path = path
+    if os.path.isdir(path):
+        parts = [
+            f
+            for f in sorted(os.listdir(path))
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        ]
+        if not parts:
+            return []
+        file_path = os.path.join(path, parts[0])
+    schema = pq.read_schema(file_path)
+    return [
+        f.name
+        for f in schema
+        if pat.is_timestamp(f.type) and f.type.unit == "ns"
+    ]
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one named table from a scale-factor directory.
+
+    Equivalent of FileReader(path) + typed column reads
+    (src/format.cpp:444-718): schema comes from the Parquet footer,
+    column decode is the vectorized Parquet reader, and predicate /
+    projection pushdown happen when the caller filters/selects.
+    Nanosecond timestamps are truncated to Spark's microsecond
+    resolution on read.
+    """
+    from pyspark.sql import functions as F
+
+    path = table_path(sf_dir, name)
+    ns_cols = _ns_timestamp_fields(path)
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES) -> dict[str, DataFrame]:
+    """Read every table in ``sf_dir`` and register each as a temp view so
+    the SQL API (spark.sql) works against the same catalog names the
+    DuckDB oracle uses."""
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        path = table_path(sf_dir, name)
+        if os.path.exists(path):
+            df = spark.read.parquet(path)
+            df.createOrReplaceTempView(name)
+            out[name] = df
+    return out
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    row_group_bytes: int | None = None,
+    partition_by: list[str] | None = None,
+) -> None:
+    """Write a DataFrame as Parquet.
+
+    Mirrors FileWriter + flushRowGroup (src/format.cpp:380-420): one
+    reference row group ≈ one Parquet row group, sized here in bytes via
+    ``parquet.block.size``.  Encodings (PLAIN / RLE / DELTA / DICTIONARY,
+    src/encoding.cpp) and min/max/null-count page stats
+    (src/format.cpp:153-205) are chosen and written by Parquet
+    automatically.  ``partition_by`` adds directory-level partition
+    pruning the reference never had — the 100 TB path.
+    """
+    writer = df.write.mode(mode)
+    if row_group_bytes is not None:
+        writer = writer.option("parquet.block.size", str(row_group_bytes))
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def describe(path: str) -> dict[str, Any]:
+    """Metadata scan: schema + row groups + per-column chunk stats.
+
+    Parity with the CLI ``scan`` command (src/cli.cpp:120-170), which
+    dumps total_rows, row-group count, schema with encodings, and
+    per-page num_values/size/min/max.  Parquet footers carry the same
+    information; PyArrow exposes it.
+    """
+    import pyarrow.parquet as pq
+
+    def _one(file_path: str) -> dict[str, Any]:
+        pf = pq.ParquetFile(file_path)
+        md = pf.metadata
+        row_groups = []
+        for rg_idx in range(md.num_row_groups):
+            rg = md.row_group(rg_idx)
+            cols = []
+            for c_idx in range(rg.num_columns):
+                col = rg.column(c_idx)
+                stats = col.statistics
+                cols.append(
+                    {
+                        "column": col.path_in_schema,
+                        "encodings": list(col.encodings),
+                        "compressed_size": col.total_compressed_size,
+                        "uncompressed_size": col.total_uncompressed_size,
+                        "num_values": col.num_values,
+                        "min": stats.min if stats and stats.has_min_max else None,
+                        "max": stats.max if stats and stats.has_min_max else None,
+                        "null_count": stats.null_count if stats else None,
+                    }
+                )
+            row_groups.append({"num_rows": rg.num_rows, "columns": cols})
+        return {
+            "file": file_path,
+            "total_rows": md.num_rows,
+            "num_row_groups": md.num_row_groups,
+            "schema": {pf.schema_arrow.field(i).name: str(pf.schema_arrow.field(i).type) for i in range(len(pf.schema_arrow))},
+            "row_groups": row_groups,
+        }
+
+    if os.path.isdir(path):
+        parts = sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        files = [_one(p) for p in parts]
+        return {
+            "path": path,
+            "total_rows": sum(f["total_rows"] for f in files),
+            "num_files": len(files),
+            "schema": files[0]["schema"] if files else {},
+            "files": files,
+        }
+    return _one(path)

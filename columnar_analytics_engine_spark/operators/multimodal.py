@@ -1,0 +1,118 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride through the engine as ``binary`` columns with a
+typed metadata struct — the schema pattern used by large-scale training
+pipelines (payload stays opaque to SQL; metadata is filterable).  The
+decode/feature steps run as Arrow-batched ``mapInPandas`` so each Python
+worker sees columnar batches, never rows.
+
+The actual media decoding is STUBBED: the container has no image/audio
+libraries, so ``decode_image_batch`` raises ``NotImplementedError``
+unless a decoder is injected, and ``fake_feature_extract`` provides a
+deterministic stand-in (byte-histogram features) that keeps the
+Spark-side plumbing — schema, partitioning, UDF signature, batch shape —
+real and testable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("media_type", T.StringType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+    ]
+)
+
+FEATURE_DIM = 16
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("features", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def attach_payload(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Wrap a text column as an opaque binary payload with metadata —
+    the fixture stand-in for real media blobs."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        payload.alias("payload"),
+        F.lit("text/plain").alias("media_type"),
+        F.length(payload).cast("long").alias("n_bytes"),
+    )
+
+
+def decode_image_batch(payloads: pd.Series) -> pd.Series:
+    """Stub for real image decode (PIL/libvips not in this container).
+
+    Cite: this is the extension point a real deployment fills; the
+    engine's contract is only the mapInPandas batch shape around it.
+    """
+    raise NotImplementedError(
+        "media decoding requires an image library; inject a decoder via "
+        "extract_features(decoder=...) or use fake_feature_extract"
+    )
+
+
+def fake_feature_extract(payload: bytes | None) -> list[float]:
+    """Deterministic stand-in 'decoder': 16-bin byte histogram, L1-normalized."""
+    if payload is None:
+        return [0.0] * FEATURE_DIM
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    hist, _ = np.histogram(arr, bins=FEATURE_DIM, range=(0, 256))
+    total = float(hist.sum()) or 1.0
+    return [float(h) / total for h in hist]
+
+
+def extract_features(
+    media: DataFrame,
+    decoder: Callable[[bytes | None], list[float]] = fake_feature_extract,
+) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    ``mapInPandas``: each task pulls columnar Arrow batches, applies the
+    decoder per payload, and emits a feature array column — the shape a
+    real image/audio embedding stage uses.  No driver involvement; scales
+    with partitions.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": pdf["n_bytes"],
+                    "features": pdf["payload"].map(decoder),
+                }
+            )
+
+    return media.mapInPandas(op, schema=FEATURES_SCHEMA)
+
+
+def chunk_payload(media: DataFrame, chunk_bytes: int = 1024) -> DataFrame:
+    """Frame/chunk sampling: split each payload into fixed-size chunks
+    (one row per chunk) — the video-frame-sampling plumbing, kept
+    JVM-side with array expressions (no Python)."""
+    n_chunks = F.ceil(F.col("n_bytes").cast("double") / F.lit(float(chunk_bytes))).cast("int")
+    idx = F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id")
+    return media.select("doc_id", "payload", "n_bytes", idx).select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.expr(f"substring(payload, chunk_id * {chunk_bytes} + 1, {chunk_bytes})").alias("chunk"),
+    )

@@ -1,0 +1,154 @@
+"""Similarity search over embedding columns: brute-force and IVF.
+
+* ``cosine_topk`` — exact brute-force top-k: every query row scores
+  against every candidate.  Correct baseline; cost O(Q × N).  Fine when
+  Q is small or N fits a broadcast; the candidate side streams, so it
+  scales with the cluster even at large N.
+* ``near_duplicate_pairs`` — all pairs above a cosine threshold
+  (self-join form of the same kernel).
+* ``ivf_topk`` — the scale path: k-means-free IVF.  ``n_lists`` seed
+  vectors are chosen deterministically (every N/n_lists-th vec_id), all
+  vectors are assigned to their nearest seed (one broadcast join), and
+  a query only scores vectors in its ``n_probe`` closest lists —
+  shrinking the scored set by ~n_lists/n_probe at some recall cost.
+  Compare with cosine_topk for the recall measurement (tests do).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from columnar_analytics_engine_spark.functions.similarity import cosine, with_norms
+
+
+def cosine_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 4,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for every query vector.
+
+    Output: (query_id, neighbor_id, cos_sim, rank), rank 1..k by
+    (cos_sim DESC, neighbor_id) — the tie-break makes output
+    deterministic and oracle-comparable.
+    """
+    q = with_norms(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv"), F.col("sq_norm").alias("qn")
+    )
+    c = with_norms(candidates, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv"), F.col("sq_norm").alias("cn")
+    )
+    scored = (
+        q.join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"), decimals).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def near_duplicate_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 4,
+) -> DataFrame:
+    """All (d1 < d2) pairs with cosine ≥ threshold — embedding-space
+    near-dup detection."""
+    e = with_norms(embeddings, vec_col).select(
+        F.col(id_col).alias("vid"), "v", "sq_norm"
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    return (
+        a.join(b, F.col("a.vid") < F.col("b.vid"))
+        .select(
+            F.col("a.vid").alias("d1"),
+            F.col("b.vid").alias("d2"),
+            cosine(
+                F.col("a.v"), F.col("b.v"), F.col("a.sq_norm"), F.col("b.sq_norm"), decimals
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= F.lit(threshold))
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 4,
+) -> DataFrame:
+    """Approximate top-k via inverted-file (IVF) bucketing.
+
+    Deterministic seeds: the n_lists vectors with the smallest ids serve
+    as centroids (no iterative k-means — keeps the operator a pure,
+    reproducible DataFrame plan; swap in MLlib KMeans centroids for
+    quality).  Both assignment and probing broadcast the tiny centroid
+    table, so the only large shuffle is the final per-query top-k.
+    """
+    cands_n = with_norms(candidates, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv"), F.col("sq_norm").alias("cn")
+    )
+    w_seed = W.orderBy(F.col("neighbor_id"))
+    seeds = (
+        cands_n.withColumn("_rn", F.row_number().over(w_seed))
+        .filter(F.col("_rn") <= n_lists)
+        .select(
+            (F.col("_rn") - 1).alias("list_id"),
+            F.col("cv").alias("seed_v"),
+            F.col("cn").alias("seed_n"),
+        )
+    )
+    # assign every candidate to its nearest seed (broadcast join)
+    sim_to_seed = cosine(F.col("cv"), F.col("seed_v"), F.col("cn"), F.col("seed_n"), 6)
+    w_assign = W.partitionBy("neighbor_id").orderBy(F.col("_s").desc(), F.col("list_id"))
+    assigned = (
+        cands_n.join(F.broadcast(seeds))
+        .select("neighbor_id", "cv", "cn", "list_id", sim_to_seed.alias("_s"))
+        .withColumn("_r", F.row_number().over(w_assign))
+        .filter(F.col("_r") == 1)
+        .select("neighbor_id", "cv", "cn", "list_id")
+    )
+    # each query probes its n_probe nearest lists
+    q = with_norms(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv"), F.col("sq_norm").alias("qn")
+    )
+    q_sim = cosine(F.col("qv"), F.col("seed_v"), F.col("qn"), F.col("seed_n"), 6)
+    w_probe = W.partitionBy("query_id").orderBy(F.col("_s").desc(), F.col("list_id"))
+    probes = (
+        q.join(F.broadcast(seeds))
+        .select("query_id", "qv", "qn", "list_id", q_sim.alias("_s"))
+        .withColumn("_r", F.row_number().over(w_probe))
+        .filter(F.col("_r") <= n_probe)
+        .select("query_id", "qv", "qn", "list_id")
+    )
+    scored = (
+        probes.join(assigned, "list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"), decimals).alias("cos_sim"),
+        )
+    )
+    w_rank = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

@@ -1,0 +1,87 @@
+"""Shared helpers for the query suite: table access + exact float arithmetic.
+
+Cross-engine determinism strategy
+---------------------------------
+The driver hash-compares Spark results against a DuckDB oracle.  Double
+summation is order-dependent, and Spark sums across partitions in
+nondeterministic order, so ``SUM(double)`` is NOT reproducible bit-for-bit.
+Every money/measure aggregate therefore goes through exact integer-scaled
+arithmetic:
+
+    SUM(CAST(ROUND(x * scale) AS BIGINT)) / CAST(scale AS DOUBLE)
+
+``x * scale`` is the same IEEE-754 product in both engines, ``ROUND`` of a
+non-tie double is identical (both round half away from zero, and exact .5
+products essentially never occur for real doubles), the integer sum is exact
+and associative, and the final division by a power of ten is a single exact
+IEEE op — so both engines produce the *same double*, independent of partition
+order.  TPC-H money columns have 2 decimals (scale 100); products like
+``extendedprice*(1-discount)`` have 4 (scale 10_000), and with ``(1+tax)``
+6 (scale 1_000_000) — all far below the 2^53 exactness ceiling at these SFs.
+
+MIN/MAX/CONSTANT doubles are exact as-is and need no scaling.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from columnar_analytics_engine_spark.io import read_table
+
+
+@dataclass
+class QuerySpec:
+    """One operator/query: the Spark implementation and its SQL oracle."""
+
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: str | None = None  # None => not SQL-expressible; rows-only check
+    description: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a named table; pin UTC so timestamp rendering matches DuckDB."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return read_table(spark, sf_dir, name)
+
+
+# ---- exact float aggregation (Spark side) ----------------------------------
+
+def exact_sum(expr: Column | str, alias: str, scale: int = 100) -> Column:
+    """Order-independent SUM over a double expression (see module doc)."""
+    c = F.col(expr) if isinstance(expr, str) else expr
+    s = F.sum(F.round(c * F.lit(float(scale))).cast("long")).cast("double")
+    return (s / F.lit(float(scale))).alias(alias)
+
+
+def exact_avg(expr: Column | str, alias: str, scale: int = 100) -> Column:
+    """Order-independent AVG: exact integer sum / count, then unscale."""
+    c = F.col(expr) if isinstance(expr, str) else expr
+    s = F.sum(F.round(c * F.lit(float(scale))).cast("long")).cast("double")
+    n = F.count(c).cast("double")
+    return ((s / n) / F.lit(float(scale))).alias(alias)
+
+
+# ---- exact float aggregation (oracle-SQL side) ------------------------------
+
+def sql_exact_sum(expr: str, alias: str, scale: int = 100) -> str:
+    """DuckDB fragment matching :func:`exact_sum` bit-for-bit.
+
+    DuckDB's SUM(BIGINT) yields HUGEINT; values stay below 2^53 so the
+    final division to DOUBLE is exact and identical to Spark's LONG path.
+    """
+    return (
+        f"CAST(SUM(CAST(ROUND(({expr}) * CAST({scale} AS DOUBLE)) AS BIGINT)) AS DOUBLE)"
+        f" / CAST({scale} AS DOUBLE) AS {alias}"
+    )
+
+
+def sql_exact_avg(expr: str, alias: str, scale: int = 100) -> str:
+    return (
+        f"(CAST(SUM(CAST(ROUND(({expr}) * CAST({scale} AS DOUBLE)) AS BIGINT)) AS DOUBLE)"
+        f" / CAST(COUNT({expr}) AS DOUBLE)) / CAST({scale} AS DOUBLE) AS {alias}"
+    )

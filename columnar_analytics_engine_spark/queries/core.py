@@ -1,0 +1,249 @@
+"""Reference-parity queries: scan / projection / filter / agg / group-by.
+
+This is the complete operator surface of the reference engine
+(SURVEY.md §2; columnar-analytics-engine/src/execution.cpp), expressed
+over the driver's TPC-H-ish tables.  Each query exists both as a
+DataFrame program (via the ``Query`` builder where the shape fits, to
+exercise the parity API) and as DuckDB oracle SQL.
+
+Scale notes: every query here is scan→(filter)→(agg) shaped.  Catalyst
+pushes the filters and projections into the Parquet scan (PushedFilters
+/ ReadSchema in .explain), the reference's zone-map skipping
+(src/execution.cpp:48-71) becomes row-group pruning, and aggregation
+runs partial→shuffle→final, so the same plan holds at 100 TB — the only
+shuffle is on the (low-cardinality) group keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from columnar_analytics_engine_spark.ops import AggFunc, CompareOp, Query
+from columnar_analytics_engine_spark.queries._util import (
+    QuerySpec,
+    exact_sum,
+    sql_exact_sum,
+    t,
+)
+
+
+# -- scans --------------------------------------------------------------------
+
+def scan_full_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full scan row count (reference Q1, benches/benchmark.cpp:97-124).
+
+    Unfiltered COUNT(*) is answered from Parquet footer metadata — the
+    industrial version of the reference's 'COUNT scans only the first
+    column' shortcut (src/execution.cpp:283-289).
+    """
+    return t(spark, sf_dir, "lineitem").agg(F.count("*").alias("n_rows"))
+
+
+def scan_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column pruning (setProjection, src/execution.cpp:235-237): the
+    Parquet scan reads exactly these three columns (ReadSchema)."""
+    q = Query(t(spark, sf_dir, "lineitem"))
+    return q.set_projection(["l_orderkey", "l_linenumber", "l_quantity"]).execute()
+
+
+# -- filters ------------------------------------------------------------------
+
+def filter_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AND-composed predicates (src/execution.cpp:163-188), including a
+    string equality the reference silently ignored (§2.12-4 — here it
+    works and is pushed to the scan)."""
+    q = (
+        Query(t(spark, sf_dir, "lineitem"))
+        .add_filter("l_quantity", CompareOp.GT, 45.0)
+        .add_filter("l_discount", CompareOp.LE, 0.02)
+        .add_filter("l_returnflag", CompareOp.EQ, "A")
+        .set_projection(["l_orderkey", "l_linenumber", "l_quantity", "l_discount"])
+    )
+    return q.execute()
+
+
+def filter_six_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All six comparison ops EQ NE LT LE GT GE (include/execution.h:39-46)
+    in one conjunction."""
+    q = (
+        Query(t(spark, sf_dir, "lineitem"))
+        .add_filter("l_linestatus", CompareOp.EQ, "F")
+        .add_filter("l_suppkey", CompareOp.NE, 7)
+        .add_filter("l_partkey", CompareOp.LT, 1000)
+        .add_filter("l_linenumber", CompareOp.LE, 5)
+        .add_filter("l_quantity", CompareOp.GT, 30.0)
+        .add_filter("l_orderkey", CompareOp.GE, 100)
+        .set_projection(["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"])
+    )
+    return q.execute()
+
+
+def filter_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered scan count (reference Q2, benches/benchmark.cpp:126-153)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 25.0)
+        .agg(F.count("*").alias("n_rows"))
+    )
+
+
+# -- aggregates ---------------------------------------------------------------
+
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global aggregate always returning count+sum+min+max together
+    (AggResult, src/execution.cpp:296-334), with a filter (reference Q3
+    shape, benches/benchmark.cpp:155-177)."""
+    df = t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 25.0)
+    return df.agg(
+        F.count("*").alias("row_count"),
+        exact_sum("l_extendedprice", "sum_price"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+
+
+def agg_group_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-key group-by with count+sum+min+max and key-ascending output
+    (reference Q4, src/execution.cpp:339-401; ordering §2.12-1)."""
+    df = t(spark, sf_dir, "lineitem")
+    return (
+        df.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("count"),
+            exact_sum("l_quantity", "sum_qty"),
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def group_by_count_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT-only group-by — the mode where the reference scans just the
+    group column (src/execution.cpp:351-354)."""
+    return (
+        Query(t(spark, sf_dir, "lineitem")).set_group_by("l_linestatus").execute()
+    )
+
+
+def group_by_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter + group-by + aggregate: the composed reference pipeline
+    (scan → zone-map skip → residual filter → hash agg)."""
+    df = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp"))
+    return (
+        df.groupBy("l_returnflag")
+        .agg(F.count("*").alias("count"), exact_sum("l_extendedprice", "sum_price"))
+        .orderBy("l_returnflag")
+    )
+
+
+def group_by_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key group-by (superset: reference allows exactly one string
+    key, src/execution.cpp:367)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("count"), exact_sum("l_discount", "sum_disc"))
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "scan_full_count": QuerySpec(
+        scan_full_count,
+        "SELECT COUNT(*) AS n_rows FROM lineitem",
+        "full-scan count (reference benchmark Q1)",
+        ("parity", "scan"),
+    ),
+    "scan_projection": QuerySpec(
+        scan_projection,
+        "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",
+        "projection / column pruning",
+        ("parity", "scan"),
+    ),
+    "filter_conjunctive": QuerySpec(
+        filter_conjunctive,
+        """
+        SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+        FROM lineitem
+        WHERE l_quantity > 45.0 AND l_discount <= 0.02 AND l_returnflag = 'A'
+        """,
+        "conjunctive predicates incl. string equality",
+        ("parity", "filter"),
+    ),
+    "filter_six_ops": QuerySpec(
+        filter_six_ops,
+        """
+        SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey
+        FROM lineitem
+        WHERE l_linestatus = 'F' AND l_suppkey != 7 AND l_partkey < 1000
+          AND l_linenumber <= 5 AND l_quantity > 30.0 AND l_orderkey >= 100
+        """,
+        "all six comparison operators",
+        ("parity", "filter"),
+    ),
+    "filter_count": QuerySpec(
+        filter_count,
+        "SELECT COUNT(*) AS n_rows FROM lineitem WHERE l_quantity > 25.0",
+        "filtered count (reference benchmark Q2)",
+        ("parity", "filter"),
+    ),
+    "agg_global": QuerySpec(
+        agg_global,
+        f"""
+        SELECT COUNT(*) AS row_count,
+               {sql_exact_sum('l_extendedprice', 'sum_price')},
+               MIN(l_extendedprice) AS min_price,
+               MAX(l_extendedprice) AS max_price
+        FROM lineitem WHERE l_quantity > 25.0
+        """,
+        "global count+sum+min+max (reference AggResult semantics)",
+        ("parity", "agg"),
+    ),
+    "agg_group_by": QuerySpec(
+        agg_group_by,
+        f"""
+        SELECT l_returnflag,
+               COUNT(*) AS count,
+               {sql_exact_sum('l_quantity', 'sum_qty')},
+               MIN(l_quantity) AS min_qty,
+               MAX(l_quantity) AS max_qty
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "group-by with key-sorted output (reference benchmark Q4)",
+        ("parity", "agg"),
+    ),
+    "group_by_count_only": QuerySpec(
+        group_by_count_only,
+        """
+        SELECT l_linestatus, COUNT(*) AS count
+        FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
+        """,
+        "count-only group-by",
+        ("parity", "agg"),
+    ),
+    "group_by_filtered": QuerySpec(
+        group_by_filtered,
+        f"""
+        SELECT l_returnflag, COUNT(*) AS count,
+               {sql_exact_sum('l_extendedprice', 'sum_price')}
+        FROM lineitem
+        WHERE l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "filter + group-by composition",
+        ("parity", "agg"),
+    ),
+    "group_by_multi_key": QuerySpec(
+        group_by_multi_key,
+        f"""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS count,
+               {sql_exact_sum('l_discount', 'sum_disc')}
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+        """,
+        "multi-key group-by (superset of reference)",
+        ("parity", "agg"),
+    ),
+}

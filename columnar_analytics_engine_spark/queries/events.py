@@ -1,0 +1,286 @@
+"""Time-series / event-stream queries (batch-deterministic forms).
+
+Every operator here has two lives: the batch form below (oracle-checked
+against DuckDB) and a Structured Streaming form in ``streaming/`` (same
+logic over ``readStream`` with watermarks, verified in pytest with an
+``availableNow`` trigger against these batch results).  Batch ``F.window``
+/ ``session_window`` are the exact aggregation semantics streaming uses,
+so checking the batch plan checks the streaming math.
+
+Timestamps: parquet stores ns; both Spark and DuckDB truncate to µs.
+Outputs expose epoch micros (``unix_micros`` ↔ ``epoch_us``) or
+hour-aligned strings, never raw timestamps, so hashes can't diverge on
+formatting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from columnar_analytics_engine_spark.operators.asof import asof_join
+from columnar_analytics_engine_spark.queries._util import (
+    QuerySpec,
+    exact_sum,
+    sql_exact_sum,
+    t,
+)
+
+
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windowed aggregate (streaming twin:
+    streaming/windows.py::tumbling_counts with a watermark)."""
+    df = t(spark, sf_dir, "events")
+    return (
+        df.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), exact_sum("value", "sum_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour window every 30 minutes — each event lands in two
+    windows."""
+    df = t(spark, sf_dir, "events")
+    return (
+        df.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+        )
+        .orderBy("window_start")
+    )
+
+
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): per-user session
+    boundaries via lag + cumulative flag — the batch equivalent of
+    ``session_window``/``applyInPandasWithState``."""
+    df = t(spark, sf_dir, "events")
+    w_order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w_order)
+    gap_s = F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)
+    new_session = F.when(prev_ts.isNull() | (gap_s > 1800), 1).otherwise(0)
+    w_cum = w_order.rowsBetween(W.unboundedPreceding, W.currentRow)
+    with_sid = df.withColumn("_new", new_session).withColumn(
+        "session_id", F.sum("_new").over(w_cum)
+    )
+    return (
+        with_sid.groupBy("user_id", "session_id")
+        .agg(
+            F.unix_micros(F.min("ts")).alias("session_start_us"),
+            F.unix_micros(F.max("ts")).alias("session_end_us"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+def events_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the earliest event per (user, type) — batch form of
+    streaming ``dropDuplicatesWithinWatermark``."""
+    df = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("event_id", "user_id", "event_type", F.unix_micros("ts").alias("ts_us"))
+    )
+
+
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each error event matched to the same user's most
+    recent purchase at or before it (operators/asof.py; DuckDB oracle
+    uses its native ASOF JOIN)."""
+    events = t(spark, sf_dir, "events")
+    errors = events.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    joined = asof_join(errors, purchases, on="user_id", tie_col="event_id")
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("r_event_id").alias("purchase_event_id"),
+        (F.unix_timestamp("ts") - F.unix_timestamp("r_ts")).alias("secs_after_purchase"),
+    )
+
+
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: clicks from the same user within the 5 minutes before
+    each error.  Scale form: bucketize the time axis (300 s) and
+    equi-join on (user, bucket)∪(user, bucket−1) before the residual
+    range filter — turns an unbounded range join into a bounded hash
+    join."""
+    events = t(spark, sf_dir, "events")
+    errors = events.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.col("ts").alias("e_ts")
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_event_id"),
+    )
+    e_b = errors.withColumn("_bucket", F.floor(F.unix_timestamp("e_ts") / 300))
+    c_b = clicks.withColumn("_cbucket", F.floor(F.unix_timestamp("c_ts") / 300))
+    probe = e_b.select(
+        "event_id", "user_id", "e_ts", F.explode(F.array("_bucket", F.col("_bucket") - 1)).alias("_jb")
+    )
+    matched = (
+        probe.join(
+            c_b,
+            (F.col("user_id") == F.col("c_user")) & (F.col("_jb") == F.col("_cbucket")),
+        )
+        .filter(
+            (F.col("c_ts") >= F.col("e_ts") - F.expr("INTERVAL 5 MINUTES"))
+            & (F.col("c_ts") < F.col("e_ts"))
+        )
+        .groupBy("event_id")
+        .agg(F.count("*").alias("n_clicks"))
+    )
+    return (
+        errors.select("event_id", "user_id")
+        .join(matched, "event_id", "left")
+        .select("event_id", "user_id", F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"))
+    )
+
+
+def events_rate_per_type_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event counts + exact value sums per type (calendar rollup)."""
+    df = t(spark, sf_dir, "events")
+    return (
+        df.groupBy(
+            F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n_events"), exact_sum("value", "sum_value"))
+        .orderBy("day", "event_type")
+    )
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "events_tumbling_window": QuerySpec(
+        events_tumbling_window,
+        f"""
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type,
+               COUNT(*) AS n_events,
+               {sql_exact_sum('value', 'sum_value')}
+        FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
+        """,
+        "tumbling 1-hour windowed aggregation",
+        ("streaming", "window"),
+    ),
+    "events_sliding_window": QuerySpec(
+        events_sliding_window,
+        """
+        WITH x AS (
+          SELECT ts, (CAST(floor(epoch(ts) / 1800) AS BIGINT)) AS halfhr FROM events
+        ),
+        w AS (
+          SELECT make_timestamp(halfhr * 1800 * 1000000) AS w_start FROM x
+          UNION ALL
+          SELECT make_timestamp((halfhr - 1) * 1800 * 1000000) AS w_start FROM x
+        )
+        SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+               COUNT(*) AS n_events
+        FROM w GROUP BY 1 ORDER BY window_start
+        """,
+        "sliding 1h/30m windowed aggregation",
+        ("streaming", "window"),
+    ),
+    "events_sessionization": QuerySpec(
+        events_sessionization,
+        """
+        WITH flagged AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN LAG(ts) OVER w IS NULL
+                       OR date_diff('second', LAG(ts) OVER w, ts) > 1800
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sid AS (
+          SELECT user_id, ts,
+                 SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM flagged
+        )
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               epoch_us(MIN(ts)) AS session_start_us,
+               epoch_us(MAX(ts)) AS session_end_us,
+               COUNT(*) AS n_events
+        FROM sid GROUP BY user_id, session_id
+        """,
+        "gap-based sessionization (30-min inactivity)",
+        ("streaming", "window"),
+    ),
+    "events_dedup_first": QuerySpec(
+        events_dedup_first,
+        """
+        SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+        FROM events
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts, event_id) = 1
+        """,
+        "earliest-event dedup per (user, type)",
+        ("streaming", "dedup"),
+    ),
+    "events_asof_join": QuerySpec(
+        events_asof_join,
+        """
+        WITH err AS (
+          SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+        ),
+        pur AS (
+          SELECT user_id, ts, MAX(event_id) AS event_id
+          FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+        )
+        SELECT e.event_id, e.user_id,
+               p.event_id AS purchase_event_id,
+               date_diff('second', p.ts, e.ts) AS secs_after_purchase
+        FROM err e ASOF LEFT JOIN pur p
+          ON e.user_id = p.user_id AND e.ts >= p.ts
+        """,
+        "as-of join errors→latest prior purchase",
+        ("join", "streaming"),
+    ),
+    "events_range_join": QuerySpec(
+        events_range_join,
+        """
+        WITH err AS (
+          SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+        ),
+        clk AS (
+          SELECT user_id, ts FROM events WHERE event_type = 'click'
+        )
+        SELECT e.event_id, e.user_id, COUNT(c.user_id) AS n_clicks
+        FROM err e LEFT JOIN clk c
+          ON c.user_id = e.user_id
+         AND c.ts >= e.ts - INTERVAL 5 MINUTE AND c.ts < e.ts
+        GROUP BY e.event_id, e.user_id
+        """,
+        "bucketized time-range join (clicks before errors)",
+        ("join", "streaming"),
+    ),
+    "events_rate_per_type_day": QuerySpec(
+        events_rate_per_type_day,
+        f"""
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               event_type,
+               COUNT(*) AS n_events,
+               {sql_exact_sum('value', 'sum_value')}
+        FROM events GROUP BY 1, 2 ORDER BY day, event_type
+        """,
+        "daily per-type rollup",
+        ("streaming", "agg"),
+    ),
+}

@@ -1,0 +1,430 @@
+"""LLM training-data pipeline queries: dedup, similarity, text analysis.
+
+These are first-class engine operators (not demos): each has a Spark
+implementation from ``operators/`` / ``functions/`` and a DuckDB oracle
+that reproduces the algorithm bit-for-bit — including the MinHash/SimHash
+hash family (md5-derived 60-bit integers, functions/hashing.py), so even
+LSH's probabilistic candidate misses are identical on both sides.
+
+Scale notes: all dedup/similarity operators avoid cross joins — LSH
+candidates come from band-key equality (a hash shuffle), brute-force
+cosine is reserved for small query sets / verification, and the IVF
+variant (operators/similarity.py) is the 100 TB search path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from columnar_analytics_engine_spark.functions.hashing import sql_h60
+from columnar_analytics_engine_spark.functions import text as X
+from columnar_analytics_engine_spark.operators import dedup as D
+from columnar_analytics_engine_spark.operators import similarity as S
+from columnar_analytics_engine_spark.queries._util import QuerySpec, t
+
+# shared oracle fragments -----------------------------------------------------
+
+_SQL_TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
+_SQL_TOK_CTE = f"""
+tok AS (
+  SELECT doc_id, unnest(list_distinct({_SQL_TOKENS})) AS token
+  FROM documents
+)"""
+
+
+def _minhash_lsh_sql(threshold: float, k: int, bands: int, rows: int) -> str:
+    mins = ",\n         ".join(
+        f"MIN({sql_h60(f'{i}:', 'token')}) AS h{i}" for i in range(k)
+    )
+    band_selects = "\n      UNION ALL\n      ".join(
+        "SELECT doc_id, {j} AS band_id, md5(CONCAT_WS(',', {cols})) AS band_key FROM sig".format(
+            j=j,
+            cols=", ".join(f"CAST(h{j * rows + r} AS VARCHAR)" for r in range(rows)),
+        )
+        for j in range(bands)
+    )
+    return f"""
+    WITH {_SQL_TOK_CTE},
+    sig AS (
+      SELECT doc_id,
+         {mins}
+      FROM tok GROUP BY doc_id
+    ),
+    bands AS (
+      {band_selects}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    sets AS (
+      SELECT doc_id, list_distinct({_SQL_TOKENS}) AS toks FROM documents
+    )
+    SELECT c.d1, c.d2,
+           CAST(len(list_intersect(sa.toks, sb.toks)) AS DOUBLE)
+             / CAST(len(sa.toks) + len(sb.toks)
+                    - len(list_intersect(sa.toks, sb.toks)) AS DOUBLE) AS jaccard
+    FROM cand c
+    JOIN sets sa ON sa.doc_id = c.d1
+    JOIN sets sb ON sb.doc_id = c.d2
+    WHERE CAST(len(list_intersect(sa.toks, sb.toks)) AS DOUBLE)
+            / CAST(len(sa.toks) + len(sb.toks)
+                   - len(list_intersect(sa.toks, sb.toks)) AS DOUBLE) >= {threshold}
+    """
+
+
+def _simhash_pairs_sql(max_hamming: int, bits: int, band_bits: int) -> str:
+    h = sql_h60("s:", "token")
+    bit_sums = ",\n         ".join(
+        f"SUM(CASE WHEN (({h}) >> {b}) & 1 = 1 THEN cnt ELSE -cnt END) AS b{b}"
+        for b in range(bits)
+    )
+    fp_terms = "\n           + ".join(
+        f"CASE WHEN b{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for b in range(bits)
+    )
+    n_bands = bits // band_bits
+    mask = (1 << band_bits) - 1
+    band_selects = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, simhash, {j} AS band_id, (simhash >> {j * band_bits}) & {mask} AS band_key FROM fps"
+        for j in range(n_bands)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents
+    ),
+    tokcnt AS (SELECT doc_id, token, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+    bitsums AS (
+      SELECT doc_id,
+         {bit_sums}
+      FROM tokcnt GROUP BY doc_id
+    ),
+    fps AS (
+      SELECT doc_id,
+             ({fp_terms}) AS simhash
+      FROM bitsums
+    ),
+    bands AS (
+      {band_selects}
+    )
+    SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+    WHERE CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) <= {max_hamming}
+    """
+
+
+_SQL_EMB_NORM = """
+    e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    n AS (SELECT vec_id, label, v, list_dot_product(v, v) AS sq_norm FROM e)
+"""
+
+
+# -- queries -------------------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_duplicates(t(spark, sf_dir, "documents"))
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_near_duplicates(t(spark, sf_dir, "documents"), threshold=0.8)
+
+
+def dedup_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.jaccard_pairs(t(spark, sf_dir, "documents"), threshold=0.8)
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_near_duplicates(t(spark, sf_dir, "documents"), max_hamming=6)
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.near_duplicate_pairs(t(spark, sf_dir, "embeddings"), threshold=0.45)
+
+
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.cosine_topk(queries, emb, k=10)
+
+
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate ANN — no SQL oracle (the probe set depends on the
+    operator's internal bucketing); correctness = recall-vs-brute-force,
+    measured in tests/test_similarity.py."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.ivf_topk(queries, emb, k=10, n_lists=16, n_probe=4)
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = t(spark, sf_dir, "documents")
+    txt = F.col("text")
+    return df.select(
+        "doc_id",
+        X.char_count(txt).alias("n_chars"),
+        X.token_count(txt).alias("n_tokens"),
+        X.distinct_token_count(txt).alias("n_distinct_tokens"),
+        (
+            X.non_ws_char_count(txt).cast("double") / X.token_count(txt).cast("double")
+        ).alias("avg_token_len"),
+    )
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = t(spark, sf_dir, "documents")
+    txt = F.col("text")
+    n_tokens = X.token_count(txt)
+    stop_ratio = X.stopword_hits(txt, "en").cast("double") / n_tokens.cast("double")
+    diversity = X.distinct_token_count(txt).cast("double") / n_tokens.cast("double")
+    punct_ratio = X.punct_count(txt).cast("double") / X.char_count(txt).cast("double")
+    quality = (
+        F.when((n_tokens >= 30) & (stop_ratio >= 0.05) & (diversity >= 0.3), "good")
+        .when(n_tokens >= 10, "fair")
+        .otherwise("poor")
+    )
+    return df.select(
+        "doc_id",
+        stop_ratio.alias("stopword_ratio"),
+        diversity.alias("token_diversity"),
+        punct_ratio.alias("punct_ratio"),
+        quality.alias("quality"),
+    )
+
+
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = t(spark, sf_dir, "documents")
+    txt = F.col("text")
+    scores = X.language_scores(txt)
+    return df.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        X.predict_language(txt).alias("pred_lang"),
+        *[scores[lang].alias(f"score_{lang}") for lang in X.LANG_PRIORITY],
+    )
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = t(spark, sf_dir, "documents")
+    return df.select(
+        "doc_id",
+        X.fingerprint(F.col("text")).alias("fingerprint"),
+        F.sha2(F.col("text"), 256).alias("sha256"),
+    )
+
+
+def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary-column plumbing: payload as binary + typed metadata.
+
+    The text column stands in for an encoded media blob (the real
+    decode path is the stubbed Pandas-UDF pipeline in
+    streaming/multimodal — see operators tests); here we verify the
+    schema/metadata side: byte length, fixed-size chunk count, digest.
+    """
+    df = t(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    n_bytes = F.length(payload).cast("long")
+    return df.select(
+        "doc_id",
+        n_bytes.alias("n_bytes"),
+        F.ceil(n_bytes.cast("double") / F.lit(1024.0)).cast("long").alias("n_chunks"),
+        F.sha2(F.col("text"), 256).alias("digest"),
+    )
+
+
+_SQL_LANG_SCORES = {
+    lang: (
+        f"CAST(len(list_filter({_SQL_TOKENS}, tk -> list_contains("
+        + "["
+        + ", ".join(f"'{w}'" for w in X.STOPWORDS[lang])
+        + "], tk))) AS BIGINT)"
+    )
+    for lang in X.LANG_PRIORITY
+}
+
+
+def _langid_case_sql() -> str:
+    langs = list(X.LANG_PRIORITY)
+    cases = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(
+            f"s_{lang} >= s_{other}" for other in langs[i + 1 :]
+        )
+        cases.append(f"WHEN {conds} THEN '{lang}'")
+    return "CASE " + " ".join(cases) + f" ELSE '{langs[-1]}' END"
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "dedup_exact": QuerySpec(
+        dedup_exact,
+        """
+        SELECT md5(trim(text)) AS content_hash,
+               MIN(doc_id) AS keeper_id,
+               COUNT(*) AS n_copies
+        FROM documents GROUP BY md5(trim(text))
+        """,
+        "exact dedup via content digest",
+        ("dedup",),
+    ),
+    "dedup_minhash_lsh": QuerySpec(
+        dedup_minhash_lsh,
+        _minhash_lsh_sql(0.8, D.MINHASH_K, D.LSH_BANDS, D.LSH_ROWS_PER_BAND),
+        "MinHash(32) + LSH(8×4) + exact-Jaccard verify, threshold 0.8",
+        ("dedup",),
+    ),
+    "dedup_jaccard_exact": QuerySpec(
+        dedup_jaccard_exact,
+        f"""
+        WITH {_SQL_TOK_CTE},
+        sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+        common AS (
+          SELECT ta.doc_id AS d1, tb.doc_id AS d2, COUNT(*) AS n_common
+          FROM tok ta JOIN tok tb ON ta.token = tb.token AND ta.doc_id < tb.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT c.d1, c.d2,
+               CAST(c.n_common AS DOUBLE)
+                 / CAST(s1.n + s2.n - c.n_common AS DOUBLE) AS jaccard
+        FROM common c
+        JOIN sz s1 ON s1.doc_id = c.d1
+        JOIN sz s2 ON s2.doc_id = c.d2
+        WHERE CAST(c.n_common AS DOUBLE)
+                / CAST(s1.n + s2.n - c.n_common AS DOUBLE) >= 0.8
+        """,
+        "exact token-set Jaccard near-dup pairs ≥ 0.8",
+        ("dedup",),
+    ),
+    "dedup_simhash": QuerySpec(
+        dedup_simhash,
+        _simhash_pairs_sql(6, D.SIMHASH_BITS, D.SIMHASH_BAND_BITS),
+        "48-bit SimHash banded near-dup pairs, hamming ≤ 6",
+        ("dedup",),
+    ),
+    "dedup_embedding_cosine": QuerySpec(
+        dedup_embedding_cosine,
+        f"""
+        WITH {_SQL_EMB_NORM}
+        SELECT a.vec_id AS d1, b.vec_id AS d2,
+               ROUND(list_dot_product(a.v, b.v)
+                     / (SQRT(a.sq_norm) * SQRT(b.sq_norm)), 4) AS cos_sim
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+        WHERE ROUND(list_dot_product(a.v, b.v)
+                    / (SQRT(a.sq_norm) * SQRT(b.sq_norm)), 4) >= 0.45
+        """,
+        "embedding-cosine near-dup pairs ≥ 0.45",
+        ("dedup", "similarity"),
+    ),
+    "similarity_topk": QuerySpec(
+        similarity_topk,
+        f"""
+        WITH {_SQL_EMB_NORM},
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 ROUND(list_dot_product(q.v, c.v)
+                       / (SQRT(q.sq_norm) * SQRT(c.sq_norm)), 4) AS cos_sim
+          FROM n q JOIN n c ON q.vec_id != c.vec_id
+          WHERE q.vec_id < 5
+        )
+        SELECT query_id, neighbor_id, cos_sim, "rank" FROM (
+          SELECT query_id, neighbor_id, cos_sim,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS "rank"
+          FROM scored) sub
+        WHERE "rank" <= 10
+        """,
+        "brute-force cosine top-10 per query vector",
+        ("similarity",),
+    ),
+    "similarity_ivf_topk": QuerySpec(
+        similarity_ivf_topk,
+        None,
+        "IVF approximate top-k (recall vs brute force tested in pytest)",
+        ("similarity",),
+    ),
+    "text_token_stats": QuerySpec(
+        text_token_stats,
+        f"""
+        SELECT doc_id,
+               CAST(LENGTH(trim(text)) AS BIGINT) AS n_chars,
+               CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct({_SQL_TOKENS})) AS BIGINT) AS n_distinct_tokens,
+               CAST(LENGTH(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE)
+                 / CAST(len({_SQL_TOKENS}) AS DOUBLE) AS avg_token_len
+        FROM documents
+        """,
+        "per-document token statistics",
+        ("text",),
+    ),
+    "text_quality_score": QuerySpec(
+        text_quality_score,
+        f"""
+        WITH base AS (
+          SELECT doc_id,
+                 CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_tokens,
+                 {_SQL_LANG_SCORES['en']} AS stop_hits,
+                 CAST(len(list_distinct({_SQL_TOKENS})) AS BIGINT) AS n_distinct,
+                 CAST(LENGTH(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
+                 CAST(LENGTH(trim(text)) AS BIGINT) AS n_chars
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stopword_ratio,
+               CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS token_diversity,
+               CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) AS punct_ratio,
+               CASE WHEN n_tokens >= 30
+                         AND CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.05
+                         AND CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.3
+                    THEN 'good'
+                    WHEN n_tokens >= 10 THEN 'fair'
+                    ELSE 'poor' END AS quality
+        FROM base
+        """,
+        "heuristic document quality scoring",
+        ("text",),
+    ),
+    "text_language_id": QuerySpec(
+        text_language_id,
+        f"""
+        WITH scores AS (
+          SELECT doc_id, lang AS labeled_lang,
+                 {', '.join(f"{_SQL_LANG_SCORES[lang]} AS s_{lang}" for lang in X.LANG_PRIORITY)}
+          FROM documents
+        )
+        SELECT doc_id, labeled_lang,
+               {_langid_case_sql()} AS pred_lang,
+               {', '.join(f's_{lang} AS score_{lang}' for lang in X.LANG_PRIORITY)}
+        FROM scores
+        """,
+        "stopword-evidence language identification",
+        ("text",),
+    ),
+    "text_fingerprint": QuerySpec(
+        text_fingerprint,
+        """
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+               sha256(text) AS sha256
+        FROM documents
+        """,
+        "canonical document fingerprinting",
+        ("text",),
+    ),
+    "multimodal_binary_stats": QuerySpec(
+        multimodal_binary_stats,
+        """
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               CAST(CEIL(CAST(octet_length(encode(text)) AS DOUBLE)
+                         / CAST(1024 AS DOUBLE)) AS BIGINT) AS n_chunks,
+               sha256(text) AS digest
+        FROM documents
+        """,
+        "binary payload metadata plumbing",
+        ("multimodal",),
+    ),
+}

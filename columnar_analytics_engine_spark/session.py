@@ -1,0 +1,74 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference engine is single-threaded in one process
+(columnar-analytics-engine/src/execution.cpp, README "Limitations").
+Here the execution substrate is Spark: these configs are chosen so the
+same declarative plans that pass correctness on local[32] would hold on
+a 1000-executor cluster reading 100 TB — AQE for runtime re-planning
+(partition coalescing, skew-join splitting), parquet filter pushdown and
+vectorized reads for zone-map-style data skipping, and Arrow for any
+Python-side batch exchange.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Scale-relevant defaults.  Values that depend on cluster size
+# (shuffle.partitions) are set to the local core count here; on a real
+# cluster they are superseded by AQE's coalescing which right-sizes
+# post-shuffle partitions at runtime.
+_DEFAULT_CONFS: dict[str, str] = {
+    # Runtime re-planning: coalesce small shuffle partitions, split skewed
+    # ones, convert sort-merge→broadcast when a side turns out small.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Zone-map style data skipping (the reference's Predicate::canSkipPage,
+    # src/execution.cpp:48-71) is parquet row-group pruning here.
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.enableVectorizedReader": "true",
+    # Arrow for pandas_udf / toPandas exchange.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Deterministic oracle comparison: DuckDB timestamps are UTC-naive.
+    "spark.sql.session.timeZone": "UTC",
+    # Non-ANSI keeps SUM overflow wraparound semantics compatible with the
+    # reference (src/execution.cpp:314 sums int64 unchecked).
+    "spark.sql.ansi.enabled": "false",
+    # ~128 MB scan splits: good default for 100 TB parquet reads.
+    "spark.sql.files.maxPartitionBytes": "134217728",
+}
+
+
+def get_spark(
+    app_name: str = "columnar_analytics_engine_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_confs: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or get) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, fallback
+    ``local[*]``) so tests and bench share one code path; on a real
+    cluster pass ``master=None`` with a pre-configured spark-submit.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if master is None:
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus else (os.cpu_count() or 8)
+
+    builder = SparkSession.builder.appName(app_name).master(master)
+    builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    builder = builder.config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+    builder = builder.config("spark.ui.enabled", "false")
+    builder = builder.config("spark.ui.showConsoleProgress", "false")
+    for k, v in _DEFAULT_CONFS.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_confs or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

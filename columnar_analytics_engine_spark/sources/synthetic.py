@@ -1,0 +1,68 @@
+"""Deterministic synthetic table generators (reference CLI `write` parity).
+
+The reference generates seeded synthetic tables with mt19937
+(src/cli.cpp:29-118 — the 5-column CLI table; benches/benchmark.cpp:42-95
+— the 4-column 1M-row benchmark table).  The Spark-native equivalent is
+``spark.range`` + column expressions: fully distributed (each partition
+generates its slice — no driver materialization) and deterministic given
+the seed, via a splittable hash of (seed, id) rather than a sequential
+Mersenne Twister, which cannot be parallelized.  Distributions match the
+reference's shapes (sequential id, uniform ints, small-domain categories,
+fixed string lists); exact bit-parity with mt19937 is a non-goal (the
+reference's own tests never assert generator values, only round-trips).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+CLI_REGIONS = ("north", "south", "east", "west")
+CLI_STATUSES = ("active", "pending", "closed")
+BENCH_REGIONS = (
+    "north",
+    "south",
+    "east",
+    "west",
+    "northeast",
+    "northwest",
+    "southeast",
+    "southwest",
+)
+
+
+def _uniform_long(seed: int, salt: str, lo: int, hi: int) -> F.Column:
+    """Deterministic uniform integer in [lo, hi] derived from the row id."""
+    h = F.xxhash64(F.col("id"), F.lit(salt), F.lit(seed))
+    return (F.pmod(h, F.lit(hi - lo + 1)) + F.lit(lo)).cast("long")
+
+
+def _pick(seed: int, salt: str, values: tuple[str, ...]) -> F.Column:
+    arr = F.array(*[F.lit(v) for v in values])
+    idx = F.pmod(F.xxhash64(F.col("id"), F.lit(salt), F.lit(seed)), F.lit(len(values)))
+    return F.element_at(arr, (idx + 1).cast("int"))
+
+
+def cli_table(spark: SparkSession, num_rows: int, seed: int = 42, partitions: int | None = None) -> DataFrame:
+    """Reference CLI synthetic table (src/cli.cpp:29-62): id, value,
+    category, region, status."""
+    rng = spark.range(0, num_rows, numPartitions=partitions) if partitions else spark.range(num_rows)
+    return rng.select(
+        F.col("id").cast("long").alias("id"),
+        _uniform_long(seed, "value", 0, 10_000).alias("value"),
+        _uniform_long(seed, "category", 1, 5).cast("int").alias("category"),
+        _pick(seed, "region", CLI_REGIONS).alias("region"),
+        _pick(seed, "status", CLI_STATUSES).alias("status"),
+    )
+
+
+def bench_table(spark: SparkSession, num_rows: int = 1_000_000, seed: int = 42, partitions: int | None = None) -> DataFrame:
+    """Reference benchmark table (benches/benchmark.cpp:42-95): id,
+    value (0..100000), score (1..10), region (8 values)."""
+    rng = spark.range(0, num_rows, numPartitions=partitions) if partitions else spark.range(num_rows)
+    return rng.select(
+        F.col("id").cast("long").alias("id"),
+        _uniform_long(seed, "value", 0, 100_000).alias("value"),
+        _uniform_long(seed, "score", 1, 10).cast("int").alias("score"),
+        _pick(seed, "region", BENCH_REGIONS).alias("region"),
+    )

@@ -1,0 +1,113 @@
+"""Structured Streaming operators over the events stream.
+
+The reference engine is strictly batch (SURVEY.md §2.9 — confirmed
+absent); these are the streaming twins of the batch queries in
+``queries/events.py``.  Each builder takes a *streaming* DataFrame
+(``spark.readStream``) and returns the transformed streaming frame; the
+``run_available_now`` helper drains a bounded source (e.g. the parquet
+events fixture) through a memory sink so tests can compare streaming
+output against the batch equivalent deterministically.
+
+Watermarks bound state: at 100 TB/day ingest, an unbounded groupBy on
+event time would accumulate state forever; ``withWatermark`` lets Spark
+drop window state older than the lateness bound and emit finalized rows
+in append mode.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from columnar_analytics_engine_spark.queries._util import exact_sum
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open the events fixture as a file-source stream.
+
+    The parquet fixture stores nanosecond timestamps; the stream reads
+    them as int64 (nanosAsLong) and converts to microsecond timestamps,
+    identical to the batch reader (io.read_table).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # file-stream sources take a directory; select just the events file
+    # from the fixture dir via glob filter
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def tumbling_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window counts+sums per event type — the
+    streaming twin of queries/events.py::events_tumbling_window."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), exact_sum("value", "sum_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(events: DataFrame, window: str = "1 hour", slide: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+        )
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Native session windows (gap-merged) per user — streaming twin of
+    the lag/cumsum batch sessionization."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming dedup keyed on event_id with bounded state."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def run_available_now(stream_df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Drain a bounded stream through a memory sink (availableNow
+    trigger) and return the collected result as a batch DataFrame —
+    deterministic end-of-stream semantics for tests."""
+    name = f"sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.outputMode("complete" if _is_aggregating(stream_df) else "append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def _is_aggregating(df: DataFrame) -> bool:
+    plan = df._jdf.queryExecution().analyzed().toString()
+    return "Aggregate" in plan

@@ -1,0 +1,76 @@
+"""Dedup operators on constructed fixtures with known ground truth."""
+
+from __future__ import annotations
+
+import pytest
+
+from columnar_analytics_engine_spark.operators.dedup import (
+    exact_duplicates,
+    jaccard_pairs,
+    lsh_candidates,
+    minhash_near_duplicates,
+    minhash_signatures,
+    simhash,
+    simhash_near_duplicates,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    # 0/1: exact duplicates.  2/3: same token set, different order (jaccard 1).
+    # 4: overlaps 2 partially.  5: disjoint.
+    rows = [
+        (0, "alpha beta gamma delta"),
+        (1, "alpha beta gamma delta"),
+        (2, "one two three four five six seven eight nine ten"),
+        (3, "ten nine eight seven six five four three two one"),
+        (4, "one two three four five eleven twelve thirteen fourteen fifteen"),
+        (5, "zz yy xx ww vv uu"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(docs):
+    out = {r["keeper_id"]: r["n_copies"] for r in exact_duplicates(docs).collect()}
+    assert out[0] == 2  # docs 0,1 collapse; keeper is min id
+    assert 1 not in out
+    assert out[2] == 1 and out[5] == 1
+
+
+def test_jaccard_pairs_exact(docs):
+    pairs = {(r["d1"], r["d2"]): r["jaccard"] for r in jaccard_pairs(docs, 0.8).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert pairs[(2, 3)] == 1.0
+    assert (4, 5) not in pairs
+    assert (2, 4) not in pairs  # jaccard(2,4) = 5/15 = 0.33
+
+
+def test_minhash_identical_sets_have_identical_signatures(docs):
+    sigs = {r["doc_id"]: [r[f"h{i}"] for i in range(32)] for r in minhash_signatures(docs).collect()}
+    assert sigs[2] == sigs[3]
+    assert sigs[0] == sigs[1]
+    assert sigs[4] != sigs[2]
+
+
+def test_lsh_finds_duplicate_candidates(docs):
+    cands = {(r["d1"], r["d2"]) for r in lsh_candidates(minhash_signatures(docs)).collect()}
+    assert (0, 1) in cands and (2, 3) in cands
+
+
+def test_minhash_near_duplicates_end_to_end(docs):
+    pairs = {(r["d1"], r["d2"]): r["jaccard"] for r in minhash_near_duplicates(docs, 0.8).collect()}
+    assert pairs[(0, 1)] == 1.0 and pairs[(2, 3)] == 1.0
+    assert all(j >= 0.8 for j in pairs.values())
+
+
+def test_simhash_identical_multisets_collide(docs):
+    fps = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert fps[0] == fps[1]
+    assert fps[2] == fps[3]  # same token multiset, order-independent
+    assert fps[0] >= 0  # 48-bit value, never sign-overflows
+
+
+def test_simhash_near_duplicates(docs):
+    pairs = {(r["d1"], r["d2"]): r["hamming"] for r in simhash_near_duplicates(docs, 6).collect()}
+    assert pairs[(0, 1)] == 0
+    assert pairs[(2, 3)] == 0

@@ -1,0 +1,79 @@
+"""I/O round-trips, describe() metadata parity, corruption handling.
+
+Mirrors the reference's format tests (tests/test_format.cpp round-trips,
+stats golden check :203-232) and corruption tests
+(tests/test_corruption.cpp — bad magic/truncation → clean error)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from columnar_analytics_engine_spark.io import describe, read_table, write_table
+from columnar_analytics_engine_spark.sources.synthetic import bench_table, cli_table
+
+
+def test_roundtrip_preserves_data(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30), (4, 40), (5, 50)], "id long, value int"
+    )
+    path = str(tmp_path / "t.parquet")
+    write_table(df, path)
+    back = spark.read.parquet(path)
+    assert sorted(r["value"] for r in back.collect()) == [10, 20, 30, 40, 50]
+    assert back.schema == df.schema
+
+
+def test_describe_stats_golden(spark, tmp_path):
+    # stats golden check (tests/test_format.cpp:203-232): {10,5,30,15,25} → min 5, max 30
+    df = spark.createDataFrame([(v,) for v in [10, 5, 30, 15, 25]], "value long").coalesce(1)
+    path = str(tmp_path / "s.parquet")
+    write_table(df, path)
+    meta = describe(path)
+    assert meta["total_rows"] == 5
+    col = meta["files"][0]["row_groups"][0]["columns"][0]
+    assert col["column"] == "value"
+    assert col["min"] == 5 and col["max"] == 30
+    assert col["null_count"] == 0
+
+
+def test_describe_reports_encodings_and_schema(sf_small):
+    meta = describe(os.path.join(sf_small, "lineitem.parquet"))
+    assert meta["total_rows"] > 0
+    assert "l_orderkey" in meta["schema"]
+    encodings = meta["row_groups"][0]["columns"][0]["encodings"]
+    assert encodings  # parquet picked encodings automatically
+
+
+def test_missing_file_raises(spark):
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        spark.read.parquet("/nonexistent/nope.parquet").collect()
+
+
+def test_corrupt_file_raises(spark, tmp_path):
+    # tests/test_corruption.cpp: garbage bytes → clean failure, no crash
+    bad = tmp_path / "bad.parquet"
+    bad.write_bytes(b"PAR1 this is not a real parquet footer PAR1")
+    with pytest.raises(Exception):
+        spark.read.parquet(str(bad)).collect()
+
+
+def test_synthetic_cli_table_deterministic(spark):
+    a = cli_table(spark, 1000, seed=42).collect()
+    b = cli_table(spark, 1000, seed=42).collect()
+    assert a == b
+    df = cli_table(spark, 1000, seed=42)
+    regions = {r["region"] for r in df.select("region").distinct().collect()}
+    assert regions <= {"north", "south", "east", "west"}
+    assert df.filter("value < 0 OR value > 10000").count() == 0
+
+
+def test_synthetic_bench_table_shape(spark):
+    df = bench_table(spark, 10_000, seed=42)
+    assert df.columns == ["id", "value", "score", "region"]
+    assert df.count() == 10_000
+    stats = df.selectExpr("min(score) AS lo", "max(score) AS hi").first()
+    assert stats["lo"] >= 1 and stats["hi"] <= 10

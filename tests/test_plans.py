@@ -1,0 +1,70 @@
+"""Physical-plan property tests — the scale contract.
+
+Correct rows are necessary, not sufficient: at 100 TB the plan shape IS
+the product.  These assert the properties the reference hard-coded
+(pushdown, pruning) and the ones Spark adds (broadcast, codegen,
+TakeOrderedAndProject) stay present.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from columnar_analytics_engine_spark.io import read_table
+from columnar_analytics_engine_spark.plans.explain import (
+    formatted_plan,
+    has_pushed_filters,
+    read_schema_columns,
+    uses_broadcast_join,
+    uses_whole_stage_codegen,
+)
+from columnar_analytics_engine_spark.queries.relational import (
+    join_broadcast_inner,
+    sort_limit_topk,
+    tpch_q1,
+)
+from columnar_analytics_engine_spark.queries.core import filter_count, scan_projection
+
+
+def test_filter_pushed_to_parquet(spark, sf_small):
+    df = filter_count(spark, sf_small)
+    assert has_pushed_filters(df, "GreaterThan(l_quantity"), formatted_plan(df)
+
+
+def test_projection_prunes_columns(spark, sf_small):
+    df = scan_projection(spark, sf_small)
+    scans = read_schema_columns(df)
+    assert scans, "no parquet scan found"
+    assert set(scans[0]) == {"l_orderkey", "l_linenumber", "l_quantity"}
+
+
+def test_q1_reads_only_needed_columns(spark, sf_small):
+    df = tpch_q1(spark, sf_small)
+    scans = read_schema_columns(df)
+    # 7 columns used by Q1, out of lineitem's 11
+    assert set(scans[0]) == {
+        "l_returnflag",
+        "l_linestatus",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_shipdate",
+    }
+
+
+def test_dim_join_broadcasts(spark, sf_small):
+    df = join_broadcast_inner(spark, sf_small)
+    assert uses_broadcast_join(df), formatted_plan(df)
+
+
+def test_topk_plans_take_ordered(spark, sf_small):
+    df = sort_limit_topk(spark, sf_small)
+    assert "TakeOrderedAndProject" in formatted_plan(df)
+
+
+def test_scan_agg_uses_codegen(spark, sf_small):
+    df = read_table(spark, sf_small, "lineitem").groupBy("l_returnflag").agg(
+        F.sum("l_quantity")
+    )
+    assert uses_whole_stage_codegen(df)

@@ -1,0 +1,63 @@
+"""Structured Streaming twins must agree with their batch equivalents.
+
+Strategy: drain the bounded events fixture through each streaming
+operator with an availableNow trigger into a memory sink, then compare
+against the batch query on the same data (SURVEY.md §5 — streaming is
+the only genuinely stateful extension; determinism comes from
+end-of-stream draining).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from columnar_analytics_engine_spark.queries.events import (
+    events_sliding_window,
+    events_tumbling_window,
+)
+from columnar_analytics_engine_spark.streaming.windows import (
+    dedup_within_watermark,
+    read_events_stream,
+    run_available_now,
+    session_counts,
+    sliding_counts,
+    tumbling_counts,
+)
+
+
+def _sorted_rows(df, *cols):
+    return [tuple(r) for r in df.orderBy(*cols).collect()]
+
+
+def test_streaming_tumbling_matches_batch(spark, sf_small):
+    stream = read_events_stream(spark, sf_small)
+    out = run_available_now(tumbling_counts(stream), spark)
+    batch = events_tumbling_window(spark, sf_small)
+    assert _sorted_rows(out, "window_start", "event_type") == _sorted_rows(
+        batch, "window_start", "event_type"
+    )
+
+
+def test_streaming_sliding_matches_batch(spark, sf_small):
+    stream = read_events_stream(spark, sf_small)
+    out = run_available_now(sliding_counts(stream), spark)
+    batch = events_sliding_window(spark, sf_small)
+    assert _sorted_rows(out, "window_start") == _sorted_rows(batch, "window_start")
+
+
+def test_streaming_session_window_counts(spark, sf_small):
+    stream = read_events_stream(spark, sf_small)
+    out = run_available_now(session_counts(stream), spark)
+    # session_window merges events with gaps < 30 min; total events preserved
+    total_events = out.agg(F.sum("n_events")).first()[0]
+    batch_total = spark.read.parquet(f"{sf_small}/events.parquet").count()
+    assert total_events == batch_total
+    assert out.count() > 0
+
+
+def test_streaming_dedup_within_watermark(spark, sf_small):
+    stream = read_events_stream(spark, sf_small)
+    out = run_available_now(dedup_within_watermark(stream), spark)
+    n = spark.read.parquet(f"{sf_small}/events.parquet").count()
+    # event_id is unique in the fixture: dedup preserves all rows
+    assert out.count() == n
