@@ -127,6 +127,56 @@ def jaccard_pairs(
     )
 
 
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles (order-sensitive, unlike token sets)."""
+    toks = tokens(text)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+    )
+    return F.array_distinct(grams)
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Order-sensitive near-dup pairs via n-gram shingle Jaccard.
+
+    Shingles are high-cardinality (unlike tokens), so the classical
+    inverted-index self-join is sparse and scales — two docs only meet
+    if they share an exact n-word sequence.  Catches true copy-edits
+    that token-set Jaccard can't distinguish from shuffles.
+    """
+    sh = docs.filter(F.size(tokens(F.col(text_col))) >= n).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("g"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("ga")
+    b = sh.alias("gb")
+    common = (
+        a.join(
+            b,
+            (F.col("ga.g") == F.col("gb.g")) & (F.col("ga.doc_id") < F.col("gb.doc_id")),
+        )
+        .groupBy(F.col("ga.doc_id").alias("d1"), F.col("gb.doc_id").alias("d2"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("s1.n_sh") + F.col("s2.n_sh") - F.col("n_common")
+    ).cast("double")
+    return (
+        common.join(sizes.alias("s1"), F.col("d1") == F.col("s1.doc_id"))
+        .join(sizes.alias("s2"), F.col("d2") == F.col("s2.doc_id"))
+        .select("d1", "d2", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= F.lit(threshold))
+    )
+
+
 def minhash_signatures(
     docs: DataFrame, k: int = MINHASH_K, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

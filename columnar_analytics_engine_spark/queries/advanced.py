@@ -1,0 +1,313 @@
+"""Advanced relational surface: subqueries, HAVING, string/array/JSON
+functions, analytic windows (ntile/percent_rank/range frames), unpivot,
+exact percentiles.
+
+All absent from the reference (SURVEY.md §2.5, §2.8 — confirmed absent);
+each is a built-in Spark capability expressed declaratively, with the
+oracle SQL shaped to be arithmetic-identical (see queries/_util.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from columnar_analytics_engine_spark.queries._util import (
+    QuerySpec,
+    exact_sum,
+    sql_exact_sum,
+    t,
+)
+
+
+def subquery_scalar_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders above their customer's average order value (scalar
+    subquery, decorrelated into an aggregate + broadcast-able join)."""
+    orders = t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * F.lit(100.0)).cast("long")
+    per_cust = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        ((F.sum(cents).cast("double") / F.count("*").cast("double")) / F.lit(100.0)).alias(
+            "avg_price"
+        )
+    )
+    return (
+        orders.join(per_cust, orders.o_custkey == per_cust.k)
+        .filter(F.col("o_totalprice") > F.col("avg_price"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+def having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY … HAVING over aggregate values."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("n_items"), exact_sum("l_quantity", "sum_qty"))
+        .filter((F.col("n_items") > 50) & (F.col("sum_qty") > 1500.0))
+    )
+
+
+def string_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: nation list per region."""
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+            F.count("*").alias("n_nations"),
+        )
+        .orderBy("r_name")
+    )
+
+
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array ops over the embedding column (size/min/max/first/slice-sum)."""
+    df = t(spark, sf_dir, "embeddings")
+    return df.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("n_dims"),
+        F.array_max("embedding").alias("max_val"),
+        F.array_min("embedding").alias("min_val"),
+        F.element_at("embedding", 1).alias("first_val"),
+    )
+
+
+def json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from the events props column."""
+    df = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        df.select("event_id", k.alias("k_val"))
+        .groupBy((F.col("k_val") % 10).alias("k_mod10"))
+        .agg(F.count("*").alias("n_events"), F.sum("k_val").alias("sum_k"))
+        .orderBy("k_mod10")
+    )
+
+
+def window_ntile_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile / percent_rank / cume_dist analytics over order values."""
+    w = W.orderBy(F.col("o_totalprice"), F.col("o_orderkey"))
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame: per customer, orders in the trailing 30 days
+    (value-based window frame, not row-based)."""
+    day_num = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+    )
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(day_num)
+        .rangeBetween(-30, 0)
+    )
+    return t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.count("*").over(w).alias("orders_trailing_30d"),
+    )
+
+
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value over the full partition frame."""
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w).alias("last_order"),
+    )
+
+
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT part metrics into (metric, value) rows via stack()."""
+    return t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.expr(
+            "stack(2, 'size', CAST(p_size AS DOUBLE), 'retail', p_retailprice)"
+        ).alias("metric", "value"),
+    )
+
+
+def union_all_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (bag semantics, duplicates preserved)."""
+    a = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    b = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 250_000.0)
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    return a.unionAll(b).groupBy("custkey").agg(F.count("*").alias("n_rows"))
+
+
+def percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median/p90) per order status."""
+    df = t(spark, sf_dir, "orders")
+    return (
+        df.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("median_price"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90_price"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "subquery_scalar_avg": QuerySpec(
+        subquery_scalar_avg,
+        """
+        WITH pc AS (
+          SELECT o_custkey AS k,
+                 (CAST(SUM(CAST(ROUND(o_totalprice * CAST(100 AS DOUBLE)) AS BIGINT)) AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE)) / CAST(100 AS DOUBLE) AS avg_price
+          FROM orders GROUP BY o_custkey
+        )
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders JOIN pc ON o_custkey = pc.k
+        WHERE o_totalprice > pc.avg_price
+        """,
+        "scalar subquery: orders above customer average",
+        ("subquery",),
+    ),
+    "having_filter": QuerySpec(
+        having_filter,
+        f"""
+        SELECT l_suppkey, COUNT(*) AS n_items,
+               {sql_exact_sum('l_quantity', 'sum_qty')}
+        FROM lineitem GROUP BY l_suppkey
+        HAVING COUNT(*) > 50
+           AND CAST(SUM(CAST(ROUND(l_quantity * CAST(100 AS DOUBLE)) AS BIGINT)) AS DOUBLE)
+               / CAST(100 AS DOUBLE) > 1500.0
+        """,
+        "GROUP BY with HAVING",
+        ("agg",),
+    ),
+    "string_aggregation": QuerySpec(
+        string_aggregation,
+        """
+        SELECT r_name,
+               string_agg(n_name, ',' ORDER BY n_name) AS nations,
+               COUNT(*) AS n_nations
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name
+        """,
+        "ordered string aggregation",
+        ("agg", "scalar"),
+    ),
+    "array_functions": QuerySpec(
+        array_functions,
+        """
+        SELECT vec_id,
+               CAST(len(embedding) AS BIGINT) AS n_dims,
+               list_max(embedding) AS max_val,
+               list_min(embedding) AS min_val,
+               embedding[1] AS first_val
+        FROM embeddings
+        """,
+        "array scalar functions",
+        ("scalar", "array"),
+    ),
+    "json_functions": QuerySpec(
+        json_functions,
+        """
+        SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod10,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        FROM events
+        GROUP BY 1 ORDER BY k_mod10
+        """,
+        "JSON extraction + aggregation",
+        ("scalar", "json"),
+    ),
+    "window_ntile_percent": QuerySpec(
+        window_ntile_percent,
+        """
+        SELECT o_orderkey,
+               CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+               PERCENT_RANK() OVER w AS pct_rank,
+               CUME_DIST() OVER w AS cume
+        FROM orders
+        WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+        """,
+        "ntile / percent_rank / cume_dist",
+        ("window",),
+    ),
+    "window_range_frame": QuerySpec(
+        window_range_frame,
+        """
+        SELECT o_custkey, o_orderkey,
+               COUNT(*) OVER (PARTITION BY o_custkey
+                              ORDER BY date_diff('day', DATE '1970-01-01',
+                                                 CAST(o_orderdate AS DATE))
+                              RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+                 AS orders_trailing_30d
+        FROM orders
+        """,
+        "value-based RANGE window frame",
+        ("window",),
+    ),
+    "window_first_last": QuerySpec(
+        window_first_last,
+        """
+        SELECT o_custkey, o_orderkey,
+               FIRST_VALUE(o_orderkey) OVER w AS first_order,
+               LAST_VALUE(o_orderkey) OVER w AS last_order
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        """,
+        "first_value / last_value full-frame window",
+        ("window",),
+    ),
+    "unpivot_metrics": QuerySpec(
+        unpivot_metrics,
+        """
+        SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+        UNION ALL
+        SELECT p_partkey, 'retail' AS metric, p_retailprice AS value FROM part
+        """,
+        "UNPIVOT via stack()",
+        ("setop", "scalar"),
+    ),
+    "union_all_bag": QuerySpec(
+        union_all_bag,
+        """
+        SELECT custkey, COUNT(*) AS n_rows FROM (
+          SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+          UNION ALL
+          SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 250000.0
+        ) u GROUP BY custkey
+        """,
+        "UNION ALL bag semantics",
+        ("setop",),
+    ),
+    "percentile_exact": QuerySpec(
+        percentile_exact,
+        """
+        SELECT o_orderstatus,
+               ROUND(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
+               ROUND(quantile_cont(o_totalprice, 0.9), 2) AS p90_price,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """,
+        "exact interpolated percentiles",
+        ("agg",),
+    ),
+}

@@ -147,6 +147,55 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.near_duplicate_pairs(t(spark, sf_dir, "embeddings"), threshold=0.45)
 
 
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(t(spark, sf_dir, "documents"), threshold=0.5, n=3)
+
+
+def text_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics: document frequency + total
+    occurrences per term (the inputs to TF-IDF weighting)."""
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(X.tokens(F.col("text"))).alias("token")
+    )
+    n_docs = docs.count()
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.countDistinct("doc_id").alias("doc_freq"),
+            F.count("*").alias("total_occurrences"),
+        )
+        .withColumn("n_docs", F.lit(int(n_docs)).cast("long"))
+        .orderBy("token")
+    )
+
+
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid vectors, long form (label, dim, centroid).
+
+    Vector aggregation with order-independent exactness: positions are
+    exploded, each component summed as a scaled integer, then unscaled —
+    the vector analog of the exact-sum trick.  One shuffle on
+    (label, dim); at scale this is the canonical embedding-pool job.
+    """
+    df = t(spark, sf_dir, "embeddings")
+    exploded = df.select(
+        "label", F.posexplode(F.col("embedding")).alias("pos", "val")
+    )
+    cents = F.round(F.col("val").cast("double") * F.lit(1_000_000.0)).cast("long")
+    return (
+        exploded.groupBy("label", F.col("pos").cast("long").alias("dim"))
+        .agg(
+            (
+                (F.sum(cents).cast("double") / F.count("*").cast("double"))
+                / F.lit(1_000_000.0)
+            ).alias("centroid"),
+            F.count("*").alias("n_vectors"),
+        )
+        .orderBy("label", "dim")
+    )
+
+
 def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
@@ -304,6 +353,66 @@ QUERIES: dict[str, QuerySpec] = {
         _simhash_pairs_sql(6, D.SIMHASH_BITS, D.SIMHASH_BAND_BITS),
         "48-bit SimHash banded near-dup pairs, hamming ≤ 6",
         ("dedup",),
+    ),
+    "dedup_ngram_jaccard": QuerySpec(
+        dedup_ngram_jaccard,
+        f"""
+        WITH s AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(range(1, len(l) - 1),
+                     i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS sh
+          FROM (SELECT doc_id, {_SQL_TOKENS} AS l FROM documents)
+          WHERE len(l) >= 3
+        ),
+        g AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM g GROUP BY doc_id),
+        common AS (
+          SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+          FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT c.d1, c.d2,
+               CAST(c.n_common AS DOUBLE)
+                 / CAST(s1.n_sh + s2.n_sh - c.n_common AS DOUBLE) AS jaccard
+        FROM common c
+        JOIN sz s1 ON s1.doc_id = c.d1
+        JOIN sz s2 ON s2.doc_id = c.d2
+        WHERE CAST(c.n_common AS DOUBLE)
+                / CAST(s1.n_sh + s2.n_sh - c.n_common AS DOUBLE) >= 0.5
+        """,
+        "3-gram shingle Jaccard near-dup pairs ≥ 0.5 (order-sensitive)",
+        ("dedup",),
+    ),
+    "text_term_stats": QuerySpec(
+        text_term_stats,
+        f"""
+        SELECT token,
+               COUNT(DISTINCT doc_id) AS doc_freq,
+               COUNT(*) AS total_occurrences,
+               (SELECT COUNT(*) FROM documents) AS n_docs
+        FROM (SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents) tok
+        GROUP BY token ORDER BY token
+        """,
+        "vocabulary document-frequency statistics (TF-IDF inputs)",
+        ("text",),
+    ),
+    "embedding_centroids": QuerySpec(
+        embedding_centroids,
+        """
+        WITH e AS (
+          SELECT label, unnest(embedding) AS val,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings
+        )
+        SELECT label, CAST(i - 1 AS BIGINT) AS dim,
+               (CAST(SUM(CAST(ROUND(CAST(val AS DOUBLE)
+                                    * CAST(1000000 AS DOUBLE)) AS BIGINT)) AS DOUBLE)
+                / CAST(COUNT(*) AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS centroid,
+               COUNT(*) AS n_vectors
+        FROM e GROUP BY label, i ORDER BY label, dim
+        """,
+        "per-label exact centroid vectors (long form)",
+        ("similarity", "agg"),
     ),
     "dedup_embedding_cosine": QuerySpec(
         dedup_embedding_cosine,
