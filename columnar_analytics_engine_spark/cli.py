@@ -1,0 +1,96 @@
+"""CLI — parity with the reference's three entry points (src/cli.cpp:300-344):
+
+  write <out_dir> <num_rows> [seed]   synthetic data gen (src/cli.cpp:29-118)
+  scan  <path>                        metadata dump       (src/cli.cpp:120-170)
+  query <path> [--select a,b] [--where col,op,val]... [--agg func,col]
+        [--groupby col]               SQL-ish query flags (src/cli.cpp:209-298)
+
+Usage:  python -m columnar_analytics_engine_spark.cli query data.parquet \\
+            --select id,region --where value,GT,5000 --groupby region --agg sum,value
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from columnar_analytics_engine_spark.io import describe, write_table
+from columnar_analytics_engine_spark.ops import AggFunc, CompareOp, Query
+from columnar_analytics_engine_spark.session import get_spark
+from columnar_analytics_engine_spark.sources.synthetic import cli_table
+
+_OPS = {o.name: o for o in CompareOp}
+_AGGS = {a.name: a for a in AggFunc}
+
+
+def cmd_write(args: argparse.Namespace) -> None:
+    spark = get_spark(app_name="cae-cli")
+    df = cli_table(spark, args.num_rows, seed=args.seed)
+    write_table(df, args.out)
+    print(f"wrote {args.num_rows} rows (seed {args.seed}) to {args.out}")
+
+
+def cmd_scan(args: argparse.Namespace) -> None:
+    meta = describe(args.path)
+    print(json.dumps(meta, indent=2, default=str))
+
+
+def cmd_query(args: argparse.Namespace) -> None:
+    spark = get_spark(app_name="cae-cli")
+    q = Query(spark.read.parquet(args.path))
+    if args.select:
+        q.set_projection([c.strip() for c in args.select.split(",")])
+    for w in args.where or []:
+        col, op, val = w.split(",")
+        try:
+            value: object = int(val)
+        except ValueError:
+            try:
+                value = float(val)
+            except ValueError:
+                value = val
+        q.add_filter(col, _OPS[op.upper()], value)
+    if args.agg:
+        func, col = args.agg.split(",")
+        q.set_aggregation(_AGGS[func.upper()], col)
+    if args.groupby:
+        q.set_group_by(*[c.strip() for c in args.groupby.split(",")])
+    result = q.execute()
+    rows = result.collect()
+    print("\t".join(result.columns))
+    # display cap mirrors the reference (src/cli.cpp:276-279: print ≤20)
+    for row in rows[:20]:
+        print("\t".join(str(v) for v in row))
+    if len(rows) > 20:
+        print(f"... ({len(rows)} rows total)")
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(prog="cae", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    w = sub.add_parser("write", help="generate synthetic data")
+    w.add_argument("out")
+    w.add_argument("num_rows", type=int)
+    w.add_argument("seed", type=int, nargs="?", default=42)
+    w.set_defaults(fn=cmd_write)
+
+    s = sub.add_parser("scan", help="dump parquet metadata")
+    s.add_argument("path")
+    s.set_defaults(fn=cmd_scan)
+
+    q = sub.add_parser("query", help="run a query")
+    q.add_argument("path")
+    q.add_argument("--select")
+    q.add_argument("--where", action="append", metavar="COL,OP,VAL")
+    q.add_argument("--agg", metavar="FUNC,COL")
+    q.add_argument("--groupby")
+    q.set_defaults(fn=cmd_query)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

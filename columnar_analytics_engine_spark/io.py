@@ -125,6 +125,35 @@ def write_table(
     writer.parquet(path)
 
 
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
+    """CSV sink (the reference only emits CSV for benchmark results,
+    benches/benchmark.cpp:233-258; here it is a first-class connector)."""
+    df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema: Any = None, header: bool = True) -> DataFrame:
+    """CSV source with explicit schema (inference is a full extra pass —
+    never at 100 TB)."""
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink (reference: benches/benchmark.cpp:260-276)."""
+    df.write.mode(mode).json(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: Any = None) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
 def describe(path: str) -> dict[str, Any]:
     """Metadata scan: schema + row groups + per-column chunk stats.
 

@@ -211,6 +211,44 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(queries, emb, k=10, n_lists=16, n_probe=4)
 
 
+def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-based 10% sample — reproducible across engines, runs, and
+    cluster sizes (unlike rng-based TABLESAMPLE).  The standard way to
+    carve stable train/eval splits out of a 100 TB corpus."""
+    df = t(spark, sf_dir, "lineitem")
+    key = F.concat_ws(
+        ":", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string")
+    )
+    from columnar_analytics_engine_spark.functions.hashing import h60
+
+    return df.filter((h60("smp:", key) % 100) < 10).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+def dedup_keeper_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keeper assignment from MinHash near-dup pairs:
+    keeper(d) = min(d1) over pairs (d1 < d), else d itself.
+
+    Single-pass greedy clustering (not transitive closure — a doc whose
+    only link is through an intermediate keeps its direct minimum); the
+    deterministic one-shuffle assignment used to drop duplicates at
+    scale without an iterative connected-components job.
+    """
+    docs = t(spark, sf_dir, "documents")
+    pairs = D.minhash_near_duplicates(docs, threshold=0.8)
+    min_link = pairs.groupBy("d2").agg(F.min("d1").alias("min_d1"))
+    return (
+        docs.select("doc_id")
+        .join(min_link, F.col("doc_id") == F.col("d2"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("min_d1", F.col("doc_id")).alias("keeper_id"),
+            (F.col("min_d1").isNotNull()).alias("is_duplicate"),
+        )
+    )
+
+
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = t(spark, sf_dir, "documents")
     txt = F.col("text")
@@ -352,6 +390,22 @@ QUERIES: dict[str, QuerySpec] = {
         dedup_simhash,
         _simhash_pairs_sql(6, D.SIMHASH_BITS, D.SIMHASH_BAND_BITS),
         "48-bit SimHash banded near-dup pairs, hamming ≤ 6",
+        ("dedup",),
+    ),
+    "sample_deterministic": QuerySpec(
+        sample_deterministic,
+        f"""
+        SELECT l_orderkey, l_linenumber, l_quantity
+        FROM lineitem
+        WHERE {sql_h60('smp:', "CONCAT(CAST(l_orderkey AS VARCHAR), ':', CAST(l_linenumber AS VARCHAR))")} % 100 < 10
+        """,
+        "hash-based deterministic 10% sample",
+        ("sampling",),
+    ),
+    "dedup_keeper_assignment": QuerySpec(
+        dedup_keeper_assignment,
+        None,  # oracle set below (composes the minhash pair SQL)
+        "greedy keeper assignment from MinHash near-dup pairs",
         ("dedup",),
     ),
     "dedup_ngram_jaccard": QuerySpec(
@@ -537,3 +591,18 @@ QUERIES: dict[str, QuerySpec] = {
         ("multimodal",),
     ),
 }
+
+# Keeper-assignment oracle: the full MinHash pair pipeline as a derived
+# table, aggregated to the per-doc minimum link (subquery CTEs are legal
+# in DuckDB).
+QUERIES["dedup_keeper_assignment"].sql = f"""
+    SELECT d.doc_id,
+           COALESCE(p.min_d1, d.doc_id) AS keeper_id,
+           p.min_d1 IS NOT NULL AS is_duplicate
+    FROM documents d
+    LEFT JOIN (
+      SELECT d2, MIN(d1) AS min_d1
+      FROM ({_minhash_lsh_sql(0.8, D.MINHASH_K, D.LSH_BANDS, D.LSH_ROWS_PER_BAND)}) pr
+      GROUP BY d2
+    ) p ON p.d2 = d.doc_id
+"""

@@ -92,13 +92,17 @@ def dedup_within_watermark(events: DataFrame, watermark: str = "1 hour") -> Data
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
 
 
-def run_available_now(stream_df: DataFrame, spark: SparkSession) -> DataFrame:
+def run_available_now(
+    stream_df: DataFrame, spark: SparkSession, output_mode: str | None = None
+) -> DataFrame:
     """Drain a bounded stream through a memory sink (availableNow
     trigger) and return the collected result as a batch DataFrame —
     deterministic end-of-stream semantics for tests."""
+    if output_mode is None:
+        output_mode = "complete" if _is_aggregating(stream_df) else "append"
     name = f"sink_{uuid.uuid4().hex[:8]}"
     q = (
-        stream_df.writeStream.outputMode("complete" if _is_aggregating(stream_df) else "append")
+        stream_df.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(name)
         .trigger(availableNow=True)

@@ -1,0 +1,63 @@
+"""CLI parity tests (reference src/cli.cpp write/scan/query)."""
+
+from __future__ import annotations
+
+import json
+
+from columnar_analytics_engine_spark import cli
+from columnar_analytics_engine_spark.io import read_csv, read_json, write_csv, write_json
+
+
+def test_cli_write_scan_query_roundtrip(spark, tmp_path, capsys):
+    out = str(tmp_path / "synth.parquet")
+    cli.main(["write", out, "500", "7"])
+    assert "wrote 500 rows" in capsys.readouterr().out
+
+    cli.main(["scan", out])
+    meta = json.loads(capsys.readouterr().out)
+    assert meta["total_rows"] == 500
+    assert set(meta["schema"]) == {"id", "value", "category", "region", "status"}
+
+    cli.main(
+        [
+            "query",
+            out,
+            "--where",
+            "value,GT,5000",
+            "--groupby",
+            "region",
+            "--agg",
+            "sum,value",
+        ]
+    )
+    lines = capsys.readouterr().out.strip().splitlines()
+    # header + ≤4 regions, key-sorted group-by output
+    assert lines[0].split("\t") == ["region", "count", "sum", "min", "max"]
+    keys = [ln.split("\t")[0] for ln in lines[1:]]
+    assert keys == sorted(keys)
+
+
+def test_cli_projection_and_filter(spark, tmp_path, capsys):
+    out = str(tmp_path / "s2.parquet")
+    cli.main(["write", out, "100"])
+    capsys.readouterr()
+    cli.main(["query", out, "--select", "id,region", "--where", "id,LT,5"])
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert lines[0] == "id\tregion"
+    assert len(lines) == 6  # header + 5 rows
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    path = str(tmp_path / "csv_out")
+    write_csv(df, path)
+    back = read_csv(spark, path, schema="id long, name string")
+    assert sorted((r["id"], r["name"]) for r in back.collect()) == [(1, "a"), (2, "b")]
+
+
+def test_json_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    path = str(tmp_path / "json_out")
+    write_json(df, path)
+    back = read_json(spark, path, schema="id long, name string")
+    assert sorted((r["id"], r["name"]) for r in back.collect()) == [(1, "a"), (2, "b")]

@@ -61,3 +61,25 @@ def test_streaming_dedup_within_watermark(spark, sf_small):
     n = spark.read.parquet(f"{sf_small}/events.parquet").count()
     # event_id is unique in the fixture: dedup preserves all rows
     assert out.count() == n
+
+
+def test_stateful_running_totals(spark, sf_small):
+    from columnar_analytics_engine_spark.streaming.stateful import running_user_totals
+
+    stream = read_events_stream(spark, sf_small)
+    out = run_available_now(running_user_totals(stream), spark, output_mode="update")
+    # final state per user (last update) must equal the batch aggregate
+    final = (
+        out.groupBy("user_id")
+        .agg(F.max("n_events").alias("n"), F.max("total_value").alias("v"))
+        .collect()
+    )
+    batch = (
+        spark.read.parquet(f"{sf_small}/events.parquet")
+        .groupBy("user_id")
+        .count()
+        .collect()
+    )
+    batch_counts = {r["user_id"]: r["count"] for r in batch}
+    got_counts = {r["user_id"]: r["n"] for r in final}
+    assert got_counts == batch_counts
