@@ -42,7 +42,14 @@ def cmd_query(args: argparse.Namespace) -> None:
     if args.select:
         q.set_projection([c.strip() for c in args.select.split(",")])
     for w in args.where or []:
-        col, op, val = w.split(",")
+        parts = w.split(",")
+        if len(parts) != 3:
+            sys.exit(f"error: --where expects COL,OP,VAL (got {w!r})")
+        col, op, val = parts
+        if op.upper() not in _OPS:
+            sys.exit(
+                f"error: unknown operator {op!r}; expected one of {sorted(_OPS)}"
+            )
         try:
             value: object = int(val)
         except ValueError:
@@ -52,7 +59,12 @@ def cmd_query(args: argparse.Namespace) -> None:
                 value = val
         q.add_filter(col, _OPS[op.upper()], value)
     if args.agg:
-        func, col = args.agg.split(",")
+        parts = args.agg.split(",")
+        if len(parts) != 2 or parts[0].upper() not in _AGGS:
+            sys.exit(
+                f"error: --agg expects FUNC,COL with FUNC in {sorted(_AGGS)} (got {args.agg!r})"
+            )
+        func, col = parts
         q.set_aggregation(_AGGS[func.upper()], col)
     if args.groupby:
         q.set_group_by(*[c.strip() for c in args.groupby.split(",")])

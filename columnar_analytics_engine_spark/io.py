@@ -125,6 +125,27 @@ def write_table(
     writer.parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int = 16,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed (hash-clustered) managed table.
+
+    Bucketing is the 100 TB co-location primitive: two tables bucketed
+    on the same key with the same bucket count join WITHOUT a shuffle
+    (asserted in tests/test_scale_ops.py).  Spark requires
+    ``saveAsTable`` for bucket metadata — files alone can't carry it.
+    """
+    writer = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table_name)
+
+
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
     """CSV sink (the reference only emits CSV for benchmark results,
     benches/benchmark.cpp:233-258; here it is a first-class connector)."""

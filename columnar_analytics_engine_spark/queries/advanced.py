@@ -155,6 +155,51 @@ def union_all_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.unionAll(b).groupBy("custkey").agg(F.count("*").alias("n_rows"))
 
 
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL API (the DataFrame API only
+    exposes rollup/cube; arbitrary set lists need SQL — same Catalyst
+    plan either way)."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               COUNT(*) AS n_rows
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY status, priority
+        """
+    )
+
+
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "A")
+        .select(F.col("l_suppkey").alias("suppkey"))
+    )
+    b = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_linestatus") == "F")
+        .select(F.col("l_suppkey").alias("suppkey"))
+    )
+    return a.intersectAll(b).groupBy("suppkey").agg(F.count("*").alias("n_copies"))
+
+
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "A")
+        .select(F.col("l_suppkey").alias("suppkey"))
+    )
+    b = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_linestatus") == "F")
+        .select(F.col("l_suppkey").alias("suppkey"))
+    )
+    return a.exceptAll(b).groupBy("suppkey").agg(F.count("*").alias("n_copies"))
+
+
 def percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (median/p90) per order status."""
     df = t(spark, sf_dir, "orders")
@@ -296,6 +341,43 @@ QUERIES: dict[str, QuerySpec] = {
         ) u GROUP BY custkey
         """,
         "UNION ALL bag semantics",
+        ("setop",),
+    ),
+    "grouping_sets_agg": QuerySpec(
+        grouping_sets_agg,
+        """
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               COUNT(*) AS n_rows
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY status, priority
+        """,
+        "explicit GROUPING SETS (SQL API)",
+        ("agg",),
+    ),
+    "set_intersect_all": QuerySpec(
+        set_intersect_all,
+        """
+        SELECT suppkey, COUNT(*) AS n_copies FROM (
+          SELECT l_suppkey AS suppkey FROM lineitem WHERE l_returnflag = 'A'
+          INTERSECT ALL
+          SELECT l_suppkey AS suppkey FROM lineitem WHERE l_linestatus = 'F'
+        ) x GROUP BY suppkey
+        """,
+        "INTERSECT ALL bag semantics",
+        ("setop",),
+    ),
+    "set_except_all": QuerySpec(
+        set_except_all,
+        """
+        SELECT suppkey, COUNT(*) AS n_copies FROM (
+          SELECT l_suppkey AS suppkey FROM lineitem WHERE l_returnflag = 'A'
+          EXCEPT ALL
+          SELECT l_suppkey AS suppkey FROM lineitem WHERE l_linestatus = 'F'
+        ) x GROUP BY suppkey
+        """,
+        "EXCEPT ALL bag semantics",
         ("setop",),
     ),
     "percentile_exact": QuerySpec(

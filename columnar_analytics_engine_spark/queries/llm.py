@@ -606,3 +606,57 @@ QUERIES["dedup_keeper_assignment"].sql = f"""
       GROUP BY d2
     ) p ON p.d2 = d.doc_id
 """
+
+
+def dedup_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-fingerprint dedup: collapse docs whose lowercased,
+    whitespace-normalized text is identical (case/spacing-insensitive
+    exact dedup — between md5-exact and near-dup in strictness)."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", X.fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_members"))
+    )
+
+
+def text_top_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 most frequent tokens per labeled language (explode +
+    two-level aggregation + per-group top-k window)."""
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select("lang", F.explode(X.tokens(F.col("text"))).alias("token"))
+    counts = tok.groupBy("lang", "token").agg(F.count("*").alias("n"))
+    w = W.partitionBy("lang").orderBy(F.col("n").desc(), F.col("token"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+        .select("lang", "token", "n", "rnk")
+    )
+
+
+QUERIES["dedup_fingerprint_groups"] = QuerySpec(
+    dedup_fingerprint_groups,
+    """
+    SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+           MIN(doc_id) AS keeper_id,
+           COUNT(*) AS n_members
+    FROM documents GROUP BY 1
+    """,
+    "case/spacing-insensitive fingerprint dedup groups",
+    ("dedup", "text"),
+)
+
+QUERIES["text_top_tokens_per_lang"] = QuerySpec(
+    text_top_tokens_per_lang,
+    f"""
+    SELECT lang, token, n, rnk FROM (
+      SELECT lang, token, COUNT(*) AS n,
+             CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                  ORDER BY COUNT(*) DESC, token) AS BIGINT) AS rnk
+      FROM (SELECT lang, unnest({_SQL_TOKENS}) AS token FROM documents) tk
+      GROUP BY lang, token) ranked
+    WHERE rnk <= 5
+    """,
+    "top-5 tokens per language",
+    ("text",),
+)

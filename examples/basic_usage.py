@@ -8,7 +8,11 @@ read → Query builder.
 
 from __future__ import annotations
 
+import os
+import sys
 import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from columnar_analytics_engine_spark import (
     AggFunc,

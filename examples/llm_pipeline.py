@@ -1,0 +1,52 @@
+"""End-to-end training-data pipeline over the documents corpus.
+
+The composition a 100 TB curation job runs: quality-filter → exact +
+near-dedup keeper collapse → deterministic sampling — all pure
+DataFrame transformations, one driver program, no collect() until the
+final preview.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from columnar_analytics_engine_spark import get_spark, read_table
+from columnar_analytics_engine_spark.functions import text as X
+from columnar_analytics_engine_spark.functions.hashing import h60
+from columnar_analytics_engine_spark.operators import dedup as D
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+
+def main() -> None:
+    spark = get_spark(app_name="cae-llm-pipeline")
+    docs = read_table(spark, SF_DIR, "documents")
+    n0 = docs.count()
+
+    # 1. quality filter: enough tokens, some lexical diversity
+    n_tokens = X.token_count(F.col("text"))
+    diversity = X.distinct_token_count(F.col("text")).cast("double") / n_tokens.cast("double")
+    quality = docs.filter((n_tokens >= 10) & (diversity >= 0.2))
+    n1 = quality.count()
+
+    # 2. near-dedup: MinHash-LSH pairs → greedy keeper collapse
+    pairs = D.minhash_near_duplicates(quality, threshold=0.8)
+    dropped = pairs.select(F.col("d2").alias("doc_id")).distinct()
+    deduped = quality.join(dropped, "doc_id", "left_anti")
+    n2 = deduped.count()
+
+    # 3. stable 80% train split by content hash (survives reshards/reruns)
+    train = deduped.filter(h60("split:", F.col("text")) % 100 < 80)
+    n3 = train.count()
+
+    print(f"corpus {n0} -> quality {n1} -> deduped {n2} -> train {n3}")
+    train.select("doc_id", "lang", "n_chars").show(5)
+
+
+if __name__ == "__main__":
+    main()

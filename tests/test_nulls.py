@@ -1,0 +1,57 @@
+"""Null-semantics tests — the documented superset (SURVEY §7.4-2).
+
+The reference is null-free by construction; this engine follows standard
+Spark SQL three-valued logic.  These tests pin the behavior so it's a
+contract, not an accident.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+import pytest
+
+from columnar_analytics_engine_spark.ops import AggFunc, CompareOp, Query
+
+
+@pytest.fixture(scope="module")
+def with_nulls(spark):
+    return spark.createDataFrame(
+        [(1, 100, "A"), (2, None, "B"), (3, 150, None), (4, None, None), (5, 250, "A")],
+        "id long, value int, category string",
+    )
+
+
+def test_filters_drop_null_comparisons(with_nulls):
+    # NULL > 100 is UNKNOWN → row filtered out (not an error, not a match)
+    got = Query(with_nulls).add_filter("value", CompareOp.GT, 100).execute()
+    assert sorted(r["id"] for r in got.collect()) == [3, 5]
+    # NE also drops nulls (three-valued logic)
+    got = Query(with_nulls).add_filter("value", CompareOp.NE, 100).execute()
+    assert sorted(r["id"] for r in got.collect()) == [3, 5]
+
+
+def test_aggregates_skip_nulls_count_star_does_not(with_nulls):
+    row = Query(with_nulls).set_aggregation(AggFunc.SUM, "value").execute().first()
+    assert row["count"] == 5      # count(*) counts rows
+    assert row["sum"] == 500      # sum skips nulls
+    assert row["min"] == 100 and row["max"] == 250
+
+
+def test_group_by_keeps_null_key_group(with_nulls):
+    rows = Query(with_nulls).set_group_by("category").execute().collect()
+    counts = {r["category"]: r["count"] for r in rows}
+    assert counts == {"A": 2, "B": 1, None: 2}
+
+
+def test_join_null_keys_never_match(spark):
+    a = spark.createDataFrame([(1, "x"), (None, "y")], "k long, v string")
+    b = spark.createDataFrame([(1, "p"), (None, "q")], "k long, w string")
+    out = a.join(b, "k").collect()
+    assert len(out) == 1 and out[0]["v"] == "x"  # NULL = NULL is not TRUE
+
+
+def test_null_safe_equality_operator(spark):
+    a = spark.createDataFrame([(1,), (None,)], "k long")
+    b = spark.createDataFrame([(1,), (None,)], "k long")
+    out = a.join(b, a["k"].eqNullSafe(b["k"]))
+    assert out.count() == 2  # <=> matches NULL with NULL

@@ -1,0 +1,72 @@
+"""Scale-mechanics tests: salted joins, bucketed co-location, partition
+pruning — the operators whose value only shows in the plan/shuffle
+structure, verified here at small scale."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from columnar_analytics_engine_spark.io import read_table, write_bucketed, write_table
+from columnar_analytics_engine_spark.operators.skew import salted_join
+from columnar_analytics_engine_spark.plans.explain import formatted_plan
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_salted_join_matches_plain_join(spark, sf_small):
+    orders = read_table(spark, sf_small, "orders")
+    customer = read_table(spark, sf_small, "customer").select("c_custkey", "c_mktsegment")
+    plain = orders.join(customer, orders.o_custkey == customer.c_custkey, "inner")
+    salted = salted_join(
+        orders, customer.withColumnRenamed("c_custkey", "o_custkey"), on="o_custkey"
+    )
+    assert _rows(salted, "o_orderkey", "c_mktsegment") == _rows(
+        plain, "o_orderkey", "c_mktsegment"
+    )
+
+
+def test_salted_left_join_preserves_unmatched(spark):
+    big = spark.createDataFrame([(1, "a"), (2, "b"), (99, "no-match")], "k long, v string")
+    small = spark.createDataFrame([(1, "x"), (2, "y")], "k long, w string")
+    out = salted_join(big, small, on="k", how="left", salt_factor=4)
+    got = {(r["k"], r["w"]) for r in out.collect()}
+    assert got == {(1, "x"), (2, "y"), (99, None)}
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_small):
+    # managed tables land in the default warehouse dir (gitignored);
+    # warehouse.dir is a static conf and can't be pointed at tmp_path
+    orders = read_table(spark, sf_small, "orders")
+    customer = read_table(spark, sf_small, "customer")
+    write_bucketed(orders.select("o_orderkey", "o_custkey", "o_totalprice"), "b_orders", "o_custkey", 8)
+    write_bucketed(customer.select("c_custkey", "c_mktsegment"), "b_customer", "c_custkey", 8)
+    a = spark.table("b_orders")
+    b = spark.table("b_customer")
+    # disable broadcast so the co-location actually decides the plan
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = a.join(b, a.o_custkey == b.c_custkey)
+        plan = formatted_plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan  # buckets co-locate: no shuffle
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_small, tmp_path):
+    li = read_table(spark, sf_small, "lineitem")
+    path = str(tmp_path / "li_part")
+    write_table(li, path, partition_by=["l_returnflag"])
+    back = spark.read.parquet(path).filter(F.col("l_returnflag") == "R")
+    plan = formatted_plan(back)
+    assert "PartitionFilters" in plan
+    # the pruned read must only touch the R partition
+    assert back.select("l_returnflag").distinct().collect()[0][0] == "R"
+    expected = li.filter(F.col("l_returnflag") == "R").count()
+    assert back.count() == expected
