@@ -11,12 +11,19 @@ and float aggregates use exact integer-scaled arithmetic (see
 from __future__ import annotations
 
 from columnar_analytics_engine_spark.queries._util import QuerySpec
-from columnar_analytics_engine_spark.queries import advanced, core, relational, llm, events
+from columnar_analytics_engine_spark.queries import (
+    advanced,
+    core,
+    events,
+    llm,
+    relational,
+    tpch_more,
+)
 
 
 def all_queries() -> dict[str, QuerySpec]:
     out: dict[str, QuerySpec] = {}
-    for mod in (core, relational, advanced, llm, events):
+    for mod in (core, relational, advanced, tpch_more, llm, events):
         for name, spec in mod.QUERIES.items():
             if name in out:
                 raise ValueError(f"duplicate query name: {name}")

@@ -20,6 +20,13 @@ order.  TPC-H money columns have 2 decimals (scale 100); products like
 6 (scale 1_000_000) — all far below the 2^53 exactness ceiling at these SFs.
 
 MIN/MAX/CONSTANT doubles are exact as-is and need no scaling.
+
+Overflow ceiling: the scaled sum must stay below 2^63 (and below 2^53
+for the exact final division).  At scale=1e6 and ~1e5-magnitude values
+that allows ~9e7 rows per aggregation group — ample for the test SFs,
+but a full 100 TB (SF ≥ ~60) run should switch the accumulator to
+``sum(cast(x as decimal(38, 6)))`` (Spark and DuckDB both sum decimals
+exactly; only the oracle's output type normalization changes).
 """
 
 from __future__ import annotations

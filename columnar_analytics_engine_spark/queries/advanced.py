@@ -393,3 +393,28 @@ QUERIES: dict[str, QuerySpec] = {
         ("agg",),
     ),
 }
+
+
+def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates: HLL distinct + quantile sketch — delivers
+    the capability the reference only declared (PageStats.
+    distinct_count_estimate, include/format.h:44, always written 0).
+    Sketch internals differ between engines, so this is a rows-only
+    check; accuracy is asserted against exact values in
+    tests/test_approx.py instead.
+    """
+    df = t(spark, sf_dir, "lineitem")
+    return df.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey").alias("approx_supps"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+QUERIES["approx_aggregates"] = QuerySpec(
+    approx_aggregates,
+    None,
+    "HLL approx distinct + approximate percentile (rows-only; accuracy in pytest)",
+    ("agg", "approx"),
+)

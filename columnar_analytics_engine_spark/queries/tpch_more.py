@@ -1,0 +1,289 @@
+"""Further TPC-H adaptations (Q4/Q7/Q9/Q14/Q18/Q19 shapes).
+
+Adapted where the driver fixture lacks columns (no l_commitdate /
+l_receiptdate / ps_supplycost / c_phone): each docstring states the
+adaptation.  Collectively these cover: EXISTS with correlated date
+arithmetic, dual-aliased dimension joins, disjunctive multi-conjunct
+predicates, conditional-aggregate ratios, and having-gated semi joins —
+the relational shapes the simpler queries don't reach.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from columnar_analytics_engine_spark.queries._util import (
+    QuerySpec,
+    exact_sum,
+    sql_exact_sum,
+    t,
+)
+
+def _rev() -> F.Column:
+    """Discounted revenue (built lazily — Column construction needs an
+    active SparkContext, so no module-level Column objects)."""
+    return F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+
+
+_REV_SQL = "l_extendedprice * (1.0 - l_discount)"
+
+
+def tpch_q4_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 order-priority checking (adapted: no l_commitdate — 'late'
+    means shipped >60 days after the order date)."""
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (li.l_orderkey == orders.o_orderkey)
+        & (li.l_shipdate > F.expr("o_orderdate + INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7: revenue shipped between NATION_1 and NATION_2 in either
+    direction, by year — dual-aliased nation dimension."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer")
+    supplier = t(spark, sf_dir, "supplier")
+    n1 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
+        )
+        .agg(exact_sum(_rev(), "revenue", scale=10_000))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def tpch_q9_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 product-type profit (adapted: no ps_supplycost — profit is
+    discounted revenue), for parts with 'red' in the name, by supplier
+    nation and order year."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    supplier = t(spark, sf_dir, "supplier")
+    orders = t(spark, sf_dir, "orders")
+    nation = t(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(exact_sum(_rev(), "sum_profit", scale=10_000))
+        .orderBy(F.col("nation"), F.col("o_year").desc())
+    )
+
+
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 promotion effect: promo revenue share in one month.  The
+    ratio divides two exact scaled-integer sums, so it is bit-stable."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    part = t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cents = F.round(_rev() * F.lit(10_000.0)).cast("long")
+    promo = F.sum(F.when(F.col("p_type").startswith("PROMO"), cents).otherwise(F.lit(0)))
+    total = F.sum(cents)
+    return joined.agg(
+        ((promo.cast("double") / total.cast("double")) * F.lit(100.0)).alias(
+            "promo_revenue_pct"
+        ),
+        F.count("*").alias("n_rows"),
+    )
+
+
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 large-volume customers: orders whose total quantity exceeds
+    300, with customer detail, top-100."""
+    li = t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(exact_sum("l_quantity", "total_qty"))
+        .filter(F.col("total_qty") > 300.0)
+    )
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+def tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 discounted revenue under an OR of three brand/size/quantity
+    conjunct groups — the disjunctive-pushdown stress case."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    c1 = (
+        (F.col("p_brand") == "Brand#23")
+        & (F.col("p_size").between(1, 5))
+        & (F.col("l_quantity").between(1.0, 11.0))
+    )
+    c2 = (
+        (F.col("p_brand") == "Brand#15")
+        & (F.col("p_size").between(1, 10))
+        & (F.col("l_quantity").between(10.0, 20.0))
+    )
+    c3 = (
+        (F.col("p_brand") == "Brand#6")
+        & (F.col("p_size").between(1, 15))
+        & (F.col("l_quantity").between(20.0, 30.0))
+    )
+    return j.filter(c1 | c2 | c3).agg(
+        exact_sum(_rev(), "revenue", scale=10_000), F.count("*").alias("n_rows")
+    )
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "tpch_q4_adapted": QuerySpec(
+        tpch_q4_adapted,
+        """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "TPC-H Q4 (adapted): late-shipping order counts by priority",
+        ("tpch", "join"),
+    ),
+    "tpch_q7_volume_shipping": QuerySpec(
+        tpch_q7_volume_shipping,
+        f"""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+               {sql_exact_sum(_REV_SQL, 'revenue', 10_000)}
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+          AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year
+        """,
+        "TPC-H Q7: bilateral shipping volume by year",
+        ("tpch", "join"),
+    ),
+    "tpch_q9_adapted": QuerySpec(
+        tpch_q9_adapted,
+        f"""
+        SELECT n_name AS nation,
+               CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+               {sql_exact_sum(_REV_SQL, 'sum_profit', 10_000)}
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%red%'
+        GROUP BY 1, 2 ORDER BY nation, o_year DESC
+        """,
+        "TPC-H Q9 (adapted): nation profit by year",
+        ("tpch", "join"),
+    ),
+    "tpch_q14_promo_revenue": QuerySpec(
+        tpch_q14_promo_revenue,
+        f"""
+        SELECT (CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                         THEN CAST(ROUND(({_REV_SQL}) * CAST(10000 AS DOUBLE)) AS BIGINT)
+                         ELSE 0 END) AS DOUBLE)
+                / CAST(SUM(CAST(ROUND(({_REV_SQL}) * CAST(10000 AS DOUBLE)) AS BIGINT)) AS DOUBLE))
+               * 100.0 AS promo_revenue_pct,
+               COUNT(*) AS n_rows
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
+        """,
+        "TPC-H Q14: promo revenue share (exact-ratio)",
+        ("tpch", "agg"),
+    ),
+    "tpch_q18_large_orders": QuerySpec(
+        tpch_q18_large_orders,
+        f"""
+        WITH big AS (
+          SELECT l_orderkey, {sql_exact_sum('l_quantity', 'total_qty')}
+          FROM lineitem GROUP BY l_orderkey
+          HAVING CAST(SUM(CAST(ROUND(l_quantity * CAST(100 AS DOUBLE)) AS BIGINT)) AS DOUBLE)
+                 / CAST(100 AS DOUBLE) > 300.0
+        )
+        SELECT c_custkey, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+               o_totalprice, total_qty
+        FROM big
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 100
+        """,
+        "TPC-H Q18: large-volume orders top-100",
+        ("tpch", "join"),
+    ),
+    "tpch_q19_disjunctive": QuerySpec(
+        tpch_q19_disjunctive,
+        f"""
+        SELECT {sql_exact_sum(_REV_SQL, 'revenue', 10_000)},
+               COUNT(*) AS n_rows
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1.0 AND 11.0)
+           OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10.0 AND 20.0)
+           OR (p_brand = 'Brand#6' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20.0 AND 30.0)
+        """,
+        "TPC-H Q19: disjunctive predicate revenue",
+        ("tpch", "filter"),
+    ),
+}
