@@ -68,3 +68,30 @@ def test_scan_agg_uses_codegen(spark, sf_small):
         F.sum("l_quantity")
     )
     assert uses_whole_stage_codegen(df)
+
+
+def test_q5_star_join_all_dims_broadcast(spark, sf_small):
+    from columnar_analytics_engine_spark.queries.relational import join_star_tpch_q5
+
+    plan = formatted_plan(join_star_tpch_q5(spark, sf_small))
+    # every dimension side broadcasts; the fact table never sort-merge shuffles
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_range_join_is_hash_not_nested_loop(spark, sf_small):
+    from columnar_analytics_engine_spark.queries.events import events_range_join
+
+    plan = formatted_plan(events_range_join(spark, sf_small))
+    # bucketization turns the time-range join into equi hash joins
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_asof_join_is_window_based(spark, sf_small):
+    from columnar_analytics_engine_spark.queries.events import events_asof_join
+
+    plan = formatted_plan(events_asof_join(spark, sf_small))
+    assert "Window" in plan
+    assert "NestedLoopJoin" not in plan and "CartesianProduct" not in plan
