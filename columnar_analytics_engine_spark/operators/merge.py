@@ -1,0 +1,44 @@
+"""MERGE / upsert emulation (no Delta/Iceberg jars in this image).
+
+MERGE INTO needs a transactional table format; on plain parquet the
+equivalent batch operation is: updated = source ⟕ target (new + changed
+rows win), untouched = target ⟍ source, result = union.  One shuffle on
+the merge key for each side; output is written back partition-parallel.
+SCD2 (history-keeping) variant stacks a window to close out superseded
+rows instead of dropping them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def merge_upsert(target: DataFrame, source: DataFrame, key: str) -> DataFrame:
+    """Upsert ``source`` rows into ``target`` by ``key`` (source wins on
+    conflict).  Schemas must match."""
+    untouched = target.join(source.select(key), key, "left_anti")
+    return untouched.unionByName(source)
+
+
+def scd2_apply(
+    target_hist: DataFrame,
+    source: DataFrame,
+    key: str,
+    ts_col: str,
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: append source rows as current
+    versions, close out superseded ones.
+
+    ``target_hist`` carries (…, ``ts_col``, is_current); the output has
+    exactly one is_current row per key (the latest by ``ts_col``),
+    earlier versions retained with is_current = false.
+    """
+    incoming = source.withColumn("is_current", F.lit(True))
+    combined = target_hist.unionByName(incoming)
+    w = W.partitionBy(key).orderBy(F.col(ts_col).desc())
+    return (
+        combined.withColumn("_rn", F.row_number().over(w))
+        .withColumn("is_current", F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -660,3 +660,53 @@ QUERIES["text_top_tokens_per_lang"] = QuerySpec(
     "top-5 tokens per language",
     ("text",),
 )
+
+
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 200-char/50-overlap chunking — the standard context
+    windowing step before embedding; built-ins only (see
+    functions/udfs.py for the UDTF twin)."""
+    from columnar_analytics_engine_spark.functions.udfs import chunk_text_builtin
+
+    return chunk_text_builtin(t(spark, sf_dir, "documents"), chunk_chars=200, overlap=50)
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters: connected components over the
+    MinHash pair graph (iterative — not SQL-expressible; verified by
+    union-find comparison in tests/test_clusters.py)."""
+    from columnar_analytics_engine_spark.operators.clusters import connected_components
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = D.minhash_near_duplicates(docs, threshold=0.8)
+    labels = connected_components(pairs)
+    return (
+        docs.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select("doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"))
+    )
+
+
+QUERIES["text_chunking"] = QuerySpec(
+    text_chunking,
+    """
+    WITH n AS (
+      SELECT doc_id, text,
+             GREATEST(1, CAST(CEIL((LENGTH(text) - 50) / CAST(150 AS DOUBLE)) AS INTEGER)) AS n_chunks
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_id,
+           SUBSTRING(text, CAST(i AS INTEGER) * 150 + 1, 200) AS chunk
+    FROM (SELECT doc_id, text, unnest(range(0, n_chunks)) AS i FROM n) x
+    """,
+    "overlapping text chunking (200 chars, 50 overlap)",
+    ("text", "multimodal"),
+)
+
+QUERIES["dedup_clusters"] = QuerySpec(
+    dedup_clusters,
+    None,
+    "transitive near-dup clusters via iterative connected components",
+    ("dedup",),
+)

@@ -1,0 +1,39 @@
+"""Connected-components clustering vs a driver-side union-find oracle."""
+
+from __future__ import annotations
+
+from columnar_analytics_engine_spark.io import read_table
+from columnar_analytics_engine_spark.operators.clusters import connected_components
+from columnar_analytics_engine_spark.operators.dedup import minhash_near_duplicates
+
+
+def _union_find(pairs):
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_chain_graph_collapses_to_one_cluster(spark):
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (10, 11)], "d1 long, d2 long")
+    labels = {r["doc_id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_components_match_union_find_on_real_pairs(spark, sf_small):
+    docs = read_table(spark, sf_small, "documents")
+    pairs_df = minhash_near_duplicates(docs, threshold=0.8)
+    pairs = [(r["d1"], r["d2"]) for r in pairs_df.collect()]
+    want = _union_find(pairs)
+    got = {r["doc_id"]: r["cluster_id"] for r in connected_components(pairs_df).collect()}
+    assert got == want
