@@ -418,3 +418,126 @@ QUERIES["approx_aggregates"] = QuerySpec(
     "HLL approx distinct + approximate percentile (rows-only; accuracy in pytest)",
     ("agg", "approx"),
 )
+
+
+def histogram_value_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order values (floor-arithmetic binning —
+    portable, unlike engine-specific width_bucket variants)."""
+    df = t(spark, sf_dir, "orders")
+    bin_id = F.floor(F.col("o_totalprice") / F.lit(25_000.0)).cast("long")
+    return (
+        df.groupBy(bin_id.alias("bin_id"))
+        .agg(F.count("*").alias("n_orders"))
+        .withColumn("bin_lo", (F.col("bin_id") * 25_000).cast("double"))
+        .orderBy("bin_id")
+    )
+
+
+def stats_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of quantity vs discount via exact integer
+    moment sums — the textbook formula over order-free BIGINT
+    accumulators, so the result is bit-identical across engines (the
+    built-in corr() sums doubles and is partition-order-dependent)."""
+    df = t(spark, sf_dir, "lineitem")
+    x = F.round(F.col("l_quantity") * F.lit(100.0)).cast("long")     # ≤ 5000
+    y = F.round(F.col("l_discount") * F.lit(10_000.0)).cast("long")  # ≤ 1000
+    agg = df.agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy, sxy = F.col("sxx").cast("double"), F.col("syy").cast("double"), F.col("sxy").cast("double")
+    corr = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return agg.select(F.round(corr, 8).alias("qty_disc_corr"), F.col("n").alias("n_rows"))
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: per-user first
+    timestamps per stage, sequenced; one shuffle on user_id."""
+    df = t(spark, sf_dir, "events")
+    first_of = lambda et: F.min(F.when(F.col("event_type") == et, F.col("ts")))
+    per_user = df.groupBy("user_id").agg(
+        first_of("view").alias("t_view"),
+        first_of("click").alias("t_click"),
+        first_of("purchase").alias("t_purchase"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & F.col("t_click").isNotNull() & (F.col("t_click") > F.col("t_view"))
+    purchased = clicked & F.col("t_purchase").isNotNull() & (F.col("t_purchase") > F.col("t_click"))
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.sum(viewed.cast("long")).alias("n_viewed"),
+        F.sum(clicked.cast("long")).alias("n_clicked_after_view"),
+        F.sum(purchased.cast("long")).alias("n_purchased_after_click"),
+    )
+
+
+QUERIES["histogram_value_dist"] = QuerySpec(
+    histogram_value_dist,
+    """
+    SELECT CAST(FLOOR(o_totalprice / CAST(25000 AS DOUBLE)) AS BIGINT) AS bin_id,
+           COUNT(*) AS n_orders,
+           CAST(CAST(FLOOR(o_totalprice / CAST(25000 AS DOUBLE)) AS BIGINT) * 25000 AS DOUBLE) AS bin_lo
+    FROM orders
+    GROUP BY 1, 3 ORDER BY bin_id
+    """,
+    "fixed-width value histogram",
+    ("agg",),
+)
+
+QUERIES["stats_correlation"] = QuerySpec(
+    stats_correlation,
+    """
+    WITH m AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(ROUND(l_quantity * CAST(100 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS sx,
+             CAST(SUM(CAST(ROUND(l_discount * CAST(10000 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS sy,
+             CAST(SUM(CAST(ROUND(l_quantity * CAST(100 AS DOUBLE)) AS BIGINT)
+                      * CAST(ROUND(l_quantity * CAST(100 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS sxx,
+             CAST(SUM(CAST(ROUND(l_discount * CAST(10000 AS DOUBLE)) AS BIGINT)
+                      * CAST(ROUND(l_discount * CAST(10000 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS syy,
+             CAST(SUM(CAST(ROUND(l_quantity * CAST(100 AS DOUBLE)) AS BIGINT)
+                      * CAST(ROUND(l_discount * CAST(10000 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS sxy
+      FROM lineitem
+    )
+    SELECT ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 8)
+             AS qty_disc_corr,
+           n AS n_rows
+    FROM m
+    """,
+    "exact-moment Pearson correlation",
+    ("agg", "stats"),
+)
+
+QUERIES["events_funnel"] = QuerySpec(
+    events_funnel,
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_viewed,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL
+                          AND t_click > t_view THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked_after_view,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL
+                          AND t_click > t_view AND t_purchase IS NOT NULL
+                          AND t_purchase > t_click THEN 1 ELSE 0 END) AS BIGINT) AS n_purchased_after_click
+    FROM per_user
+    """,
+    "ordered conversion funnel view→click→purchase",
+    ("streaming", "agg"),
+)
