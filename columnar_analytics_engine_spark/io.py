@@ -163,6 +163,16 @@ def read_csv(spark: SparkSession, path: str, schema: Any = None, header: bool = 
     return reader.csv(path)
 
 
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink — the other mainstream columnar format (same row-group/
+    stats/pushdown model as Parquet; Spark support is native)."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
 def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """JSON-lines sink (reference: benches/benchmark.cpp:260-276)."""
     df.write.mode(mode).json(path)

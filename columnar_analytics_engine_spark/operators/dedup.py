@@ -275,12 +275,16 @@ def simhash(
         F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("token")
     )
     tokcnt = tok.groupBy("doc_id", "token").agg(F.count("*").alias("cnt"))
-    h = h60("s:", F.col("token"))
+    # hash each vocabulary term once and join back — md5 work scales with
+    # distinct tokens, not corpus size (same pattern as minhash_signatures;
+    # inlining h60 into all `bits` sums would recompute it per bit per row)
+    vocab = tok.select("token").distinct().withColumn("h", h60("s:", F.col("token")))
+    tokcnt = tokcnt.join(vocab, "token")
     bit_sums = [
         F.sum(
-            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.col("cnt")).otherwise(
-                -F.col("cnt")
-            )
+            F.when(
+                F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, F.col("cnt")
+            ).otherwise(-F.col("cnt"))
         ).alias(f"b{b}")
         for b in range(bits)
     ]

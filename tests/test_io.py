@@ -77,3 +77,26 @@ def test_synthetic_bench_table_shape(spark):
     assert df.count() == 10_000
     stats = df.selectExpr("min(score) AS lo", "max(score) AS hi").first()
     assert stats["lo"] >= 1 and stats["hi"] <= 10
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    from columnar_analytics_engine_spark.io import read_orc, write_orc
+
+    df = spark.createDataFrame([(1, "a", 1.5), (2, "b", 2.5)], "id long, name string, v double")
+    path = str(tmp_path / "t.orc")
+    write_orc(df, path)
+    back = read_orc(spark, path)
+    assert sorted(tuple(r) for r in back.collect()) == [(1, "a", 1.5), (2, "b", 2.5)]
+    assert back.schema == df.schema
+
+
+def test_orc_predicate_pushdown(spark, tmp_path):
+    from columnar_analytics_engine_spark.io import read_orc, write_orc
+    from columnar_analytics_engine_spark.plans.explain import formatted_plan
+
+    df = spark.range(1000).selectExpr("id", "id * 2 AS v")
+    path = str(tmp_path / "p.orc")
+    write_orc(df, path)
+    filtered = read_orc(spark, path).filter("v > 100")
+    assert "PushedFilters: [IsNotNull(v), GreaterThan(v,100)]" in formatted_plan(filtered)
+    assert filtered.count() == 949

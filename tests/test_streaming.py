@@ -83,3 +83,18 @@ def test_stateful_running_totals(spark, sf_small):
     batch_counts = {r["user_id"]: r["count"] for r in batch}
     got_counts = {r["user_id"]: r["n"] for r in final}
     assert got_counts == batch_counts
+
+
+def test_foreach_batch_sink(spark, sf_small, tmp_path):
+    """foreachBatch: the exactly-once custom-sink pattern — each
+    micro-batch lands as parquet keyed by batch id."""
+    out_dir = str(tmp_path / "fb_out")
+    stream = read_events_stream(spark, sf_small)
+
+    def sink(batch_df, batch_id: int):
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+
+    q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination()
+    written = spark.read.parquet(f"{out_dir}/batch=*")
+    assert written.count() == spark.read.parquet(f"{sf_small}/events.parquet").count()
