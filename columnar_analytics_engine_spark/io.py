@@ -94,7 +94,7 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE
     for name in names:
         path = table_path(sf_dir, name)
         if os.path.exists(path):
-            df = spark.read.parquet(path)
+            df = read_table(spark, sf_dir, name)  # handles ns timestamps
             df.createOrReplaceTempView(name)
             out[name] = df
     return out

@@ -541,3 +541,76 @@ QUERIES["events_funnel"] = QuerySpec(
     "ordered conversion funnel view→click→purchase",
     ("streaming", "agg"),
 )
+
+
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level table profiling (ANALYZE-statistics twin, SURVEY
+    §1.5): null count, exact distinct count, min/max per column of
+    lineitem, long form.  One pass per profile job; values rendered as
+    strings so heterogeneous column types share one output schema."""
+    df = t(spark, sf_dir, "lineitem")
+    profiled = ["l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"]
+    parts = []
+    for c in profiled:
+        is_ts = dict(df.dtypes)[c] == "timestamp"
+        as_str = (
+            F.date_format(F.col(c), "yyyy-MM-dd HH:mm:ss")
+            if is_ts
+            else F.col(c).cast("string")
+        )
+        parts.append(
+            df.select(
+                F.lit(c).alias("column_name"),
+                F.col(c).isNull().cast("long").alias("_null"),
+                as_str.alias("_v"),
+            )
+            .agg(
+                F.first(F.lit(c)).alias("column_name"),
+                F.sum("_null").alias("n_nulls"),
+                F.countDistinct("_v").alias("n_distinct"),
+                F.min("_v").alias("min_value"),
+                F.max("_v").alias("max_value"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("column_name")
+
+
+QUERIES["table_profile"] = QuerySpec(
+    table_profile,
+    """
+    SELECT * FROM (
+      SELECT 'l_orderkey' AS column_name,
+             CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+             COUNT(DISTINCT CAST(l_orderkey AS VARCHAR)) AS n_distinct,
+             MIN(CAST(l_orderkey AS VARCHAR)) AS min_value,
+             MAX(CAST(l_orderkey AS VARCHAR)) AS max_value
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_quantity',
+             CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             COUNT(DISTINCT CAST(l_quantity AS VARCHAR)),
+             MIN(CAST(l_quantity AS VARCHAR)),
+             MAX(CAST(l_quantity AS VARCHAR))
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_returnflag',
+             CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             COUNT(DISTINCT l_returnflag),
+             MIN(l_returnflag),
+             MAX(l_returnflag)
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_shipdate',
+             CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             COUNT(DISTINCT strftime(l_shipdate, '%Y-%m-%d %H:%M:%S')),
+             MIN(strftime(l_shipdate, '%Y-%m-%d %H:%M:%S')),
+             MAX(strftime(l_shipdate, '%Y-%m-%d %H:%M:%S'))
+      FROM lineitem
+    ) profile ORDER BY column_name
+    """,
+    "per-column statistics profiling (ANALYZE twin)",
+    ("agg", "metadata"),
+)
