@@ -92,6 +92,43 @@ def dedup_within_watermark(events: DataFrame, watermark: str = "1 hour") -> Data
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
 
 
+def clicks_before_errors_join(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Watermarked stream-stream join: each error event joined to the
+    same user's clicks from the preceding 5 minutes.
+
+    Both sides carry watermarks and the join condition bounds event-time
+    distance, so Spark can GC join state older than watermark+range —
+    the only way a stream-stream join runs indefinitely at scale.
+    Batch twin: queries/events.py::events_range_join (inner-match rows).
+    """
+    errors = (
+        events.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("e_event_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", watermark)
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("c_event_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    cond = (
+        (F.col("e_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("e_ts") - F.expr("INTERVAL 5 MINUTES"))
+        & (F.col("c_ts") < F.col("e_ts"))
+    )
+    return errors.join(clicks, cond, "inner").select(
+        "e_event_id", "e_user", "c_event_id"
+    )
+
+
 def run_available_now(
     stream_df: DataFrame, spark: SparkSession, output_mode: str | None = None
 ) -> DataFrame:

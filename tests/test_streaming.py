@@ -98,3 +98,25 @@ def test_foreach_batch_sink(spark, sf_small, tmp_path):
     q.awaitTermination()
     written = spark.read.parquet(f"{out_dir}/batch=*")
     assert written.count() == spark.read.parquet(f"{sf_small}/events.parquet").count()
+
+
+def test_stream_stream_join_matches_batch(spark, sf_small):
+    from columnar_analytics_engine_spark.streaming.windows import clicks_before_errors_join
+
+    stream = read_events_stream(spark, sf_small)
+    out = run_available_now(clicks_before_errors_join(stream), spark, output_mode="append")
+    # batch twin: the same range join computed in batch mode
+    from columnar_analytics_engine_spark.io import read_table
+    ev = read_table(spark, sf_small, "events")
+    err = ev.filter("event_type = 'error'").selectExpr("event_id AS e", "user_id AS u", "ts AS et")
+    clk = ev.filter("event_type = 'click'").selectExpr("user_id AS cu", "ts AS ct", "event_id AS ce")
+    want = err.join(
+        clk,
+        (F.col("u") == F.col("cu"))
+        & (F.col("ct") >= F.col("et") - F.expr("INTERVAL 5 MINUTES"))
+        & (F.col("ct") < F.col("et")),
+    )
+    assert out.count() == want.count()
+    got_pairs = {(r["e_event_id"], r["c_event_id"]) for r in out.collect()}
+    want_pairs = {(r["e"], r["ce"]) for r in want.collect()}
+    assert got_pairs == want_pairs
