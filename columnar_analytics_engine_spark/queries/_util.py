@@ -51,8 +51,13 @@ class QuerySpec:
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load a named table; pin UTC so timestamp rendering matches DuckDB."""
+    """Load a named table, pinning session confs the queries rely on:
+    UTC (timestamp rendering matches DuckDB) and non-ANSI mode (Spark 4
+    defaults ANSI on; the reference's wraparound/permissive semantics —
+    SURVEY §2.12-8 — and DuckDB-compatible casts need it off).  Both are
+    runtime-settable, so this works inside the driver's own session."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
     return read_table(spark, sf_dir, name)
 
 
