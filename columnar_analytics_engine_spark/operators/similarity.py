@@ -178,3 +178,91 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w_rank).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def lsh_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    n_planes: int = 12,
+    n_tables: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 4,
+) -> DataFrame:
+    """Approximate top-k via random-hyperplane (sign) LSH.
+
+    ``n_tables`` independent tables of ``n_planes`` hyperplanes each;
+    a vector's bucket in a table is the sign-bit pattern of its dot
+    products with that table's planes.  Query and candidate collide when
+    any table buckets them together — a pure equi-join on (table,
+    bucket), no distance computation until the exact re-rank on the
+    (small) candidate set.  Hyperplanes are seeded numpy normals, so the
+    operator is deterministic run to run.
+
+    Scale: bucketing is one mapInPandas pass per side + a hash join;
+    recall/cost trade via n_planes (selectivity) and n_tables (recall).
+    """
+    import numpy as np
+    import pandas as pd
+
+    dim = len(queries.select(vec_col).first()[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+    spark = queries.sparkSession
+    bc = spark.sparkContext.broadcast(planes)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    def bucketize(src: DataFrame, out_id: str) -> DataFrame:
+        def op(batches):
+            p = bc.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                m = np.array(pdf["v"].tolist(), dtype=np.float64)
+                rows = []
+                for t_i in range(n_tables):
+                    bits = (m @ p[t_i].T) > 0
+                    keys = (bits @ weights).astype(np.int64)
+                    rows.append(
+                        pd.DataFrame(
+                            {out_id: pdf["vid"], "table_id": t_i, "bucket": keys}
+                        )
+                    )
+                yield pd.concat(rows)
+
+        return (
+            src.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+            .mapInPandas(op, schema=f"{out_id} long, table_id int, bucket long")
+        )
+
+    qb = bucketize(queries, "query_id")
+    cb = bucketize(candidates, "neighbor_id")
+    pairs = (
+        qb.join(cb, ["table_id", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    # exact re-rank on the candidate set
+    q = with_norms(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv"), F.col("sq_norm").alias("qn")
+    )
+    c = with_norms(candidates, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv"), F.col("sq_norm").alias("cn")
+    )
+    scored = (
+        pairs.join(q, "query_id")
+        .join(c, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"), decimals).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

@@ -710,3 +710,20 @@ QUERIES["dedup_clusters"] = QuerySpec(
     "transitive near-dup clusters via iterative connected components",
     ("dedup",),
 )
+
+
+def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH approximate top-k (rows-only: bucket
+    membership is operator-internal; recall vs brute force is asserted
+    in tests/test_similarity.py)."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.lsh_topk(queries, emb, k=10, n_planes=4, n_tables=8)
+
+
+QUERIES["similarity_lsh_topk"] = QuerySpec(
+    similarity_lsh_topk,
+    None,
+    "random-hyperplane LSH approximate ANN (recall tested in pytest)",
+    ("similarity",),
+)

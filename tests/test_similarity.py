@@ -43,3 +43,36 @@ def test_ivf_recall_vs_bruteforce(spark, sf_small):
     mean_recall = sum(recalls) / len(recalls)
     # probing half the lists should recover well over half the true top-k
     assert mean_recall >= 0.5, f"mean recall {mean_recall:.2f}, per-query {recalls}"
+
+
+def test_lsh_recall_vs_bruteforce(spark, sf_small):
+    from columnar_analytics_engine_spark.operators.similarity import lsh_topk
+
+    emb = read_table(spark, sf_small, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(queries, emb, k=10).collect()
+    # this corpus has weak neighbor structure (max pairwise cosine ~0.5),
+    # so use short 4-bit buckets with many tables: collision probability
+    # for cos≈0.5 is (1-θ/π)^4 ≈ 0.2 per table → ~0.83 over 8 tables
+    approx = lsh_topk(queries, emb, k=10, n_planes=4, n_tables=8).collect()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.4, f"mean recall {mean_recall:.2f}"
+
+
+def test_lsh_deterministic(spark, sf_small):
+    from columnar_analytics_engine_spark.operators.similarity import lsh_topk
+
+    emb = read_table(spark, sf_small, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    a = sorted(tuple(r) for r in lsh_topk(queries, emb, k=5).collect())
+    b = sorted(tuple(r) for r in lsh_topk(queries, emb, k=5).collect())
+    assert a == b
