@@ -287,3 +287,127 @@ QUERIES: dict[str, QuerySpec] = {
         ("tpch", "filter"),
     ),
 }
+
+
+def tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 customer distribution: histogram of orders-per-customer
+    (left join keeps zero-order customers; adapted: the order filter is
+    on priority instead of the absent o_comment)."""
+    customer = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 top supplier: supplier(s) with maximum quarterly revenue —
+    the revenue-view + scalar-max pattern, exact-arithmetic so the max
+    comparison is deterministic."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    supplier = t(spark, sf_dir, "supplier")
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(exact_sum(_rev(), "total_revenue", scale=10_000))
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("m"))
+    return (
+        revenue.join(F.broadcast(max_rev), revenue.total_revenue == F.col("m"))
+        .join(supplier, F.col("supplier_no") == supplier.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 small-quantity-order revenue: lineitems of one brand whose
+    quantity is below 20% of that part's average quantity; correlated
+    average decorrelated into a per-part aggregate join."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    qty_cents = F.round(F.col("l_quantity") * F.lit(100.0)).cast("long")
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (
+            (F.sum(qty_cents).cast("double") / F.count("*").cast("double"))
+            / F.lit(100.0)
+        ).alias("avg_qty")
+    )
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(per_part, li.l_partkey == F.col("pk"))
+        .filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
+    )
+    price_cents = F.round(F.col("l_extendedprice") * F.lit(100.0)).cast("long")
+    return joined.agg(
+        ((F.sum(price_cents).cast("double") / F.lit(100.0)) / F.lit(7.0)).alias(
+            "avg_yearly"
+        ),
+        F.count("*").alias("n_rows"),
+    )
+
+
+QUERIES["tpch_q13_custdist"] = QuerySpec(
+    tpch_q13_custdist,
+    """
+    SELECT c_count, COUNT(*) AS custdist FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority != '1-URGENT'
+      GROUP BY c_custkey) pc
+    GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """,
+    "TPC-H Q13: orders-per-customer distribution",
+    ("tpch", "join"),
+)
+
+QUERIES["tpch_q15_top_supplier"] = QuerySpec(
+    tpch_q15_top_supplier,
+    f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             {sql_exact_sum(_REV_SQL, 'total_revenue', 10_000)}
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM revenue JOIN supplier ON supplier_no = s_suppkey
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+    "TPC-H Q15: top revenue supplier",
+    ("tpch", "join"),
+)
+
+QUERIES["tpch_q17_small_quantity"] = QuerySpec(
+    tpch_q17_small_quantity,
+    """
+    WITH per_part AS (
+      SELECT l_partkey AS pk,
+             (CAST(SUM(CAST(ROUND(l_quantity * CAST(100 AS DOUBLE)) AS BIGINT)) AS DOUBLE)
+              / CAST(COUNT(*) AS DOUBLE)) / CAST(100 AS DOUBLE) AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT (CAST(SUM(CAST(ROUND(l_extendedprice * CAST(100 AS DOUBLE)) AS BIGINT)) AS DOUBLE)
+            / CAST(100 AS DOUBLE)) / 7.0 AS avg_yearly,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN per_part ON l_partkey = pk
+    WHERE p_brand = 'Brand#23'
+      AND l_quantity < 0.2 * avg_qty
+    """,
+    "TPC-H Q17: small-quantity-order revenue",
+    ("tpch", "agg"),
+)
