@@ -411,3 +411,143 @@ QUERIES["tpch_q17_small_quantity"] = QuerySpec(
     "TPC-H Q17: small-quantity-order revenue",
     ("tpch", "agg"),
 )
+
+
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 national market share: one nation's revenue share of its
+    region's total per order year — conditional-aggregate ratio of two
+    exact integer sums."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    cents4 = F.round(_rev() * F.lit(10_000.0)).cast("long")
+    target = F.sum(F.when(F.col("n_name") == "NATION_5", cents4).otherwise(F.lit(0)))
+    total = F.sum(cents4)
+    return (
+        j.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            (target.cast("double") / total.cast("double")).alias("mkt_share"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("o_year")
+    )
+
+
+def tpch_q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 parts/supplier relationship (adapted: supplier-part pairs come
+    from lineitem instead of the absent partsupp table): distinct
+    supplier count per (brand, type-prefix, size)."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & (F.col("p_size").isin(1, 5, 9, 13, 17))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(
+            "p_brand",
+            F.substring("p_type", 1, 3).alias("type_prefix"),
+            F.col("p_size").cast("long").alias("p_size"),
+        )
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "type_prefix", "p_size")
+    )
+
+
+def tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 global sales opportunity (adapted: country code is the
+    customer key modulo 7 — the fixture has no phone column): customers
+    with above-average positive balance and no urgent orders, per code
+    (the fixture has no fully order-less customers)."""
+    customer = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    cents = F.round(F.col("c_acctbal") * F.lit(100.0)).cast("long")
+    avg_pos = (
+        customer.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (
+                (F.sum(cents).cast("double") / F.count("*").cast("double"))
+                / F.lit(100.0)
+            ).alias("avg_bal")
+        )
+    )
+    rich = (
+        customer.join(F.broadcast(avg_pos))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            orders.filter(F.col("o_orderpriority") == "1-URGENT"),
+            customer.c_custkey == orders.o_custkey,
+            "left_anti",
+        )
+    )
+    return (
+        rich.groupBy((F.col("c_custkey") % 7).alias("cntrycode"))
+        .agg(F.count("*").alias("numcust"), exact_sum("c_acctbal", "totacctbal"))
+        .orderBy("cntrycode")
+    )
+
+
+QUERIES["tpch_q8_market_share"] = QuerySpec(
+    tpch_q8_market_share,
+    f"""
+    SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CASE WHEN n_name = 'NATION_5'
+                    THEN CAST(ROUND(({_REV_SQL}) * CAST(10000 AS DOUBLE)) AS BIGINT)
+                    ELSE 0 END) AS DOUBLE)
+           / CAST(SUM(CAST(ROUND(({_REV_SQL}) * CAST(10000 AS DOUBLE)) AS BIGINT)) AS DOUBLE)
+             AS mkt_share,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY 1 ORDER BY o_year
+    """,
+    "TPC-H Q8: national market share per year",
+    ("tpch", "join"),
+)
+
+QUERIES["tpch_q16_supplier_count"] = QuerySpec(
+    tpch_q16_supplier_count,
+    """
+    SELECT p_brand, SUBSTRING(p_type, 1, 3) AS type_prefix,
+           CAST(p_size AS BIGINT) AS p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand != 'Brand#1' AND p_size IN (1, 5, 9, 13, 17)
+    GROUP BY 1, 2, 3
+    ORDER BY supplier_cnt DESC, p_brand, type_prefix, p_size
+    """,
+    "TPC-H Q16 (adapted): supplier counts per part attribute",
+    ("tpch", "agg"),
+)
+
+QUERIES["tpch_q22_idle_customers"] = QuerySpec(
+    tpch_q22_idle_customers,
+    f"""
+    WITH avg_pos AS (
+      SELECT (CAST(SUM(CAST(ROUND(c_acctbal * CAST(100 AS DOUBLE)) AS BIGINT)) AS DOUBLE)
+              / CAST(COUNT(*) AS DOUBLE)) / CAST(100 AS DOUBLE) AS avg_bal
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_custkey % 7 AS cntrycode,
+           COUNT(*) AS numcust,
+           {sql_exact_sum('c_acctbal', 'totacctbal')}
+    FROM customer, avg_pos
+    WHERE c_acctbal > avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    GROUP BY 1 ORDER BY cntrycode
+    """,
+    "TPC-H Q22 (adapted): idle high-balance customers",
+    ("tpch", "join"),
+)
