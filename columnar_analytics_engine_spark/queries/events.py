@@ -284,3 +284,60 @@ QUERIES: dict[str, QuerySpec] = {
         ("streaming", "agg"),
     ),
 }
+
+
+def events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample events to a dense 1-hour grid per type, zero-filling
+    empty buckets — the gap-fill step every downstream time-series
+    model needs.  The grid is generated distributively (sequence over
+    the observed bound row cross-joined with the type dimension), so no
+    driver-side materialization."""
+    df = t(spark, sf_dir, "events")
+    hour = F.floor(F.unix_timestamp("ts") / 3600).cast("long")
+    counts = (
+        df.groupBy(hour.alias("h"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+    bounds = df.agg(
+        F.min(hour).alias("hmin"), F.max(hour).alias("hmax")
+    )
+    types = df.select("event_type").distinct()
+    grid = (
+        bounds.select(F.explode(F.sequence(F.col("hmin"), F.col("hmax"))).alias("h"))
+        .crossJoin(types)
+    )
+    return (
+        grid.join(counts, ["h", "event_type"], "left")
+        .select(
+            F.date_format(F.timestamp_seconds(F.col("h") * 3600), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+QUERIES["events_resample_gapfill"] = QuerySpec(
+    events_resample_gapfill,
+    """
+    WITH h AS (
+      SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h, event_type FROM events
+    ),
+    counts AS (SELECT h, event_type, COUNT(*) AS n_events FROM h GROUP BY 1, 2),
+    bounds AS (SELECT MIN(h) AS hmin, MAX(h) AS hmax FROM h),
+    grid AS (
+      SELECT unnest(range(hmin, hmax + 1)) AS h FROM bounds
+    ),
+    dense AS (
+      SELECT g.h, ty.event_type FROM grid g
+      CROSS JOIN (SELECT DISTINCT event_type FROM events) ty
+    )
+    SELECT strftime(make_timestamp(d.h * 3600 * 1000000), '%Y-%m-%d %H:%M:%S') AS hour,
+           d.event_type,
+           COALESCE(c.n_events, 0) AS n_events
+    FROM dense d LEFT JOIN counts c ON c.h = d.h AND c.event_type = d.event_type
+    ORDER BY hour, d.event_type
+    """,
+    "1-hour resampling with zero gap-fill per event type",
+    ("streaming", "window"),
+)
