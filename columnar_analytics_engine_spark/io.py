@@ -78,9 +78,20 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     path = table_path(sf_dir, name)
     ns_cols = _ns_timestamp_fields(path)
-    if ns_cols:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+    if not ns_cols:
+        return spark.read.parquet(path)
+    # the conf is captured into the scan at read-plan time, so it can be
+    # restored immediately — later reads by the caller are unaffected
+    conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, "true")
+    try:
+        df = spark.read.parquet(path)
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
     for c in ns_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
     return df

@@ -40,6 +40,7 @@ def connected_components(
         .withColumn("cluster_id", F.col("doc_id"))
         .localCheckpoint()
     )
+    changed = 0
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.b == labels.doc_id)
@@ -67,4 +68,10 @@ def connected_components(
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations (graph diameter exceeds the budget); labels would "
+            "be wrong — raise max_iterations"
+        )
     return labels

@@ -63,51 +63,75 @@ def near_duplicate_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     decimals: int = 4,
+    n_blocks: int = 8,
 ) -> DataFrame:
     """All (d1 < d2) pairs with cosine ≥ threshold — embedding-space
-    near-dup detection.
+    near-dup detection, exact, fully distributed.
 
-    Kernel: the full matrix is broadcast once (brute-force all-pairs is
-    only viable when N×d fits an executor anyway — beyond that, use the
-    LSH/IVF candidates path), and each partition multiplies its block
-    against it with BLAS inside an Arrow-batched ``mapInPandas`` — a
-    blocked N² matrix product, ~30× faster than per-element expression
-    evaluation and still fully distributed across partitions.
+    Block-grid self-join: vectors are hashed into ``n_blocks`` blocks;
+    every unordered block pair (bi ≤ bj) becomes one task that BLAS-
+    multiplies block bi against block bj inside ``applyInPandas``.  Each
+    vector is shuffled to exactly ``n_blocks`` groups, so total shuffle
+    volume is n_blocks × N rows — nothing ever lands on the driver and
+    no executor holds more than 2N/n_blocks vectors, unlike a broadcast
+    of the whole matrix.  Raise ``n_blocks`` with corpus/cluster size
+    (tasks = B(B+1)/2, per-task cost (N/B)² — B≈√(N²/target_task_pairs)).
     Rounding to ``decimals`` absorbs the (≤1e-13) summation-order
     difference vs the oracle's list_dot_product.
     """
     import numpy as np
     import pandas as pd
 
-    spark = embeddings.sparkSession
     src = embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
-    all_pdf = src.toPandas()
-    ids_all = all_pdf["vid"].to_numpy()
-    m_all = np.array(all_pdf["v"].tolist(), dtype=np.float64)
-    norms_all = np.sqrt((m_all * m_all).sum(axis=1))
-    bc = spark.sparkContext.broadcast((ids_all, m_all, norms_all))
+    grid = src.sparkSession.range(n_blocks).select(
+        F.col("id").cast("int").alias("_other")
+    )
+    exploded = (
+        src.withColumn("b", F.pmod(F.col("vid"), F.lit(n_blocks)).cast("int"))
+        .join(F.broadcast(grid))
+        .select(
+            F.least("b", "_other").alias("bi"),
+            F.greatest("b", "_other").alias("bj"),
+            "vid",
+            "v",
+            "b",
+        )
+    )
 
-    def op(batches):
-        ids_b, m_b, n_b = bc.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            block = np.array(pdf["v"].tolist(), dtype=np.float64)
-            bn = np.sqrt((block * block).sum(axis=1))
-            sims = np.round((block @ m_b.T) / np.outer(bn, n_b), decimals)
-            vids = pdf["vid"].to_numpy()
-            d1s, d2s, cs = [], [], []
-            for i in range(len(vids)):
-                mask = (sims[i] >= threshold) & (ids_b > vids[i])
-                js = np.nonzero(mask)[0]
-                d1s.extend([vids[i]] * len(js))
-                d2s.extend(ids_b[js])
-                cs.extend(sims[i][js])
-            yield pd.DataFrame({"d1": d1s, "d2": d2s, "cos_sim": cs}).astype(
-                {"d1": "int64", "d2": "int64", "cos_sim": "float64"}
-            )
+    empty = pd.DataFrame({"d1": [], "d2": [], "cos_sim": []}).astype(
+        {"d1": "int64", "d2": "int64", "cos_sim": "float64"}
+    )
 
-    return src.mapInPandas(op, schema="d1 long, d2 long, cos_sim double")
+    def op(key, pdf):
+        bi, bj = key
+        m = np.array(pdf["v"].tolist(), dtype=np.float64)
+        vids = pdf["vid"].to_numpy()
+        norms = np.sqrt((m * m).sum(axis=1))
+        if bi == bj:
+            li = ri = np.arange(len(vids))
+        else:
+            blocks = pdf["b"].to_numpy()
+            li = np.nonzero(blocks == bi)[0]
+            ri = np.nonzero(blocks == bj)[0]
+        if not len(li) or not len(ri):
+            return empty
+        sims = np.round(
+            (m[li] @ m[ri].T) / np.outer(norms[li], norms[ri]), decimals
+        )
+        ii, jj = np.nonzero(sims >= threshold)
+        lv, rv = vids[li][ii], vids[ri][jj]
+        keep = lv < rv if bi == bj else np.ones(len(lv), dtype=bool)
+        return pd.DataFrame(
+            {
+                "d1": np.minimum(lv, rv)[keep],
+                "d2": np.maximum(lv, rv)[keep],
+                "cos_sim": sims[ii, jj][keep],
+            }
+        ).astype({"d1": "int64", "d2": "int64", "cos_sim": "float64"})
+
+    return exploded.groupBy("bi", "bj").applyInPandas(
+        op, schema="d1 long, d2 long, cos_sim double"
+    )
 
 
 def ivf_topk(
@@ -125,18 +149,20 @@ def ivf_topk(
     Deterministic seeds: the n_lists vectors with the smallest ids serve
     as centroids (no iterative k-means — keeps the operator a pure,
     reproducible DataFrame plan; swap in MLlib KMeans centroids for
-    quality).  Both assignment and probing broadcast the tiny centroid
+    quality).  Seed selection is ``orderBy(id).limit(n)`` — Spark plans
+    it as TakeOrderedAndProject (per-partition top-n then a driver-side
+    merge of n_lists rows), never a global sort or single-partition
+    window.  Both assignment and probing broadcast the tiny centroid
     table, so the only large shuffle is the final per-query top-k.
     """
     cands_n = with_norms(candidates, vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv"), F.col("sq_norm").alias("cn")
     )
-    w_seed = W.orderBy(F.col("neighbor_id"))
     seeds = (
-        cands_n.withColumn("_rn", F.row_number().over(w_seed))
-        .filter(F.col("_rn") <= n_lists)
+        cands_n.orderBy("neighbor_id")
+        .limit(n_lists)
         .select(
-            (F.col("_rn") - 1).alias("list_id"),
+            F.col("neighbor_id").alias("list_id"),
             F.col("cv").alias("seed_v"),
             F.col("cn").alias("seed_n"),
         )
@@ -190,6 +216,7 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     decimals: int = 4,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k via random-hyperplane (sign) LSH.
 
@@ -207,7 +234,10 @@ def lsh_topk(
     import numpy as np
     import pandas as pd
 
-    dim = len(queries.select(vec_col).first()[0])
+    if dim is None:
+        # driver round-trip; callers that know the dimensionality should
+        # pass it so plan construction stays action-free
+        dim = len(queries.select(vec_col).first()[0])
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_tables, n_planes, dim))
     spark = queries.sparkSession

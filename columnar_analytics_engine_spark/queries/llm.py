@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from columnar_analytics_engine_spark.functions.hashing import sql_h60
+from columnar_analytics_engine_spark.functions.hashing import sql_affine_hash, sql_h60
 from columnar_analytics_engine_spark.functions import text as X
 from columnar_analytics_engine_spark.operators import dedup as D
 from columnar_analytics_engine_spark.operators import similarity as S
@@ -34,9 +34,8 @@ tok AS (
 
 
 def _minhash_lsh_sql(threshold: float, k: int, bands: int, rows: int) -> str:
-    mins = ",\n         ".join(
-        f"MIN({sql_h60(f'{i}:', 'token')}) AS h{i}" for i in range(k)
-    )
+    fam = sql_affine_hash("token", k)
+    mins = ",\n         ".join(f"MIN({fam[i]}) AS h{i}" for i in range(k))
     band_selects = "\n      UNION ALL\n      ".join(
         "SELECT doc_id, {j} AS band_id, md5(CONCAT_WS(',', {cols})) AS band_key FROM sig".format(
             j=j,
@@ -158,14 +157,16 @@ def text_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", F.explode(X.tokens(F.col("text"))).alias("token")
     )
-    n_docs = docs.count()
+    # corpus size stays IN the plan (1-row agg broadcast-joined in) so
+    # building this DataFrame is fully lazy — no job fires until an action
+    n_docs = docs.agg(F.count("*").cast("long").alias("n_docs"))
     return (
         tok.groupBy("token")
         .agg(
             F.countDistinct("doc_id").alias("doc_freq"),
             F.count("*").alias("total_occurrences"),
         )
-        .withColumn("n_docs", F.lit(int(n_docs)).cast("long"))
+        .join(F.broadcast(n_docs))
         .orderBy("token")
     )
 
@@ -718,7 +719,7 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     in tests/test_similarity.py)."""
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return S.lsh_topk(queries, emb, k=10, n_planes=4, n_tables=8)
+    return S.lsh_topk(queries, emb, k=10, n_planes=4, n_tables=8, dim=64)
 
 
 QUERIES["similarity_lsh_topk"] = QuerySpec(

@@ -95,3 +95,32 @@ def test_asof_join_is_window_based(spark, sf_small):
     plan = formatted_plan(events_asof_join(spark, sf_small))
     assert "Window" in plan
     assert "NestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_embedding_near_dup_is_distributed(spark, sf_small):
+    # the all-pairs cosine kernel must run as a grouped block product on
+    # executors — never a driver-side collect of the embedding table
+    from columnar_analytics_engine_spark.queries.llm import dedup_embedding_cosine
+
+    plan = formatted_plan(dedup_embedding_cosine(spark, sf_small))
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ivf_seed_selection_is_take_ordered(spark, sf_small):
+    # seed selection must plan as TakeOrderedAndProject (per-partition
+    # top-n), not a global single-partition window over all candidates
+    from columnar_analytics_engine_spark.queries.llm import similarity_ivf_topk
+
+    plan = formatted_plan(similarity_ivf_topk(spark, sf_small))
+    assert "TakeOrderedAndProject" in plan, plan
+    # every Window node must be partitioned: its Arguments line is
+    # "[exprs], [partition cols], [order cols]" — an empty partition
+    # list ("], [], [") means a single-partition global window
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if line.strip().startswith("(") and line.strip().endswith(" Window"):
+            args = next(
+                l for l in lines[i:] if l.strip().startswith("Arguments")
+            )
+            assert "], [], [" not in args, f"unpartitioned window: {args}"
