@@ -45,8 +45,12 @@ _DRIVER_VERIFIED_R01 = frozenset({
 
 
 def all_queries() -> dict[str, QuerySpec]:
+    # Module order puts the llm/events pipeline surface first among the
+    # not-yet-driver-verified queries so it always lands inside the
+    # 50-query correctness window; anything that overflows rotates into
+    # the window in a later round (and is oracle-tested in-repo meanwhile).
     merged: dict[str, QuerySpec] = {}
-    for mod in (core, relational, advanced, tpch_more, llm, events):
+    for mod in (llm, events, advanced, tpch_more, core, relational):
         for name, spec in mod.QUERIES.items():
             if name in merged:
                 raise ValueError(f"duplicate query name: {name}")

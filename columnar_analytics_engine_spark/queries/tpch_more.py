@@ -551,3 +551,298 @@ QUERIES["tpch_q22_idle_customers"] = QuerySpec(
     "TPC-H Q22 (adapted): idle high-balance customers",
     ("tpch", "join"),
 )
+
+
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 minimum-cost supplier (adapted: no partsupp table — the supply
+    relation is distilled from lineitem as MIN(l_extendedprice) per
+    (part, supplier); no region filter column constraints otherwise).
+    Keeps Q2's defining shape: a correlated-minimum subquery over a
+    supplier×part supply relation joined to the supplier dimension
+    chain, ordered by account balance.  MIN of doubles is exact, so no
+    scaling is needed."""
+    li = t(spark, sf_dir, "lineitem")
+    ps = li.groupBy(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).agg(F.min("l_extendedprice").alias("supply_cost"))
+    supplier = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    sreg = (
+        supplier.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    ps_r = ps.join(F.broadcast(sreg), F.col("suppkey") == F.col("s_suppkey"))
+    min_cost = ps_r.groupBy("partkey").agg(F.min("supply_cost").alias("min_cost"))
+    part = t(spark, sf_dir, "part").filter(
+        (F.col("p_size").between(10, 20)) & (F.col("p_type") == "STANDARD")
+    )
+    return (
+        ps_r.join(F.broadcast(min_cost), "partkey")
+        .filter(F.col("supply_cost") == F.col("min_cost"))
+        .join(F.broadcast(part), F.col("partkey") == F.col("p_partkey"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "supply_cost"
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+def tpch_q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shipping-mode / order-priority matrix (adapted: no
+    l_shipmode / l_commitdate / l_receiptdate — classes are return
+    flags, and 'late' means shipped after the order month ends).
+    Keeps Q12's shape: fact join + conditional two-bucket counts per
+    class."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("R", "A")
+        & (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.expr("o_orderdate + INTERVAL 30 DAYS"))
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("ship_class")
+    )
+
+
+def tpch_q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 dominant-share suppliers (adapted: no partsupp — 'supply'
+    is 1997 shipped quantity, and the stock-excess predicate becomes
+    supplier share > 30% of the part's total).  Keeps Q20's shape:
+    nested semi-join chain gated by a correlated aggregate threshold.
+    The share compare is integer (10×sum > 3×total) so it is exact."""
+    li97 = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    red = t(spark, sf_dir, "part").filter(F.col("p_name").startswith("red"))
+    li_red = li97.join(
+        F.broadcast(red.select("p_partkey")),
+        li97.l_partkey == F.col("p_partkey"),
+        "left_semi",
+    )
+    qcents = F.round(F.col("l_quantity") * F.lit(100.0)).cast("long")
+    sp = li_red.groupBy("l_suppkey", "l_partkey").agg(F.sum(qcents).alias("sq"))
+    tot = li_red.groupBy(F.col("l_partkey").alias("tk")).agg(F.sum(qcents).alias("tq"))
+    excess = (
+        sp.join(tot, sp.l_partkey == F.col("tk"))
+        .filter(F.col("sq") * 10 > F.col("tq") * 3)
+        .select("l_suppkey")
+        .distinct()
+    )
+    supplier = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    return (
+        supplier.join(excess, supplier.s_suppkey == excess.l_suppkey, "left_semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", F.col("n_name").alias("nation"), "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 suppliers who kept orders waiting (adapted: no l_commitdate /
+    l_receiptdate — 'failed the order' means l_returnflag = 'R').
+    Keeps Q21's shape: fact self-joins with EXISTS (another supplier
+    participated) and NOT EXISTS (no other supplier failed), counted
+    per supplier, top-100."""
+    li = t(spark, sf_dir, "lineitem")
+    orders_f = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l1 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders_f.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"), "left_semi"
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
+    )
+    waiting = (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("k2")) & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        ).join(
+            l3,
+            (F.col("l_orderkey") == F.col("k3")) & (F.col("l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+    )
+    supplier = t(spark, sf_dir, "supplier")
+    return (
+        waiting.join(F.broadcast(supplier), waiting.l_suppkey == supplier.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+QUERIES["tpch_q2_min_cost_supplier"] = QuerySpec(
+    tpch_q2_min_cost_supplier,
+    """
+    WITH ps AS (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             MIN(l_extendedprice) AS supply_cost
+      FROM lineitem GROUP BY 1, 2
+    ),
+    sreg AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+    ),
+    ps_r AS (
+      SELECT * FROM ps JOIN sreg ON suppkey = s_suppkey
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name, supply_cost
+    FROM ps_r
+    JOIN part ON partkey = p_partkey
+    WHERE p_size BETWEEN 10 AND 20 AND p_type = 'STANDARD'
+      AND supply_cost = (SELECT MIN(supply_cost) FROM ps_r i
+                         WHERE i.partkey = ps_r.partkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+    "TPC-H Q2 (adapted): min-cost supplier via correlated minimum",
+    ("tpch", "join", "subquery"),
+)
+
+QUERIES["tpch_q12_shipmode_priority"] = QuerySpec(
+    tpch_q12_shipmode_priority,
+    """
+    SELECT l_returnflag AS ship_class,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_returnflag IN ('R', 'A')
+      AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate >= o_orderdate + INTERVAL 30 DAY
+    GROUP BY 1 ORDER BY ship_class
+    """,
+    "TPC-H Q12 (adapted): late-line priority counts by return class",
+    ("tpch", "join", "agg"),
+)
+
+QUERIES["tpch_q20_excess_suppliers"] = QuerySpec(
+    tpch_q20_excess_suppliers,
+    """
+    WITH li_red AS (
+      SELECT l_suppkey, l_partkey,
+             CAST(ROUND(l_quantity * CAST(100 AS DOUBLE)) AS BIGINT) AS qc
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+    ),
+    sp AS (SELECT l_suppkey, l_partkey, SUM(qc) AS sq FROM li_red GROUP BY 1, 2),
+    tot AS (SELECT l_partkey AS tk, SUM(qc) AS tq FROM li_red GROUP BY 1)
+    SELECT s_name, n_name AS nation, s_acctbal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM sp JOIN tot ON l_partkey = tk
+      WHERE sp.sq * 10 > tot.tq * 3
+    )
+    ORDER BY s_name
+    """,
+    "TPC-H Q20 (adapted): suppliers with >30% share of a part's volume",
+    ("tpch", "join", "subquery"),
+)
+
+QUERIES["tpch_q21_waiting_suppliers"] = QuerySpec(
+    tpch_q21_waiting_suppliers,
+    """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM lineitem l1
+    JOIN orders   ON l1.l_orderkey = o_orderkey AND o_orderstatus = 'F'
+    JOIN supplier ON l1.l_suppkey = s_suppkey
+    WHERE l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+    "TPC-H Q21 (adapted): suppliers who alone failed multi-supplier orders",
+    ("tpch", "join", "subquery"),
+)
+
+
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 important stock identification (adapted: no partsupp — a
+    part's 'stock value' is its total shipped extended price from
+    suppliers of one nation group).  Keeps Q11's shape: grouped value
+    sum filtered by HAVING against a scalar global-fraction subquery.
+    Both sums use the exact integer-scaled accumulator and the HAVING
+    compare is integer (1000×part > total), so it is bit-stable."""
+    li = t(spark, sf_dir, "lineitem")
+    supplier = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")
+    )
+    sn = supplier.join(
+        F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey, "left_semi"
+    ).select("s_suppkey")
+    liv = li.join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey, "left_semi")
+    cents = F.round(F.col("l_extendedprice") * F.lit(100.0)).cast("long")
+    per_part = liv.groupBy("l_partkey").agg(F.sum(cents).alias("vc"))
+    total = liv.agg(F.sum(cents).alias("tc"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("vc") * 1000 > F.col("tc"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            (F.col("vc").cast("double") / F.lit(100.0)).alias("part_value"),
+        )
+        .orderBy(F.col("part_value").desc(), "partkey")
+    )
+
+
+QUERIES["tpch_q11_important_stock"] = QuerySpec(
+    tpch_q11_important_stock,
+    """
+    WITH sn AS (
+      SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+    ),
+    liv AS (
+      SELECT l_partkey,
+             CAST(ROUND(l_extendedprice * CAST(100 AS DOUBLE)) AS BIGINT) AS pc
+      FROM lineitem WHERE l_suppkey IN (SELECT s_suppkey FROM sn)
+    )
+    SELECT l_partkey AS partkey,
+           CAST(SUM(pc) AS DOUBLE) / CAST(100 AS DOUBLE) AS part_value
+    FROM liv
+    GROUP BY l_partkey
+    HAVING SUM(pc) * 1000 > (SELECT SUM(pc) FROM liv)
+    ORDER BY part_value DESC, partkey
+    """,
+    "TPC-H Q11 (adapted): parts above 0.1% of national supply value",
+    ("tpch", "subquery", "agg"),
+)
