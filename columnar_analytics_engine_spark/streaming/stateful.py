@@ -53,3 +53,73 @@ def running_user_totals(events: DataFrame, watermark: str = "2 hours") -> DataFr
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stateful_sessionization(
+    events: DataFrame, gap_seconds: int = 1800, watermark: str = "2 hours"
+) -> DataFrame:
+    """Gap-based sessionization in the state store — the stateful twin
+    of queries/events.py::events_sessionization (same output schema and
+    values when the stream drains).
+
+    Per-user state is one open session (index, start, end, count): each
+    Arrow batch is sorted by (ts, event_id), events extend the open
+    session or close it and start the next, closed sessions are emitted
+    immediately and the open one is emitted provisionally (update mode —
+    a later batch with more events for the user supersedes it; readers
+    take the last emission per (user_id, session_id)).  State is four
+    scalars per user, bounded by distinct users; with a timeout it would
+    be GC-ed past the watermark, keeping 100 TB/day ingest viable.
+    """
+
+    gap_us = gap_seconds * 1_000_000
+
+    def update(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        sidx, start_us, end_us, n = (
+            state.get if state.exists else (0, None, None, 0)
+        )
+        pdf = pd.concat(list(pdfs))
+        if len(pdf):
+            pdf = pdf.sort_values(["ts", "event_id"])
+            # pandas datetime64 is ns-resolution; emit µs like the batch twin
+            ts_us = (pdf["ts"].astype("int64") // 1000).to_numpy()
+            closed = []
+            for t in ts_us:
+                t = int(t)
+                if start_us is None:
+                    sidx, start_us, end_us, n = sidx + 1, t, t, 1
+                elif t - end_us > gap_us:
+                    closed.append((sidx, start_us, end_us, n))
+                    sidx, start_us, end_us, n = sidx + 1, t, t, 1
+                else:
+                    end_us, n = t, n + 1
+            state.update((sidx, int(start_us), int(end_us), int(n)))
+            rows = closed + [(sidx, start_us, end_us, n)]
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(rows),
+                    "session_id": [r[0] for r in rows],
+                    "session_start_us": [r[1] for r in rows],
+                    "session_end_us": [r[2] for r in rows],
+                    "n_events": [r[3] for r in rows],
+                }
+            )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=(
+                "user_id long, session_id long, session_start_us long, "
+                "session_end_us long, n_events long"
+            ),
+            stateStructType=(
+                "sidx long, start_us long, end_us long, n long"
+            ),
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -120,3 +120,26 @@ def test_stream_stream_join_matches_batch(spark, sf_small):
     got_pairs = {(r["e_event_id"], r["c_event_id"]) for r in out.collect()}
     want_pairs = {(r["e"], r["ce"]) for r in want.collect()}
     assert got_pairs == want_pairs
+
+
+def test_stateful_sessionization_matches_batch(spark, sf_small):
+    from columnar_analytics_engine_spark.queries.events import events_sessionization
+    from columnar_analytics_engine_spark.streaming.stateful import (
+        stateful_sessionization,
+    )
+
+    stream = read_events_stream(spark, sf_small)
+    out = run_available_now(stateful_sessionization(stream), spark, output_mode="update")
+    # update mode re-emits an open session as it grows: keep the final
+    # emission per (user, session) — microbatches arrive in ts order, so
+    # the final emission has the max end/count
+    final = out.groupBy("user_id", "session_id").agg(
+        F.min("session_start_us").alias("session_start_us"),
+        F.max("session_end_us").alias("session_end_us"),
+        F.max("n_events").alias("n_events"),
+    )
+    batch = events_sessionization(spark, sf_small)
+    cols = ["user_id", "session_id", "session_start_us", "session_end_us", "n_events"]
+    assert _sorted_rows(final.select(*cols), *cols) == _sorted_rows(
+        batch.select(*cols), *cols
+    )
