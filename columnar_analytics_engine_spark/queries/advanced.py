@@ -87,13 +87,54 @@ def json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def window_ntile_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile / percent_rank / cume_dist analytics over order values."""
-    w = W.orderBy(F.col("o_totalprice"), F.col("o_orderkey"))
-    return t(spark, sf_dir, "orders").select(
+    """ntile / percent_rank / cume_dist analytics over order values.
+
+    Global ranking without a global window: a single-partition Window
+    over the whole table is the classic scale killer, so the global row
+    number is assembled distributed — range-repartition on the sort key,
+    rank locally per partition, then add each partition's starting
+    offset (a #partitions-row cumulative sum, broadcast back).  The
+    ordering key (o_totalprice, o_orderkey) is unique, so rank == row
+    number and the ntile/percent_rank/cume_dist arithmetic reduces to
+    exact integer/double formulas identical to the oracle's window
+    functions.
+    """
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    part = orders.repartitionByRange("o_totalprice", "o_orderkey").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = W.partitionBy("_pid").orderBy("o_totalprice", "o_orderkey")
+    local = part.withColumn("_lrn", F.row_number().over(w_local).cast("long"))
+    counts = local.groupBy("_pid").agg(F.count("*").alias("_n"))
+    # cumulative offsets over #partitions rows — bounded by cluster
+    # size, not data size, so this tiny window is scale-safe
+    w_off = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).cast("long")
+    ).select("_pid", "_off")
+    total = orders.agg(F.count("*").alias("_N"))
+    ranked = (
+        local.join(F.broadcast(offsets), "_pid")
+        .join(F.broadcast(total))
+        .withColumn("_rn", F.col("_off") + F.col("_lrn"))
+    )
+    # NTILE(4): the first (N mod 4) buckets hold ceil(N/4) rows — exact
+    # integer div; PERCENT_RANK = (rn-1)/(N-1); CUME_DIST = rn/N (unique
+    # ordering key ⇒ rank == rn and no peer groups)
+    quartile = F.expr(
+        "CASE WHEN _rn <= (_N % 4) * (_N div 4 + 1) "
+        "THEN (_rn + (_N div 4 + 1) - 1) div (_N div 4 + 1) "
+        "ELSE (_N % 4) + ((_rn - (_N % 4) * (_N div 4 + 1)) + (_N div 4) - 1) div (_N div 4) END"
+    )
+    pct_rank = F.when(F.col("_N") == 1, F.lit(0.0)).otherwise(
+        (F.col("_rn") - 1).cast("double") / (F.col("_N") - 1).cast("double")
+    )
+    cume = F.col("_rn").cast("double") / F.col("_N").cast("double")
+    return ranked.select(
         "o_orderkey",
-        F.ntile(4).over(w).cast("long").alias("quartile"),
-        F.percent_rank().over(w).alias("pct_rank"),
-        F.cume_dist().over(w).alias("cume"),
+        quartile.cast("long").alias("quartile"),
+        pct_rank.alias("pct_rank"),
+        cume.alias("cume"),
     )
 
 

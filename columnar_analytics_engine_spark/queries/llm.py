@@ -674,8 +674,9 @@ def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup clusters: connected components over the
-    MinHash pair graph (iterative — not SQL-expressible; verified by
-    union-find comparison in tests/test_clusters.py)."""
+    MinHash pair graph.  The Spark side iterates min-label propagation;
+    the oracle computes the same component minima with a recursive-CTE
+    transitive closure (and union-find in tests/test_clusters.py)."""
     from columnar_analytics_engine_spark.operators.clusters import connected_components
 
     docs = t(spark, sf_dir, "documents")
@@ -707,8 +708,22 @@ QUERIES["text_chunking"] = QuerySpec(
 
 QUERIES["dedup_clusters"] = QuerySpec(
     dedup_clusters,
-    None,
-    "transitive near-dup clusters via iterative connected components",
+    f"""
+    WITH RECURSIVE
+    pr AS ({_minhash_lsh_sql(0.8, D.MINHASH_K, D.LSH_BANDS, D.LSH_ROWS_PER_BAND)}),
+    edges AS (SELECT d1 AS a, d2 AS b FROM pr UNION SELECT d2, d1 FROM pr),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    labels AS (SELECT a AS doc_id, MIN(b) AS min_reach FROM reach GROUP BY a)
+    SELECT d.doc_id,
+           CAST(COALESCE(LEAST(l.min_reach, d.doc_id), d.doc_id) AS BIGINT)
+             AS cluster_id
+    FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+    """,
+    "transitive near-dup clusters (oracle: recursive-CTE closure)",
     ("dedup",),
 )
 

@@ -37,3 +37,17 @@ def test_components_match_union_find_on_real_pairs(spark, sf_small):
     want = _union_find(pairs)
     got = {r["doc_id"]: r["cluster_id"] for r in connected_components(pairs_df).collect()}
     assert got == want
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    # a 5-node path graph has diameter 4; one iteration cannot converge
+    import pytest
+    from columnar_analytics_engine_spark.operators.clusters import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "d1 long, d2 long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iterations=1)

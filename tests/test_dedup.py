@@ -74,3 +74,20 @@ def test_simhash_near_duplicates(docs):
     pairs = {(r["d1"], r["d2"]): r["hamming"] for r in simhash_near_duplicates(docs, 6).collect()}
     assert pairs[(0, 1)] == 0
     assert pairs[(2, 3)] == 0
+
+
+def test_persist_once_is_idempotent(spark, docs):
+    from pyspark import StorageLevel
+
+    from columnar_analytics_engine_spark.operators.dedup import (
+        _persist_once,
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(docs)
+    cached = _persist_once(sigs)
+    assert cached.storageLevel != StorageLevel.NONE
+    # an equivalent plan must be seen as already cached — no re-persist
+    again = _persist_once(minhash_signatures(docs))
+    assert again.storageLevel != StorageLevel.NONE
+    cached.unpersist()

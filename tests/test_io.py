@@ -100,3 +100,16 @@ def test_orc_predicate_pushdown(spark, tmp_path):
     filtered = read_orc(spark, path).filter("v > 100")
     assert "PushedFilters: [IsNotNull(v), GreaterThan(v,100)]" in formatted_plan(filtered)
     assert filtered.count() == 949
+
+
+def test_read_table_restores_nanos_conf(spark, sf_small):
+    from columnar_analytics_engine_spark.io import read_table
+
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    spark.conf.unset(key)
+    df = read_table(spark, sf_small, "events")
+    # conf restored immediately after the read-plan is built...
+    assert spark.conf.get(key, None) is None
+    # ...while the returned frame still decodes ns timestamps correctly
+    assert df.schema["ts"].dataType.simpleString() == "timestamp"
+    assert df.count() > 0
