@@ -43,6 +43,7 @@ BENCH_QUERIES: dict[str, bool] = {
     "dedup_minhash_lsh": False,    # LLM pipeline: MinHash+LSH dedup
     "similarity_topk": False,      # LLM pipeline: brute-force ANN
     "events_sessionization": False,  # time-series window
+    "pipeline_clean_corpus": False,  # composed end-to-end cleaning pass
 }
 
 N_TIMED_RUNS = 3  # warm steady-state: best of 3 (reference methodology
