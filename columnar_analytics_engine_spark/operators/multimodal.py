@@ -116,3 +116,27 @@ def chunk_payload(media: DataFrame, chunk_bytes: int = 1024) -> DataFrame:
         F.col("chunk_id").cast("long").alias("chunk_id"),
         F.expr(f"substring(payload, chunk_id * {chunk_bytes} + 1, {chunk_bytes})").alias("chunk"),
     )
+
+
+def resize_features(
+    features: DataFrame, out_dim: int = 4, feature_col: str = "features"
+) -> DataFrame:
+    """Resize (average-pool) a feature array to ``out_dim`` — the
+    image-resize analog in feature space, pure JVM array expressions:
+    element i of the output averages the input slice [i·s, (i+1)·s)
+    where s = in_dim / out_dim.  No Python, full codegen."""
+    col = F.col(feature_col)
+    s = F.size(col) / F.lit(out_dim)  # double stride
+
+    def pool(i):
+        start = (i * s).cast("int")
+        length = ((i + 1) * s).cast("int") - start
+        total = F.aggregate(
+            F.slice(col, start + 1, length),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double"),
+        )
+        return (total / length.cast("double")).cast("float")
+
+    pooled = F.transform(F.sequence(F.lit(0), F.lit(out_dim - 1)), pool)
+    return features.withColumn(feature_col, pooled)

@@ -64,3 +64,24 @@ def test_real_decoder_is_stubbed():
 
 def test_fake_decoder_handles_null():
     assert fake_feature_extract(None) == [0.0] * FEATURE_DIM
+
+
+def test_resize_features_pools_averages(spark, sf_small):
+    from columnar_analytics_engine_spark.operators.multimodal import (
+        attach_payload,
+        extract_features,
+        resize_features,
+    )
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    feats = extract_features(attach_payload(docs))
+    small = resize_features(feats, out_dim=4)
+    rows = {r["doc_id"]: r["features"] for r in small.limit(50).collect()}
+    orig = {r["doc_id"]: r["features"] for r in feats.limit(50).collect()}
+    import math
+    for did, f4 in rows.items():
+        f16 = orig[did]
+        assert len(f4) == 4
+        for i in range(4):
+            expected = sum(f16[i * 4 : (i + 1) * 4]) / 4.0
+            assert math.isclose(f4[i], expected, rel_tol=1e-5)
