@@ -124,3 +124,22 @@ def test_ivf_seed_selection_is_take_ordered(spark, sf_small):
                 l for l in lines[i:] if l.strip().startswith("Arguments")
             )
             assert "], [], [" not in args, f"unpartitioned window: {args}"
+
+
+def test_no_query_plans_cartesian_or_global_window(spark, sf_small):
+    """Whole-surface plan gate: no query may plan a CartesianProduct or
+    an unpartitioned (single-partition) Window over its data.  The
+    BroadcastNestedLoopJoins that remain are all 1-row/tiny-broadcast
+    count joins or deliberately-broadcast brute-force baselines."""
+    from columnar_analytics_engine_spark.queries import all_queries
+
+    bad = []
+    for name, spec in all_queries().items():
+        plan = spec.fn(spark, sf_small)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            bad.append((name, "cartesian"))
+        for line in plan.splitlines():
+            if "windowspecdefinition" in line and "], [], [" in line:
+                bad.append((name, "global-window"))
+                break
+    assert not bad, bad
