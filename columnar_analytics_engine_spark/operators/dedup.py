@@ -16,9 +16,11 @@ the 100 TB regime:
   * **SimHash** — 48-bit weighted fingerprint; near-dups share 12-bit
     bands, verified by Hamming distance.
 
-Hashing uses the md5-derived 60-bit family (functions/hashing.py) so the
-DuckDB oracle reproduces every stage bit-for-bit — including LSH's
-probabilistic misses, which are deterministic given the hash family.
+Hashing is md5-derived (functions/hashing.py) so the DuckDB oracle
+reproduces every stage bit-for-bit — including LSH's probabilistic
+misses, which are deterministic given the hash family.  MinHash's k
+values come from ONE md5 per vocabulary term via the affine family
+(``affine_hash_cols``); SimHash uses the 60-bit ``h60``.
 """
 
 from __future__ import annotations

@@ -149,6 +149,51 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus governance report: volume, exact-duplicate
+    rate, token mass, and language mix — the dataset card every corpus
+    build publishes per ingest source.
+
+    One groupBy(source) pass; the dup rate compares distinct normalized
+    fingerprints against row counts, and the dominant language is the
+    max-count argmax with an alphabetical tie-break (deterministic).
+    """
+    docs = t(spark, sf_dir, "documents")
+    txt = F.col("text")
+    per_src_lang = (
+        docs.groupBy("source", "lang").agg(F.count("*").alias("n"))
+    )
+    w = W.partitionBy("source").orderBy(F.col("n").desc(), "lang")
+    dominant = (
+        per_src_lang.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("source", F.col("lang").alias("dominant_lang"))
+    )
+    stats = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(X.fingerprint(txt)).alias("n_unique"),
+        F.sum(X.token_count(txt)).alias("total_tokens"),
+        F.sum(F.col("n_chars").cast("long")).alias("total_chars"),
+    )
+    dup_rate = (
+        (F.col("n_docs") - F.col("n_unique")).cast("double")
+        / F.col("n_docs").cast("double")
+    )
+    return (
+        stats.join(F.broadcast(dominant), "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_unique",
+            dup_rate.alias("dup_rate"),
+            "total_tokens",
+            "total_chars",
+            "dominant_lang",
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "pipeline_clean_corpus": QuerySpec(
         pipeline_clean_corpus,
@@ -232,5 +277,37 @@ QUERIES: dict[str, QuerySpec] = {
         """,
         "symmetric int8 embedding quantization (long form)",
         ("pipeline", "similarity"),
+    ),
+
+    "corpus_source_stats": QuerySpec(
+        corpus_source_stats,
+        f"""
+        WITH per AS (
+          SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY 1, 2
+        ),
+        dom AS (
+          SELECT source, lang AS dominant_lang FROM (
+            SELECT source, lang,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY n DESC, lang) AS _r
+            FROM per) x
+          WHERE _r = 1
+        ),
+        st AS (
+          SELECT source,
+                 COUNT(*) AS n_docs,
+                 COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS n_unique,
+                 CAST(SUM(len({_SQL_TOKENS})) AS BIGINT) AS total_tokens,
+                 CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars
+          FROM documents GROUP BY 1
+        )
+        SELECT st.source, n_docs, n_unique,
+               CAST(n_docs - n_unique AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_rate,
+               total_tokens, total_chars, dominant_lang
+        FROM st JOIN dom ON st.source = dom.source
+        ORDER BY st.source
+        """,
+        "per-source corpus governance report (volume, dup rate, lang mix)",
+        ("pipeline", "text", "agg"),
     ),
 }
