@@ -78,6 +78,25 @@ def cmd_query(args: argparse.Namespace) -> None:
         print(f"... ({len(rows)} rows total)")
 
 
+
+def cmd_explain(args: argparse.Namespace) -> None:
+    """Print the physical plan of a registered query — the operator's
+    view of what the cluster will actually run (pushdown, broadcast,
+    shuffle structure)."""
+    from columnar_analytics_engine_spark.queries import all_queries
+    from columnar_analytics_engine_spark.session import get_spark
+
+    qs = all_queries()
+    if args.name not in qs:
+        print(f"unknown query {args.name!r}; choose from:")
+        for n in qs:
+            print(" ", n)
+        raise SystemExit(2)
+    spark = get_spark(app_name="cae-explain")
+    df = qs[args.name].fn(spark, args.sf_dir)
+    df.explain("formatted")
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="cae", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -99,6 +118,11 @@ def main(argv: list[str] | None = None) -> None:
     q.add_argument("--agg", metavar="FUNC,COL")
     q.add_argument("--groupby")
     q.set_defaults(fn=cmd_query)
+
+    e = sub.add_parser("explain", help="print a registered query's physical plan")
+    e.add_argument("name")
+    e.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.001")
+    e.set_defaults(fn=cmd_explain)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -61,3 +61,21 @@ def test_json_roundtrip(spark, tmp_path):
     write_json(df, path)
     back = read_json(spark, path, schema="id long, name string")
     assert sorted((r["id"], r["name"]) for r in back.collect()) == [(1, "a"), (2, "b")]
+
+
+def test_cli_explain_prints_plan(capsys, spark, sf_small):
+    from columnar_analytics_engine_spark.cli import main
+
+    main(["explain", "scan_full_count", sf_small])
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out and "Scan parquet" in out
+
+
+def test_cli_explain_unknown_query_lists_names(capsys, spark):
+    import pytest
+
+    from columnar_analytics_engine_spark.cli import main
+
+    with pytest.raises(SystemExit):
+        main(["explain", "no_such_query"])
+    assert "choose from" in capsys.readouterr().out
