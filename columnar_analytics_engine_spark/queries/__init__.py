@@ -19,6 +19,7 @@ from columnar_analytics_engine_spark.queries import (
     pipeline,
     relational,
     tpch_more,
+    training,
 )
 
 
@@ -51,7 +52,7 @@ def all_queries() -> dict[str, QuerySpec]:
     # 50-query correctness window; anything that overflows rotates into
     # the window in a later round (and is oracle-tested in-repo meanwhile).
     merged: dict[str, QuerySpec] = {}
-    for mod in (llm, events, advanced, pipeline, tpch_more, core, relational):
+    for mod in (llm, events, advanced, pipeline, tpch_more, training, core, relational):
         for name, spec in mod.QUERIES.items():
             if name in merged:
                 raise ValueError(f"duplicate query name: {name}")

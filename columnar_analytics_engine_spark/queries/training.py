@@ -1,0 +1,507 @@
+"""Training-corpus construction operators: the passes between "cleaned
+corpus" and "tokens on the training cluster".
+
+Complements ``queries/llm.py`` (dedup/quality/language primitives) and
+``queries/pipeline.py`` (composed cleaning) with the *packaging* side of
+a corpus build: repetition-based quality gates (Gopher-style),
+benchmark-contamination screening, deterministic sharding, token-budget
+sequence packing, stratified sampling, and an exact quantized k-means
+over the embedding table.
+
+Scale shapes (the 100 TB contract):
+- every per-document metric is a narrow projection computed inside
+  whole-stage codegen (no Python, no explode where an array fold works);
+- contamination broadcasts the *benchmark* shingle set (benchmarks are
+  tiny by construction — MMLU-sized, not corpus-sized), so the corpus
+  side is scanned exactly once with no shuffle before the per-doc agg;
+- packing windows partition by shard (thousands of independent groups),
+  never globally;
+- k-means broadcasts k×dim centroids and shuffles only on
+  (vec_id|cluster_id, dim) aggregation keys.
+
+All arithmetic follows the exact cross-engine rules in
+``queries/_util``: integer counts, single IEEE divisions, md5-derived
+``h60`` hashing — every query here is hash-verified against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from columnar_analytics_engine_spark.functions import text as X
+from columnar_analytics_engine_spark.functions.hashing import h60, sql_h60
+from columnar_analytics_engine_spark.queries._util import QuerySpec, t
+
+_SQL_TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
+
+# ---------------------------------------------------------------------------
+# quality: repetition filters (Gopher-style)
+# ---------------------------------------------------------------------------
+
+def _bigrams(l):  # noqa: ANN001 - Column in, Column out
+    """Adjacent-token bigrams of an array column (1-based element_at)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.size(l) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(l, i), F.element_at(l, i + 1)),
+    )
+
+
+def quality_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition metrics with a keep/drop verdict — the
+    Gopher/C4 family of quality rules (duplicate-token fraction, most-
+    frequent-token fraction, duplicate-bigram fraction, mean token
+    length) computed as exact integer ratios.
+
+    Every metric is an array fold over the token array — one projection,
+    no explode, no shuffle; the whole report is map-side until the
+    (absent) final aggregation.  At 100 TB this runs at scan speed.
+    """
+    docs = t(spark, sf_dir, "documents")
+    l = X.tokens(F.col("text"))
+    n = F.size(l).cast("long")
+    n_distinct = F.size(F.array_distinct(l)).cast("long")
+    # occurrences of the most frequent token: max over distinct tokens of
+    # the count of equal elements (array fold — stays in codegen)
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(l),
+            lambda tk: F.size(F.filter(l, lambda x: x == tk)),
+        )
+    ).cast("long")
+    bg = _bigrams(l)
+    n_bg = F.size(bg).cast("long")
+    n_bg_distinct = F.size(F.array_distinct(bg)).cast("long")
+    dup_token_frac = F.lit(1.0) - n_distinct.cast("double") / n.cast("double")
+    top_token_frac = top_cnt.cast("double") / n.cast("double")
+    dup_bigram_frac = F.lit(1.0) - n_bg_distinct.cast("double") / n_bg.cast("double")
+    mean_token_len = X.non_ws_char_count(F.col("text")).cast("double") / n.cast("double")
+    keep = (
+        (n >= 20)
+        & (top_token_frac <= F.lit(0.12))
+        & (dup_bigram_frac <= F.lit(0.05))
+        & (mean_token_len >= F.lit(3.0))
+    )
+    return docs.filter(n >= 2).select(
+        "doc_id",
+        n.alias("n_tokens"),
+        dup_token_frac.alias("dup_token_frac"),
+        top_token_frac.alias("top_token_frac"),
+        dup_bigram_frac.alias("dup_bigram_frac"),
+        mean_token_len.alias("mean_token_len"),
+        keep.alias("keep"),
+    )
+
+
+_SQL_QUALITY_REPETITION = f"""
+WITH f AS (
+  SELECT doc_id, {_SQL_TOKENS} AS l FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(l) AS BIGINT) AS n,
+         CAST(len(list_distinct(l)) AS BIGINT) AS nd,
+         CAST(list_max(list_transform(list_distinct(l),
+              tk -> len(list_filter(l, x -> x = tk)))) AS BIGINT) AS topc,
+         CAST(len(l) - 1 AS BIGINT) AS nbg,
+         CAST(len(list_distinct(list_transform(range(1, len(l)),
+              i -> l[i] || ' ' || l[i+1]))) AS BIGINT) AS ndbg,
+         CAST(LENGTH(regexp_replace(trim(text), '\\s+', '', 'g')) AS BIGINT) AS nchars
+  FROM f JOIN documents USING (doc_id)
+  WHERE len(l) >= 2
+)
+SELECT doc_id,
+       n AS n_tokens,
+       1.0 - CAST(nd AS DOUBLE) / CAST(n AS DOUBLE) AS dup_token_frac,
+       CAST(topc AS DOUBLE) / CAST(n AS DOUBLE) AS top_token_frac,
+       1.0 - CAST(ndbg AS DOUBLE) / CAST(nbg AS DOUBLE) AS dup_bigram_frac,
+       CAST(nchars AS DOUBLE) / CAST(n AS DOUBLE) AS mean_token_len,
+       (n >= 20
+        AND CAST(topc AS DOUBLE) / CAST(n AS DOUBLE) <= 0.12
+        AND 1.0 - CAST(ndbg AS DOUBLE) / CAST(nbg AS DOUBLE) <= 0.05
+        AND CAST(nchars AS DOUBLE) / CAST(n AS DOUBLE) >= 3.0) AS keep
+FROM m
+"""
+
+# ---------------------------------------------------------------------------
+# contamination: benchmark n-gram overlap
+# ---------------------------------------------------------------------------
+
+_CONTAM_N = 5          # shingle width
+_CONTAM_BENCH_MOD = 100  # doc_id % MOD == 0 stands in for the benchmark set
+
+
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination screen: for every corpus document, the
+    fraction of its distinct 5-gram shingles that also occur in the
+    "benchmark" set (stand-in: ``doc_id % 100 == 0`` — in production the
+    held-out eval suites).
+
+    Scale shape: the benchmark shingle table is tiny by construction, so
+    it is BROADCAST and the 100 TB corpus side is scanned once; the only
+    shuffle is the per-doc groupBy.  Shingles join on their h60 hash —
+    at real scale the benchmark side ships as a bloom-ish hash set, not
+    strings.
+    """
+    docs = t(spark, sf_dir, "documents")
+    l = X.tokens(F.col("text"))
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(l) - (_CONTAM_N - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(l, i + j) for j in range(_CONTAM_N)]
+            ),
+        )
+    )
+    shingled = (
+        docs.filter(F.size(l) >= _CONTAM_N)
+        .select("doc_id", F.explode(sh).alias("g"))
+        .select("doc_id", h60("ctm:", F.col("g")).alias("gh"))
+    )
+    bench = (
+        shingled.filter(F.col("doc_id") % _CONTAM_BENCH_MOD == 0)
+        .select("gh").distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    corpus = shingled.filter(F.col("doc_id") % _CONTAM_BENCH_MOD != 0)
+    ov = (
+        corpus.join(F.broadcast(bench), "gh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count("_hit").alias("n_contaminated"),
+        )
+    )
+    frac = F.col("n_contaminated").cast("double") / F.col("n_shingles").cast("double")
+    return ov.select(
+        "doc_id",
+        "n_shingles",
+        "n_contaminated",
+        frac.alias("contamination_frac"),
+        (frac >= F.lit(0.2)).alias("is_contaminated"),
+    )
+
+
+_SQL_CONTAMINATION = f"""
+WITH f AS (
+  SELECT doc_id, {_SQL_TOKENS} AS l FROM documents
+  WHERE len({_SQL_TOKENS}) >= {_CONTAM_N}
+),
+sh AS (
+  SELECT doc_id,
+         {sql_h60('ctm:', 'g')} AS gh
+  FROM (
+    SELECT doc_id, unnest(list_distinct(list_transform(
+             range(1, len(l) - {_CONTAM_N - 2}),
+             i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' || l[i+4]
+           ))) AS g
+    FROM f)
+),
+bench AS (SELECT DISTINCT gh FROM sh WHERE doc_id % {_CONTAM_BENCH_MOD} = 0),
+ov AS (
+  SELECT s.doc_id,
+         COUNT(*) AS n_shingles,
+         COUNT(b.gh) AS n_contaminated
+  FROM sh s LEFT JOIN bench b ON s.gh = b.gh
+  WHERE s.doc_id % {_CONTAM_BENCH_MOD} != 0
+  GROUP BY 1
+)
+SELECT doc_id, n_shingles, n_contaminated,
+       CAST(n_contaminated AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS contamination_frac,
+       CAST(n_contaminated AS DOUBLE) / CAST(n_shingles AS DOUBLE) >= 0.2 AS is_contaminated
+FROM ov
+"""
+
+# ---------------------------------------------------------------------------
+# sharding + sequence packing
+# ---------------------------------------------------------------------------
+
+_N_SHARDS = 16
+_SEQ_LEN = 2048
+
+
+def shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-sharding report: each document lands in
+    ``h60(doc_id) % 16``; per shard, the doc/token/char volume.  The
+    write-side contract of a corpus build — shards are stable across
+    runs and engines, and the report shows the hash balances them.
+    One groupBy; at scale this is the pre-write repartition key."""
+    docs = t(spark, sf_dir, "documents")
+    shard = (h60("shard:", F.col("doc_id").cast("string")) % _N_SHARDS).alias("shard")
+    return (
+        docs.select(
+            shard,
+            X.token_count(F.col("text")).alias("n_tok"),
+            F.col("n_chars").cast("long").alias("nc"),
+            "doc_id",
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.sum("nc").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("shard")
+    )
+
+
+_SQL_SHARD = f"""
+SELECT {sql_h60('shard:', 'CAST(doc_id AS VARCHAR)')} % {_N_SHARDS} AS shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len({_SQL_TOKENS})) AS BIGINT) AS total_tokens,
+       CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars,
+       MIN(doc_id) AS min_doc_id,
+       MAX(doc_id) AS max_doc_id
+FROM documents
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing: within each shard, documents are
+    laid out in doc_id order and cut into 2048-token training sequences
+    by starting offset (a document begins in the sequence its cumulative
+    start offset falls into).  Output is the per-sequence manifest:
+    docs, token fill, and fill fraction.
+
+    The window partitions by shard — thousands of independent groups at
+    scale, never a global sort.  fill_frac divides by 2048 (a power of
+    two), a single exact IEEE op.
+    """
+    docs = t(spark, sf_dir, "documents")
+    shard = (h60("shard:", F.col("doc_id").cast("string")) % _N_SHARDS).alias("shard")
+    base = docs.select(shard, "doc_id", X.token_count(F.col("text")).alias("n_tok"))
+    w = (
+        W.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    packed = base.withColumn(
+        "seq_id",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / F.lit(_SEQ_LEN)).cast("long"),
+    )
+    return (
+        packed.groupBy("shard", "seq_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("seq_tokens"),
+            F.min("doc_id").alias("first_doc_id"),
+            F.max("doc_id").alias("last_doc_id"),
+        )
+        .withColumn(
+            "fill_frac", F.col("seq_tokens").cast("double") / F.lit(float(_SEQ_LEN))
+        )
+        .orderBy("shard", "seq_id")
+    )
+
+
+_SQL_PACKING = f"""
+WITH base AS (
+  SELECT {sql_h60('shard:', 'CAST(doc_id AS VARCHAR)')} % {_N_SHARDS} AS shard,
+         doc_id,
+         CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_tok
+  FROM documents
+),
+packed AS (
+  SELECT shard, doc_id, n_tok,
+         CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - n_tok) / {_SEQ_LEN}) AS BIGINT) AS seq_id
+  FROM base
+)
+SELECT shard, seq_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS seq_tokens,
+       MIN(doc_id) AS first_doc_id,
+       MAX(doc_id) AS last_doc_id,
+       CAST(SUM(n_tok) AS DOUBLE) / {float(_SEQ_LEN)} AS fill_frac
+FROM packed
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+# ---------------------------------------------------------------------------
+# stratified sampling
+# ---------------------------------------------------------------------------
+
+_STRATA_RATES = {"en": 50, "fr": 100, "es": 200, "de": 400, "zh": 800}  # per-mille
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language stratified sample with deterministic hash gating:
+    language ``lang`` keeps ``rate/1000`` of its documents, chosen by
+    ``h60('strat:<lang>:', doc_id) % 1000 < rate``.  Unlike TABLESAMPLE,
+    the choice is stable across runs, engines, and cluster sizes — the
+    property a reproducible data mix needs.  Pure filter: no shuffle."""
+    docs = t(spark, sf_dir, "documents")
+    rate = F.create_map(
+        *[F.lit(x) for kv in _STRATA_RATES.items() for x in kv]
+    )[F.col("lang")]
+    gate = h60("strat:", F.concat(F.col("lang"), F.lit(":"), F.col("doc_id").cast("string"))) % 1000
+    return (
+        docs.filter(gate < F.coalesce(rate, F.lit(0)))
+        .select("doc_id", "lang", "source", gate.alias("gate"))
+    )
+
+
+_SQL_STRATIFIED = f"""
+SELECT doc_id, lang, source,
+       {sql_h60('strat:', "lang || ':' || CAST(doc_id AS VARCHAR)")} % 1000 AS gate
+FROM documents
+WHERE {sql_h60('strat:', "lang || ':' || CAST(doc_id AS VARCHAR)")} % 1000
+      < CASE lang {' '.join(f"WHEN '{k}' THEN {v}" for k, v in _STRATA_RATES.items())} ELSE 0 END
+"""
+
+# ---------------------------------------------------------------------------
+# k-means over embeddings (quantized Lloyd, exact)
+# ---------------------------------------------------------------------------
+
+_KM_K = 8
+_KM_ITERS = 2
+_KM_SCALE = 1000  # component quantization grid (3 decimals)
+
+
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized-Lloyd k-means over the embedding table: components are
+    quantized to a 1e-3 grid, so distances and centroid updates are
+    *exact integer arithmetic* — the clustering is bit-reproducible on
+    any engine (the DuckDB oracle replays both iterations).
+
+    k=8, 2 Lloyd rounds, seeds = the k lowest vec_ids.  Per round:
+    centroids (k×64 rows) are BROADCAST against the exploded vector
+    table, distances reduce by (vec_id, cluster_id), the argmin is a
+    struct-min groupBy (no window), and the update re-aggregates by
+    (cluster_id, dim).  Shuffle keys stay per-vector/per-centroid —
+    the canonical scalable Lloyd shape; iterations add plan depth, not
+    new shuffle classes.  Output: per-cluster size + exact scaled
+    inertia.
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("dim", "val")
+    ).select(
+        "vec_id",
+        "dim",
+        F.round(F.col("val").cast("double") * F.lit(float(_KM_SCALE)))
+        .cast("long")
+        .alias("vq"),
+    )
+
+    cents = e.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cluster_id"), "dim", F.col("vq").alias("cq")
+    )
+
+    assigned = None
+    for _ in range(_KM_ITERS):
+        diff = F.col("vq") - F.col("cq")
+        dists = (
+            e.join(F.broadcast(cents), "dim")
+            .groupBy("vec_id", "cluster_id")
+            .agg(F.sum(diff * diff).alias("d"))
+        )
+        assigned = (
+            dists.groupBy("vec_id")
+            .agg(F.min(F.struct("d", "cluster_id")).alias("m"))
+            .select("vec_id", F.col("m.cluster_id").alias("cluster_id"), F.col("m.d").alias("d"))
+        )
+        cents = (
+            assigned.join(e, "vec_id")
+            .groupBy("cluster_id", "dim")
+            .agg(
+                F.round(
+                    F.sum("vq").cast("double") / F.count("*").cast("double")
+                )
+                .cast("long")
+                .alias("cq")
+            )
+        )
+
+    return (
+        assigned.groupBy("cluster_id")
+        .agg(F.count("*").alias("n_vectors"), F.sum("d").alias("inertia"))
+        .orderBy("cluster_id")
+    )
+
+
+def _km_round_sql(e: str, cents: str, i: int) -> str:
+    """One Lloyd round (distance → argmin → centroid update) as CTEs."""
+    return f"""
+d{i} AS (
+  SELECT e.vec_id, c.cluster_id,
+         CAST(SUM((e.vq - c.cq) * (e.vq - c.cq)) AS BIGINT) AS d
+  FROM {e} e JOIN {cents} c ON e.dim = c.dim
+  GROUP BY 1, 2
+),
+a{i} AS (
+  SELECT vec_id, cluster_id, d FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cluster_id) AS rn
+    FROM d{i}) x
+  WHERE rn = 1
+),
+c{i} AS (
+  SELECT a.cluster_id, e.dim,
+         CAST(ROUND(CAST(SUM(e.vq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS cq
+  FROM a{i} a JOIN {e} e ON a.vec_id = e.vec_id
+  GROUP BY 1, 2
+)"""
+
+
+_SQL_KMEANS = f"""
+WITH e AS (
+  SELECT vec_id,
+         CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+         CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * {float(_KM_SCALE)}) AS BIGINT) AS vq
+  FROM embeddings
+),
+c0 AS (
+  SELECT vec_id AS cluster_id, dim, vq AS cq FROM e WHERE vec_id < {_KM_K}
+),
+{_km_round_sql('e', 'c0', 1)},
+{_km_round_sql('e', 'c1', 2)}
+SELECT cluster_id,
+       COUNT(*) AS n_vectors,
+       CAST(SUM(d) AS BIGINT) AS inertia
+FROM a2
+GROUP BY 1 ORDER BY 1
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "quality_repetition_filters": QuerySpec(
+        quality_repetition_filters,
+        _SQL_QUALITY_REPETITION,
+        "Gopher-style per-doc repetition metrics + keep verdict",
+        ("pipeline", "text", "quality"),
+    ),
+    "contamination_ngram_overlap": QuerySpec(
+        contamination_ngram_overlap,
+        _SQL_CONTAMINATION,
+        "benchmark 5-gram contamination screen (broadcast benchmark set)",
+        ("pipeline", "dedup", "text"),
+    ),
+    "shard_assignment": QuerySpec(
+        shard_assignment,
+        _SQL_SHARD,
+        "deterministic hash-shard manifest (volume per shard)",
+        ("pipeline",),
+    ),
+    "sequence_packing": QuerySpec(
+        sequence_packing,
+        _SQL_PACKING,
+        "2048-token sequence packing manifest per shard",
+        ("pipeline", "window"),
+    ),
+    "stratified_sample": QuerySpec(
+        stratified_sample,
+        _SQL_STRATIFIED,
+        "per-language deterministic stratified sample",
+        ("pipeline", "sample"),
+    ),
+    "kmeans_embeddings": QuerySpec(
+        kmeans_embeddings,
+        _SQL_KMEANS,
+        "exact quantized-Lloyd k-means (k=8, 2 rounds) over embeddings",
+        ("similarity", "clustering"),
+    ),
+}
