@@ -1,0 +1,90 @@
+"""Semantic invariants of the training-corpus packaging operators.
+
+The DuckDB oracle sweep (test_oracle.py) proves cross-engine equality;
+these tests pin the *meaning*: partitions cover, fractions bound,
+gates agree with their definitions, k-means is a true partition of the
+vector set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from columnar_analytics_engine_spark.queries import training as T
+from columnar_analytics_engine_spark.queries._util import t
+
+
+def test_kmeans_partitions_all_vectors(spark, sf_small):
+    out = T.kmeans_embeddings(spark, sf_small).collect()
+    n_total = t(spark, sf_small, "embeddings").count()
+    assert sum(r.n_vectors for r in out) == n_total
+    assert len(out) <= T._KM_K and len(out) >= 2
+    assert all(r.inertia > 0 for r in out)
+    # deterministic: a rebuilt plan yields the identical result
+    again = T.kmeans_embeddings(spark, sf_small).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_shard_assignment_covers_corpus(spark, sf_small):
+    out = T.shard_assignment(spark, sf_small).collect()
+    n_docs = t(spark, sf_small, "documents").count()
+    assert sum(r.n_docs for r in out) == n_docs
+    assert all(0 <= r.shard < T._N_SHARDS for r in out)
+    # hash sharding should be reasonably balanced (no shard > 4x mean)
+    mean = n_docs / len(out)
+    assert max(r.n_docs for r in out) < 4 * mean
+
+
+def test_sequence_packing_conserves_tokens(spark, sf_small):
+    packs = T.sequence_packing(spark, sf_small)
+    shards = T.shard_assignment(spark, sf_small)
+    per_shard = (
+        packs.groupBy("shard").agg(F.sum("seq_tokens").alias("tok")).collect()
+    )
+    expect = {r.shard: r.total_tokens for r in shards.collect()}
+    assert {r.shard: r.tok for r in per_shard} == expect
+    rows = packs.collect()
+    # sequence ids start at 0 per shard and fill fractions are positive
+    first = {}
+    for r in rows:
+        first.setdefault(r.shard, r.seq_id)
+        assert r.fill_frac == r.seq_tokens / float(T._SEQ_LEN)
+    assert all(v == 0 for v in first.values())
+
+
+def test_contamination_bounds_and_exclusion(spark, sf_small):
+    rows = T.contamination_ngram_overlap(spark, sf_small).collect()
+    assert rows, "no corpus docs scored"
+    for r in rows:
+        assert r.doc_id % T._CONTAM_BENCH_MOD != 0  # benchmark excluded
+        assert 0 <= r.n_contaminated <= r.n_shingles
+        assert (r.contamination_frac >= 0.2) == r.is_contaminated
+
+
+def test_stratified_sample_respects_gates(spark, sf_small):
+    rows = T.stratified_sample(spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        assert r.gate < T._STRATA_RATES[r.lang]
+    # a high-rate stratum must keep more of its base than a low-rate one
+    docs = t(spark, sf_small, "documents")
+    base = {r.lang: r.c for r in docs.groupBy("lang").agg(F.count("*").alias("c")).collect()}
+    kept = {}
+    for r in rows:
+        kept[r.lang] = kept.get(r.lang, 0) + 1
+    assert kept["zh"] / base["zh"] > kept["en"] / base["en"]
+
+
+def test_quality_fractions_bounded(spark, sf_small):
+    rows = T.quality_repetition_filters(spark, sf_small).collect()
+    n_docs = t(spark, sf_small, "documents").count()
+    assert len(rows) == n_docs  # fixture docs all have >= 2 tokens
+    keeps = 0
+    for r in rows:
+        assert 0.0 <= r.dup_token_frac <= 1.0
+        assert 0.0 < r.top_token_frac <= 1.0
+        assert 0.0 <= r.dup_bigram_frac <= 1.0
+        if r.keep:
+            keeps += 1
+            assert r.n_tokens >= 20 and r.top_token_frac <= 0.12
+    assert 0 < keeps < n_docs  # thresholds actually discriminate
