@@ -44,6 +44,8 @@ BENCH_QUERIES: dict[str, bool] = {
     "similarity_topk": False,      # LLM pipeline: brute-force ANN
     "events_sessionization": False,  # time-series window
     "pipeline_clean_corpus": False,  # composed end-to-end cleaning pass
+    "contamination_ngram_overlap": False,  # broadcast-bench shingle screen
+    "kmeans_embeddings": False,    # iterative distributed clustering
 }
 
 N_TIMED_RUNS = 3  # warm steady-state: best of 3 (reference methodology

@@ -152,9 +152,16 @@ def jaccard_pairs(
     )
 
 
-def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct n-word shingles (order-sensitive, unlike token sets)."""
-    toks = tokens(text)
+def word_shingles(toks: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles of a token-ARRAY column (order-sensitive,
+    unlike token sets).
+
+    Takes the materialized array, not raw text: an expression argument
+    (e.g. ``split(...)``) would be re-inlined into every ``element_at``
+    inside the lambda and re-evaluated per shingle position — measured
+    ~19× slower.  Callers project the token array into a named column
+    first so it is computed once per row.
+    """
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (n - 1)),
         lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
@@ -176,9 +183,10 @@ def ngram_jaccard_pairs(
     if they share an exact n-word sequence.  Catches true copy-edits
     that token-set Jaccard can't distinguish from shuffles.
     """
-    sh = docs.filter(F.size(tokens(F.col(text_col))) >= n).select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("g"),
+    sh = (
+        docs.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("l"))
+        .filter(F.size("l") >= n)
+        .select("doc_id", F.explode(word_shingles(F.col("l"), n)).alias("g"))
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("ga")

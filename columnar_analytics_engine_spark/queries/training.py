@@ -58,7 +58,14 @@ def quality_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (absent) final aggregation.  At 100 TB this runs at scan speed.
     """
     docs = t(spark, sf_dir, "documents")
-    l = X.tokens(F.col("text"))
+    # Materialize the token array in its own projection: referencing the
+    # split() expression inside array lambdas would re-inline (and
+    # re-evaluate) the regex split per element_at call — measured 19×
+    # slower at sf0.1.  A named column is computed once per row.
+    toks = docs.select(
+        "doc_id", F.col("text"), X.tokens(F.col("text")).alias("l")
+    )
+    l = F.col("l")
     n = F.size(l).cast("long")
     n_distinct = F.size(F.array_distinct(l)).cast("long")
     # occurrences of the most frequent token: max over distinct tokens of
@@ -82,7 +89,7 @@ def quality_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (dup_bigram_frac <= F.lit(0.05))
         & (mean_token_len >= F.lit(3.0))
     )
-    return docs.filter(n >= 2).select(
+    return toks.filter(n >= 2).select(
         "doc_id",
         n.alias("n_tokens"),
         dup_token_frac.alias("dup_token_frac"),
@@ -144,7 +151,11 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     strings.
     """
     docs = t(spark, sf_dir, "documents")
-    l = X.tokens(F.col("text"))
+    # token array materialized once (see quality_repetition_filters)
+    toks = docs.select("doc_id", X.tokens(F.col("text")).alias("l")).filter(
+        F.size("l") >= _CONTAM_N
+    )
+    l = F.col("l")
     sh = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.size(l) - (_CONTAM_N - 1)),
@@ -154,8 +165,7 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     shingled = (
-        docs.filter(F.size(l) >= _CONTAM_N)
-        .select("doc_id", F.explode(sh).alias("g"))
+        toks.select("doc_id", F.explode(sh).alias("g"))
         .select("doc_id", h60("ctm:", F.col("g")).alias("gh"))
     )
     bench = (
