@@ -97,3 +97,33 @@ def sql_exact_avg(expr: str, alias: str, scale: int = 100) -> str:
         f"(CAST(SUM(CAST(ROUND(({expr}) * CAST({scale} AS DOUBLE)) AS BIGINT)) AS DOUBLE)"
         f" / CAST(COUNT({expr}) AS DOUBLE)) / CAST({scale} AS DOUBLE) AS {alias}"
     )
+
+
+# ---- decimal accumulator (the ≥SF60 / 100 TB switch) ------------------------
+#
+# The scaled-BIGINT path overflows past ~9e7 rows/group at scale 1e6.
+# Decimal summation is the drop-in replacement: Spark and DuckDB both
+# sum DECIMAL exactly (128-bit accumulators), in any partition order.
+# The cast to DECIMAL(38, d) rounds half-up in both engines, so for the
+# same `d` the decimal path produces the *same double* as the
+# scaled-long path whenever the latter doesn't overflow — proven in
+# tests/test_parity.py::test_decimal_accumulator_matches_scaled_long —
+# and keeps going for ~1e20 more rows when it would.
+
+def exact_sum_decimal(expr: Column | str, alias: str, decimals: int = 2) -> Column:
+    """Order-independent SUM via a DECIMAL(38, d) accumulator.
+
+    Same result as :func:`exact_sum` with ``scale=10**decimals`` (while
+    that path is in-range), but overflow-safe to ~10^(37-d) total mass —
+    the accumulator a 100 TB aggregation runs with.
+    """
+    c = F.col(expr) if isinstance(expr, str) else expr
+    s = F.sum(c.cast(f"decimal(38,{decimals})"))
+    return s.cast("double").alias(alias)
+
+
+def sql_exact_sum_decimal(expr: str, alias: str, decimals: int = 2) -> str:
+    """DuckDB fragment matching :func:`exact_sum_decimal` bit-for-bit."""
+    return (
+        f"CAST(SUM(CAST(({expr}) AS DECIMAL(38,{decimals}))) AS DOUBLE) AS {alias}"
+    )

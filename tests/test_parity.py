@@ -112,3 +112,40 @@ def test_missing_column_raises(f1, spark):
 
     with pytest.raises(AnalysisException):
         Query(f1).set_projection(["nope"]).execute().collect()
+
+
+def test_decimal_accumulator_matches_scaled_long(spark, sf_small):
+    """The ≥SF60 accumulator switch (_util module doc): DECIMAL(38,d)
+    summation must reproduce the scaled-BIGINT path bit-for-bit (while
+    the latter is in-range) AND match DuckDB's decimal sum — so swapping
+    accumulators at 100 TB changes nothing but the overflow ceiling."""
+    import duckdb
+
+    from columnar_analytics_engine_spark.queries._util import (
+        exact_sum,
+        exact_sum_decimal,
+        sql_exact_sum_decimal,
+        t,
+    )
+
+    li = t(spark, sf_small, "lineitem")
+    long_path = {
+        r.l_returnflag: r.s
+        for r in li.groupBy("l_returnflag")
+        .agg(exact_sum("l_extendedprice", "s", scale=100))
+        .collect()
+    }
+    dec_path = {
+        r.l_returnflag: r.s
+        for r in li.groupBy("l_returnflag")
+        .agg(exact_sum_decimal("l_extendedprice", "s", decimals=2))
+        .collect()
+    }
+    assert long_path == dec_path
+    oracle = dict(
+        duckdb.sql(
+            f"""SELECT l_returnflag, {sql_exact_sum_decimal('l_extendedprice', 's', 2)}
+                FROM read_parquet('{sf_small}/lineitem.parquet') GROUP BY 1"""
+        ).fetchall()
+    )
+    assert dec_path == oracle
