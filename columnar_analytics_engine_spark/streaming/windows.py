@@ -129,6 +129,20 @@ def clicks_before_errors_join(events: DataFrame, watermark: str = "1 hour") -> D
     )
 
 
+def enrich_with_static(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment join: each event is decorated from a
+    static dimension table on user_id (the lookup-table pattern — user
+    tiers, geo maps, model registries).
+
+    The static side needs no watermark and is re-read per micro-batch;
+    Spark broadcasts it when small, so the stream side never shuffles —
+    the only join shape that adds zero state to a 100 TB/day stream.
+    """
+    return events.join(F.broadcast(dim), "user_id", "left").select(
+        "event_id", "user_id", "event_type", "ts", dim.columns[-1]
+    )
+
+
 def run_available_now(
     stream_df: DataFrame, spark: SparkSession, output_mode: str | None = None
 ) -> DataFrame:

@@ -143,3 +143,21 @@ def test_stateful_sessionization_matches_batch(spark, sf_small):
     assert _sorted_rows(final.select(*cols), *cols) == _sorted_rows(
         batch.select(*cols), *cols
     )
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_small):
+    """Stream-static broadcast join: every event picks up its user's
+    segment from a static dimension; result equals the batch join."""
+    from columnar_analytics_engine_spark.io import read_table
+    from columnar_analytics_engine_spark.streaming.windows import enrich_with_static
+
+    ev = read_table(spark, sf_small, "events")
+    dim = ev.select("user_id").distinct().withColumn(
+        "segment", F.when(F.col("user_id") % 2 == 0, "even").otherwise("odd")
+    )
+    stream = read_events_stream(spark, sf_small)
+    out = run_available_now(enrich_with_static(stream, dim), spark, output_mode="append")
+    want = ev.join(dim, "user_id").select("event_id", "segment")
+    assert out.count() == ev.count()
+    got = {(r["event_id"], r["segment"]) for r in out.collect()}
+    assert got == {(r["event_id"], r["segment"]) for r in want.collect()}
