@@ -477,6 +477,106 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# export manifest (composed capstone)
+# ---------------------------------------------------------------------------
+
+def training_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The final stage of a corpus build: every document that passes the
+    repetition-quality gate AND the contamination screen (benchmark
+    stand-ins themselves are excluded from training), laid out for the
+    trainer — hash shard, packed sequence id, token count, language.
+
+    Composes quality_repetition_filters → contamination_ngram_overlap →
+    shard_assignment/sequence_packing semantics on the *surviving* set.
+    Scale shape: two semi/anti joins on doc_id (the quality side is a
+    filter, the contamination side is broadcast-bench + per-doc agg),
+    then one shard-partitioned window — no new shuffle classes beyond
+    the parts.
+    """
+    docs = t(spark, sf_dir, "documents")
+    keep = quality_repetition_filters(spark, sf_dir).filter("keep").select("doc_id", "n_tokens")
+    contaminated = (
+        contamination_ngram_overlap(spark, sf_dir)
+        .filter("is_contaminated")
+        .select("doc_id")
+    )
+    survivors = (
+        docs.select("doc_id", "lang")
+        .filter(F.col("doc_id") % _CONTAM_BENCH_MOD != 0)
+        .join(keep, "doc_id")
+        .join(contaminated, "doc_id", "left_anti")
+        .withColumn(
+            "shard", h60("shard:", F.col("doc_id").cast("string")) % _N_SHARDS
+        )
+    )
+    w = (
+        W.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        survivors.withColumn(
+            "seq_id",
+            F.floor(
+                (F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(_SEQ_LEN)
+            ).cast("long"),
+        )
+        .select("doc_id", "lang", "n_tokens", "shard", "seq_id")
+        .orderBy("shard", "seq_id", "doc_id")
+    )
+
+
+_SQL_EXPORT_MANIFEST = f"""
+WITH f AS (
+  SELECT doc_id, lang, {_SQL_TOKENS} AS l, text FROM documents
+),
+q AS (
+  SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tokens
+  FROM f
+  WHERE len(l) >= 20
+    AND CAST(list_max(list_transform(list_distinct(l),
+          tk -> len(list_filter(l, x -> x = tk)))) AS DOUBLE)
+        / CAST(len(l) AS DOUBLE) <= 0.12
+    AND 1.0 - CAST(len(list_distinct(list_transform(range(1, len(l)),
+          i -> l[i] || ' ' || l[i+1]))) AS DOUBLE)
+        / CAST(len(l) - 1 AS DOUBLE) <= 0.05
+    AND CAST(LENGTH(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE)
+        / CAST(len(l) AS DOUBLE) >= 3.0
+),
+sh AS (
+  SELECT doc_id, {sql_h60('ctm:', 'g')} AS gh
+  FROM (
+    SELECT doc_id, unnest(list_distinct(list_transform(
+             range(1, len(l) - {_CONTAM_N - 2}),
+             i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' || l[i+4]
+           ))) AS g
+    FROM f WHERE len(l) >= {_CONTAM_N})
+),
+bench AS (SELECT DISTINCT gh FROM sh WHERE doc_id % {_CONTAM_BENCH_MOD} = 0),
+contaminated AS (
+  SELECT s.doc_id
+  FROM sh s LEFT JOIN bench b ON s.gh = b.gh
+  WHERE s.doc_id % {_CONTAM_BENCH_MOD} != 0
+  GROUP BY 1
+  HAVING CAST(COUNT(b.gh) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) >= 0.2
+),
+survivors AS (
+  SELECT d.doc_id, d.lang, q.n_tokens,
+         {sql_h60('shard:', 'CAST(d.doc_id AS VARCHAR)')} % {_N_SHARDS} AS shard
+  FROM documents d JOIN q ON d.doc_id = q.doc_id
+  WHERE d.doc_id % {_CONTAM_BENCH_MOD} != 0
+    AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+)
+SELECT doc_id, lang, n_tokens, shard,
+       CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens) / {_SEQ_LEN}) AS BIGINT) AS seq_id
+FROM survivors
+ORDER BY shard, seq_id, doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "quality_repetition_filters": QuerySpec(
         quality_repetition_filters,
@@ -513,5 +613,11 @@ QUERIES: dict[str, QuerySpec] = {
         _SQL_KMEANS,
         "exact quantized-Lloyd k-means (k=8, 2 rounds) over embeddings",
         ("similarity", "clustering"),
+    ),
+    "training_export_manifest": QuerySpec(
+        training_export_manifest,
+        _SQL_EXPORT_MANIFEST,
+        "composed export manifest: quality ∧ ¬contaminated → shard + sequence",
+        ("pipeline", "window"),
     ),
 }
