@@ -478,6 +478,114 @@ GROUP BY 1 ORDER BY 1
 
 
 # ---------------------------------------------------------------------------
+# product quantization (PQ) codes
+# ---------------------------------------------------------------------------
+
+_PQ_M = 4   # subspaces (64 dims → 4 × 16)
+_PQ_SUB = 16
+_PQ_K = 16  # codebook size per subspace (4-bit codes)
+
+
+def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes: each embedding is split into 4
+    16-dim subvectors, each assigned to the nearest of 16 per-subspace
+    codebook centroids (one quantized-Lloyd round from deterministic
+    seeds) — the 4-bit-per-subspace compression that lets an ANN index
+    hold billions of vectors in RAM.
+
+    Same exactness contract as :func:`kmeans_embeddings` (integer grid,
+    integer distances, exact centroid updates), so codes are
+    bit-reproducible and the oracle replays the whole training+encode.
+    All 4 subspaces train in ONE plan: centroids are keyed by
+    (subspace, code) and broadcast; nothing iterates per subspace.
+    Output: (vec_id, subspace, code, d) — d the exact scaled distance.
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("dim", "val")
+    ).select(
+        "vec_id",
+        "dim",
+        (F.col("dim") / _PQ_SUB).cast("int").alias("subspace"),
+        F.round(F.col("val").cast("double") * F.lit(float(_KM_SCALE)))
+        .cast("long")
+        .alias("vq"),
+    )
+    cents = e.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("code"), "dim", F.col("vq").alias("cq")
+    )
+
+    def assign(c: DataFrame) -> DataFrame:
+        diff = F.col("vq") - F.col("cq")
+        dists = (
+            e.join(F.broadcast(c), "dim")
+            .groupBy("vec_id", "subspace", "code")
+            .agg(F.sum(diff * diff).alias("d"))
+        )
+        return (
+            dists.groupBy("vec_id", "subspace")
+            .agg(F.min(F.struct("d", "code")).alias("m"))
+            .select(
+                "vec_id",
+                "subspace",
+                F.col("m.code").alias("code"),
+                F.col("m.d").alias("d"),
+            )
+        )
+
+    a0 = assign(cents)
+    cents1 = (
+        a0.join(e, ["vec_id", "subspace"])
+        .groupBy("code", "dim")
+        .agg(
+            F.round(F.sum("vq").cast("double") / F.count("*").cast("double"))
+            .cast("long")
+            .alias("cq")
+        )
+    )
+    return assign(cents1).orderBy("vec_id", "subspace")
+
+
+def _pq_assign_sql(cents: str, i: int) -> str:
+    return f"""
+pd{i} AS (
+  SELECT e.vec_id, e.subspace, c.code,
+         CAST(SUM((e.vq - c.cq) * (e.vq - c.cq)) AS BIGINT) AS d
+  FROM e JOIN {cents} c ON e.dim = c.dim
+  GROUP BY 1, 2, 3
+),
+pa{i} AS (
+  SELECT vec_id, subspace, code, d FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
+                                 ORDER BY d, code) AS rn
+    FROM pd{i}) x
+  WHERE rn = 1
+)"""
+
+
+_SQL_PQ = f"""
+WITH e AS (
+  SELECT vec_id,
+         CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+         CAST((generate_subscripts(embedding, 1) - 1) // {_PQ_SUB} AS INT) AS subspace,
+         CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * {float(_KM_SCALE)}) AS BIGINT) AS vq
+  FROM embeddings
+),
+pc0 AS (
+  SELECT vec_id AS code, dim, vq AS cq FROM e WHERE vec_id < {_PQ_K}
+),
+{_pq_assign_sql('pc0', 0)},
+pc1 AS (
+  SELECT a.code, e.dim,
+         CAST(ROUND(CAST(SUM(e.vq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS cq
+  FROM pa0 a JOIN e ON a.vec_id = e.vec_id AND a.subspace = e.subspace
+  GROUP BY 1, 2
+),
+{_pq_assign_sql('pc1', 1)}
+SELECT vec_id, subspace, code, d FROM pa1 ORDER BY vec_id, subspace
+"""
+
+# ---------------------------------------------------------------------------
 # export manifest (composed capstone)
 # ---------------------------------------------------------------------------
 
@@ -612,6 +720,12 @@ QUERIES: dict[str, QuerySpec] = {
         kmeans_embeddings,
         _SQL_KMEANS,
         "exact quantized-Lloyd k-means (k=8, 2 rounds) over embeddings",
+        ("similarity", "clustering"),
+    ),
+    "similarity_pq_codes": QuerySpec(
+        pq_codes,
+        _SQL_PQ,
+        "product-quantization 4×4-bit codes (exact codebook train + encode)",
         ("similarity", "clustering"),
     ),
     "training_export_manifest": QuerySpec(

@@ -88,3 +88,15 @@ def test_quality_fractions_bounded(spark, sf_small):
             keeps += 1
             assert r.n_tokens >= 20 and r.top_token_frac <= 0.12
     assert 0 < keeps < n_docs  # thresholds actually discriminate
+
+
+def test_pq_codes_shape_and_determinism(spark, sf_small):
+    out = T.pq_codes(spark, sf_small).collect()
+    n_vec = t(spark, sf_small, "embeddings").count()
+    assert len(out) == n_vec * T._PQ_M  # every vector gets M codes
+    assert all(0 <= r.code < T._PQ_K and 0 <= r.subspace < T._PQ_M for r in out)
+    assert all(r.d >= 0 for r in out)
+    # codes actually use the codebook (not everything collapsed to one code)
+    assert len({(r.subspace, r.code) for r in out}) > T._PQ_M * 2
+    again = T.pq_codes(spark, sf_small).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
