@@ -563,7 +563,7 @@ pa{i} AS (
 )"""
 
 
-_SQL_PQ = f"""
+_SQL_PQ_CTES = f"""
 WITH e AS (
   SELECT vec_id,
          CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
@@ -581,8 +581,111 @@ pc1 AS (
   FROM pa0 a JOIN e ON a.vec_id = e.vec_id AND a.subspace = e.subspace
   GROUP BY 1, 2
 ),
-{_pq_assign_sql('pc1', 1)}
+{_pq_assign_sql('pc1', 1)}"""
+
+_SQL_PQ = f"""{_SQL_PQ_CTES}
 SELECT vec_id, subspace, code, d FROM pa1 ORDER BY vec_id, subspace
+"""
+
+_PQ_TOPK = 10
+_PQ_NQ = 5  # query vectors: vec_id < 5
+
+
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k search over PQ codes with asymmetric distance
+    (ADC): each query precomputes a (subspace × code) lookup table of
+    exact partial distances to the trained codebook; a candidate's
+    distance is then 4 table lookups + adds, never touching the raw
+    vectors — how a PQ index scans billions of codes at memory speed.
+
+    Scale shape: the LUT is queries×4×16 rows — broadcast; the code
+    table joins it and reduces by (query, candidate).  The 100 TB side
+    (the codes) is scanned once with no shuffle before the reduce.
+    Everything is exact integer arithmetic → full SQL oracle, including
+    the approximation's misses (the oracle replays codebook training,
+    encoding, LUT build, and scan).
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("dim", "val")
+    ).select(
+        "vec_id",
+        "dim",
+        (F.col("dim") / _PQ_SUB).cast("int").alias("subspace"),
+        F.round(F.col("val").cast("double") * F.lit(float(_KM_SCALE)))
+        .cast("long")
+        .alias("vq"),
+    )
+    cents = e.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("code"), "dim", F.col("vq").alias("cq")
+    )
+    diff = F.col("vq") - F.col("cq")
+
+    def assign(c: DataFrame) -> DataFrame:
+        dists = (
+            e.join(F.broadcast(c), "dim")
+            .groupBy("vec_id", "subspace", "code")
+            .agg(F.sum(diff * diff).alias("d"))
+        )
+        return (
+            dists.groupBy("vec_id", "subspace")
+            .agg(F.min(F.struct("d", "code")).alias("m"))
+            .select("vec_id", "subspace", F.col("m.code").alias("code"))
+        )
+
+    cents1 = (
+        assign(cents)
+        .join(e, ["vec_id", "subspace"])
+        .groupBy("code", "dim")
+        .agg(
+            F.round(F.sum("vq").cast("double") / F.count("*").cast("double"))
+            .cast("long")
+            .alias("cq")
+        )
+    )
+    codes = assign(cents1)
+    lut = (
+        e.filter(F.col("vec_id") < _PQ_NQ)
+        .withColumnRenamed("vec_id", "query_id")
+        .join(F.broadcast(cents1), "dim")
+        .groupBy("query_id", "subspace", "code")
+        .agg(F.sum(diff * diff).alias("part"))
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["subspace", "code"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("part").alias("adc_dist"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = W.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _PQ_TOPK)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )
+
+
+_SQL_PQ_ADC = f"""{_SQL_PQ_CTES},
+codes AS (SELECT vec_id, subspace, code FROM pa1),
+lut AS (
+  SELECT e.vec_id AS query_id, e.subspace, c.code,
+         CAST(SUM((e.vq - c.cq) * (e.vq - c.cq)) AS BIGINT) AS part
+  FROM e JOIN pc1 c ON e.dim = c.dim
+  WHERE e.vec_id < {_PQ_NQ}
+  GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT l.query_id, v.vec_id AS neighbor_id,
+         CAST(SUM(l.part) AS BIGINT) AS adc_dist
+  FROM codes v JOIN lut l ON v.subspace = l.subspace AND v.code = l.code
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, adc_dist, "rank" FROM (
+  SELECT query_id, neighbor_id, adc_dist,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY adc_dist, neighbor_id) AS BIGINT) AS "rank"
+  FROM scored WHERE query_id != neighbor_id) x
+WHERE "rank" <= {_PQ_TOPK}
 """
 
 # ---------------------------------------------------------------------------
@@ -727,6 +830,12 @@ QUERIES: dict[str, QuerySpec] = {
         _SQL_PQ,
         "product-quantization 4×4-bit codes (exact codebook train + encode)",
         ("similarity", "clustering"),
+    ),
+    "similarity_pq_adc_topk": QuerySpec(
+        pq_adc_topk,
+        _SQL_PQ_ADC,
+        "PQ asymmetric-distance top-10 (LUT scan over codes)",
+        ("similarity",),
     ),
     "training_export_manifest": QuerySpec(
         training_export_manifest,

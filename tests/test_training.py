@@ -100,3 +100,23 @@ def test_pq_codes_shape_and_determinism(spark, sf_small):
     assert len({(r.subspace, r.code) for r in out}) > T._PQ_M * 2
     again = T.pq_codes(spark, sf_small).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_pq_adc_recall_beats_random(spark, sf_small):
+    """ADC over 4×16 codebooks is a coarse approximation; it must still
+    land far above chance against the exact L2 top-10."""
+    import numpy as np
+
+    out = T.pq_adc_topk(spark, sf_small).collect()
+    emb = t(spark, sf_small, "embeddings").orderBy("vec_id").collect()
+    mat = np.array([r.embedding for r in emb], dtype=np.float64)
+    ids = np.array([r.vec_id for r in emb])
+    recalls = []
+    for q in range(T._PQ_NQ):
+        d = ((mat - mat[q]) ** 2).sum(axis=1)
+        d[q] = np.inf
+        exact = set(ids[np.argsort(d, kind="stable")[: T._PQ_TOPK]])
+        got = {r.neighbor_id for r in out if r.query_id == q}
+        assert len(got) == T._PQ_TOPK
+        recalls.append(len(got & exact) / T._PQ_TOPK)
+    assert sum(recalls) / len(recalls) > 0.25  # chance is 10/500 = 0.02
