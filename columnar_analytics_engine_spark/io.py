@@ -57,11 +57,23 @@ def _ns_timestamp_fields(path: str) -> list[str]:
             return []
         file_path = os.path.join(path, parts[0])
     schema = pq.read_schema(file_path)
-    return [
+    ns_names = {
         f.name
         for f in schema
         if pat.is_timestamp(f.type) and f.type.unit == "ns"
-    ]
+    }
+    if not ns_names:
+        return []
+    # PyArrow also reports legacy INT96 timestamps as timestamp[ns], but
+    # Spark decodes INT96 natively (nanosAsLong does not apply); only
+    # physical-INT64 TIMESTAMP(NANOS) columns need the raw-long path.
+    phys = pq.ParquetFile(file_path).schema
+    int64_cols = {
+        phys.column(i).name
+        for i in range(len(phys))
+        if phys.column(i).physical_type == "INT64"
+    }
+    return sorted(ns_names & int64_cols)
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -1,0 +1,386 @@
+"""Corpus-curation operators: passage-level dedup, mixture weighting,
+PII scrubbing, and trajectory building.
+
+Extends the training-data surface (``queries/llm.py``,
+``queries/training.py``) with four passes a production corpus build runs
+between raw documents and training shards:
+
+* **duplicated-passage detection** — the passage-granularity analogue of
+  exact-substring dedup (Lee et al., "Deduplicating Training Data Makes
+  Language Models Better"): find every 8-token span that occurs in more
+  than one document and report, per document, the fraction of its spans
+  that are cross-document duplicates.  Catches boilerplate and quoted
+  blocks that document-level MinHash (operators/dedup.py) scores as
+  unique.
+* **mixture weighting** — per-source token budgets: compare each
+  source's natural token share against a uniform target mixture and emit
+  the sampling rate / epoch count that rebalances the corpus.
+* **PII scrubbing** — regex detection counts (emails, URLs, IPv4,
+  phones) plus the redacted text, all JVM-side ``regexp_*`` calls.
+* **user journeys** — per-user ordered event-type trajectories from the
+  events stream (the "session replay" shape used to build agent/chat
+  training sequences), capped per user so row width stays bounded.
+
+Scale shapes (the 100 TB contract):
+- passage dedup is an inverted-index on hashed shingles: explode →
+  count-distinct-docs per shingle → join back — two key shuffles, never
+  a pairwise comparison;
+- mixture weighting is one groupBy + a broadcast of a 1-row totals
+  table (kept lazy, in-plan);
+- PII scrubbing is a pure projection (scan speed, whole-stage codegen);
+- journeys cap fan-in with a per-user row_number window BEFORE the
+  collect, so a hot user cannot blow up a single task.
+
+All queries here are hash-verified against the DuckDB oracle; hashing
+uses the cross-engine ``h60`` (functions/hashing.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from columnar_analytics_engine_spark.functions import text as X
+from columnar_analytics_engine_spark.functions.hashing import h60, sql_h60
+from columnar_analytics_engine_spark.queries._util import QuerySpec, t
+
+_SQL_TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
+
+# ---------------------------------------------------------------------------
+# duplicated-passage detection (exact-substring dedup at passage granularity)
+# ---------------------------------------------------------------------------
+
+_PASSAGE_W = 8  # tokens per span
+
+
+def dedup_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-passage report: the fraction of a doc's
+    8-token spans that occur verbatim in at least one OTHER document.
+
+    Inverted-index shape: every span position becomes one (doc, span-
+    hash) row; a groupBy on the hash counts distinct documents per span;
+    joining that count back and re-grouping by doc yields the coverage
+    fraction.  Both shuffles key on the 60-bit span hash / doc id —
+    map-side combinable, no pairwise joins, scales like word count.
+    A span repeated only WITHIN one document does not count (that is
+    ``quality_repetition_filters``' job); ≥ 50% cross-doc coverage flags
+    the doc as a near-copy.
+    """
+    docs = t(spark, sf_dir, "documents")
+    # token array materialized once per row — lambda args would re-inline
+    toks = docs.select("doc_id", X.tokens(F.col("text")).alias("l")).filter(
+        F.size("l") >= _PASSAGE_W
+    )
+    l = F.col("l")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(l) - (_PASSAGE_W - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(l, i + j) for j in range(_PASSAGE_W)]
+        ),
+    )
+    spans = toks.select(
+        "doc_id", F.explode(grams).alias("g")
+    ).select("doc_id", h60("ps:", F.col("g")).alias("gh"))
+    per_span = spans.groupBy("gh").agg(
+        F.countDistinct("doc_id").alias("n_docs_with_span")
+    )
+    per_doc = (
+        spans.join(per_span, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(
+                F.when(F.col("n_docs_with_span") >= 2, F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_dup_spans"),
+        )
+    )
+    frac = F.col("n_dup_spans").cast("double") / F.col("n_spans").cast("double")
+    return per_doc.select(
+        "doc_id",
+        "n_spans",
+        "n_dup_spans",
+        frac.alias("dup_span_frac"),
+        (frac >= F.lit(0.5)).alias("is_near_copy"),
+    ).orderBy("doc_id")
+
+
+_PASSAGE_GRAM_SQL = " || ' ' || ".join(f"l[i+{j}]" for j in range(_PASSAGE_W))
+
+_SQL_DUPLICATE_PASSAGES = f"""
+WITH f AS (
+  SELECT doc_id, {_SQL_TOKENS} AS l FROM documents
+  WHERE len({_SQL_TOKENS}) >= {_PASSAGE_W}
+),
+spans AS (
+  SELECT doc_id, {sql_h60('ps:', 'g')} AS gh
+  FROM (
+    SELECT doc_id, unnest(list_transform(
+             range(1, len(l) - {_PASSAGE_W - 2}),
+             i -> {_PASSAGE_GRAM_SQL}
+           )) AS g
+    FROM f)
+),
+per_span AS (
+  SELECT gh, COUNT(DISTINCT doc_id) AS n_docs_with_span FROM spans GROUP BY gh
+),
+per_doc AS (
+  SELECT s.doc_id,
+         COUNT(*) AS n_spans,
+         SUM(CASE WHEN p.n_docs_with_span >= 2 THEN 1 ELSE 0 END) AS n_dup_spans
+  FROM spans s JOIN per_span p USING (gh)
+  GROUP BY s.doc_id
+)
+SELECT doc_id,
+       CAST(n_spans AS BIGINT) AS n_spans,
+       CAST(n_dup_spans AS BIGINT) AS n_dup_spans,
+       CAST(n_dup_spans AS DOUBLE) / CAST(n_spans AS DOUBLE) AS dup_span_frac,
+       CAST(n_dup_spans AS DOUBLE) / CAST(n_spans AS DOUBLE) >= 0.5 AS is_near_copy
+FROM per_doc
+ORDER BY doc_id
+"""
+
+# ---------------------------------------------------------------------------
+# mixture weighting (per-source token budgets)
+# ---------------------------------------------------------------------------
+
+
+def training_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mixture report: natural token share vs a uniform
+    target mixture, and the sampling rate / epoch count that achieves
+    the target.
+
+    ``weight`` > 1 means the source must be upsampled (multiple epochs);
+    ``sampling_rate`` is the keep-probability for a single-epoch build.
+    One groupBy shuffle on ``source`` (a handful of groups) plus a
+    broadcast join of the 1-row totals aggregate — the totals stay
+    in-plan (no eager count; cf. VERDICT r01 on text_term_stats).
+    Every double is a single IEEE division of exact integer counts, so
+    the oracle reproduces it bit-for-bit.
+    """
+    docs = t(spark, sf_dir, "documents")
+    per_src = (
+        docs.select("source", X.token_count(F.col("text")).alias("n_tok"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
+    )
+    totals = per_src.agg(
+        F.sum("n_tokens").alias("_total_tokens"),
+        F.count("*").alias("_n_sources"),
+    )
+    j = per_src.join(F.broadcast(totals))
+    natural_share = F.col("n_tokens").cast("double") / F.col("_total_tokens").cast(
+        "double"
+    )
+    weight = F.col("_total_tokens").cast("double") / (
+        F.col("_n_sources") * F.col("n_tokens")
+    ).cast("double")
+    return j.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        natural_share.alias("natural_share"),
+        weight.alias("weight"),
+        F.least(F.lit(1.0), weight).alias("sampling_rate"),
+        (weight > F.lit(1.0)).alias("needs_upsampling"),
+    ).orderBy("source")
+
+
+_SQL_MIXTURE_WEIGHTS = f"""
+WITH per_src AS (
+  SELECT source,
+         COUNT(*) AS n_docs,
+         SUM(CAST(len({_SQL_TOKENS}) AS BIGINT)) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT SUM(n_tokens) AS total_tokens, COUNT(*) AS n_sources FROM per_src)
+SELECT source,
+       n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS natural_share,
+       CAST(total_tokens AS DOUBLE) / CAST(n_sources * n_tokens AS DOUBLE) AS weight,
+       LEAST(1.0, CAST(total_tokens AS DOUBLE) / CAST(n_sources * n_tokens AS DOUBLE))
+         AS sampling_rate,
+       CAST(total_tokens AS DOUBLE) / CAST(n_sources * n_tokens AS DOUBLE) > 1.0
+         AS needs_upsampling
+FROM per_src CROSS JOIN tot
+ORDER BY source
+"""
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to syntax with identical semantics in Java regex
+# (Spark) and RE2 (DuckDB): no backrefs, no lookaround, ASCII classes.
+_PII_URL = r"https?://\S+"
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\+\d{9,14}\b|\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+
+
+def scrub_pii(text, with_counts: bool = True):  # noqa: ANN001 - Column in
+    """(clean_text, counts) for a text Column: detection counts on the
+    original text, then a redaction chain URL → EMAIL → IP → PHONE.
+
+    Counts overlap deliberately (an IP inside a URL counts as both): the
+    counts are audit metrics, the redaction chain is the ground truth.
+    """
+    counts = {}
+    if with_counts:
+        counts = {
+            "n_urls": F.regexp_count(text, F.lit(_PII_URL)).cast("long"),
+            "n_emails": F.regexp_count(text, F.lit(_PII_EMAIL)).cast("long"),
+            "n_ipv4": F.regexp_count(text, F.lit(_PII_IPV4)).cast("long"),
+            "n_phones": F.regexp_count(text, F.lit(_PII_PHONE)).cast("long"),
+        }
+    clean = F.regexp_replace(text, _PII_URL, "<URL>")
+    clean = F.regexp_replace(clean, _PII_EMAIL, "<EMAIL>")
+    clean = F.regexp_replace(clean, _PII_IPV4, "<IP>")
+    clean = F.regexp_replace(clean, _PII_PHONE, "<PHONE>")
+    return clean, counts
+
+
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction over the documents table — a pure
+    projection (regexp_count / regexp_replace, whole-stage codegen), so
+    it runs at scan speed with zero shuffles at any corpus size.
+
+    The synthetic corpus contains no PII, so the driver check mostly
+    asserts the zero-count/no-op-redaction path; tests/test_curation.py
+    verifies detection and redaction on PII-laden fixtures against the
+    same DuckDB oracle expressions.
+    """
+    docs = t(spark, sf_dir, "documents")
+    clean, counts = scrub_pii(F.col("text"))
+    pii_total = sum(counts.values(), F.lit(0).cast("long"))
+    return docs.select(
+        "doc_id",
+        *[c.alias(n) for n, c in counts.items()],
+        pii_total.alias("pii_total"),
+        (pii_total > 0).alias("has_pii"),
+        clean.alias("clean_text"),
+    ).orderBy("doc_id")
+
+
+def sql_pii_scrub(table: str = "documents") -> str:
+    """DuckDB twin of :func:`text_pii_scrub` (parameterized so tests can
+    run it on a fixture table)."""
+    # RE2 needs the same escapes; patterns are shared literals
+    counts = {
+        "n_urls": _PII_URL,
+        "n_emails": _PII_EMAIL,
+        "n_ipv4": _PII_IPV4,
+        "n_phones": _PII_PHONE,
+    }
+    cnt_cols = ",\n       ".join(
+        f"CAST(len(regexp_extract_all(text, '{p}')) AS BIGINT) AS {n}"
+        for n, p in counts.items()
+    )
+    total = " + ".join(
+        f"len(regexp_extract_all(text, '{p}'))" for p in counts.values()
+    )
+    return f"""
+SELECT doc_id,
+       {cnt_cols},
+       CAST({total} AS BIGINT) AS pii_total,
+       ({total}) > 0 AS has_pii,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text, '{_PII_URL}', '<URL>', 'g'),
+             '{_PII_EMAIL}', '<EMAIL>', 'g'),
+           '{_PII_IPV4}', '<IP>', 'g'),
+         '{_PII_PHONE}', '<PHONE>', 'g') AS clean_text
+FROM {table}
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# user journeys (trajectory building from the event stream)
+# ---------------------------------------------------------------------------
+
+_JOURNEY_CAP = 20  # steps kept per user
+
+
+def events_user_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordered event-type trajectory — the sequence-building
+    pass that turns an event log into agent/chat-style training records.
+
+    The row_number window (partitioned by user, ordered by ts with
+    event_id as the deterministic tie-break) caps each user at 20 steps
+    BEFORE the collect_list, so a pathological hot user costs 20 rows,
+    not its full history — the skew guard that makes the collect safe at
+    100 TB.  One shuffle total: the window and the groupBy share the
+    user_id partitioning, so Catalyst reuses the exchange.
+    """
+    df = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    capped = (
+        df.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n_events", F.count("*").over(W.partitionBy("user_id")))
+        .filter(F.col("rn") <= _JOURNEY_CAP)
+    )
+    steps = F.array_sort(
+        F.collect_list(F.struct(F.col("rn"), F.col("event_type")))
+    )
+    return (
+        capped.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.count("*").alias("n_steps"),
+            F.unix_micros(F.min("ts")).alias("first_ts_us"),
+            F.array_join(
+                F.transform(steps, lambda s: s["event_type"]), ">"
+            ).alias("journey"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_SQL_USER_JOURNEY = f"""
+WITH r AS (
+  SELECT user_id, event_type, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_events
+  FROM events
+)
+SELECT user_id,
+       CAST(MAX(n_events) AS BIGINT) AS n_events,
+       COUNT(*) AS n_steps,
+       epoch_us(MIN(ts)) AS first_ts_us,
+       string_agg(event_type, '>' ORDER BY rn) AS journey
+FROM r
+WHERE rn <= {_JOURNEY_CAP}
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "dedup_duplicate_passages": QuerySpec(
+        dedup_duplicate_passages,
+        _SQL_DUPLICATE_PASSAGES,
+        "Cross-document duplicated 8-token-span coverage per document",
+        ("llm", "dedup"),
+    ),
+    "training_mixture_weights": QuerySpec(
+        training_mixture_weights,
+        _SQL_MIXTURE_WEIGHTS,
+        "Per-source sampling rates for a uniform target token mixture",
+        ("llm", "training"),
+    ),
+    "text_pii_scrub": QuerySpec(
+        text_pii_scrub,
+        sql_pii_scrub(),
+        "PII detection counts + redacted text (regex, scan-speed)",
+        ("llm", "text"),
+    ),
+    "events_user_journey": QuerySpec(
+        events_user_journey,
+        _SQL_USER_JOURNEY,
+        "Per-user capped ordered event trajectories (sequence building)",
+        ("events",),
+    ),
+}

@@ -1,0 +1,159 @@
+"""Semantic tests for queries/curation.py (the oracle sweep in
+test_oracle.py covers cross-engine hashing; these check the semantics
+are the intended ones, including on PII-laden fixtures the synthetic
+corpus can't exercise)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from columnar_analytics_engine_spark.queries.curation import (
+    _JOURNEY_CAP,
+    _PASSAGE_W,
+    dedup_duplicate_passages,
+    events_user_journey,
+    scrub_pii,
+    sql_pii_scrub,
+    training_mixture_weights,
+)
+
+
+# ---------------------------------------------------------------------------
+# duplicated passages
+# ---------------------------------------------------------------------------
+
+def test_duplicate_passages_flags_shared_span(spark, tmp_path):
+    # docs 1 and 2 share one exact 8-token span; doc 3 shares nothing
+    span = "a b c d e f g h"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{span} unique1 tail1"),
+            (2, f"prefix2 {span} tail2"),
+            (3, "q r s t u v w x y z"),
+        ],
+        "doc_id long, text string",
+    )
+    sf = str(tmp_path)
+    docs.write.parquet(f"{sf}/documents.parquet")
+    out = {r["doc_id"]: r.asDict() for r in dedup_duplicate_passages(spark, sf).collect()}
+    # doc 1: tokens = 8 span + 2 = 10 → 3 spans, 1 duplicated
+    assert out[1]["n_spans"] == 3 and out[1]["n_dup_spans"] == 1
+    assert out[2]["n_dup_spans"] == 1
+    assert out[3]["n_dup_spans"] == 0 and not out[3]["is_near_copy"]
+
+
+def test_duplicate_passages_ignores_within_doc_repeats(spark, tmp_path):
+    # one doc repeating its own span is NOT a cross-doc duplicate
+    span = " ".join(f"t{i}" for i in range(_PASSAGE_W))
+    docs = spark.createDataFrame(
+        [(1, f"{span} {span}")], "doc_id long, text string"
+    )
+    sf = str(tmp_path)
+    docs.write.parquet(f"{sf}/documents.parquet")
+    row = dedup_duplicate_passages(spark, sf).collect()[0]
+    assert row["n_dup_spans"] == 0
+
+
+# ---------------------------------------------------------------------------
+# mixture weights
+# ---------------------------------------------------------------------------
+
+def test_mixture_weights_balance(spark, sf_small):
+    rows = training_mixture_weights(spark, sf_small).collect()
+    total = sum(r["n_tokens"] for r in rows)
+    n_src = len(rows)
+    for r in rows:
+        assert r["natural_share"] == pytest.approx(r["n_tokens"] / total)
+        assert r["weight"] == pytest.approx(total / (n_src * r["n_tokens"]))
+        assert r["sampling_rate"] <= 1.0
+        assert r["needs_upsampling"] == (r["weight"] > 1.0)
+    # shares sum to 1
+    assert sum(r["natural_share"] for r in rows) == pytest.approx(1.0)
+
+
+# ---------------------------------------------------------------------------
+# PII scrub — real PII fixtures, Spark vs DuckDB on identical input
+# ---------------------------------------------------------------------------
+
+_PII_DOCS = [
+    (1, "contact me at alice.smith+x@example.co.uk or bob@test.org today"),
+    (2, "server at 192.168.1.254 port 8080, backup 10.0.0.1"),
+    (3, "call +14155550123 or 415-555-0199 now"),
+    (4, "see https://example.com/a?b=c#frag and http://x.io"),
+    (5, "mixed: eve@corp.io at 8.8.8.8 via https://cdn.net/pix.png +4915112345678"),
+    (6, "clean text with no sensitive content at all"),
+]
+
+
+def test_pii_scrub_detects_and_redacts(spark):
+    df = spark.createDataFrame(_PII_DOCS, "doc_id long, text string")
+    clean, counts = scrub_pii(F.col("text"))
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in df.select(
+            "doc_id",
+            *[c.alias(n) for n, c in counts.items()],
+            clean.alias("clean_text"),
+        ).collect()
+    }
+    assert out[1]["n_emails"] == 2 and "<EMAIL>" in out[1]["clean_text"]
+    assert "alice" not in out[1]["clean_text"]
+    assert out[2]["n_ipv4"] == 2 and out[2]["clean_text"].count("<IP>") == 2
+    assert out[3]["n_phones"] == 2 and out[3]["clean_text"].count("<PHONE>") == 2
+    assert out[4]["n_urls"] == 2 and out[4]["clean_text"].count("<URL>") == 2
+    assert out[5]["n_emails"] == 1 and out[5]["n_ipv4"] == 1
+    assert out[6]["clean_text"] == _PII_DOCS[5][1]  # untouched
+
+
+def test_pii_scrub_matches_duckdb_on_pii_fixture(spark, tmp_path):
+    """The oracle check at sf0.01 sees zero PII; this runs the same two
+    expressions (Spark query vs DuckDB twin) on PII-laden rows."""
+    df = spark.createDataFrame(_PII_DOCS, "doc_id long, text string")
+    path = f"{tmp_path}/documents.parquet"
+    df.write.parquet(path)
+
+    from columnar_analytics_engine_spark.queries.curation import text_pii_scrub
+
+    spark_rows = [
+        tuple(r) for r in text_pii_scrub(spark, str(tmp_path)).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}/*.parquet')"
+    )
+    duck_rows = [tuple(r) for r in con.execute(sql_pii_scrub()).fetchall()]
+    con.close()
+    assert spark_rows == duck_rows
+
+
+# ---------------------------------------------------------------------------
+# user journeys
+# ---------------------------------------------------------------------------
+
+def test_user_journey_caps_and_orders(spark, sf_small):
+    rows = events_user_journey(spark, sf_small).collect()
+    assert rows, "no users"
+    for r in rows:
+        assert r["n_steps"] <= _JOURNEY_CAP
+        assert r["n_steps"] == min(r["n_events"], _JOURNEY_CAP)
+        assert len(r["journey"].split(">")) == r["n_steps"]
+    # user ordering is deterministic
+    ids = [r["user_id"] for r in rows]
+    assert ids == sorted(ids)
+
+
+def test_user_journey_sequence_is_time_ordered(spark, tmp_path):
+    events = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:02", 7, "click", 1.0, "{}"),
+            (2, "2024-01-01 10:00:01", 7, "view", 1.0, "{}"),
+            (3, "2024-01-01 10:00:03", 7, "purchase", 1.0, "{}"),
+        ],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    sf = str(tmp_path)
+    events.write.parquet(f"{sf}/events.parquet")
+    row = events_user_journey(spark, sf).collect()[0]
+    assert row["journey"] == "view>click>purchase"
