@@ -169,6 +169,59 @@ def write_bucketed(
     writer.saveAsTable(table_name)
 
 
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    n_files: int = 32,
+    mode: str = "overwrite",
+    row_group_bytes: int | None = None,
+) -> None:
+    """Range-partitioned, within-file-sorted Parquet export.
+
+    ``repartitionByRange`` splits rows into ``n_files`` contiguous key
+    ranges (sampled range bounds, one shuffle) and ``sortWithinPartitions``
+    orders each range locally — a distributed global sort with NO
+    single-partition stage.  The payoff at 100 TB: every file covers a
+    narrow, non-overlapping key range, so Parquet min/max row-group
+    stats prune reads down to the files that can match (the zone-map
+    effect the reference got per page, here per file × row group), and
+    merge-style consumers stream files in key order.
+    """
+    out = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(*sort_cols)
+    writer = out.write.mode(mode)
+    if row_group_bytes is not None:
+        writer = writer.option("parquet.block.size", str(row_group_bytes))
+    writer.parquet(path)
+
+
+def compact_files(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    mode: str = "overwrite",
+) -> int:
+    """Small-file compaction: rewrite a Parquet dataset into files of
+    ~``target_file_bytes`` each and return the file count written.
+
+    Long-running ingest (especially streaming sinks) accumulates many
+    small files; each costs a task + footer read per query.  Compaction
+    sizes the output from the dataset's actual on-disk bytes — a driver
+    metadata computation, no data collect — and coalesces (no shuffle)
+    to that count.
+    """
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, (total + target_file_bytes - 1) // target_file_bytes)
+    df = spark.read.parquet(path)
+    df.coalesce(n_files).write.mode(mode).parquet(out_path)
+    return n_files
+
+
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
     """CSV sink (the reference only emits CSV for benchmark results,
     benches/benchmark.cpp:233-258; here it is a first-class connector)."""

@@ -70,3 +70,57 @@ def test_partitioned_write_prunes_partitions(spark, sf_small, tmp_path):
     assert back.select("l_returnflag").distinct().collect()[0][0] == "R"
     expected = li.filter(F.col("l_returnflag") == "R").count()
     assert back.count() == expected
+
+
+def test_write_sorted_files_cover_disjoint_ranges(spark, sf_small, tmp_path):
+    import pyarrow.parquet as pq
+    import os
+
+    from columnar_analytics_engine_spark.io import write_sorted
+
+    li = read_table(spark, sf_small, "lineitem")
+    out = str(tmp_path / "li_sorted")
+    write_sorted(li, out, ["l_orderkey"], n_files=8)
+
+    # the plan must be range repartition + local sort, never a global sort
+    plan = formatted_plan(
+        li.repartitionByRange(8, "l_orderkey").sortWithinPartitions("l_orderkey")
+    )
+    assert "rangepartitioning" in plan.lower()
+    assert "global sort" not in plan.lower()
+
+    # per-file (min,max) key ranges must not overlap — the file-pruning contract
+    ranges = []
+    for f in sorted(os.listdir(out)):
+        if not f.endswith(".parquet") or f.startswith(("_", ".")):
+            continue
+        tbl = pq.read_table(os.path.join(out, f), columns=["l_orderkey"])
+        col = tbl["l_orderkey"].to_pylist()
+        if col:
+            assert col == sorted(col), f"{f} not internally sorted"
+            ranges.append((col[0], col[-1]))
+    ranges.sort()
+    assert len(ranges) > 1, "expected multiple data files"
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi <= lo, "file key ranges overlap"
+
+    # round-trip: same rows
+    assert spark.read.parquet(out).count() == li.count()
+
+
+def test_compact_files_reduces_file_count(spark, tmp_path):
+    import os
+
+    from columnar_analytics_engine_spark.io import compact_files
+
+    src = str(tmp_path / "fragmented")
+    df = spark.range(10_000).withColumn("v", F.col("id") * 2)
+    df.repartition(64).write.parquet(src)  # 64 tiny files
+    n_small = sum(1 for f in os.listdir(src) if f.endswith(".parquet"))
+    assert n_small >= 32
+
+    out = str(tmp_path / "compacted")
+    n = compact_files(spark, src, out, target_file_bytes=64 * 1024 * 1024)
+    n_out = sum(1 for f in os.listdir(out) if f.endswith(".parquet"))
+    assert n_out == n and n_out < n_small
+    assert spark.read.parquet(out).count() == 10_000
