@@ -591,6 +591,67 @@ _PQ_TOPK = 10
 _PQ_NQ = 5  # query vectors: vec_id < 5
 
 
+def _pq_exploded(emb: DataFrame) -> DataFrame:
+    """(vec_id, dim, subspace, vq): quantized per-dimension rows."""
+    return emb.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("dim", "val")
+    ).select(
+        "vec_id",
+        "dim",
+        (F.col("dim") / _PQ_SUB).cast("int").alias("subspace"),
+        F.round(F.col("val").cast("double") * F.lit(float(_KM_SCALE)))
+        .cast("long")
+        .alias("vq"),
+    )
+
+
+def _pq_assign(e: DataFrame, c: DataFrame) -> DataFrame:
+    """Nearest codebook entry per (vector, subspace) — broadcast join +
+    exact integer distances, argmin via min(struct(d, code))."""
+    diff = F.col("vq") - F.col("cq")
+    dists = (
+        e.join(F.broadcast(c), "dim")
+        .groupBy("vec_id", "subspace", "code")
+        .agg(F.sum(diff * diff).alias("d"))
+    )
+    return (
+        dists.groupBy("vec_id", "subspace")
+        .agg(F.min(F.struct("d", "code")).alias("m"))
+        .select("vec_id", "subspace", F.col("m.code").alias("code"))
+    )
+
+
+def _pq_codebook(e: DataFrame) -> DataFrame:
+    """One quantized-Lloyd round from deterministic seeds → the trained
+    (code, dim, cq) codebook (same training pq_codes replays)."""
+    cents = e.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("code"), "dim", F.col("vq").alias("cq")
+    )
+    return (
+        _pq_assign(e, cents)
+        .join(e, ["vec_id", "subspace"])
+        .groupBy("code", "dim")
+        .agg(
+            F.round(F.sum("vq").cast("double") / F.count("*").cast("double"))
+            .cast("long")
+            .alias("cq")
+        )
+    )
+
+
+def _pq_lut(e: DataFrame, cents1: DataFrame, n_queries: int) -> DataFrame:
+    """Per-query ADC lookup table: exact partial distance from each
+    query subvector to every codebook entry (queries × M × K rows)."""
+    diff = F.col("vq") - F.col("cq")
+    return (
+        e.filter(F.col("vec_id") < n_queries)
+        .withColumnRenamed("vec_id", "query_id")
+        .join(F.broadcast(cents1), "dim")
+        .groupBy("query_id", "subspace", "code")
+        .agg(F.sum(diff * diff).alias("part"))
+    )
+
+
 def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k search over PQ codes with asymmetric distance
     (ADC): each query precomputes a (subspace × code) lookup table of
@@ -605,52 +666,10 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the approximation's misses (the oracle replays codebook training,
     encoding, LUT build, and scan).
     """
-    emb = t(spark, sf_dir, "embeddings")
-    e = emb.select(
-        "vec_id", F.posexplode(F.col("embedding")).alias("dim", "val")
-    ).select(
-        "vec_id",
-        "dim",
-        (F.col("dim") / _PQ_SUB).cast("int").alias("subspace"),
-        F.round(F.col("val").cast("double") * F.lit(float(_KM_SCALE)))
-        .cast("long")
-        .alias("vq"),
-    )
-    cents = e.filter(F.col("vec_id") < _PQ_K).select(
-        F.col("vec_id").alias("code"), "dim", F.col("vq").alias("cq")
-    )
-    diff = F.col("vq") - F.col("cq")
-
-    def assign(c: DataFrame) -> DataFrame:
-        dists = (
-            e.join(F.broadcast(c), "dim")
-            .groupBy("vec_id", "subspace", "code")
-            .agg(F.sum(diff * diff).alias("d"))
-        )
-        return (
-            dists.groupBy("vec_id", "subspace")
-            .agg(F.min(F.struct("d", "code")).alias("m"))
-            .select("vec_id", "subspace", F.col("m.code").alias("code"))
-        )
-
-    cents1 = (
-        assign(cents)
-        .join(e, ["vec_id", "subspace"])
-        .groupBy("code", "dim")
-        .agg(
-            F.round(F.sum("vq").cast("double") / F.count("*").cast("double"))
-            .cast("long")
-            .alias("cq")
-        )
-    )
-    codes = assign(cents1)
-    lut = (
-        e.filter(F.col("vec_id") < _PQ_NQ)
-        .withColumnRenamed("vec_id", "query_id")
-        .join(F.broadcast(cents1), "dim")
-        .groupBy("query_id", "subspace", "code")
-        .agg(F.sum(diff * diff).alias("part"))
-    )
+    e = _pq_exploded(t(spark, sf_dir, "embeddings"))
+    cents1 = _pq_codebook(e)
+    codes = _pq_assign(e, cents1)
+    lut = _pq_lut(e, cents1, _PQ_NQ)
     scored = (
         codes.join(F.broadcast(lut), ["subspace", "code"])
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
@@ -663,6 +682,124 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _PQ_TOPK)
         .select("query_id", "neighbor_id", "adc_dist", "rank")
     )
+
+
+_IVF_LISTS = 8   # coarse quantizer cells
+_IVF_PROBE = 2   # cells scanned per query
+
+
+def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ approximate top-k — the standard billion-scale ANN index
+    shape (coarse inverted lists + product-quantized codes, à la
+    Jégou et al. / FAISS IVFPQ), as one exact-arithmetic Spark plan.
+
+    Coarse stage: the 8 lowest-id vectors act as deterministic coarse
+    centroids; every vector is assigned to its nearest cell (broadcast
+    seeds, exact integer L2 on the quantized grid).  Each query scans
+    only its 2 nearest cells, so the ADC stage touches ~probe/lists of
+    the code table — the multiplier that makes PQ scans feasible when
+    the corpus no longer fits a single scan budget.  Codes are encoded
+    against the global codebook (IVF-Flat-PQ; residual encoding would
+    change only the LUT inputs).
+
+    Scale shape: coarse seeds, probe table, and ADC LUT are all tiny
+    broadcasts; the code table is the only large side and it is
+    filtered by probed cell BEFORE the per-(query, candidate) reduce.
+    At deployment scale the codes would be written bucketed by
+    ``list_id`` (io.write_bucketed) so a probe prunes whole files.
+    Fully SQL-expressible: the oracle replays coarse assignment,
+    codebook training, encoding, probing, and the LUT scan bit-for-bit.
+    """
+    e = _pq_exploded(t(spark, sf_dir, "embeddings"))
+    seeds = e.filter(F.col("vec_id") < _IVF_LISTS).select(
+        F.col("vec_id").alias("list_id"), "dim", F.col("vq").alias("sq")
+    )
+    sdiff = F.col("vq") - F.col("sq")
+    cell_dists = (
+        e.join(F.broadcast(seeds), "dim")
+        .groupBy("vec_id", "list_id")
+        .agg(F.sum(sdiff * sdiff).alias("d"))
+    )
+    assigned = (
+        cell_dists.groupBy("vec_id")
+        .agg(F.min(F.struct("d", "list_id")).alias("m"))
+        .select("vec_id", F.col("m.list_id").alias("list_id"))
+    )
+    w_probe = W.partitionBy("vec_id").orderBy("d", "list_id")
+    probes = (
+        cell_dists.filter(F.col("vec_id") < _PQ_NQ)
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= _IVF_PROBE)
+        .select(F.col("vec_id").alias("query_id"), "list_id")
+    )
+    cents1 = _pq_codebook(e)
+    codes = _pq_assign(e, cents1)
+    lut = _pq_lut(e, cents1, _PQ_NQ)
+    candidates = assigned.join(F.broadcast(probes), "list_id").select(
+        "vec_id", "query_id"
+    )
+    scored = (
+        codes.join(candidates, "vec_id")
+        .join(F.broadcast(lut), ["query_id", "subspace", "code"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("part").alias("adc_dist"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = W.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _PQ_TOPK)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )
+
+
+_SQL_IVFPQ = f"""{_SQL_PQ_CTES},
+cs AS (SELECT vec_id AS list_id, dim, vq AS sq FROM e WHERE vec_id < {_IVF_LISTS}),
+cd AS (
+  SELECT e.vec_id, s.list_id,
+         CAST(SUM((e.vq - s.sq) * (e.vq - s.sq)) AS BIGINT) AS d
+  FROM e JOIN cs s ON e.dim = s.dim
+  GROUP BY 1, 2
+),
+ca AS (
+  SELECT vec_id, list_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, list_id) AS rn
+    FROM cd) x
+  WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, list_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, list_id) AS rn
+    FROM cd WHERE vec_id < {_PQ_NQ}) x
+  WHERE rn <= {_IVF_PROBE}
+),
+codes AS (SELECT vec_id, subspace, code FROM pa1),
+lut AS (
+  SELECT e.vec_id AS query_id, e.subspace, c.code,
+         CAST(SUM((e.vq - c.cq) * (e.vq - c.cq)) AS BIGINT) AS part
+  FROM e JOIN pc1 c ON e.dim = c.dim
+  WHERE e.vec_id < {_PQ_NQ}
+  GROUP BY 1, 2, 3
+),
+cand AS (
+  SELECT a.vec_id, p.query_id FROM ca a JOIN probes p ON a.list_id = p.list_id
+),
+scored AS (
+  SELECT l.query_id, v.vec_id AS neighbor_id,
+         CAST(SUM(l.part) AS BIGINT) AS adc_dist
+  FROM codes v
+  JOIN cand cn ON v.vec_id = cn.vec_id
+  JOIN lut l ON l.query_id = cn.query_id
+            AND l.subspace = v.subspace AND l.code = v.code
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, adc_dist, "rank" FROM (
+  SELECT query_id, neighbor_id, adc_dist,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY adc_dist, neighbor_id) AS BIGINT) AS "rank"
+  FROM scored WHERE query_id != neighbor_id) x
+WHERE "rank" <= {_PQ_TOPK}
+"""
 
 
 _SQL_PQ_ADC = f"""{_SQL_PQ_CTES},
@@ -835,6 +972,12 @@ QUERIES: dict[str, QuerySpec] = {
         pq_adc_topk,
         _SQL_PQ_ADC,
         "PQ asymmetric-distance top-10 (LUT scan over codes)",
+        ("similarity",),
+    ),
+    "similarity_ivfpq_topk": QuerySpec(
+        similarity_ivfpq_topk,
+        _SQL_IVFPQ,
+        "IVF-PQ top-10: coarse cell probing + ADC over probed codes",
         ("similarity",),
     ),
     "training_export_manifest": QuerySpec(

@@ -120,3 +120,33 @@ def test_pq_adc_recall_beats_random(spark, sf_small):
         assert len(got) == T._PQ_TOPK
         recalls.append(len(got & exact) / T._PQ_TOPK)
     assert sum(recalls) / len(recalls) > 0.25  # chance is 10/500 = 0.02
+
+
+def test_ivfpq_returns_topk_within_probed_cells(spark, sf_small):
+    """IVF-PQ must (a) return exactly top-k rows per query, (b) only
+    return neighbors that truly live in the query's probed cells, and
+    (c) agree with global PQ-ADC wherever the global winner is inside a
+    probed cell — IVF only restricts the candidate set, never rescores."""
+    out = T.similarity_ivfpq_topk(spark, sf_small).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == set(range(T._PQ_NQ))
+    for q, rows in by_q.items():
+        assert len(rows) == T._PQ_TOPK
+        assert [r.rank for r in sorted(rows, key=lambda r: r.rank)] == list(
+            range(1, T._PQ_TOPK + 1)
+        )
+
+    adc = {(r.query_id, r.neighbor_id): r.adc_dist
+           for r in T.pq_adc_topk(spark, sf_small).collect()}
+    # shared (query, neighbor) pairs carry identical ADC distances
+    for r in out:
+        if (r.query_id, r.neighbor_id) in adc:
+            assert adc[(r.query_id, r.neighbor_id)] == r.adc_dist
+    # the restriction is real: IVF-PQ scans a strict candidate subset,
+    # so per query it can differ from global ADC but never add distances
+    # smaller than the global minimum
+    for q, rows in by_q.items():
+        global_best = min(d for (qq, _n), d in adc.items() if qq == q)
+        assert min(r.adc_dist for r in rows) >= global_best
