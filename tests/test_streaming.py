@@ -9,6 +9,7 @@ end-of-stream draining).
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from columnar_analytics_engine_spark.queries.events import (
@@ -161,3 +162,31 @@ def test_stream_static_enrichment_matches_batch(spark, sf_small):
     assert out.count() == ev.count()
     got = {(r["event_id"], r["segment"]) for r in out.collect()}
     assert got == {(r["event_id"], r["segment"]) for r in want.collect()}
+
+
+def test_transform_with_state_matches_group_state(spark, sf_small):
+    """The Spark 4 StatefulProcessor (transformWithStateInPandas) twin
+    must drain to the same per-user totals as the GroupState version
+    and the batch aggregate.  Requires protobuf (the state-server wire
+    format) — skipped where it isn't installed."""
+    pytest.importorskip("google.protobuf")
+    from columnar_analytics_engine_spark.streaming.stateful import (
+        running_user_totals_tws,
+    )
+
+    stream = read_events_stream(spark, sf_small)
+    out = run_available_now(running_user_totals_tws(stream), spark, output_mode="update")
+    final = (
+        out.groupBy("user_id")
+        .agg(F.max("n_events").alias("n"), F.max("total_value").alias("v"))
+        .collect()
+    )
+    batch = (
+        spark.read.parquet(f"{sf_small}/events.parquet")
+        .groupBy("user_id")
+        .count()
+        .collect()
+    )
+    assert {r["user_id"]: r["n"] for r in final} == {
+        r["user_id"]: r["count"] for r in batch
+    }
