@@ -46,6 +46,8 @@ BENCH_QUERIES: dict[str, bool] = {
     "pipeline_clean_corpus": False,  # composed end-to-end cleaning pass
     "contamination_ngram_overlap": False,  # broadcast-bench shingle screen
     "kmeans_embeddings": False,    # iterative distributed clustering
+    "dedup_duplicate_passages": False,  # exact-substring inverted index
+    "similarity_ivfpq_topk": False,  # IVF-PQ probe + ADC scan
 }
 
 N_TIMED_RUNS = 3  # warm steady-state: best of 3 (reference methodology

@@ -13,6 +13,7 @@ import pandas as pd
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 from columnar_analytics_engine_spark.ops import AggFunc, CompareOp, Query
 
@@ -100,4 +101,96 @@ def test_group_by_matches_duckdb(spark, rows):
     want = set(
         con.execute("SELECT category, COUNT(*) FROM tbl GROUP BY category").fetchall()
     )
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# joins and windows: null keys and ties are where engines diverge
+# ---------------------------------------------------------------------------
+
+JOIN_ROWS = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(min_value=0, max_value=8)),
+        st.integers(min_value=-100, max_value=100),
+    ),
+    min_size=0,
+    max_size=20,
+)
+JOIN_HOW = st.sampled_from(["inner", "left", "full", "semi", "anti"])
+
+_DUCK_JOIN = {
+    "inner": "SELECT a.v, b.w FROM ta a JOIN tb b ON a.k = b.k",
+    "left": "SELECT a.v, b.w FROM ta a LEFT JOIN tb b ON a.k = b.k",
+    "full": "SELECT a.v, b.w FROM ta a FULL JOIN tb b ON a.k = b.k",
+    "semi": "SELECT a.v, NULL FROM ta a WHERE EXISTS "
+            "(SELECT 1 FROM tb b WHERE b.k = a.k)",
+    "anti": "SELECT a.v, NULL FROM ta a WHERE NOT EXISTS "
+            "(SELECT 1 FROM tb b WHERE b.k = a.k)",
+}
+
+
+@given(left=JOIN_ROWS, right=JOIN_ROWS, how=JOIN_HOW)
+@SETTINGS
+def test_join_matches_duckdb(spark, left, right, how):
+    """All five join types on arbitrary tables with NULL keys: SQL null
+    never matches (including null=null), semi/anti are existence tests —
+    Spark and DuckDB must agree row-for-row (as multisets)."""
+    import collections
+
+    la = spark.createDataFrame(left if left else [], "k long, v long")
+    rb = spark.createDataFrame(right if right else [], "k long, w long")
+
+    if how in ("semi", "anti"):
+        out = la.join(rb, la.k == rb.k, f"left_{how}").select("v")
+        got = collections.Counter(r["v"] for r in out.collect())
+    else:
+        out = la.join(rb, la.k == rb.k, how).select(la.v, rb.w)
+        got = collections.Counter((r["v"], r["w"]) for r in out.collect())
+
+    con = duckdb.connect()
+    con.register("ta", pd.DataFrame(left, columns=["k", "v"]).astype({"k": "Int64", "v": "int64"}))
+    con.register("tb", pd.DataFrame(right, columns=["k", "w"]).astype({"k": "Int64", "w": "int64"}))
+    rows = con.execute(_DUCK_JOIN[how]).fetchall()
+    con.close()
+    if how in ("semi", "anti"):
+        want = collections.Counter(r[0] for r in rows)
+    else:
+        want = collections.Counter((r[0], r[1]) for r in rows)
+    assert got == want
+
+
+@given(rows=JOIN_ROWS)
+@SETTINGS
+def test_window_running_sum_matches_duckdb(spark, rows):
+    """Per-key running sum ordered by (v, rowpos-free tie-break): window
+    frames + null keys + duplicate order values must agree."""
+    sdf = (
+        spark.createDataFrame([(k, v) for k, v in rows], "k long, v long")
+        if rows
+        else spark.createDataFrame([], "k long, v long")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("k").orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    # ties on v make rowsBetween nondeterministic; aggregate per (k, v)
+    # first so the running sum is over a deterministic sequence
+    base = sdf.groupBy("k", "v").agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+    out = base.withColumn("run", F.sum("s").over(w))
+    got = {(r["k"], r["v"], r["run"]) for r in out.collect()}
+
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["k", "v"]).astype({"k": "Int64", "v": "int64"}))
+    want = set(
+        con.execute(
+            """
+            WITH base AS (
+              SELECT k, v, COUNT(*) AS n, SUM(v) AS s FROM t GROUP BY k, v
+            )
+            SELECT k, v, CAST(SUM(s) OVER (PARTITION BY k ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            FROM base
+            """
+        ).fetchall()
+    )
+    con.close()
     assert got == want
