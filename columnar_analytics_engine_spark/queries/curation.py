@@ -358,6 +358,195 @@ ORDER BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# pipeline attrition funnel (per-stage row accounting)
+# ---------------------------------------------------------------------------
+
+
+def pipeline_attrition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-by-stage attrition of the canonical cleaning pass
+    (pipeline_clean_corpus): input → exact dedup → near-dup removal →
+    quality gate, with docs dropped and drop fraction per stage — the
+    operational audit a production corpus build publishes next to its
+    output (you don't ship a corpus without knowing where the other 40%
+    went).
+
+    Each stage count is a 1-row aggregate; the four are combined by
+    broadcast cross-joins and exploded into the funnel — all lazy,
+    in-plan, no driver-side counts.  Fractions are single IEEE
+    divisions of exact longs (oracle-identical).
+    """
+    from columnar_analytics_engine_spark.operators import dedup as D
+
+    docs = t(spark, sf_dir, "documents")
+    w_fp = W.partitionBy("fp").orderBy("doc_id")
+    s1 = (
+        docs.withColumn("fp", X.fingerprint(F.col("text")))
+        .withColumn("_rn", F.row_number().over(w_fp))
+        .filter(F.col("_rn") == 1)
+        .drop("fp", "_rn")
+    )
+    pairs = D.minhash_near_duplicates(s1, threshold=0.8)
+    s2 = s1.join(
+        pairs.select(F.col("d2").alias("doc_id")).distinct(), "doc_id", "left_anti"
+    )
+    s3 = s2.filter(X.token_count(F.col("text")) >= 10)
+
+    counts = [
+        df.agg(F.count("*").alias(f"c{i}"))
+        for i, df in enumerate((docs, s1, s2, s3))
+    ]
+    row = counts[0]
+    for c in counts[1:]:
+        row = row.join(F.broadcast(c))
+
+    names = ["input", "exact_dedup", "near_dup", "quality_gate"]
+
+    def stage(i: int) -> F.Column:
+        n = F.col(f"c{i}")
+        if i == 0:
+            dropped = F.lit(0).cast("long")
+            frac = F.lit(0.0)
+        else:
+            prev = F.col(f"c{i-1}")
+            dropped = (prev - n).cast("long")
+            frac = dropped.cast("double") / prev.cast("double")
+        return F.struct(
+            F.lit(i).cast("int").alias("stage_id"),
+            F.lit(names[i]).alias("stage"),
+            n.cast("long").alias("n_docs"),
+            dropped.alias("n_dropped"),
+            frac.alias("drop_frac"),
+        )
+
+    return (
+        row.select(F.explode(F.array(*[stage(i) for i in range(4)])).alias("s"))
+        .select("s.*")
+        .orderBy("stage_id")
+    )
+
+
+def _sql_attrition() -> str:
+    from columnar_analytics_engine_spark.operators import dedup as D
+    from columnar_analytics_engine_spark.queries.llm import _minhash_lsh_sql
+
+    fp = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+    return f"""
+WITH s1 AS (
+  SELECT * FROM (
+    SELECT d.*, ROW_NUMBER() OVER (PARTITION BY {fp} ORDER BY doc_id) AS _rn
+    FROM documents d) x
+  WHERE _rn = 1
+),
+pr AS ({_minhash_lsh_sql(0.8, D.MINHASH_K, D.LSH_BANDS, D.LSH_ROWS_PER_BAND)}),
+s2 AS (
+  SELECT * FROM s1 WHERE doc_id NOT IN (
+    SELECT d2 FROM pr
+    WHERE d1 IN (SELECT doc_id FROM s1) AND d2 IN (SELECT doc_id FROM s1))
+),
+s3 AS (SELECT * FROM s2 WHERE len({_SQL_TOKENS}) >= 10),
+c AS (
+  SELECT (SELECT COUNT(*) FROM documents) AS c0,
+         (SELECT COUNT(*) FROM s1) AS c1,
+         (SELECT COUNT(*) FROM s2) AS c2,
+         (SELECT COUNT(*) FROM s3) AS c3
+)
+SELECT * FROM (
+  SELECT 0 AS stage_id, 'input' AS stage, CAST(c0 AS BIGINT) AS n_docs,
+         CAST(0 AS BIGINT) AS n_dropped, 0.0 AS drop_frac FROM c
+  UNION ALL
+  SELECT 1, 'exact_dedup', CAST(c1 AS BIGINT), CAST(c0 - c1 AS BIGINT),
+         CAST(c0 - c1 AS DOUBLE) / CAST(c0 AS DOUBLE) FROM c
+  UNION ALL
+  SELECT 2, 'near_dup', CAST(c2 AS BIGINT), CAST(c1 - c2 AS BIGINT),
+         CAST(c1 - c2 AS DOUBLE) / CAST(c1 AS DOUBLE) FROM c
+  UNION ALL
+  SELECT 3, 'quality_gate', CAST(c3 AS BIGINT), CAST(c2 - c3 AS BIGINT),
+         CAST(c2 - c3 AS DOUBLE) / CAST(c2 AS DOUBLE) FROM c
+) ORDER BY stage_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup (new batch vs historical corpus)
+# ---------------------------------------------------------------------------
+
+_INC_MOD = 5  # doc_id % 5 == 0 stands in for the incoming batch
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: classify each incoming document (stand-
+    in: ``doc_id % 5 == 0``) against the historical corpus — the shape a
+    continuously-updated corpus runs on every new crawl drop, where
+    re-deduplicating 100 TB of history per batch is not an option.
+
+    Status precedence: ``dup_of_history`` (fingerprint exists in the
+    historical corpus — matched to the minimum historical doc_id) >
+    ``dup_in_batch`` (first occurrence within the batch wins) > ``new``.
+
+    Scale shape: history is reduced to (fingerprint → min doc_id), a
+    digest-keyed aggregate that in production is a maintained index, not
+    a rescan; the batch hash-joins it on the digest.  Everything keys on
+    the 32-byte fingerprint — no token explosion, no pairwise work.
+    """
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", X.fingerprint(F.col("text")).alias("fp")
+    )
+    hist = (
+        docs.filter(F.col("doc_id") % _INC_MOD != 0)
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("hist_id"))
+    )
+    w = W.partitionBy("fp").orderBy("doc_id")
+    inc = (
+        docs.filter(F.col("doc_id") % _INC_MOD == 0)
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("keeper", F.min("doc_id").over(W.partitionBy("fp")))
+    )
+    j = inc.join(hist, "fp", "left")
+    status = (
+        F.when(F.col("hist_id").isNotNull(), "dup_of_history")
+        .when(F.col("rn") > 1, "dup_in_batch")
+        .otherwise("new")
+    )
+    matched = (
+        F.when(F.col("hist_id").isNotNull(), F.col("hist_id"))
+        .when(F.col("rn") > 1, F.col("keeper"))
+        .otherwise(F.lit(None).cast("long"))
+    )
+    return j.select(
+        "doc_id", status.alias("status"), matched.alias("matched_id")
+    ).orderBy("doc_id")
+
+
+_SQL_INCREMENTAL = f"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+  FROM documents
+),
+hist AS (
+  SELECT fp, MIN(doc_id) AS hist_id FROM fp
+  WHERE doc_id % {_INC_MOD} != 0 GROUP BY fp
+),
+inc AS (
+  SELECT doc_id, fp,
+         ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn,
+         MIN(doc_id) OVER (PARTITION BY fp) AS keeper
+  FROM fp WHERE doc_id % {_INC_MOD} = 0
+)
+SELECT i.doc_id,
+       CASE WHEN h.hist_id IS NOT NULL THEN 'dup_of_history'
+            WHEN i.rn > 1 THEN 'dup_in_batch'
+            ELSE 'new' END AS status,
+       CASE WHEN h.hist_id IS NOT NULL THEN h.hist_id
+            WHEN i.rn > 1 THEN i.keeper
+            ELSE NULL END AS matched_id
+FROM inc i LEFT JOIN hist h USING (fp)
+ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_duplicate_passages": QuerySpec(
         dedup_duplicate_passages,
@@ -382,5 +571,17 @@ QUERIES: dict[str, QuerySpec] = {
         _SQL_USER_JOURNEY,
         "Per-user capped ordered event trajectories (sequence building)",
         ("events",),
+    ),
+    "pipeline_attrition_report": QuerySpec(
+        pipeline_attrition_report,
+        _sql_attrition(),
+        "Per-stage funnel of the cleaning pass (input→dedup→quality)",
+        ("pipeline", "dedup"),
+    ),
+    "dedup_incremental": QuerySpec(
+        dedup_incremental,
+        _SQL_INCREMENTAL,
+        "New-batch vs historical-corpus dedup classification",
+        ("llm", "dedup"),
     ),
 }

@@ -157,3 +157,78 @@ def test_user_journey_sequence_is_time_ordered(spark, tmp_path):
     events.write.parquet(f"{sf}/events.parquet")
     row = events_user_journey(spark, sf).collect()[0]
     assert row["journey"] == "view>click>purchase"
+
+
+# ---------------------------------------------------------------------------
+# attrition funnel + incremental dedup
+# ---------------------------------------------------------------------------
+
+def test_attrition_report_is_consistent_with_clean_corpus(spark, sf_small):
+    from columnar_analytics_engine_spark.queries.curation import (
+        pipeline_attrition_report,
+    )
+    from columnar_analytics_engine_spark.queries.pipeline import pipeline_clean_corpus
+
+    rows = pipeline_attrition_report(spark, sf_small).collect()
+    assert [r["stage"] for r in rows] == [
+        "input", "exact_dedup", "near_dup", "quality_gate",
+    ]
+    counts = [r["n_docs"] for r in rows]
+    assert counts == sorted(counts, reverse=True)  # monotone shrink
+    for prev, r in zip(counts, rows[1:]):
+        assert r["n_dropped"] == prev - r["n_docs"]
+        assert r["drop_frac"] == pytest.approx(r["n_dropped"] / prev)
+    # final stage equals the cleaning pass's survivor count
+    assert counts[3] == pipeline_clean_corpus(spark, sf_small).count()
+
+
+def test_dedup_incremental_classification(spark, tmp_path):
+    from columnar_analytics_engine_spark.queries.curation import dedup_incremental
+
+    # doc_id % 5 == 0 → incoming. 0 dups history(2); 5 dups batch doc 0
+    # (same text); 10 is new; 15 dups history (17).
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma"),
+            (2, "ALPHA  beta   gamma"),   # history twin of 0 (fingerprint)
+            (5, "alpha beta gamma"),      # batch dup of 0 AND history dup
+            (10, "unique new content"),
+            (15, "delta epsilon"),
+            (17, "delta  epsilon"),       # history twin of 15
+            (3, "history only text"),
+        ],
+        "doc_id long, text string",
+    ).withColumn("lang", F.lit("en")).withColumn("source", F.lit("s")).withColumn(
+        "n_chars", F.length("text")
+    )
+    sf = str(tmp_path)
+    docs.write.parquet(f"{sf}/documents.parquet")
+    out = {r["doc_id"]: r.asDict() for r in dedup_incremental(spark, sf).collect()}
+    assert set(out) == {0, 5, 10, 15}  # every incoming doc classified
+    assert out[0]["status"] == "dup_of_history" and out[0]["matched_id"] == 2
+    # history precedence beats batch dup
+    assert out[5]["status"] == "dup_of_history" and out[5]["matched_id"] == 2
+    assert out[10]["status"] == "new" and out[10]["matched_id"] is None
+    assert out[15]["status"] == "dup_of_history" and out[15]["matched_id"] == 17
+
+
+def test_dedup_incremental_batch_dup_without_history(spark, tmp_path):
+    from columnar_analytics_engine_spark.queries.curation import dedup_incremental
+
+    docs = spark.createDataFrame(
+        [
+            (0, "same text"),
+            (5, "same text"),      # batch dup of 0, no history twin
+            (10, "other text"),
+            (1, "history filler"),
+        ],
+        "doc_id long, text string",
+    ).withColumn("lang", F.lit("en")).withColumn("source", F.lit("s")).withColumn(
+        "n_chars", F.length("text")
+    )
+    sf = str(tmp_path)
+    docs.write.parquet(f"{sf}/documents.parquet")
+    out = {r["doc_id"]: r.asDict() for r in dedup_incremental(spark, sf).collect()}
+    assert out[0]["status"] == "new"
+    assert out[5]["status"] == "dup_in_batch" and out[5]["matched_id"] == 0
+    assert out[10]["status"] == "new"
