@@ -45,6 +45,22 @@ def distinct_token_count(text: Column) -> Column:
     return F.size(distinct_tokens(text)).cast("long")
 
 
+# GPT-2-style pretokenizer pattern, restricted to syntax with identical
+# semantics in Java regex (Spark) and RE2 (DuckDB): contractions,
+# optionally space-prefixed letter runs / digit runs / symbol runs.
+# ASCII classes only — both engines treat \s and the negated class the
+# same on any UTF-8 input.
+BPE_ISH_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9']+"
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Subword-style token count via the GPT-2-ish pretokenizer regex —
+    the cheap LLM-token estimator a corpus budget runs at scan speed
+    (real BPE merges only shorten runs, so this upper-bounds and tracks
+    the true token count)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0)).cast("long")
+
+
 def char_count(text: Column) -> Column:
     return F.length(F.trim(text)).cast("long")
 

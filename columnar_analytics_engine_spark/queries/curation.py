@@ -359,6 +359,45 @@ ORDER BY user_id
 
 
 # ---------------------------------------------------------------------------
+# BPE-ish token budgeting
+# ---------------------------------------------------------------------------
+
+
+def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document LLM-token budget estimate: whitespace tokens vs the
+    GPT-2-style pretokenizer count (functions/text.BPE_ISH_PATTERN) and
+    their ratio — the number a training-cost forecast multiplies, at
+    scan speed (pure regexp projection, no shuffle)."""
+    docs = t(spark, sf_dir, "documents")
+    txt = F.col("text")
+    n_ws = X.token_count(txt)
+    n_bpe = X.bpe_ish_token_count(txt)
+    return docs.select(
+        "doc_id",
+        n_ws.alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        (n_bpe.cast("double") / n_ws.cast("double")).alias("bpe_per_ws_token"),
+    ).orderBy("doc_id")
+
+
+# DuckDB doubles single quotes inside the literal; the pattern is the
+# same RE2/Java-compatible source as BPE_ISH_PATTERN
+_SQL_BPE_PAT = (
+    "''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9'']+"
+)
+
+_SQL_BPE_TOKEN_STATS = f"""
+SELECT doc_id,
+       CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{_SQL_BPE_PAT}')) AS BIGINT) AS n_bpe_tokens,
+       CAST(len(regexp_extract_all(text, '{_SQL_BPE_PAT}')) AS DOUBLE)
+         / CAST(len({_SQL_TOKENS}) AS DOUBLE) AS bpe_per_ws_token
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # pipeline attrition funnel (per-stage row accounting)
 # ---------------------------------------------------------------------------
 
@@ -583,5 +622,11 @@ QUERIES: dict[str, QuerySpec] = {
         _SQL_INCREMENTAL,
         "New-batch vs historical-corpus dedup classification",
         ("llm", "dedup"),
+    ),
+    "text_bpe_token_stats": QuerySpec(
+        text_bpe_token_stats,
+        _SQL_BPE_TOKEN_STATS,
+        "Whitespace vs GPT-2-style pretokenizer token budgets per doc",
+        ("llm", "text"),
     ),
 }

@@ -232,3 +232,14 @@ def test_dedup_incremental_batch_dup_without_history(spark, tmp_path):
     assert out[0]["status"] == "new"
     assert out[5]["status"] == "dup_in_batch" and out[5]["matched_id"] == 0
     assert out[10]["status"] == "new"
+
+
+def test_bpe_token_count_known_values(spark):
+    from columnar_analytics_engine_spark.functions.text import bpe_ish_token_count
+
+    df = spark.createDataFrame(
+        [("Hello world, it's 2026!",), ("a1b2",), ("",)], "text string"
+    )
+    got = [r["n"] for r in df.select(bpe_ish_token_count(F.col("text")).alias("n")).collect()]
+    # [Hello][ world][,][ it]['s][ 2026][!] / [a][1][b][2] / []
+    assert got == [7, 4, 0]
