@@ -79,6 +79,34 @@ def cmd_query(args: argparse.Namespace) -> None:
 
 
 
+def cmd_run(args: argparse.Namespace) -> None:
+    """Run any registered query against a scale-factor directory; print
+    up to 20 rows, or write the full result as Parquet with --out — the
+    batch-job surface: every operator in the registry is a runnable
+    pipeline stage, not just a test subject."""
+    from columnar_analytics_engine_spark.queries import all_queries
+
+    qs = all_queries()
+    if args.name not in qs:
+        print(f"unknown query {args.name!r}; choose from:")
+        for n in qs:
+            print(" ", n)
+        raise SystemExit(2)
+    spark = get_spark(app_name="cae-run")
+    df = qs[args.name].fn(spark, args.sf_dir)
+    if args.out:
+        write_table(df, args.out)
+        n = spark.read.parquet(args.out).count()
+        print(f"wrote {n} rows to {args.out}")
+    else:
+        rows = df.collect()
+        print("\t".join(df.columns))
+        for row in rows[:20]:
+            print("\t".join(str(v) for v in row))
+        if len(rows) > 20:
+            print(f"... ({len(rows)} rows total)")
+
+
 def cmd_explain(args: argparse.Namespace) -> None:
     """Print the physical plan of a registered query — the operator's
     view of what the cluster will actually run (pushdown, broadcast,
@@ -123,6 +151,12 @@ def main(argv: list[str] | None = None) -> None:
     e.add_argument("name")
     e.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.001")
     e.set_defaults(fn=cmd_explain)
+
+    r = sub.add_parser("run", help="run a registered query (print or --out parquet)")
+    r.add_argument("name")
+    r.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.001")
+    r.add_argument("--out", help="write full result as parquet instead of printing")
+    r.set_defaults(fn=cmd_run)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -79,3 +79,26 @@ def test_cli_explain_unknown_query_lists_names(capsys, spark):
     with pytest.raises(SystemExit):
         main(["explain", "no_such_query"])
     assert "choose from" in capsys.readouterr().out
+
+
+def test_cli_run_prints_and_writes(tmp_path, capsys):
+    from columnar_analytics_engine_spark.cli import main
+
+    main(["run", "agg_global", "/root/testdata/sf0.001"])
+    out = capsys.readouterr().out
+    assert "count" in out.splitlines()[0]
+
+    dest = str(tmp_path / "out.parquet")
+    main(["run", "dedup_exact", "/root/testdata/sf0.001", "--out", dest])
+    out = capsys.readouterr().out
+    assert "wrote" in out and dest in out
+
+
+def test_cli_run_unknown_query_lists_registry(capsys):
+    import pytest as _pytest
+
+    from columnar_analytics_engine_spark.cli import main
+
+    with _pytest.raises(SystemExit):
+        main(["run", "nope_not_a_query"])
+    assert "choose from" in capsys.readouterr().out
