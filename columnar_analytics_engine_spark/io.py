@@ -129,6 +129,7 @@ def write_table(
     mode: str = "overwrite",
     row_group_bytes: int | None = None,
     partition_by: list[str] | None = None,
+    compression: str | None = None,
 ) -> None:
     """Write a DataFrame as Parquet.
 
@@ -138,13 +139,18 @@ def write_table(
     src/encoding.cpp) and min/max/null-count page stats
     (src/format.cpp:153-205) are chosen and written by Parquet
     automatically.  ``partition_by`` adds directory-level partition
-    pruning the reference never had — the 100 TB path.
+    pruning the reference never had — the 100 TB path.  ``compression``
+    picks the parquet codec ('snappy' default, 'zstd' for cold data,
+    'none' for parity with the reference's uncompressed format —
+    /root/reference/README.md:132 lists "no compression" as a limit).
     """
     writer = df.write.mode(mode)
     if row_group_bytes is not None:
         writer = writer.option("parquet.block.size", str(row_group_bytes))
     if partition_by:
         writer = writer.partitionBy(*partition_by)
+    if compression is not None:
+        writer = writer.option("compression", compression)
     writer.parquet(path)
 
 

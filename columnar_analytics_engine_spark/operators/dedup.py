@@ -235,12 +235,23 @@ def lsh_candidates(
     signatures: DataFrame,
     bands: int = LSH_BANDS,
     rows_per_band: int = LSH_ROWS_PER_BAND,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Banded LSH candidate pairs (d1 < d2) from MinHash signatures.
 
     Docs agreeing on all ``rows_per_band`` values of any band collide.
     The band key is md5 of the joined values — collisions group via a
     key shuffle, never a cross join.
+
+    ``max_bucket_size`` is the hot-bucket guard for the 100 TB regime:
+    a band key shared by b documents yields b·(b−1)/2 candidate pairs,
+    so one boilerplate-heavy bucket (empty docs, licence headers) can
+    dominate the whole job quadratically.  Setting a cap drops buckets
+    above it BEFORE the self-join (pairs within dropped buckets can
+    still surface via the doc's other bands — the standard production
+    trade: bounded work per bucket for a small recall loss on
+    mega-clusters, which exact dedup catches anyway).  Default None
+    keeps exact LSH semantics (and oracle parity).
     """
     band_rows = []
     for j in range(bands):
@@ -258,6 +269,17 @@ def lsh_candidates(
     all_bands = band_rows[0]
     for b in band_rows[1:]:
         all_bands = all_bands.unionByName(b)
+    if max_bucket_size is not None:
+        # one extra key-shuffle to size buckets; the window shares the
+        # (band_id, band_key) partitioning the join needs anyway
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("band_id", "band_key")
+        all_bands = (
+            all_bands.withColumn("_bsz", F.count("*").over(w))
+            .filter(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
     a = all_bands.alias("a")
     b = all_bands.alias("b")
     return (

@@ -91,3 +91,29 @@ def test_persist_once_is_idempotent(spark, docs):
     again = _persist_once(minhash_signatures(docs))
     assert again.storageLevel != StorageLevel.NONE
     cached.unpersist()
+
+
+def test_lsh_hot_bucket_cap_bounds_candidates(spark):
+    """A degenerate corpus (many identical docs) creates one huge LSH
+    bucket; the cap must drop it (bounded work) while distinct docs'
+    buckets survive."""
+    from columnar_analytics_engine_spark.operators.dedup import (
+        lsh_candidates,
+        minhash_signatures,
+    )
+
+    rows = [(i, "common boiler plate text repeated everywhere") for i in range(30)]
+    rows += [(100, "rare one of a kind document alpha"),
+             (101, "rare one of a kind document alpha")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures(docs)
+
+    uncapped = lsh_candidates(sigs).count()
+    capped = lsh_candidates(sigs, max_bucket_size=10)
+    got = {(r["d1"], r["d2"]) for r in capped.collect()}
+    # the 30-doc boilerplate cluster (435 pairs) is gone...
+    assert uncapped >= 435
+    assert all(d1 >= 100 for d1, _ in got)
+    # ...but the small distinct pair survives
+    assert (100, 101) in got
+    sigs.unpersist()
