@@ -66,3 +66,69 @@ def bench_table(spark: SparkSession, num_rows: int = 1_000_000, seed: int = 42, 
         _uniform_long(seed, "score", 1, 10).cast("int").alias("score"),
         _pick(seed, "region", BENCH_REGIONS).alias("region"),
     )
+
+
+DOC_VOCAB = (
+    "key agg row scan slow fast table value part hash merge batch spark line "
+    "sort window join shard token corpus model train filter dedup stream page "
+    "group index plan query stage block cache spill probe build fetch emit "
+    "split chunk frame byte codec store flush"
+).split()
+
+DOC_LANGS = ("en", "fr", "es", "de")
+DOC_SOURCES = ("src0", "src1", "src2", "src3", "src4")
+
+
+def docs_table(
+    spark: SparkSession,
+    num_rows: int,
+    seed: int = 42,
+    dup_frac_mod: int = 10,
+    vocab_scale: int = 1,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Synthetic documents table (same schema as the driver fixture:
+    doc_id, text, lang, source, n_chars) at arbitrary scale — the input
+    for scaling probes of the dedup/text operators beyond the fixture's
+    row counts.
+
+    Fully distributed: each partition generates its id slice with
+    splittable xxhash64 draws.  Every ``dup_frac_mod``-th document is a
+    verbatim copy of the previous one, so exact and near-dup operators
+    have real duplicates to find at every scale.  ``vocab_scale``
+    multiplies the effective vocabulary (word + numeric suffix): at 1 the
+    corpus mimics the small-vocab driver fixture; at ≥1000 token sets are
+    sparse like real text, so near-dup candidates stay ≈ true duplicates
+    when probing at millions of documents.
+    """
+    rng = (
+        spark.range(0, num_rows, numPartitions=partitions)
+        if partitions
+        else spark.range(num_rows)
+    )
+    # duplicates: id % mod == 1 copies id - 1's text (same generator seed)
+    gen_id = F.when(
+        (F.col("id") % dup_frac_mod == 1) & (F.col("id") > 0), F.col("id") - 1
+    ).otherwise(F.col("id"))
+    n_tok = (F.pmod(F.xxhash64(gen_id, F.lit("len"), F.lit(seed)), F.lit(25)) + 15).cast("int")
+    vocab = F.array(*[F.lit(w) for w in DOC_VOCAB])
+
+    def token(i):
+        h = F.xxhash64(gen_id, i, F.lit(seed))
+        word = F.element_at(
+            vocab, (F.pmod(h, F.lit(len(DOC_VOCAB))) + 1).cast("int")
+        )
+        if vocab_scale <= 1:
+            return word
+        return F.concat(
+            word, F.pmod(F.xxhash64(h, F.lit("sfx")), F.lit(vocab_scale)).cast("string")
+        )
+
+    text = F.concat_ws(" ", F.transform(F.sequence(F.lit(1), n_tok), token))
+    return rng.select(
+        F.col("id").cast("long").alias("doc_id"),
+        text.alias("text"),
+        _pick(seed, "lang", DOC_LANGS).alias("lang"),
+        _pick(seed, "source", DOC_SOURCES).alias("source"),
+        F.length(text).cast("long").alias("n_chars"),
+    )

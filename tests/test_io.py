@@ -141,3 +141,18 @@ def test_write_table_compression_codecs(spark, tmp_path):
     write_table(df.coalesce(1), p_zstd, compression="zstd")
     assert spark.read.parquet(p_zstd).count() == 20_000
     assert size(p_zstd) < size(p_none)
+
+
+def test_docs_table_deterministic_with_dups(spark):
+    from columnar_analytics_engine_spark.sources.synthetic import docs_table
+
+    a = docs_table(spark, 500, vocab_scale=100).collect()
+    b = docs_table(spark, 500, vocab_scale=100).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # deterministic
+    texts = [r["text"] for r in a]
+    # every 10th doc copies its predecessor: ~10% duplicate rate
+    assert 40 <= (len(texts) - len(set(texts))) <= 60
+    # schema matches the driver fixture
+    assert [f.name for f in docs_table(spark, 1).schema] == [
+        "doc_id", "text", "lang", "source", "n_chars",
+    ]
