@@ -586,6 +586,80 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# anomaly detection (per-type z-score)
+# ---------------------------------------------------------------------------
+
+
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events whose value is > 2σ from their event type's mean — the
+    monitoring-style outlier screen, with cross-engine-exact moments.
+
+    All moments accumulate as exact integers on the cent grid (z-scores
+    are scale-invariant, so no unscaling is ever needed): Σx and Σx² are
+    long sums, the variance numerator n·Σx² − (Σx)² and denominator
+    n·(n−1) are exact longs, and only the final three IEEE ops
+    (divide, sqrt, divide) run in floating point — the identical op
+    sequence the oracle executes, so even the rounded z-values match
+    bit-for-bit.
+
+    Scale shape: one tiny per-type aggregate (5 rows) broadcast back
+    onto the scan; the flagging pass is a pure projection.
+    """
+    df = t(spark, sf_dir, "events")
+    xq = F.round(F.col("value") * 100).cast("long")
+    ev = df.select("event_id", "event_type", "value", xq.alias("xq"))
+    stats = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("xq").alias("s"),
+        F.sum(F.col("xq") * F.col("xq")).alias("q"),
+    )
+    var_num = (F.col("n") * F.col("q") - F.col("s") * F.col("s")).cast("long")
+    var_den = (F.col("n") * (F.col("n") - 1)).cast("long")
+    sigma = F.sqrt(var_num.cast("double") / var_den.cast("double"))
+    mean = F.col("s").cast("double") / F.col("n").cast("double")
+    z = (F.col("xq").cast("double") - mean) / sigma
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(z, 4).alias("zscore"),
+        )
+        .filter(F.abs(F.col("zscore")) > 2.0)
+        .orderBy("event_id")
+    )
+
+
+_SQL_ANOMALY_ZSCORE = """
+WITH ev AS (
+  SELECT event_id, event_type, value,
+         CAST(ROUND(value * 100) AS BIGINT) AS xq
+  FROM events
+),
+stats AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         SUM(xq) AS s,
+         SUM(xq * xq) AS q
+  FROM ev GROUP BY event_type
+),
+scored AS (
+  SELECT e.event_id, e.event_type, e.value,
+         ROUND(
+           (CAST(e.xq AS DOUBLE) - CAST(s.s AS DOUBLE) / CAST(s.n AS DOUBLE))
+           / sqrt(CAST(s.n * s.q - s.s * s.s AS DOUBLE)
+                  / CAST(s.n * (s.n - 1) AS DOUBLE)),
+           4) AS zscore
+  FROM ev e JOIN stats s USING (event_type)
+)
+SELECT event_id, event_type, value, zscore
+FROM scored WHERE ABS(zscore) > 2.0
+ORDER BY event_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_duplicate_passages": QuerySpec(
         dedup_duplicate_passages,
@@ -628,5 +702,11 @@ QUERIES: dict[str, QuerySpec] = {
         _SQL_BPE_TOKEN_STATS,
         "Whitespace vs GPT-2-style pretokenizer token budgets per doc",
         ("llm", "text"),
+    ),
+    "events_anomaly_zscore": QuerySpec(
+        events_anomaly_zscore,
+        _SQL_ANOMALY_ZSCORE,
+        "Per-type >2-sigma outlier events (exact integer moments)",
+        ("events",),
     ),
 }

@@ -51,3 +51,20 @@ def test_connected_components_raises_on_non_convergence(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(pairs, max_iterations=1)
+
+
+def test_long_chain_converges_in_log_rounds(spark):
+    """A 300-node path graph has diameter 300 — pure min-propagation
+    would need 300 rounds and blow the 20-round budget; pointer jumping
+    must converge inside it."""
+    from columnar_analytics_engine_spark.operators.clusters import (
+        connected_components,
+    )
+
+    n = 300
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "d1 long, d2 long"
+    )
+    out = connected_components(pairs, max_iterations=20).collect()
+    assert len(out) == n + 1
+    assert {r["cluster_id"] for r in out} == {0}
