@@ -260,8 +260,23 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
-def read_json(spark: SparkSession, path: str, schema: Any = None) -> DataFrame:
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: Any = None,
+    corrupt_col: str | None = None,
+) -> DataFrame:
+    """JSON/JSONL source.  With ``corrupt_col`` set, malformed lines are
+    captured in that column instead of being dropped (PERMISSIVE mode) —
+    the ingest contract for web-scale JSONL corpora, where a crawl drop
+    always contains some broken records and silently losing them skews
+    the corpus.  The column must be declared in ``schema`` (Spark only
+    populates it for schemas that carry it)."""
     reader = spark.read
+    if corrupt_col is not None:
+        reader = reader.option("mode", "PERMISSIVE").option(
+            "columnNameOfCorruptRecord", corrupt_col
+        )
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)

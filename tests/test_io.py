@@ -156,3 +156,29 @@ def test_docs_table_deterministic_with_dups(spark):
     assert [f.name for f in docs_table(spark, 1).schema] == [
         "doc_id", "text", "lang", "source", "n_chars",
     ]
+
+
+def test_read_jsonl_captures_corrupt_records(spark, tmp_path):
+    """Malformed JSONL lines land in the corrupt-record column instead
+    of being dropped — no silent data loss on ingest."""
+    from columnar_analytics_engine_spark.io import read_json
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "good row"}\n'
+        '{"doc_id": 2, "text": "also good"}\n'
+        'this is not json at all\n'
+        '{"doc_id": 3, "text": "trailing good"}\n'
+    )
+    df = read_json(
+        spark,
+        str(p),
+        schema="doc_id long, text string, _bad string",
+        corrupt_col="_bad",
+    )
+    rows = df.collect()
+    assert len(rows) == 4
+    good = [r for r in rows if r["_bad"] is None]
+    bad = [r for r in rows if r["_bad"] is not None]
+    assert {r["doc_id"] for r in good} == {1, 2, 3}
+    assert len(bad) == 1 and "not json" in bad[0]["_bad"]
