@@ -124,3 +124,29 @@ def test_compact_files_reduces_file_count(spark, tmp_path):
     n_out = sum(1 for f in os.listdir(out) if f.endswith(".parquet"))
     assert n_out == n and n_out < n_small
     assert spark.read.parquet(out).count() == 10_000
+
+
+def test_partitioned_join_uses_dynamic_partition_pruning(spark, tmp_path):
+    """A selective dim filter must prune fact partitions at RUNTIME via
+    dynamic partition pruning — the join-shaped analogue of the
+    reference's zone-map skipping, and the difference between scanning
+    1/8th and all of a 100 TB fact table."""
+    fact = spark.range(50_000).select(
+        "id", (F.col("id") % 8).alias("region_id"), (F.col("id") * 2).alias("v")
+    )
+    fact.write.partitionBy("region_id").mode("overwrite").parquet(
+        str(tmp_path / "fact")
+    )
+    dim = spark.range(8).select(
+        F.col("id").alias("region_id"),
+        F.concat(F.lit("r"), F.col("id")).alias("name"),
+    )
+    dim.write.mode("overwrite").parquet(str(tmp_path / "dim"))
+
+    f = spark.read.parquet(str(tmp_path / "fact"))
+    d = spark.read.parquet(str(tmp_path / "dim")).filter("name = 'r3'")
+    j = f.join(d, "region_id")
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    # and the answer is right: only region 3's rows survive
+    assert j.count() == 50_000 // 8 + (1 if 3 < 50_000 % 8 else 0)
