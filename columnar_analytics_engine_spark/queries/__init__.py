@@ -94,7 +94,7 @@ def all_queries() -> dict[str, QuerySpec]:
     # 50-query correctness window; anything that overflows rotates into
     # the window in a later round (and is oracle-tested in-repo meanwhile).
     merged: dict[str, QuerySpec] = {}
-    for mod in (llm, events, advanced, pipeline, tpch_more, training, curation, core, relational):
+    for mod in (llm, events, tpch_more, advanced, pipeline, training, curation, core, relational):
         for name, spec in mod.QUERIES.items():
             if name in merged:
                 raise ValueError(f"duplicate query name: {name}")

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from columnar_analytics_engine_spark.functions import text as X
 from columnar_analytics_engine_spark.functions.hashing import h60, sql_h60
+from columnar_analytics_engine_spark.functions.similarity import cosine, with_norms
 from columnar_analytics_engine_spark.queries._util import QuerySpec, t
 
 _SQL_TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
@@ -387,8 +388,17 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     new shuffle classes.  Output: per-cluster size + exact scaled
     inertia.
     """
-    emb = t(spark, sf_dir, "embeddings")
-    e = emb.select(
+    assigned = _km_final_assignment(_km_exploded(t(spark, sf_dir, "embeddings")))
+    return (
+        assigned.groupBy("cluster_id")
+        .agg(F.count("*").alias("n_vectors"), F.sum("d").alias("inertia"))
+        .orderBy("cluster_id")
+    )
+
+
+def _km_exploded(emb: DataFrame) -> DataFrame:
+    """(vec_id, dim, vq): components quantized to the exact 1e-3 grid."""
+    return emb.select(
         "vec_id", F.posexplode(F.col("embedding")).alias("dim", "val")
     ).select(
         "vec_id",
@@ -398,10 +408,13 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("vq"),
     )
 
+
+def _km_final_assignment(e: DataFrame) -> DataFrame:
+    """The k-means loop (seeds = k lowest vec_ids, _KM_ITERS Lloyd
+    rounds); returns the final (vec_id, cluster_id, d) assignment."""
     cents = e.filter(F.col("vec_id") < _KM_K).select(
         F.col("vec_id").alias("cluster_id"), "dim", F.col("vq").alias("cq")
     )
-
     assigned = None
     for _ in range(_KM_ITERS):
         diff = F.col("vq") - F.col("cq")
@@ -426,12 +439,7 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("cq")
             )
         )
-
-    return (
-        assigned.groupBy("cluster_id")
-        .agg(F.count("*").alias("n_vectors"), F.sum("d").alias("inertia"))
-        .orderBy("cluster_id")
-    )
+    return assigned
 
 
 def _km_round_sql(e: str, cents: str, i: int) -> str:
@@ -457,8 +465,9 @@ c{i} AS (
 )"""
 
 
-_SQL_KMEANS = f"""
-WITH e AS (
+# The Lloyd-loop CTE chain (e → c0 → rounds 1..2 → final assignment a2),
+# shared by every oracle that replays the k-means assignment.
+_SQL_KM_CTES = f"""e AS (
   SELECT vec_id,
          CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
          CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * {float(_KM_SCALE)}) AS BIGINT) AS vq
@@ -468,12 +477,116 @@ c0 AS (
   SELECT vec_id AS cluster_id, dim, vq AS cq FROM e WHERE vec_id < {_KM_K}
 ),
 {_km_round_sql('e', 'c0', 1)},
-{_km_round_sql('e', 'c1', 2)}
+{_km_round_sql('e', 'c1', 2)}"""
+
+_SQL_KMEANS = f"""
+WITH {_SQL_KM_CTES}
 SELECT cluster_id,
        COUNT(*) AS n_vectors,
        CAST(SUM(d) AS BIGINT) AS inertia
 FROM a2
 GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup + cluster-balanced sampling (over the k-means assignment)
+# ---------------------------------------------------------------------------
+
+_SEM_THRESHOLD = 0.45
+_CB_PER_CLUSTER = 10
+
+
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023,
+    arXiv:2303.09540): k-means partitions the embedding space, and
+    near-duplicate pairs are sought only WITHIN a cluster — the
+    all-pairs O(N²) cosine screen becomes k independent O((N/k)²)
+    blocks.
+
+    Scale shape: the assignment reuses :func:`kmeans_embeddings`'s
+    broadcast-Lloyd plan (centroids broadcast, shuffles keyed
+    per-vector); the pair generation is a self-equi-join on
+    ``cluster_id``, so the shuffle key is the cluster and cost is
+    bounded by the largest cluster, not the corpus.  Raise k with
+    corpus size (k ≈ N²/target_candidate_pairs) and the per-block
+    quadratic stays constant while blocks parallelize.  Exact cosine
+    runs only on within-cluster candidates.
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    asn = _km_final_assignment(_km_exploded(emb)).select("vec_id", "cluster_id")
+    n = asn.join(
+        with_norms(emb, "embedding").select("vec_id", "v", "sq_norm"), "vec_id"
+    )
+    a = n.select(
+        F.col("vec_id").alias("d1"),
+        "cluster_id",
+        F.col("v").alias("av"),
+        F.col("sq_norm").alias("an"),
+    )
+    b = n.select(
+        F.col("vec_id").alias("d2"),
+        "cluster_id",
+        F.col("v").alias("bv"),
+        F.col("sq_norm").alias("bn"),
+    )
+    sim = cosine(F.col("av"), F.col("bv"), F.col("an"), F.col("bn"), 4)
+    return (
+        a.join(b, "cluster_id")
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", "cluster_id", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= _SEM_THRESHOLD)
+    )
+
+
+def sample_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced diversity sampling: the ``_CB_PER_CLUSTER``
+    most-central vectors of every k-means cluster (ties broken by
+    vec_id) — the standard recipe for building a diverse fine-tuning
+    or eval subset instead of a frequency-biased uniform sample.
+
+    The window partitions by ``cluster_id`` (k groups of ~N/k rows
+    each, never a global sort); everything upstream is the shared
+    broadcast-Lloyd assignment.
+    """
+    asn = _km_final_assignment(_km_exploded(t(spark, sf_dir, "embeddings")))
+    w = W.partitionBy("cluster_id").orderBy("d", "vec_id")
+    return (
+        asn.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= _CB_PER_CLUSTER)
+        .select("cluster_id", "vec_id", "d", "rn")
+        .orderBy("cluster_id", "rn")
+    )
+
+
+_SQL_SEMANTIC = f"""
+WITH {_SQL_KM_CTES},
+n AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         list_dot_product(CAST(embedding AS DOUBLE[]),
+                          CAST(embedding AS DOUBLE[])) AS sq_norm
+  FROM embeddings
+)
+SELECT x.vec_id AS d1, y.vec_id AS d2, x.cluster_id,
+       ROUND(list_dot_product(a.v, b.v)
+             / (SQRT(a.sq_norm) * SQRT(b.sq_norm)), 4) AS cos_sim
+FROM a2 x
+JOIN a2 y ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id
+JOIN n a ON a.vec_id = x.vec_id
+JOIN n b ON b.vec_id = y.vec_id
+WHERE ROUND(list_dot_product(a.v, b.v)
+            / (SQRT(a.sq_norm) * SQRT(b.sq_norm)), 4) >= {_SEM_THRESHOLD}
+"""
+
+_SQL_CLUSTER_SAMPLE = f"""
+WITH {_SQL_KM_CTES}
+SELECT cluster_id, vec_id, d, rn FROM (
+  SELECT cluster_id, vec_id, d,
+         CAST(ROW_NUMBER() OVER (PARTITION BY cluster_id
+              ORDER BY d, vec_id) AS BIGINT) AS rn
+  FROM a2) ranked
+WHERE rn <= {_CB_PER_CLUSTER}
+ORDER BY cluster_id, rn
 """
 
 
@@ -996,5 +1109,17 @@ QUERIES: dict[str, QuerySpec] = {
         _SQL_EXPORT_MANIFEST,
         "composed export manifest: quality ∧ ¬contaminated → shard + sequence",
         ("pipeline", "window"),
+    ),
+    "dedup_semantic_clusters": QuerySpec(
+        dedup_semantic_clusters,
+        _SQL_SEMANTIC,
+        "SemDeDup: within-k-means-cluster cosine near-dup pairs",
+        ("dedup", "similarity", "clustering"),
+    ),
+    "sample_cluster_balanced": QuerySpec(
+        sample_cluster_balanced,
+        _SQL_CLUSTER_SAMPLE,
+        "cluster-balanced diversity sample (10 most-central per cluster)",
+        ("sample", "clustering"),
     ),
 }

@@ -150,3 +150,58 @@ def test_ivfpq_returns_topk_within_probed_cells(spark, sf_small):
     for q, rows in by_q.items():
         global_best = min(d for (qq, _n), d in adc.items() if qq == q)
         assert min(r.adc_dist for r in rows) >= global_best
+
+
+def test_semantic_dedup_pairs_are_within_cluster_cosine_pairs(spark, sf_small):
+    """Every SemDeDup pair must (a) share a k-means cluster and (b) appear
+    in the exact all-pairs cosine screen at the same threshold — the
+    cluster partitioning may only REMOVE cross-cluster pairs, never
+    invent or rescore one."""
+    from columnar_analytics_engine_spark.functions.similarity import cosine, with_norms
+
+    sem = {
+        (r.d1, r.d2): r.cos_sim
+        for r in T.dedup_semantic_clusters(spark, sf_small).collect()
+    }
+    assert sem, "fixture should contain at least one semantic near-dup pair"
+
+    emb = with_norms(t(spark, sf_small, "embeddings"), "embedding")
+    a = emb.select(
+        F.col("vec_id").alias("d1"), F.col("v").alias("av"), F.col("sq_norm").alias("an")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("d2"), F.col("v").alias("bv"), F.col("sq_norm").alias("bn")
+    )
+    full = {
+        (r.d1, r.d2): r.cos_sim
+        for r in a.join(b, F.col("d1") < F.col("d2"))
+        .select(
+            "d1",
+            "d2",
+            cosine(F.col("av"), F.col("bv"), F.col("an"), F.col("bn"), 4).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= T._SEM_THRESHOLD)
+        .collect()
+    }
+    for pair, sim in sem.items():
+        assert pair in full and full[pair] == sim
+
+
+def test_cluster_balanced_sample_bounds_and_centrality(spark, sf_small):
+    rows = T.sample_cluster_balanced(spark, sf_small).collect()
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    assert len(by_cluster) >= 2
+    sizes = T.kmeans_embeddings(spark, sf_small).collect()
+    cluster_n = {r.cluster_id: r.n_vectors for r in sizes}
+    for cid, members in by_cluster.items():
+        assert len(members) == min(T._CB_PER_CLUSTER, cluster_n[cid])
+        ranks = sorted(m.rn for m in members)
+        assert ranks == list(range(1, len(members) + 1))
+        # rows come back rank-ordered by distance: rn order == d order
+        by_rn = sorted(members, key=lambda m: m.rn)
+        assert all(
+            x.d < y.d or (x.d == y.d and x.vec_id < y.vec_id)
+            for x, y in zip(by_rn, by_rn[1:])
+        )
