@@ -1,0 +1,498 @@
+"""Keyword retrieval + statistical-LM scoring + marketing analytics.
+
+The retrieval pair (inverted index, BM25 top-k) is the keyword twin of
+the ANN surface in ``operators/similarity.py``: a training-data platform
+needs both embedding search and classic term search (contamination
+forensics, targeted corpus probes, eval-set leakage checks).  The
+unigram-LM scorer is the statistical-quality signal (pretraining-corpus
+filtering à la CCNet) expressed without transcendental functions so the
+DuckDB oracle matches bit-for-bit.  The events entries (cohort
+retention, touch attribution, EWMA) round out the product-analytics
+workload every events warehouse runs.
+
+Reference scope note: the reference engine (C++ columnar scan/agg,
+src/query.cpp) has none of this surface; these are extension operators
+in the same Spark-first style as queries/pipeline.py.
+
+Cross-engine float strategy (see queries/_util.py): no order-dependent
+double aggregation anywhere.  BM25 uses the rational idf surrogate
+(N - df + 0.5)/(df + 0.5) instead of its log — identical per-term
+monotonicity, zero transcendental-libm risk — and sums a FIXED number
+of per-term columns in a fixed textual order, so both engines execute
+the identical IEEE expression tree.  The unigram LM reports the mean
+token probability (an exact integer ratio) rather than perplexity
+(a log): same ordering of documents, exact in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from columnar_analytics_engine_spark.functions import text as X
+from columnar_analytics_engine_spark.queries._util import (
+    QuerySpec,
+    exact_sum,
+    sql_exact_sum,
+    t,
+)
+
+_SQL_TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
+
+# Fixed benchmark query for the BM25 entry (literal terms so the scoring
+# pivot has a static column set; a parameterized search passes its own).
+BM25_TERMS: tuple[str, ...] = ("table", "join", "stream")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def _tok(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id", F.explode(X.tokens(F.col("text"))).alias("token")
+    )
+
+
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting-list construction: token -> document frequency + the
+    sorted doc-id posting list (comma-joined, so the oracle comparison
+    stays scalar).
+
+    One explode + one token-key shuffle — the classic distributed
+    index build.  At 100 TB the posting list for a stopword-grade token
+    is itself huge; production shards postings by (token, doc_id range)
+    — i.e. keep this exact plan but write ``write_sorted``-style
+    range-partitioned output instead of one array row — and the hot-key
+    handling mirrors the LSH hot-bucket cap (operators/dedup.py).
+    """
+    docs = t(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "doc_id", F.explode(X.distinct_tokens(F.col("text"))).alias("token")
+    )
+    return (
+        per_doc.groupBy("token")
+        .agg(
+            F.count("*").cast("long").alias("df"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+        .orderBy("token")
+    )
+
+
+def retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 documents for the fixed query ``BM25_TERMS``.
+
+    Classic Okapi shape: tf saturation ``tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl))``
+    and per-term idf, summed over query terms.  The idf is the rational
+    surrogate ``(N - df + 0.5)/(df + 0.5)`` (monotone in df exactly like
+    the log form; see module doc).  Per-term scores are pivoted into
+    static columns and added in fixed order, so the sum is a fixed IEEE
+    expression tree, not an order-dependent aggregation.
+
+    Scale shape: one token-key shuffle for tf, a broadcast of the
+    3-row df table and the 1-row corpus stats, then a TakeOrdered
+    top-k — no global sort, no driver loop.
+    """
+    docs = t(spark, sf_dir, "documents")
+    tok = _tok(docs)
+    hits = tok.filter(F.col("token").isin(*BM25_TERMS))
+    tf = hits.groupBy("doc_id", "token").agg(F.count("*").cast("double").alias("tf"))
+    df_ = hits.groupBy("token").agg(
+        F.countDistinct("doc_id").cast("double").alias("df")
+    )
+    dl = docs.select(
+        "doc_id", X.token_count(F.col("text")).cast("double").alias("dl")
+    )
+    stats = docs.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.sum(X.token_count(F.col("text"))).cast("double").alias("total_tokens"),
+    )
+
+    idf = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    avgdl = F.col("total_tokens") / F.col("n_docs")
+    denom = F.col("tf") + F.lit(BM25_K1) * (
+        (F.lit(1.0) - F.lit(BM25_B)) + (F.lit(BM25_B) * F.col("dl")) / avgdl
+    )
+    score = idf * ((F.col("tf") * F.lit(BM25_K1 + 1.0)) / denom)
+
+    scored = (
+        tf.join(F.broadcast(df_), "token")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .select("doc_id", "token", score.alias("s"))
+    )
+    pivoted = scored.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("token") == term, F.col("s"))).alias(f"s_{i}")
+            for i, term in enumerate(BM25_TERMS)
+        ]
+    )
+    total = F.coalesce(F.col("s_0"), F.lit(0.0))
+    for i in range(1, len(BM25_TERMS)):
+        total = total + F.coalesce(F.col(f"s_{i}"), F.lit(0.0))
+    n_hit = sum(
+        F.when(F.col(f"s_{i}").isNotNull(), 1).otherwise(0)
+        for i in range(len(BM25_TERMS))
+    )
+    return (
+        pivoted.select(
+            "doc_id",
+            total.alias("bm25"),
+            n_hit.cast("long").alias("n_query_terms_hit"),
+        )
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(10)
+    )
+
+
+def text_unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-LM quality score: mean add-one-smoothed unigram
+    probability of each document's tokens under the corpus-wide unigram
+    model — the CCNet-style "how typical is this text" filter signal.
+
+    mean_tok_prob(d) = (sum_t c(t) + n_d) / (n_d * (T + V)) where c(t)
+    is the corpus count of token t, summed over d's token INSTANCES,
+    n_d = |d|, T = total corpus tokens, V = vocabulary size.  The
+    numerator and denominator are exact integer sums (see module doc),
+    so the single final division is bit-identical in both engines;
+    unusual/rare-token documents score low, template-like documents
+    score high.  ``min_tok_count`` (the rarest token's corpus count) is
+    the companion rarity signal.
+
+    Scale shape: token-key shuffle for counts, broadcast of the 1-row
+    (T, V) stats, doc-key shuffle for per-doc sums.  The scaled-integer
+    products stay below 2^53 up to ~10^15 corpus tokens per the
+    decimal-switch note in queries/_util.py.
+    """
+    docs = t(spark, sf_dir, "documents")
+    tok = _tok(docs)
+    counts = tok.groupBy(F.col("token").alias("ctoken")).agg(
+        F.count("*").cast("long").alias("c")
+    )
+    stats = tok.agg(
+        F.count("*").cast("long").alias("t_tokens"),
+        F.countDistinct("token").cast("long").alias("v_size"),
+    )
+    per_doc = (
+        tok.join(counts, tok.token == F.col("ctoken"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("c").cast("long").alias("corpus_hits"),
+            F.min("c").cast("long").alias("min_tok_count"),
+        )
+    )
+    mean_prob = (F.col("corpus_hits") + F.col("n_tokens")).cast("double") / (
+        F.col("n_tokens") * (F.col("t_tokens") + F.col("v_size"))
+    ).cast("double")
+    return (
+        per_doc.join(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "corpus_hits",
+            "min_tok_count",
+            mean_prob.alias("mean_tok_prob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users bucketed by first-seen day, counted per
+    week offset — the standard retention triangle.
+
+    Two shuffles (user-key min, then cohort-cell count-distinct); the
+    first-seen table is user-keyed and reusable across all cohort
+    reports at scale.
+    """
+    ev = t(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    firsts = ev.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    joined = ev.select("user_id", day.alias("day")).join(firsts, "user_id")
+    week_offset = F.floor(
+        F.datediff(F.col("day"), F.col("cohort_day")) / 7
+    ).cast("long")
+    return (
+        joined.groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            week_offset.alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+        .orderBy("cohort_day", "week_offset")
+    )
+
+
+_TOUCH_TYPES = ("click", "view", "signup")
+
+
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch / last-touch attribution of purchase revenue.
+
+    For every purchase, the first and most recent non-purchase touch
+    event in the user's history (running first/last over a user-keyed
+    window — one shuffle, no self-join), then revenue rolled up by the
+    (first_touch, last_touch) channel pair with the exact-sum
+    accumulator.  Purchases with no prior touch are attributed to
+    'none' rather than dropped (funnel accounting must add up).
+    """
+    ev = t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    touch = F.when(F.col("event_type").isin(*_TOUCH_TYPES), F.col("event_type"))
+    enriched = ev.select(
+        "user_id",
+        "event_type",
+        "value",
+        F.first(touch, ignorenulls=True).over(w).alias("first_touch"),
+        F.last(touch, ignorenulls=True).over(w).alias("last_touch"),
+    )
+    return (
+        enriched.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.coalesce("first_touch", F.lit("none")).alias("first_touch"),
+            F.coalesce("last_touch", F.lit("none")).alias("last_touch"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_purchases"),
+            exact_sum("value", "revenue"),
+        )
+        .orderBy("first_touch", "last_touch")
+    )
+
+
+# Truncated binary-weight EWMA: weights over the last 8 observations,
+# newest first.  2^-1 .. 2^-7, with the tail weight duplicated so the
+# total is exactly 1.  Every weight is a power of two, so weight*cents
+# is an exact double product and the 8-term fixed-order sum is exact —
+# no order dependence, no rounding drift, identical in DuckDB.
+_EWMA_WEIGHTS: tuple[float, ...] = (
+    0.5, 0.25, 0.125, 0.0625, 0.03125, 0.015625, 0.0078125, 0.0078125,
+)
+
+
+def events_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of the event value (cents-exact, truncated at 8
+    lags — see ``_EWMA_WEIGHTS``).  The smoothing pass behind rate
+    limiting / anomaly baselines; one user-key window shuffle, emitted
+    only where the full window exists so every output is exact.
+    """
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    cents = F.round(F.col("value") * 100).cast("long")
+    df = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        cents.alias("c0"),
+        F.row_number().over(w).alias("_rn"),
+        *[F.lag(cents, j).over(w).alias(f"c{j}") for j in range(1, 8)],
+    )
+    ewma_cents = F.col("c0") * F.lit(_EWMA_WEIGHTS[0])
+    for j in range(1, 8):
+        ewma_cents = ewma_cents + F.col(f"c{j}") * F.lit(_EWMA_WEIGHTS[j])
+    return (
+        df.filter(F.col("_rn") >= 8)
+        .select(
+            "user_id",
+            "event_id",
+            "value",
+            (ewma_cents / F.lit(100.0)).alias("ewma_value"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch cardinality report: per-event-type HLL sketches
+    of the user set, plus their union — the shard-mergeable pattern a
+    1000-executor distinct-count runs (partial sketches merge
+    associatively; no exact distinct shuffle).
+
+    Rows-only for the driver (DuckDB's approx_distinct is a different
+    sketch); accuracy and merge-associativity are pinned against exact
+    counts in tests/test_retrieval.py.
+    """
+    ev = t(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    by_type = per_type.select(
+        "event_type", F.hll_sketch_estimate("sk").cast("long").alias("est_users")
+    )
+    union_row = per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("est_users")
+    ).select(F.lit("ALL").alias("event_type"), "est_users")
+    return by_type.unionByName(union_row).orderBy("event_type")
+
+
+_SQL_BM25_HITS = ",".join(f"'{t_}'" for t_ in BM25_TERMS)
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "text_inverted_index": QuerySpec(
+        text_inverted_index,
+        f"""
+        WITH tok AS (
+          SELECT doc_id, unnest(list_distinct({_SQL_TOKENS})) AS token
+          FROM documents
+        )
+        SELECT token,
+               CAST(COUNT(*) AS BIGINT) AS df,
+               string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+        FROM tok GROUP BY token ORDER BY token
+        """,
+        "posting-list inverted index over document tokens",
+        ("retrieval", "text"),
+    ),
+    "retrieval_bm25_topk": QuerySpec(
+        retrieval_bm25_topk,
+        f"""
+        WITH tok AS (
+          SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents
+        ),
+        hits AS (SELECT * FROM tok WHERE token IN ({_SQL_BM25_HITS})),
+        tf AS (
+          SELECT doc_id, token, CAST(COUNT(*) AS DOUBLE) AS tf
+          FROM hits GROUP BY 1, 2
+        ),
+        df AS (
+          SELECT token, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+          FROM hits GROUP BY 1
+        ),
+        dl AS (
+          SELECT doc_id, CAST(len({_SQL_TOKENS}) AS DOUBLE) AS dl FROM documents
+        ),
+        stats AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                 CAST(SUM(len({_SQL_TOKENS})) AS DOUBLE) AS total_tokens
+          FROM documents
+        ),
+        scored AS (
+          SELECT tf.doc_id, tf.token,
+                 ((n_docs - df + 0.5) / (df + 0.5))
+                 * ((tf * {BM25_K1 + 1.0}) /
+                    (tf + {BM25_K1} * ((1.0 - {BM25_B}) + ({BM25_B} * dl) / (total_tokens / n_docs))))
+                 AS s
+          FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
+        ),
+        pivoted AS (
+          SELECT doc_id,
+                 {", ".join(f"MAX(CASE WHEN token = '{t_}' THEN s END) AS s_{i}" for i, t_ in enumerate(BM25_TERMS))}
+          FROM scored GROUP BY doc_id
+        )
+        SELECT doc_id,
+               {" + ".join(f"COALESCE(s_{i}, 0.0)" for i in range(len(BM25_TERMS)))} AS bm25,
+               CAST({" + ".join(f"(CASE WHEN s_{i} IS NOT NULL THEN 1 ELSE 0 END)" for i in range(len(BM25_TERMS)))} AS BIGINT)
+                 AS n_query_terms_hit
+        FROM pivoted
+        ORDER BY bm25 DESC, doc_id
+        LIMIT 10
+        """,
+        "Okapi BM25 top-10 for a fixed keyword query (rational idf)",
+        ("retrieval", "text", "topk"),
+    ),
+    "text_unigram_lm_quality": QuerySpec(
+        text_unigram_lm_quality,
+        f"""
+        WITH tok AS (
+          SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents
+        ),
+        counts AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1),
+        stats AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS t_tokens,
+                 CAST(COUNT(DISTINCT token) AS BIGINT) AS v_size
+          FROM tok
+        ),
+        per_doc AS (
+          SELECT doc_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                 CAST(SUM(c) AS BIGINT) AS corpus_hits,
+                 CAST(MIN(c) AS BIGINT) AS min_tok_count
+          FROM tok JOIN counts USING (token) GROUP BY 1
+        )
+        SELECT doc_id, n_tokens, corpus_hits, min_tok_count,
+               CAST(corpus_hits + n_tokens AS DOUBLE)
+                 / CAST(n_tokens * (t_tokens + v_size) AS DOUBLE) AS mean_tok_prob
+        FROM per_doc CROSS JOIN stats
+        ORDER BY doc_id
+        """,
+        "add-one unigram-LM mean token probability (corpus-typicality score)",
+        ("text", "quality"),
+    ),
+    "events_cohort_retention": QuerySpec(
+        events_cohort_retention,
+        """
+        WITH firsts AS (
+          SELECT user_id, MIN(date_trunc('day', ts)) AS cohort_day
+          FROM events GROUP BY 1
+        )
+        SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+               CAST(floor(date_diff('day', cohort_day, date_trunc('day', ts)) / 7)
+                    AS BIGINT) AS week_offset,
+               CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+        FROM events e JOIN firsts USING (user_id)
+        GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "cohort retention triangle (first-seen day x week offset)",
+        ("events", "analytics"),
+    ),
+    "events_attribution": QuerySpec(
+        events_attribution,
+        f"""
+        WITH enriched AS (
+          SELECT user_id, event_type, value,
+                 first_value(CASE WHEN event_type IN ('click','view','signup')
+                                  THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS first_touch,
+                 last_value(CASE WHEN event_type IN ('click','view','signup')
+                                 THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS last_touch
+          FROM events
+        )
+        SELECT COALESCE(first_touch, 'none') AS first_touch,
+               COALESCE(last_touch, 'none') AS last_touch,
+               CAST(COUNT(*) AS BIGINT) AS n_purchases,
+               {sql_exact_sum('value', 'revenue')}
+        FROM enriched WHERE event_type = 'purchase'
+        GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "first/last-touch purchase attribution with exact revenue",
+        ("events", "analytics", "window"),
+    ),
+    "events_ewma_value": QuerySpec(
+        events_ewma_value,
+        f"""
+        WITH lagged AS (
+          SELECT user_id, event_id, value,
+                 CAST(ROUND(value * 100) AS BIGINT) AS c0,
+                 ROW_NUMBER() OVER w AS _rn,
+                 {", ".join(f"lag(CAST(ROUND(value * 100) AS BIGINT), {j}) OVER w AS c{j}" for j in range(1, 8))}
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id, event_id, value,
+               ({" + ".join(f"c{j} * {_EWMA_WEIGHTS[j]!r}" for j in range(8))}) / 100.0
+                 AS ewma_value
+        FROM lagged WHERE _rn >= 8
+        ORDER BY user_id, event_id
+        """,
+        "per-user binary-weight EWMA of event value (cents-exact)",
+        ("events", "window", "timeseries"),
+    ),
+    "sketch_distinct_users": QuerySpec(
+        sketch_distinct_users,
+        None,  # DuckDB's approx sketch differs; accuracy pinned in pytest
+        "mergeable HLL distinct-user sketches per type + union",
+        ("sketch", "approx"),
+    ),
+}
