@@ -50,35 +50,46 @@ def connected_components(
             .groupBy(F.col("a").alias("doc_id"))
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
-        propagated = labels.join(neighbor_min, "doc_id", "left").select(
-            "doc_id",
-            F.least(
-                F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
-            ).alias("cluster_id"),
+        # checkpoint BEFORE the pointer-jump self-join: both sides of
+        # that join read `propagated`, and an uncheckpointed plan would
+        # execute the (heavy) edges-join twice per round.  Carrying the
+        # previous label through as `old` also makes the convergence
+        # check a plain filter on checkpointed data instead of a
+        # join-per-round against the old labels.
+        propagated = (
+            labels.select("doc_id", F.col("cluster_id").alias("old"))
+            .join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                "old",
+                F.least(F.col("old"), F.coalesce("nbr_min", F.col("old"))).alias(
+                    "mid"
+                ),
+            )
+            .localCheckpoint()
         )
-        # pointer jump: adopt the label's label.  Every cluster_id is
-        # itself a node (it is the min doc_id seen so far), so the inner
+        # pointer jump: adopt the label's label.  Every mid is itself a
+        # node (it is the min doc_id seen so far), so the inner
         # self-join is total; chains halve each round -> O(log diameter).
         new_labels = (
             propagated.alias("x")
             .join(
-                propagated.alias("y"),
-                F.col("x.cluster_id") == F.col("y.doc_id"),
+                propagated.select(
+                    F.col("doc_id").alias("ld"), F.col("mid").alias("lm")
+                ),
+                F.col("x.mid") == F.col("ld"),
             )
             .select(
                 F.col("x.doc_id").alias("doc_id"),
-                F.col("y.cluster_id").alias("cluster_id"),
+                F.col("x.old").alias("old"),
+                F.col("lm").alias("cluster_id"),
             )
             .localCheckpoint()
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
+            new_labels.filter(F.col("cluster_id") != F.col("old")).limit(1).count()
         )
-        labels = new_labels
+        labels = new_labels.select("doc_id", "cluster_id")
         if changed == 0:
             break
     edges.unpersist()

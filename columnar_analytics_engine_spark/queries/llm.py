@@ -34,6 +34,9 @@ tok AS (
 
 
 def _minhash_lsh_sql(threshold: float, k: int, bands: int, rows: int) -> str:
+    # integer-exact threshold boundary, mirroring jaccard_pairs (see
+    # operators/dedup.py: (den+num)*|A∩B| >= num*(|A|+|B|))
+    num, den = D._rational_threshold(threshold)
     fam = sql_affine_hash("token", k)
     mins = ",\n         ".join(f"MIN({fam[i]}) AS h{i}" for i in range(k))
     band_selects = "\n      UNION ALL\n      ".join(
@@ -69,9 +72,8 @@ def _minhash_lsh_sql(threshold: float, k: int, bands: int, rows: int) -> str:
     FROM cand c
     JOIN sets sa ON sa.doc_id = c.d1
     JOIN sets sb ON sb.doc_id = c.d2
-    WHERE CAST(len(list_intersect(sa.toks, sb.toks)) AS DOUBLE)
-            / CAST(len(sa.toks) + len(sb.toks)
-                   - len(list_intersect(sa.toks, sb.toks)) AS DOUBLE) >= {threshold}
+    WHERE {den + num} * len(list_intersect(sa.toks, sb.toks))
+            >= {num} * (len(sa.toks) + len(sb.toks))
     """
 
 
