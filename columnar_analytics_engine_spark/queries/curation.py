@@ -660,7 +660,56 @@ ORDER BY event_id
 """
 
 
+_SOURCE_CAP = 15
+
+
+def source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap with deterministic hash priority — the
+    domain-cap pass every crawl-derived corpus runs (no single domain
+    may dominate the mixture).
+
+    Priority is ``h60`` of the doc id, so the "random" K survivors per
+    source are engine-independent and stable across runs/backends.  One
+    source-key window shuffle.  At 100 TB a mega-domain makes its
+    window partition hot; the scale variant computes each source's
+    K-th-smallest hash with a per-source aggregate (approx or exact
+    two-pass) and keeps ``hash <= threshold`` as a scan-speed filter —
+    same semantics, no single-partition window.
+    """
+    docs = t(spark, sf_dir, "documents")
+    pri = h60("cap:", F.col("doc_id").cast("string"))
+    w = W.partitionBy("source").orderBy(pri, "doc_id")
+    return (
+        docs.select("source", "doc_id", pri.alias("priority"))
+        .withColumn("cap_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("cap_rank") <= _SOURCE_CAP)
+        .select("source", "doc_id", "cap_rank")
+        .orderBy("source", "cap_rank")
+    )
+
+
+_SQL_SOURCE_CAP = f"""
+WITH ranked AS (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY {sql_h60("cap:", "CAST(doc_id AS VARCHAR)")}, doc_id
+         ) AS cap_rank
+  FROM documents
+)
+SELECT source, doc_id, CAST(cap_rank AS BIGINT) AS cap_rank
+FROM ranked WHERE cap_rank <= {_SOURCE_CAP}
+ORDER BY source, cap_rank
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "source_cap_sample": QuerySpec(
+        source_cap_sample,
+        _SQL_SOURCE_CAP,
+        "Per-source doc cap via deterministic hash priority (domain caps)",
+        ("llm", "curation", "sampling"),
+    ),
     "dedup_duplicate_passages": QuerySpec(
         dedup_duplicate_passages,
         _SQL_DUPLICATE_PASSAGES,
