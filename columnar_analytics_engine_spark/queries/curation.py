@@ -81,16 +81,30 @@ def dedup_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans = toks.select(
         "doc_id", F.explode(grams).alias("g")
     ).select("doc_id", h60("ps:", F.col("g")).alias("gh"))
-    per_span = spans.groupBy("gh").agg(
-        F.countDistinct("doc_id").alias("n_docs_with_span")
+    # Aggregate to (doc, span) and memoize: the (doc_id, gh, cnt) table
+    # feeds BOTH the per-span distinct-doc count and the per-doc rollup.
+    # Left lazy, Catalyst prunes the two branches differently (one
+    # drops cnt), the subtrees stop being equal, exchange reuse doesn't
+    # fire, and the expensive explode+hash projection runs twice —
+    # including a second full scan of documents at 100 TB.  Plan-keyed
+    # persist (see operators/dedup._persist_once) materializes it once.
+    from columnar_analytics_engine_spark.operators.dedup import _persist_once
+
+    pairs = _persist_once(
+        spans.groupBy("doc_id", "gh").agg(F.count("*").alias("cnt"))
+    )
+    per_span = pairs.groupBy("gh").agg(
+        F.count("*").alias("n_docs_with_span")  # rows are distinct (doc, gh)
     )
     per_doc = (
-        spans.join(per_span, "gh")
+        pairs.join(per_span, "gh")
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_spans"),
+            F.sum("cnt").alias("n_spans"),
             F.sum(
-                F.when(F.col("n_docs_with_span") >= 2, F.lit(1)).otherwise(F.lit(0))
+                F.when(F.col("n_docs_with_span") >= 2, F.col("cnt")).otherwise(
+                    F.lit(0)
+                )
             ).alias("n_dup_spans"),
         )
     )
