@@ -92,10 +92,17 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     single exact IEEE division — ln() is transcendental and libm
     implementations may differ in the last bit across engines.
     """
+    from columnar_analytics_engine_spark.operators.dedup import _persist_once
+
     docs = t(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("token"))
-    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    df_ = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    # one explode, memoized: df is derived from the tf table (rows are
+    # distinct (doc, token), so count(*) == countDistinct(doc_id)) —
+    # left lazy the explode would run once per consumer
+    tf = _persist_once(
+        tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
     n_docs = docs.agg(F.count("*").alias("n_docs"))
     scored = (
         tf.join(df_, "token")

@@ -99,13 +99,19 @@ def retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-row df table and the 1-row corpus stats, then a TakeOrdered
     top-k — no global sort, no driver loop.
     """
+    from columnar_analytics_engine_spark.operators.dedup import _persist_once
+
     docs = t(spark, sf_dir, "documents")
     tok = _tok(docs)
     hits = tok.filter(F.col("token").isin(*BM25_TERMS))
-    tf = hits.groupBy("doc_id", "token").agg(F.count("*").cast("double").alias("tf"))
-    df_ = hits.groupBy("token").agg(
-        F.countDistinct("doc_id").cast("double").alias("df")
+    # one explode over the corpus, memoized; df derives from the tf
+    # table (rows are distinct (doc, token)) instead of a second explode
+    tf = _persist_once(
+        hits.groupBy("doc_id", "token").agg(
+            F.count("*").cast("double").alias("tf")
+        )
     )
+    df_ = tf.groupBy("token").agg(F.count("*").cast("double").alias("df"))
     dl = docs.select(
         "doc_id", X.token_count(F.col("text")).cast("double").alias("dl")
     )
@@ -170,21 +176,37 @@ def text_unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     products stay below 2^53 up to ~10^15 corpus tokens per the
     decimal-switch note in queries/_util.py.
     """
+    from columnar_analytics_engine_spark.operators.dedup import _persist_once
+
     docs = t(spark, sf_dir, "documents")
-    tok = _tok(docs)
-    counts = tok.groupBy(F.col("token").alias("ctoken")).agg(
-        F.count("*").cast("long").alias("c")
+    # One explode into the word-count-scale (doc, token, tf) table,
+    # memoized because three consumers derive from it (vocabulary
+    # counts, corpus totals, per-doc sums) — left lazy the explode runs
+    # per consumer and the probe was measured 17× slower at 10× docs.
+    dtf = _persist_once(
+        _tok(docs)
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").cast("long").alias("tf"))
     )
-    stats = tok.agg(
-        F.count("*").cast("long").alias("t_tokens"),
-        F.countDistinct("token").cast("long").alias("v_size"),
+    counts = dtf.groupBy(F.col("token").alias("ctoken")).agg(
+        F.sum("tf").cast("long").alias("c")
     )
+    # corpus totals come from the vocabulary table (tiny), never from a
+    # rescan of the token stream
+    stats = counts.agg(
+        F.sum("c").cast("long").alias("t_tokens"),
+        F.count("*").cast("long").alias("v_size"),
+    )
+    # vocabulary-keyed join: AQE converts it to broadcast while the
+    # vocabulary is small; a web-scale vocabulary falls back to a
+    # sort-merge join on the token key (deliberately NOT a hard
+    # broadcast — distinct-token counts grow with corpus size)
     per_doc = (
-        tok.join(counts, tok.token == F.col("ctoken"))
+        dtf.join(counts, dtf.token == F.col("ctoken"))
         .groupBy("doc_id")
         .agg(
-            F.count("*").cast("long").alias("n_tokens"),
-            F.sum("c").cast("long").alias("corpus_hits"),
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("c")).cast("long").alias("corpus_hits"),
             F.min("c").cast("long").alias("min_tok_count"),
         )
     )
