@@ -90,20 +90,27 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     path = table_path(sf_dir, name)
     ns_cols = _ns_timestamp_fields(path)
-    if not ns_cols:
-        return spark.read.parquet(path)
-    # the conf is captured into the scan at read-plan time, so it can be
-    # restored immediately — later reads by the caller are unaffected
-    conf_key = "spark.sql.legacy.parquet.nanosAsLong"
-    prev = spark.conf.get(conf_key, None)
-    spark.conf.set(conf_key, "true")
+    # Parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) would otherwise be
+    # inferred as TIMESTAMP_NTZ, which Spark's epoch/tz functions reject;
+    # reading it as session-tz TIMESTAMP (session tz is pinned UTC) gives
+    # the exact semantics the DuckDB oracle applies to naive timestamps,
+    # and keeps filter pushdown on the scan (a post-read cast would not).
+    # Confs are captured into the scan at read-plan time, so they can be
+    # restored immediately — later reads by the caller are unaffected.
+    confs = {"spark.sql.parquet.inferTimestampNTZ.enabled": "false"}
+    if ns_cols:
+        confs["spark.sql.legacy.parquet.nanosAsLong"] = "true"
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
     try:
         df = spark.read.parquet(path)
     finally:
-        if prev is None:
-            spark.conf.unset(conf_key)
-        else:
-            spark.conf.set(conf_key, prev)
+        for k, old in prev.items():
+            if old is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, old)
     for c in ns_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
     return df

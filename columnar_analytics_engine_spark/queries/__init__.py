@@ -49,26 +49,32 @@ _DRIVER_VERIFIED_R01 = frozenset({
 })
 
 
-def _driver_verified() -> frozenset[str]:
-    """Names the driver has already verified, read from every
-    CORRECTNESS_r*.json in the repo root (fallback: the round-1 list).
+def _driver_verified() -> dict[str, int]:
+    """Map of query name -> latest round in which the driver verified it,
+    read from every CORRECTNESS_r*.json in the repo root (fallback: the
+    round-1 list, all at round 1).
 
     A query counts as verified when its row counts matched with no
     error and the value hash didn't mismatch (rows-only checks have no
     hash).  Reading the files makes window rotation automatic: each
-    round, freshly verified queries move to the back and the
-    never-verified remainder rotates into the driver's 50-query window.
+    round, freshly verified queries move to the back, never-verified
+    queries go first, and among verified ones the STALEST verification
+    (oldest round — e.g. pre-dating a driver testdata regeneration)
+    rotates back into the driver's 50-query window soonest.
     """
     import glob
     import json
     import os
+    import re
 
     root = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
-    names: set[str] = set()
+    last_round: dict[str, int] = {}
     found = False
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)", os.path.basename(path))
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 data = json.load(f)
@@ -85,8 +91,10 @@ def _driver_verified() -> frozenset[str]:
                     and res.get("hash_match") is not False
                 )
                 if ok:
-                    names.add(name)
-    return frozenset(names) if found else _DRIVER_VERIFIED_R01
+                    last_round[name] = max(last_round.get(name, 0), rnd)
+    if not found:
+        return {n: 1 for n in _DRIVER_VERIFIED_R01}
+    return last_round
 
 
 def all_queries() -> dict[str, QuerySpec]:
@@ -101,6 +109,11 @@ def all_queries() -> dict[str, QuerySpec]:
                 raise ValueError(f"duplicate query name: {name}")
             merged[name] = spec
     verified = _driver_verified()
-    out = {n: s for n, s in merged.items() if n not in verified}
-    out.update({n: s for n, s in merged.items() if n in verified})
-    return out
+    order = list(merged)
+    # never-verified first (insertion order), then by staleness of the
+    # last driver verification (oldest round first, insertion order ties)
+    ranked = sorted(
+        order,
+        key=lambda n: (verified.get(n, 0), order.index(n)),
+    )
+    return {n: merged[n] for n in ranked}

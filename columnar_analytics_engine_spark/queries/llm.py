@@ -206,9 +206,11 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate ANN — no SQL oracle (the probe set depends on the
-    operator's internal bucketing); correctness = recall-vs-brute-force,
-    measured in tests/test_similarity.py."""
+    """IVF approximate ANN.  Every stage is deterministic (lowest-id
+    seeds, 6-decimal rounded assignment/probe sims with list_id
+    tie-break), so the full probe pipeline is replayed in the SQL oracle;
+    recall-vs-brute-force is additionally measured in
+    tests/test_similarity.py."""
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return S.ivf_topk(queries, emb, k=10, n_lists=16, n_probe=4)
@@ -508,8 +510,50 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "similarity_ivf_topk": QuerySpec(
         similarity_ivf_topk,
-        None,
-        "IVF approximate top-k (recall vs brute force tested in pytest)",
+        f"""
+        WITH {_SQL_EMB_NORM},
+        seeds AS (
+          SELECT vec_id AS list_id, v AS seed_v, sq_norm AS seed_n
+          FROM n ORDER BY vec_id LIMIT 16
+        ),
+        assigned AS (
+          SELECT neighbor_id, cv, cn, list_id FROM (
+            SELECT c.vec_id AS neighbor_id, c.v AS cv, c.sq_norm AS cn,
+                   s.list_id,
+                   ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+                     ROUND(list_dot_product(c.v, s.seed_v)
+                           / (SQRT(c.sq_norm) * SQRT(s.seed_n)), 6) DESC,
+                     s.list_id) AS r
+            FROM n c CROSS JOIN seeds s) sub
+          WHERE r = 1
+        ),
+        probes AS (
+          SELECT query_id, qv, qn, list_id FROM (
+            SELECT q.vec_id AS query_id, q.v AS qv, q.sq_norm AS qn,
+                   s.list_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                     ROUND(list_dot_product(q.v, s.seed_v)
+                           / (SQRT(q.sq_norm) * SQRT(s.seed_n)), 6) DESC,
+                     s.list_id) AS r
+            FROM n q CROSS JOIN seeds s
+            WHERE q.vec_id < 5) sub
+          WHERE r <= 4
+        ),
+        scored AS (
+          SELECT p.query_id, a.neighbor_id,
+                 ROUND(list_dot_product(p.qv, a.cv)
+                       / (SQRT(p.qn) * SQRT(a.cn)), 4) AS cos_sim
+          FROM probes p JOIN assigned a USING (list_id)
+          WHERE p.query_id != a.neighbor_id
+        )
+        SELECT query_id, neighbor_id, cos_sim, "rank" FROM (
+          SELECT query_id, neighbor_id, cos_sim,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS "rank"
+          FROM scored) sub
+        WHERE "rank" <= 10
+        """,
+        "IVF approximate top-k (deterministic probe pipeline, fully replayed in SQL)",
         ("similarity",),
     ),
     "text_token_stats": QuerySpec(
@@ -731,17 +775,77 @@ QUERIES["dedup_clusters"] = QuerySpec(
 
 
 def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH approximate top-k (rows-only: bucket
-    membership is operator-internal; recall vs brute force is asserted
-    in tests/test_similarity.py)."""
+    """Random-hyperplane LSH approximate top-k.  The hyperplanes are
+    seeded numpy normals (operator default seed=42), so the whole
+    bucket→collide→re-rank pipeline is deterministic; the SQL oracle
+    inlines the identical plane values as literals and replays it.
+    Recall vs brute force is additionally asserted in
+    tests/test_similarity.py."""
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return S.lsh_topk(queries, emb, k=10, n_planes=4, n_tables=8, dim=64)
 
 
+def _lsh_oracle_sql(
+    n_planes: int = 4, n_tables: int = 8, seed: int = 42, dim: int = 64, k: int = 10
+) -> str:
+    """DuckDB replay of ``operators/similarity.lsh_topk``: the same
+    seeded hyperplanes (inlined as full-precision literals), sign-bit
+    bucketing, any-table collision join, and exact cosine re-rank.
+
+    Sign flips from cross-engine dot-product summation-order differences
+    are the only hazard; plane dots have O(1) magnitude, so a flip needs
+    a true value within ~1e-13 of zero — negligible at fixture scale.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+    rows = ",\n          ".join(
+        f"({ti}, {pi}, [{', '.join(repr(float(x)) for x in planes[ti, pi])}]::DOUBLE[])"
+        for ti in range(n_tables)
+        for pi in range(n_planes)
+    )
+    return f"""
+        WITH planes(table_id, plane_idx, p) AS (VALUES
+          {rows}
+        ),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        buck AS (
+          SELECT e.vec_id, pl.table_id,
+                 CAST(SUM(CASE WHEN list_dot_product(e.v, pl.p) > 0
+                          THEN (1::BIGINT << pl.plane_idx) ELSE 0 END) AS BIGINT)
+                   AS bucket
+          FROM e CROSS JOIN planes pl
+          GROUP BY e.vec_id, pl.table_id
+        ),
+        pairs AS (
+          SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+          FROM buck qb
+          JOIN buck cb ON qb.table_id = cb.table_id AND qb.bucket = cb.bucket
+          WHERE qb.vec_id < 5 AND qb.vec_id != cb.vec_id
+        ),
+        nn AS (SELECT vec_id, v, list_dot_product(v, v) AS sq_norm FROM e),
+        scored AS (
+          SELECT p.query_id, p.neighbor_id,
+                 ROUND(list_dot_product(q.v, c.v)
+                       / (SQRT(q.sq_norm) * SQRT(c.sq_norm)), 4) AS cos_sim
+          FROM pairs p
+          JOIN nn q ON p.query_id = q.vec_id
+          JOIN nn c ON p.neighbor_id = c.vec_id
+        )
+        SELECT query_id, neighbor_id, cos_sim, "rank" FROM (
+          SELECT query_id, neighbor_id, cos_sim,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS "rank"
+          FROM scored) sub
+        WHERE "rank" <= {k}
+        """
+
+
 QUERIES["similarity_lsh_topk"] = QuerySpec(
     similarity_lsh_topk,
-    None,
-    "random-hyperplane LSH approximate ANN (recall tested in pytest)",
+    _lsh_oracle_sql(),
+    "random-hyperplane LSH approximate ANN (seeded planes replayed in SQL)",
     ("similarity",),
 )

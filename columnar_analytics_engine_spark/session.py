@@ -63,6 +63,15 @@ def get_spark(
     builder = SparkSession.builder.appName(app_name).master(master)
     builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
     builder = builder.config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+    # Whole-stage codegen emits very large methods for wide plans (k=32
+    # MinHash aggregates, 48-bit SimHash sums, deep CASE towers); the JVM
+    # default 240 MB code cache fills after a few such plans, the JIT shuts
+    # off ("CodeCache is full. Compiler has been disabled"), and every later
+    # query runs interpreted — measured 10x slowdown on repeated pipeline
+    # runs.  1 GiB keeps steady-state compilation on for the whole suite.
+    builder = builder.config(
+        "spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=1g"
+    )
     builder = builder.config("spark.ui.enabled", "false")
     builder = builder.config("spark.ui.showConsoleProgress", "false")
     for k, v in _DEFAULT_CONFS.items():

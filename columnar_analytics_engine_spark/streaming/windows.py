@@ -27,11 +27,17 @@ from columnar_analytics_engine_spark.queries._util import exact_sum
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Open the events fixture as a file-source stream.
 
-    The parquet fixture stores nanosecond timestamps; the stream reads
-    them as int64 (nanosAsLong) and converts to microsecond timestamps,
-    identical to the batch reader (io.read_table).
+    Timestamp normalization matches the batch reader (io.read_table):
+    nanosecond fixtures are read as int64 (nanosAsLong) and truncated to
+    microsecond timestamps; microsecond NTZ fixtures are read as
+    session-tz (UTC) TIMESTAMP via inferTimestampNTZ=false.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from columnar_analytics_engine_spark.io import _ns_timestamp_fields, read_table
+
+    ns_cols = _ns_timestamp_fields(f"{sf_dir}/events.parquet")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
     # file-stream sources take a directory; select just the events file
     # from the fixture dir via glob filter
@@ -41,7 +47,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    for c in ns_cols:
+        stream = stream.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
+    return stream
 
 
 def tumbling_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
