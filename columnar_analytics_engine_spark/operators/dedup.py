@@ -326,6 +326,7 @@ def minhash_near_duplicates(
     id_col: str = "doc_id",
     text_col: str = "text",
     broadcast_sets: bool = True,
+    collapse_identical: bool = False,
 ) -> DataFrame:
     """MinHash->LSH->exact-verify near-dup pairs (the scale-path dedup).
 
@@ -339,7 +340,22 @@ def minhash_near_duplicates(
     entry with ``.unpersist()`` on the signatures or
     ``spark.catalog.clearCache()``.  (localCheckpoint was measured ~8 s
     overhead per call here, with no cross-invocation reuse.)
+
+    ``collapse_identical=True`` switches on identical-token-set
+    collapsing (see :func:`_minhash_near_duplicates_collapsed`): every
+    MinHash stage depends on a doc only through its distinct-token SET,
+    so docs sharing a set are interchangeable — signature, LSH
+    candidacy, and verified Jaccard are computed once per distinct set
+    and the pair list is expanded back to member documents.  Output is
+    IDENTICAL to the plain path (tests assert it); cost drops
+    quadratically with the collapse factor, which on templated web
+    corpora (boilerplate pages, near-empty docs) is routinely 2-10x —
+    the difference between a feasible and an infeasible 100 TB pass.
     """
+    if collapse_identical:
+        return _minhash_near_duplicates_collapsed(
+            docs, threshold, k, bands, id_col, text_col, broadcast_sets
+        )
     sigs = _persist_once(
         minhash_signatures(docs, k=k, id_col=id_col, text_col=text_col)
     )
@@ -352,6 +368,92 @@ def minhash_near_duplicates(
         candidates=cands,
         broadcast_sets=broadcast_sets,
     )
+
+
+def _minhash_near_duplicates_collapsed(
+    docs: DataFrame,
+    threshold: float,
+    k: int,
+    bands: int,
+    id_col: str,
+    text_col: str,
+    broadcast_sets: bool,
+) -> DataFrame:
+    """Identical-token-set collapse of the MinHash pipeline.
+
+    Correctness argument (every step exact, not approximate):
+      * the signature is a function of the distinct-token set alone, so
+        set-identical docs have identical signatures;
+      * LSH candidacy (some band equal) therefore holds for a member
+        pair iff it holds for the representative pair;
+      * verified Jaccard of a member pair equals that of the rep pair;
+      * within one set, Jaccard = 1 ≥ any threshold ≤ 1, and identical
+        signatures always collide in every band, so ALL within-set
+        member pairs are emitted — exactly as the plain path does.
+    NULL-text docs produce no token rows in the plain path (explode of a
+    null array) and are excluded here by the ``size > 0`` guard (size of
+    null is -1); empty-STRING docs carry the one-element set {''} in
+    both paths and pair normally.
+    """
+    from pyspark.sql import Window as W
+
+    toks = distinct_tokens(F.col(text_col))
+    keyed = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("_text"),
+        F.md5(F.to_json(F.array_sort(toks))).alias("_set_key"),
+        F.size(toks).alias("_n_toks"),
+    ).filter(F.col("_n_toks") > 0)
+    members = _persist_once(keyed.select("doc_id", "_set_key"))
+    w_rep = W.partitionBy("_set_key").orderBy("doc_id")
+    reps = (
+        keyed.withColumn("_rn", F.row_number().over(w_rep))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", F.col("_text").alias(text_col))
+    )
+    rep_pairs = minhash_near_duplicates(
+        reps,
+        threshold=threshold,
+        k=k,
+        bands=bands,
+        id_col="doc_id",
+        text_col=text_col,
+        broadcast_sets=broadcast_sets,
+        collapse_identical=False,
+    )
+    rep_key = members.select(
+        F.col("doc_id").alias("_rid"), F.col("_set_key").alias("_rkey")
+    )
+    m1 = members.select(F.col("_set_key").alias("_k1"), F.col("doc_id").alias("_m1"))
+    m2 = members.select(F.col("_set_key").alias("_k2"), F.col("doc_id").alias("_m2"))
+    # member tables are corpus-sized — plain equi-joins (AQE converts to
+    # broadcast when they turn out small; at 100 TB they stay shuffled)
+    cross = (
+        rep_pairs
+        .join(rep_key, F.col("d1") == F.col("_rid"))
+        .select(F.col("_rkey").alias("_k1"), "d2", "jaccard")
+        .join(rep_key, F.col("d2") == F.col("_rid"))
+        .select("_k1", F.col("_rkey").alias("_k2"), "jaccard")
+        .join(m1, "_k1")
+        .join(m2, "_k2")
+        .select(
+            F.least("_m1", "_m2").alias("d1"),
+            F.greatest("_m1", "_m2").alias("d2"),
+            "jaccard",
+        )
+    )
+    within = (
+        m1.join(
+            m2,
+            (F.col("_k1") == F.col("_k2")) & (F.col("_m1") < F.col("_m2")),
+        )
+        .select(
+            F.col("_m1").alias("d1"),
+            F.col("_m2").alias("d2"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 def simhash(

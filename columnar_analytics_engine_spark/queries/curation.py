@@ -717,7 +717,72 @@ ORDER BY source, cap_rank
 """
 
 
+# ---------------------------------------------------------------------------
+# content-defined chunking dedup (shift-robust shared-content detection)
+# ---------------------------------------------------------------------------
+
+_CDC_BITS = 4  # expected chunk length = 2^4 = 16 tokens
+
+
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document shared content via content-defined chunking.
+
+    Unlike fixed 8-token spans (``dedup_duplicate_passages``), CDC
+    boundaries are picked by a rolling content hash, so a passage copied
+    into another document at a different offset still yields identical
+    chunks — the shift-robust half of exact-substring dedup.  See
+    ``operators/cdc.py`` for the scale argument.
+    """
+    from columnar_analytics_engine_spark.operators.cdc import shared_chunks
+
+    docs = t(spark, sf_dir, "documents")
+    return shared_chunks(docs, boundary_bits=_CDC_BITS).orderBy("chunk_hash")
+
+
+_SQL_CDC_CHUNKS = f"""
+WITH tok AS (
+  SELECT doc_id,
+         CAST(generate_subscripts({_SQL_TOKENS}, 1) - 1 AS BIGINT) AS pos,
+         unnest({_SQL_TOKENS}) AS token
+  FROM documents
+),
+flagged AS (
+  SELECT doc_id, pos, token,
+         CASE WHEN ({sql_h60('cdc:', 'token')}) % {1 << _CDC_BITS} = 0
+              THEN 1 ELSE 0 END AS flag
+  FROM tok
+),
+chunked AS (
+  SELECT doc_id, pos, token,
+         COALESCE(SUM(flag) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS chunk_id
+  FROM flagged
+),
+chunks AS (
+  SELECT doc_id, chunk_id,
+         md5(string_agg(token, ' ' ORDER BY pos)) AS chunk_hash,
+         COUNT(*) AS n_tokens
+  FROM chunked GROUP BY doc_id, chunk_id
+)
+SELECT chunk_hash,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       COUNT(*) AS n_occurrences,
+       MIN(doc_id) AS first_doc,
+       CAST(MIN(n_tokens) AS BIGINT) AS n_tokens
+FROM chunks
+GROUP BY chunk_hash HAVING COUNT(DISTINCT doc_id) >= 2
+ORDER BY chunk_hash
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "dedup_cdc_chunks": QuerySpec(
+        dedup_cdc_chunks,
+        _SQL_CDC_CHUNKS,
+        "Shift-robust shared content via content-defined chunking",
+        ("llm", "dedup"),
+    ),
     "source_cap_sample": QuerySpec(
         source_cap_sample,
         _SQL_SOURCE_CAP,

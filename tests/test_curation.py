@@ -243,3 +243,56 @@ def test_bpe_token_count_known_values(spark):
     got = [r["n"] for r in df.select(bpe_ish_token_count(F.col("text")).alias("n")).collect()]
     # [Hello][ world][,][ it]['s][ 2026][!] / [a][1][b][2] / []
     assert got == [7, 4, 0]
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking
+# ---------------------------------------------------------------------------
+
+def test_cdc_chunks_shift_robust(spark):
+    """Inserting tokens BEFORE a shared passage must not change the
+    chunks the passage produces — the property fixed-window passage
+    dedup lacks and the reason CDC exists."""
+    from columnar_analytics_engine_spark.operators.cdc import cdc_chunks
+
+    base = " ".join(f"tok{i}" for i in range(120))
+    shifted = "prefix0 prefix1 prefix2 " + base
+    docs = spark.createDataFrame(
+        [(1, base), (2, shifted)], "doc_id long, text string"
+    )
+    chunks = cdc_chunks(docs, boundary_bits=3).collect()
+    by_doc = {1: set(), 2: set()}
+    for r in chunks:
+        by_doc[r["doc_id"]].add(r["chunk_hash"])
+    common = by_doc[1] & by_doc[2]
+    # every chunk of doc 1 except (possibly) the first — whose content
+    # is fused with doc 2's prefix until the first boundary — reappears
+    # identically in doc 2 despite the 3-token shift
+    assert len(common) >= len(by_doc[1]) - 1
+    assert len(common) > 0
+
+
+def test_cdc_chunks_cover_document_exactly(spark):
+    from columnar_analytics_engine_spark.operators.cdc import cdc_chunks
+
+    text = " ".join(f"w{i}" for i in range(57))
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(cdc_chunks(docs, boundary_bits=2).collect(), key=lambda r: r["chunk_id"])
+    # chunks tile the token stream: consecutive ids, positions abut, sizes sum
+    assert [r["chunk_id"] for r in rows] == list(range(len(rows)))
+    assert rows[0]["start_pos"] == 0
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["start_pos"] == prev["start_pos"] + prev["n_tokens"]
+    assert sum(r["n_tokens"] for r in rows) == 57
+
+
+def test_cdc_empty_and_single_token_docs(spark):
+    from columnar_analytics_engine_spark.operators.cdc import shared_chunks
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "lone"), (3, "lone")], "doc_id long, text string"
+    )
+    out = shared_chunks(docs, boundary_bits=4).collect()
+    # the two "lone" docs share their single chunk; the empty doc yields none
+    assert len(out) == 1
+    assert out[0]["n_docs"] == 2

@@ -117,3 +117,48 @@ def test_lsh_hot_bucket_cap_bounds_candidates(spark):
     # ...but the small distinct pair survives
     assert (100, 101) in got
     sigs.unpersist()
+
+
+def test_collapse_identical_sets_matches_plain(spark, sf_small):
+    """collapse_identical=True must emit the EXACT pair list of the
+    plain path — signature, candidacy, and Jaccard all depend on a doc
+    only through its distinct-token set (see dedup.py docstring)."""
+    from columnar_analytics_engine_spark.queries._util import t as T
+
+    docs = T(spark, sf_small, "documents")
+    cols = ["d1", "d2", "jaccard"]
+    plain = sorted(
+        tuple(r) for r in minhash_near_duplicates(docs, threshold=0.8)
+        .select(*cols).collect()
+    )
+    coll = sorted(
+        tuple(r) for r in minhash_near_duplicates(
+            docs, threshold=0.8, collapse_identical=True
+        ).select(*cols).collect()
+    )
+    assert plain == coll
+
+
+def test_collapse_identical_sets_templated_corpus(spark):
+    """Templated corpus: many token-set-identical docs (reordered /
+    repeated words) plus empty docs.  Within-template pairs must all
+    appear at jaccard 1.0; empty docs must appear nowhere (the plain
+    path never signs them)."""
+    rows = [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(6)]
+    rows += [(10 + i, "theta eta zeta epsilon delta gamma beta alpha alpha") for i in range(4)]
+    rows += [(100, ""), (101, "   "), (102, None)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["d1"], r["d2"]): r["jaccard"]
+        for r in minhash_near_duplicates(
+            docs, threshold=0.8, collapse_identical=True
+        ).collect()
+    }
+    ids = [0, 1, 2, 3, 4, 5, 10, 11, 12, 13]
+    # the two templates have the SAME token set, so every cross pair too
+    expected = {(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]}
+    # empty-text docs carry the token set {''} — they pair with each
+    # other (plain path does the same); the NULL-text doc pairs nowhere
+    expected.add((100, 101))
+    assert set(got) == expected
+    assert all(j == 1.0 for j in got.values())
