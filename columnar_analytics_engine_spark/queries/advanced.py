@@ -518,6 +518,84 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FUNNEL_WINDOW_DAYS = 7
+
+
+def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timeout-bounded conversion funnel (windowFunnel semantics):
+    view → click within 7 days of the first view → purchase within
+    7 days of that click.  Each stage takes the FIRST qualifying event
+    after the previous stage's timestamp, so a click that happens
+    before any view never counts.
+
+    Scale shape: three user_id-keyed aggregations chained by user_id
+    equi-joins — every shuffle shares the same key, so Catalyst/AQE
+    reuse the exchange and later stages shrink monotonically (stage-N
+    table only holds users that reached stage N).  No windows over
+    unbounded history, no per-user arrays — a hot user costs one row
+    per stage.
+    """
+    df = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    step = F.expr(f"INTERVAL {_FUNNEL_WINDOW_DAYS} DAYS")
+    s1 = (
+        df.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        df.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + step))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        df.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + step))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        df.select("user_id").distinct().agg(F.count("*").alias("n_users"))
+        .join(s1.agg(F.count("*").alias("n_viewed")))
+        .join(s2.agg(F.count("*").alias("n_clicked_in_window")))
+        .join(s3.agg(F.count("*").alias("n_purchased_in_window")))
+    )
+
+
+QUERIES["events_funnel_windowed"] = QuerySpec(
+    events_funnel_windowed,
+    f"""
+    WITH e AS (SELECT user_id, event_type, ts FROM events),
+    s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM e WHERE event_type = 'view'
+      GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(ts) AS t2
+      FROM e JOIN s1 USING (user_id)
+      WHERE event_type = 'click' AND ts > t1
+        AND ts <= t1 + INTERVAL {_FUNNEL_WINDOW_DAYS} DAY
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(ts) AS t3
+      FROM e JOIN s2 USING (user_id)
+      WHERE event_type = 'purchase' AND ts > t2
+        AND ts <= t2 + INTERVAL {_FUNNEL_WINDOW_DAYS} DAY
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM e) AS n_users,
+           (SELECT COUNT(*) FROM s1) AS n_viewed,
+           (SELECT COUNT(*) FROM s2) AS n_clicked_in_window,
+           (SELECT COUNT(*) FROM s3) AS n_purchased_in_window
+    """,
+    "timeout-bounded view->click->purchase funnel (windowFunnel semantics)",
+    ("events", "agg"),
+)
+
+
 QUERIES["histogram_value_dist"] = QuerySpec(
     histogram_value_dist,
     """

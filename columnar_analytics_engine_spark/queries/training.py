@@ -1049,7 +1049,98 @@ ORDER BY shard, seq_id, doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# quality: full Gopher rule set (the non-repetition half)
+# ---------------------------------------------------------------------------
+
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining Gopher quality rules (Rae et al. 2021, §A1.1):
+    word-count bounds, mean-word-length bounds, symbol-to-word ratio,
+    alphabetic-word fraction, and a minimum stop-word count —
+    complementing ``quality_repetition_filters`` (the repetition half).
+
+    Like the repetition pass, every metric is an array fold over the
+    token array: one projection, no explode, no shuffle — scan speed at
+    100 TB.  Ratios are single IEEE divisions of exact integers, so the
+    oracle reproduces every double bit-for-bit.
+    """
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.col("text"), X.tokens(F.col("text")).alias("l"))
+    l = F.col("l")
+    n = F.size(l).cast("long")
+    mean_word_len = X.non_ws_char_count(F.col("text")).cast("double") / n.cast("double")
+    n_symbols = (
+        F.regexp_count(F.col("text"), F.lit("#"))
+        + F.regexp_count(F.col("text"), F.lit(r"\.\.\."))
+    ).cast("long")
+    symbol_ratio = n_symbols.cast("double") / n.cast("double")
+    n_alpha = F.size(F.filter(l, lambda x: x.rlike("[A-Za-z]"))).cast("long")
+    alpha_frac = n_alpha.cast("double") / n.cast("double")
+    stop_hits = X.stopword_hits(F.col("text"), "en")
+    keep = (
+        (n >= 50)
+        & (n <= 100_000)
+        & (mean_word_len >= 3.0)
+        & (mean_word_len <= 10.0)
+        & (symbol_ratio <= 0.1)
+        & (alpha_frac >= 0.8)
+        & (stop_hits >= 2)
+    )
+    return toks.filter(n >= 1).select(
+        "doc_id",
+        n.alias("n_tokens"),
+        mean_word_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_frac.alias("alpha_word_frac"),
+        stop_hits.alias("stop_hits"),
+        keep.alias("keep"),
+    )
+
+
+_SQL_STOP_EN = (
+    "CAST(len(list_filter(l, tk -> list_contains(["
+    + ", ".join(f"'{w}'" for w in X.STOPWORDS["en"])
+    + "], tk))) AS BIGINT)"
+)
+
+_SQL_GOPHER_RULES = f"""
+WITH f AS (
+  SELECT doc_id, text, {_SQL_TOKENS} AS l FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(l) AS BIGINT) AS n,
+         CAST(LENGTH(regexp_replace(trim(text), '\\s+', '', 'g')) AS BIGINT) AS nchars,
+         CAST(len(regexp_extract_all(text, '#'))
+              + len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT) AS nsym,
+         CAST(len(list_filter(l, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS nalpha,
+         {_SQL_STOP_EN} AS stop_hits
+  FROM f
+  WHERE len(l) >= 1
+)
+SELECT doc_id,
+       n AS n_tokens,
+       CAST(nchars AS DOUBLE) / CAST(n AS DOUBLE) AS mean_word_len,
+       CAST(nsym AS DOUBLE) / CAST(n AS DOUBLE) AS symbol_ratio,
+       CAST(nalpha AS DOUBLE) / CAST(n AS DOUBLE) AS alpha_word_frac,
+       stop_hits,
+       (n >= 50 AND n <= 100000
+        AND CAST(nchars AS DOUBLE) / CAST(n AS DOUBLE) >= 3.0
+        AND CAST(nchars AS DOUBLE) / CAST(n AS DOUBLE) <= 10.0
+        AND CAST(nsym AS DOUBLE) / CAST(n AS DOUBLE) <= 0.1
+        AND CAST(nalpha AS DOUBLE) / CAST(n AS DOUBLE) >= 0.8
+        AND stop_hits >= 2) AS keep
+FROM m
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "quality_gopher_rules": QuerySpec(
+        quality_gopher_rules,
+        _SQL_GOPHER_RULES,
+        "Gopher non-repetition quality rules (length, symbols, alpha, stopwords)",
+        ("pipeline", "text", "quality"),
+    ),
     "quality_repetition_filters": QuerySpec(
         quality_repetition_filters,
         _SQL_QUALITY_REPETITION,

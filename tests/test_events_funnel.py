@@ -1,0 +1,51 @@
+"""Semantic tests for the timeout-bounded funnel
+(queries/advanced.events_funnel_windowed); the oracle sweep covers
+cross-engine parity, these pin the windowFunnel semantics."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+
+def _write_events(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    df.write.parquet(f"{tmp_path}/events.parquet")
+    return str(tmp_path)
+
+
+def test_funnel_window_and_ordering(spark, tmp_path):
+    from columnar_analytics_engine_spark.queries.advanced import (
+        events_funnel_windowed,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    day = dt.timedelta(days=1)
+    rows = [
+        # user 1: full conversion inside the 7-day windows
+        (1, t0, 1, "view", 0.0, "{}"),
+        (2, t0 + 2 * day, 1, "click", 0.0, "{}"),
+        (3, t0 + 5 * day, 1, "purchase", 0.0, "{}"),
+        # user 2: click 8 days after first view — outside the window
+        (4, t0, 2, "view", 0.0, "{}"),
+        (5, t0 + 8 * day, 2, "click", 0.0, "{}"),
+        (6, t0 + 9 * day, 2, "purchase", 0.0, "{}"),
+        # user 3: click BEFORE any view — must not count
+        (7, t0 + 1 * day, 3, "click", 0.0, "{}"),
+        (8, t0 + 2 * day, 3, "view", 0.0, "{}"),
+        # user 4: converted but purchase measured from FIRST in-window
+        # click (day 1), so a purchase at day 9 is outside click+7
+        (9, t0, 4, "view", 0.0, "{}"),
+        (10, t0 + 1 * day, 4, "click", 0.0, "{}"),
+        (11, t0 + 6 * day, 4, "click", 0.0, "{}"),
+        (12, t0 + 9 * day, 4, "purchase", 0.0, "{}"),
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    row = events_funnel_windowed(spark, sf).collect()[0].asDict()
+    assert row == {
+        "n_users": 4,
+        "n_viewed": 4,
+        "n_clicked_in_window": 2,   # users 1 and 4
+        "n_purchased_in_window": 1,  # user 1 only
+    }

@@ -205,3 +205,31 @@ def test_cluster_balanced_sample_bounds_and_centrality(spark, sf_small):
             x.d < y.d or (x.d == y.d and x.vec_id < y.vec_id)
             for x, y in zip(by_rn, by_rn[1:])
         )
+
+
+def test_gopher_rules_each_boundary(spark, tmp_path):
+    from columnar_analytics_engine_spark.queries.training import quality_gopher_rules
+
+    good = "the and " + " ".join(f"word{i:03d}" for i in range(60))  # 62 tokens, 2 stopwords, alpha
+    docs = spark.createDataFrame(
+        [
+            (1, good),                                   # passes everything
+            (2, "the and " + " ".join("ab" for _ in range(58))),   # mean len < 3
+            (3, "the short doc"),                        # too few tokens
+            (4, "the " + " ".join("123" for _ in range(60))),      # alpha frac < 0.8
+            (5, good + " ###### ... ... ... ... ..."),   # symbol ratio high
+            (6, " ".join(f"word{i:03d}" for i in range(60))),      # no stopwords
+        ],
+        "doc_id long, text string",
+    ).withColumn("lang", F.lit("en")).withColumn("source", F.lit("s")).withColumn(
+        "n_chars", F.length("text")
+    )
+    sf = str(tmp_path)
+    docs.write.parquet(f"{sf}/documents.parquet")
+    out = {r["doc_id"]: r.asDict() for r in quality_gopher_rules(spark, sf).collect()}
+    assert out[1]["keep"] is True
+    assert out[2]["keep"] is False and out[2]["mean_word_len"] < 3.0
+    assert out[3]["keep"] is False and out[3]["n_tokens"] < 50
+    assert out[4]["keep"] is False and out[4]["alpha_word_frac"] < 0.8
+    assert out[5]["keep"] is False and out[5]["symbol_ratio"] > 0.1
+    assert out[6]["keep"] is False and out[6]["stop_hits"] < 2
