@@ -48,6 +48,10 @@ BENCH_QUERIES: dict[str, bool] = {
     "kmeans_embeddings": False,    # iterative distributed clustering
     "dedup_duplicate_passages": False,  # exact-substring inverted index
     "similarity_ivfpq_topk": False,  # IVF-PQ probe + ADC scan
+    "dedup_cdc_chunks": False,     # content-defined chunking dedup
+    "quality_gopher_rules": False,  # scan-speed quality rules
+    "events_funnel_windowed": False,  # single-shuffle windowed funnel
+    "sketch_heavy_hitters": False,  # count-min sketch build + probe
 }
 
 N_TIMED_RUNS = 3  # warm steady-state: best of 3 (reference methodology

@@ -528,39 +528,50 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     after the previous stage's timestamp, so a click that happens
     before any view never counts.
 
-    Scale shape: three user_id-keyed aggregations chained by user_id
-    equi-joins — every shuffle shares the same key, so Catalyst/AQE
-    reuse the exchange and later stages shrink monotonically (stage-N
-    table only holds users that reached stage N).  No windows over
-    unbounded history, no per-user arrays — a hot user costs one row
-    per stage.
+    Scale shape: ONE scan and ONE user_id shuffle.  The three stage
+    timestamps are per-user window minima layered over the same
+    partitioning (t2's predicate references t1, t3's references t2 —
+    each is a plain column by the time the next window evaluates), so
+    Catalyst plans a single Exchange followed by in-partition window
+    passes; a chained-join formulation would scan events once per stage.
+    The final counts are one conditional distinct-aggregation.  No
+    per-user arrays — a hot user costs window state, not memory.
     """
     df = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
     step = F.expr(f"INTERVAL {_FUNNEL_WINDOW_DAYS} DAYS")
-    s1 = (
-        df.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
+    w = W.partitionBy("user_id")
+    is_ = lambda et: F.col("event_type") == et  # noqa: E731
+    staged = (
+        df.withColumn("t1", F.min(F.when(is_("view"), F.col("ts"))).over(w))
+        .withColumn(
+            "t2",
+            F.min(
+                F.when(
+                    is_("click")
+                    & (F.col("ts") > F.col("t1"))
+                    & (F.col("ts") <= F.col("t1") + step),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    is_("purchase")
+                    & (F.col("ts") > F.col("t2"))
+                    & (F.col("ts") <= F.col("t2") + step),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
     )
-    s2 = (
-        df.filter(F.col("event_type") == "click")
-        .join(s1, "user_id")
-        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + step))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
-    )
-    s3 = (
-        df.filter(F.col("event_type") == "purchase")
-        .join(s2, "user_id")
-        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + step))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
-    )
-    return (
-        df.select("user_id").distinct().agg(F.count("*").alias("n_users"))
-        .join(s1.agg(F.count("*").alias("n_viewed")))
-        .join(s2.agg(F.count("*").alias("n_clicked_in_window")))
-        .join(s3.agg(F.count("*").alias("n_purchased_in_window")))
+    reached = lambda c: F.when(F.col(c).isNotNull(), F.col("user_id"))  # noqa: E731
+    return staged.agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct(reached("t1")).alias("n_viewed"),
+        F.countDistinct(reached("t2")).alias("n_clicked_in_window"),
+        F.countDistinct(reached("t3")).alias("n_purchased_in_window"),
     )
 
 

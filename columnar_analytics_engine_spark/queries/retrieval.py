@@ -357,6 +357,100 @@ def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return by_type.unionByName(union_row).orderBy("event_type")
 
 
+_CMS_DEPTH = 4    # hash rows
+_CMS_WIDTH = 256  # counters per row
+
+
+def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimates vs exact counts for the top
+    20 users by event volume.
+
+    The CMS is the frequency twin of the HLL cardinality sketch
+    (``sketch_distinct_users``): d×w counters, each event incrementing
+    one counter per hash row; a key's estimate is the MIN over its d
+    counters (always ≥ the true count).  Counters merge by addition, so
+    1000 executors build partial sketches map-side and one tiny reduce
+    combines them — the shuffle carries d·w = 1024 counters, not user
+    cardinality.  Unlike Spark's built-in HLL/approx sketches, the hash
+    family here is the engine's own md5-derived h60, so the ORACLE
+    REBUILDS THE EXACT SKETCH and the estimates hash-match bit-for-bit.
+    """
+    from columnar_analytics_engine_spark.functions.hashing import h60
+
+    ev = t(spark, sf_dir, "events").select(F.col("user_id").cast("string").alias("u"))
+    rows = F.array(*[F.lit(i) for i in range(_CMS_DEPTH)])
+    hashed = ev.select("u", F.explode(rows).alias("row_id")).select(
+        "row_id",
+        F.pmod(
+            h60("cms", F.concat(F.col("row_id").cast("string"), F.lit(":"), F.col("u"))),
+            F.lit(_CMS_WIDTH),
+        ).alias("bucket"),
+    )
+    counters = hashed.groupBy("row_id", "bucket").agg(F.count("*").alias("c"))
+    exact = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("exact_n"))
+    )
+    top = exact.orderBy(F.col("exact_n").desc(), "user_id").limit(20)
+    probes = top.select(
+        "user_id",
+        "exact_n",
+        F.explode(rows).alias("row_id"),
+    ).select(
+        "user_id",
+        "exact_n",
+        "row_id",
+        F.pmod(
+            h60(
+                "cms",
+                F.concat(
+                    F.col("row_id").cast("string"),
+                    F.lit(":"),
+                    F.col("user_id").cast("string"),
+                ),
+            ),
+            F.lit(_CMS_WIDTH),
+        ).alias("bucket"),
+    )
+    return (
+        probes.join(F.broadcast(counters), ["row_id", "bucket"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("c").alias("cms_estimate"))
+        .orderBy(F.col("exact_n").desc(), "user_id")
+    )
+
+
+_SQL_HEAVY_HITTERS = f"""
+WITH rows_t(row_id) AS (VALUES (0), (1), (2), (3)),
+counters AS (
+  SELECT row_id,
+         CAST(CONCAT('0x', SUBSTR(md5(CONCAT('cms', CAST(row_id AS VARCHAR), ':',
+              CAST(user_id AS VARCHAR))), 1, 15)) AS BIGINT) % {_CMS_WIDTH} AS bucket,
+         COUNT(*) AS c
+  FROM events CROSS JOIN rows_t
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT user_id, COUNT(*) AS exact_n FROM events GROUP BY user_id
+),
+top AS (
+  SELECT user_id, exact_n FROM exact
+  ORDER BY exact_n DESC, user_id LIMIT 20
+),
+probes AS (
+  SELECT t.user_id, t.exact_n, r.row_id,
+         CAST(CONCAT('0x', SUBSTR(md5(CONCAT('cms', CAST(r.row_id AS VARCHAR), ':',
+              CAST(t.user_id AS VARCHAR))), 1, 15)) AS BIGINT) % {_CMS_WIDTH} AS bucket
+  FROM top t CROSS JOIN rows_t r
+)
+SELECT p.user_id, p.exact_n, MIN(c.c) AS cms_estimate
+FROM probes p JOIN counters c ON p.row_id = c.row_id AND p.bucket = c.bucket
+GROUP BY p.user_id, p.exact_n
+ORDER BY p.exact_n DESC, p.user_id
+"""
+
+
 _SQL_BM25_HITS = ",".join(f"'{t_}'" for t_ in BM25_TERMS)
 
 
@@ -516,5 +610,11 @@ QUERIES: dict[str, QuerySpec] = {
         None,  # DuckDB's approx sketch differs; accuracy pinned in pytest
         "mergeable HLL distinct-user sketches per type + union",
         ("sketch", "approx"),
+    ),
+    "sketch_heavy_hitters": QuerySpec(
+        sketch_heavy_hitters,
+        _SQL_HEAVY_HITTERS,
+        "count-min-sketch frequency estimates vs exact counts (own hash family — oracle rebuilds the sketch)",
+        ("sketch", "approx", "events"),
     ),
 }

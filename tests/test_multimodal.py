@@ -85,3 +85,29 @@ def test_resize_features_pools_averages(spark, sf_small):
         for i in range(4):
             expected = sum(f16[i * 4 : (i + 1) * 4]) / 4.0
             assert math.isclose(f4[i], expected, rel_tol=1e-5)
+
+
+def test_image_dimensions_from_real_headers(spark):
+    """PNG and GIF headers crafted byte-for-byte to spec; dimensions
+    must come back exactly, with NULLs for unknown payloads."""
+    import struct
+
+    from columnar_analytics_engine_spark.operators.multimodal import image_dimensions
+
+    png = (
+        b"\x89PNG\r\n\x1a\x0a"              # signature
+        + struct.pack(">I", 13) + b"IHDR"    # IHDR length + type
+        + struct.pack(">II", 640, 480)       # width, height (big-endian)
+        + b"\x08\x06\x00\x00\x00"            # bit depth etc.
+    )
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00\x00\x00"
+    other = b"not an image at all"
+    media = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(gif)), (3, bytearray(other)), (4, None)],
+        "doc_id long, payload binary",
+    )
+    out = {r["doc_id"]: r.asDict() for r in image_dimensions(media).collect()}
+    assert (out[1]["img_format"], out[1]["img_width"], out[1]["img_height"]) == ("png", 640, 480)
+    assert (out[2]["img_format"], out[2]["img_width"], out[2]["img_height"]) == ("gif", 320, 200)
+    assert out[3]["img_format"] is None and out[3]["img_width"] is None
+    assert out[4]["img_format"] is None

@@ -119,3 +119,36 @@ def test_hll_sketch_accuracy_and_merge(spark, sf_small):
         F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).cast("long").alias("e")
     ).collect()[0].e
     assert est["ALL"] == direct
+
+
+def test_cms_overestimates_only_and_detects_heavy_hitter(spark, tmp_path):
+    """Count-min property: estimates never undercount, and with more
+    keys than counters (forced collisions) at least some estimate
+    strictly exceeds its exact count."""
+    import datetime as dt
+
+    from columnar_analytics_engine_spark.queries.retrieval import (
+        _CMS_WIDTH,
+        sketch_heavy_hitters,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # one heavy user (id 7, 500 events) + 3*width light users (1 event each)
+    for _ in range(500):
+        rows.append((eid, t0, 7, "view", 0.0, "{}")); eid += 1
+    for u in range(1000, 1000 + 3 * _CMS_WIDTH):
+        rows.append((eid, t0, u, "view", 0.0, "{}")); eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+    out = sketch_heavy_hitters(spark, str(tmp_path)).collect()
+    assert all(r["cms_estimate"] >= r["exact_n"] for r in out)
+    top = out[0]
+    assert top["user_id"] == 7 and top["exact_n"] == 500
+    # heavy hitter estimate is within the CMS error bound eps*N (d=4
+    # rows make the min tight here) and some light user collides
+    assert top["cms_estimate"] < 600
+    assert any(r["cms_estimate"] > r["exact_n"] for r in out)
