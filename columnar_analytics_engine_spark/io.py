@@ -161,6 +161,30 @@ def write_table(
     writer.parquet(path)
 
 
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    compression: str | None = None,
+    n_files: int | None = None,
+) -> None:
+    """Export as JSON-lines — the interchange format training loaders
+    (and the ``read_json`` ingest path) consume.
+
+    ``n_files`` controls shard fan-out: training readers want
+    many similar-size shards, so a repartition (round-robin, one
+    shuffle) right-sizes them; None keeps the input partitioning.
+    ``compression`` ('gzip'/'zstd'/None) trades CPU for the 3-10x
+    text-ratio — at 100 TB the uncompressed export is usually the
+    mistake.
+    """
+    out = df.repartition(n_files) if n_files else df
+    writer = out.write.mode(mode)
+    if compression is not None:
+        writer = writer.option("compression", compression)
+    writer.json(path)
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,

@@ -182,3 +182,20 @@ def test_read_jsonl_captures_corrupt_records(spark, tmp_path):
     bad = [r for r in rows if r["_bad"] is not None]
     assert {r["doc_id"] for r in good} == {1, 2, 3}
     assert len(bad) == 1 and "not json" in bad[0]["_bad"]
+
+
+def test_write_jsonl_roundtrip_and_shards(spark, tmp_path):
+    from columnar_analytics_engine_spark.io import read_json, write_jsonl
+
+    df = spark.range(1000).selectExpr(
+        "id AS doc_id", "concat('text ', id) AS text"
+    )
+    out = str(tmp_path / "export")
+    write_jsonl(df, out, n_files=4, compression="gzip")
+    import glob
+
+    shards = [f for f in glob.glob(f"{out}/part-*") if f.endswith(".gz")]
+    assert len(shards) == 4
+    back = read_json(spark, f"{out}/*.gz")
+    assert back.count() == 1000
+    assert {r["doc_id"] for r in back.collect()} == set(range(1000))

@@ -143,3 +143,18 @@ def test_no_query_plans_cartesian_or_global_window(spark, sf_small):
                 bad.append((name, "global-window"))
                 break
     assert not bad, bad
+
+
+def test_funnel_windowed_single_scan(spark, sf_small):
+    """events_funnel_windowed must stay one-scan/one-window-shuffle:
+    a regression to the chained-join form reads events once per stage."""
+    from columnar_analytics_engine_spark.queries.advanced import (
+        events_funnel_windowed,
+    )
+
+    plan = (
+        events_funnel_windowed(spark, sf_small)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") <= 2
