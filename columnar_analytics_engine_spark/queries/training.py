@@ -373,6 +373,36 @@ _KM_ITERS = 2
 _KM_SCALE = 1000  # component quantization grid (3 decimals)
 
 
+def kmeans_embeddings_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-path twin of :func:`kmeans_embeddings` using Spark
+    MLlib's distributed KMeans (k=8, seeded, 5 iterations).
+
+    The exact quantized-Lloyd entry proves cross-engine correctness;
+    this one exercises the library a real 100 TB job runs (k-means||
+    init, DataFrame-native, model broadcast handled by MLlib).  Float
+    centroid arithmetic is engine-internal, so the driver gets a
+    rows-only check; tests/test_training.py pins cluster count and
+    that its inertia is in the same range as the exact twin's.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    # MLlib training is eager (iterative jobs), so the empty-input guard
+    # costs no extra laziness — fit() on zero rows throws in the JVM
+    if emb.isEmpty():
+        return spark.createDataFrame([], "cluster_id long, n_vectors long")
+    model = KMeans(k=_KM_K, seed=42, maxIter=5).fit(emb)
+    pred = model.transform(emb)
+    return (
+        pred.groupBy(F.col("prediction").cast("long").alias("cluster_id"))
+        .agg(F.count("*").alias("n_vectors"))
+        .orderBy("cluster_id")
+    )
+
+
 def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantized-Lloyd k-means over the embedding table: components are
     quantized to a 1e-3 grid, so distances and centroid updates are
@@ -1176,6 +1206,12 @@ QUERIES: dict[str, QuerySpec] = {
         _SQL_KMEANS,
         "exact quantized-Lloyd k-means (k=8, 2 rounds) over embeddings",
         ("similarity", "clustering"),
+    ),
+    "kmeans_embeddings_mllib": QuerySpec(
+        kmeans_embeddings_mllib,
+        None,  # MLlib float centroids are engine-internal; quality pinned in pytest
+        "MLlib distributed KMeans twin (k-means|| init, production path)",
+        ("similarity", "clustering", "approx"),
     ),
     "similarity_pq_codes": QuerySpec(
         pq_codes,

@@ -194,3 +194,67 @@ def test_window_running_sum_matches_duckdb(spark, rows):
     )
     con.close()
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# CDC chunking properties (vs a pure-Python reference implementation)
+# ---------------------------------------------------------------------------
+
+_CDC_DOCS = st.lists(
+    st.lists(
+        st.sampled_from(["alpha", "beta", "gamma", "delta", "ray", "x1", "y2"]),
+        min_size=0,
+        max_size=30,
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+def _py_cdc(texts, bits):
+    """Reference CDC: same tokenizer contract (split of trimmed text —
+    empty text yields the one-element [''] list, exactly like the
+    engine's split()) and same boundary rule, pure Python."""
+    import hashlib
+    import re
+
+    mod = 1 << bits
+    out = []  # (doc_id, chunk_tokens)
+    for doc_id, text in enumerate(texts):
+        toks = re.split(r"\s+", text.strip())
+        chunk = []
+        for tk in toks:
+            chunk.append(tk)
+            h = int(hashlib.md5(f"cdc:{tk}".encode()).hexdigest()[:15], 16)
+            if h % mod == 0:
+                out.append((doc_id, tuple(chunk)))
+                chunk = []
+        if chunk:
+            out.append((doc_id, tuple(chunk)))
+    return out
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=_CDC_DOCS)
+def test_cdc_matches_python_reference(spark, docs):
+    from columnar_analytics_engine_spark.operators.cdc import cdc_chunks
+
+    texts = [" ".join(toks) for toks in docs]
+    rows = [(i, text) for i, text in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["chunk_id"], r["start_pos"], r["n_tokens"])
+        for r in cdc_chunks(df, boundary_bits=2).collect()
+    }
+    ref = _py_cdc(texts, 2)
+    expected = set()
+    for doc_id in range(len(texts)):
+        pos = 0
+        for cid, (d, chunk) in enumerate(c for c in ref if c[0] == doc_id):
+            expected.add((doc_id, cid, pos, len(chunk)))
+            pos += len(chunk)
+    assert got == expected

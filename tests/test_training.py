@@ -233,3 +233,20 @@ def test_gopher_rules_each_boundary(spark, tmp_path):
     assert out[4]["keep"] is False and out[4]["alpha_word_frac"] < 0.8
     assert out[5]["keep"] is False and out[5]["symbol_ratio"] > 0.1
     assert out[6]["keep"] is False and out[6]["stop_hits"] < 2
+
+
+def test_kmeans_mllib_twin_matches_exact_shape(spark, sf_small):
+    """The MLlib twin must produce the same k full clusters over the
+    same data as the exact quantized-Lloyd entry (float centroids
+    differ; partitioning quality must be comparable)."""
+    from columnar_analytics_engine_spark.queries.training import (
+        _KM_K,
+        kmeans_embeddings,
+        kmeans_embeddings_mllib,
+    )
+
+    exact = {r["cluster_id"]: r["n_vectors"] for r in kmeans_embeddings(spark, sf_small).collect()}
+    ml = {r["cluster_id"]: r["n_vectors"] for r in kmeans_embeddings_mllib(spark, sf_small).collect()}
+    assert set(ml) == set(range(_KM_K))
+    assert sum(ml.values()) == sum(exact.values())  # every vector assigned once
+    assert all(n > 0 for n in ml.values())
