@@ -313,6 +313,32 @@ def read_json(
     return reader.json(path)
 
 
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: Any = None,
+    header: bool = True,
+    delimiter: str = ",",
+    corrupt_col: str | None = None,
+) -> DataFrame:
+    """CSV source with the same malformed-record contract as
+    :func:`read_json`: with ``corrupt_col`` set (and declared in
+    ``schema``), unparseable lines land in that column instead of
+    vanishing.  Without an explicit schema the reader infers one —
+    fine interactively, but at 100 TB inference costs a full extra
+    pass, so production ingest always passes ``schema``."""
+    reader = spark.read.option("header", str(header).lower()).option("sep", delimiter)
+    if corrupt_col is not None:
+        reader = reader.option("mode", "PERMISSIVE").option(
+            "columnNameOfCorruptRecord", corrupt_col
+        )
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
 def describe(path: str) -> dict[str, Any]:
     """Metadata scan: schema + row groups + per-column chunk stats.
 

@@ -49,6 +49,36 @@ def join_broadcast_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_bloom_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner join with Bloom semi-join reduction of the fact side
+    (operators/bloomjoin.py): the high-balance customer keys are folded
+    into a 4096-bit bitmap by one mergeable aggregation, the bitmap is
+    broadcast, and orders that cannot match are dropped by bit tests
+    BEFORE any join — the shuffle-cutting pattern for fact⋈filtered-dim
+    when the dim is too big to broadcast but its key set fits a bitmap.
+    Output is bit-identical to the plain join (false positives die in
+    the real join), so the oracle is the plain join SQL.
+    """
+    from columnar_analytics_engine_spark.operators.bloomjoin import (
+        bloom_prefiltered_join,
+    )
+
+    orders = t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    rich = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000.0)
+        .select(F.col("c_custkey").alias("custkey"), "c_mktsegment")
+    )
+    return (
+        bloom_prefiltered_join(orders, rich, "custkey")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_orders"), exact_sum("o_totalprice", "sum_price"))
+        .orderBy("c_mktsegment")
+    )
+
+
 def join_star_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 (local-supplier revenue): 6-table star join.  lineitem
     shuffles once on l_orderkey; every dimension side is broadcast."""
@@ -456,6 +486,18 @@ QUERIES: dict[str, QuerySpec] = {
         """,
         "broadcast inner join fact⋈dim",
         ("join",),
+    ),
+    "join_bloom_prefiltered": QuerySpec(
+        join_bloom_prefiltered,
+        f"""
+        SELECT c_mktsegment, COUNT(*) AS n_orders,
+               {sql_exact_sum('o_totalprice', 'sum_price')}
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_acctbal > 9000.0
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        "inner join with Bloom semi-join reduction of the fact side",
+        ("join", "scale"),
     ),
     "join_star_tpch_q5": QuerySpec(
         join_star_tpch_q5,

@@ -199,3 +199,25 @@ def test_write_jsonl_roundtrip_and_shards(spark, tmp_path):
     back = read_json(spark, f"{out}/*.gz")
     assert back.count() == 1000
     assert {r["doc_id"] for r in back.collect()} == set(range(1000))
+
+
+def test_read_csv_schema_and_corrupt_capture(spark, tmp_path):
+    from columnar_analytics_engine_spark.io import read_csv
+
+    p = tmp_path / "in.csv"
+    p.write_text("doc_id,score\n1,2.5\n2,3.5\nbroken,not_a_number\n4,9.0\n")
+    df = read_csv(
+        spark,
+        str(p),
+        schema="doc_id long, score double, _bad string",
+        corrupt_col="_bad",
+    )
+    rows = df.collect()
+    good = [r for r in rows if r["_bad"] is None]
+    bad = [r for r in rows if r["_bad"] is not None]
+    assert {r["doc_id"] for r in good} == {1, 2, 4}
+    assert len(bad) == 1 and "broken" in bad[0]["_bad"]
+    # inference path reads the well-formed file shape
+    inferred = read_csv(spark, str(p))
+    assert inferred.columns == ["doc_id", "score"]
+    assert inferred.count() == 4

@@ -150,3 +150,50 @@ def test_partitioned_join_uses_dynamic_partition_pruning(spark, tmp_path):
     assert "dynamicpruning" in plan.lower()
     # and the answer is right: only region 3's rows survive
     assert j.count() == 50_000 // 8 + (1 if 3 < 50_000 % 8 else 0)
+
+
+def test_bloom_prefiltered_join_equals_plain_join(spark):
+    """Bloom reduction must be invisible in the output (false positives
+    die in the real join), while genuinely cutting the fact side."""
+    from columnar_analytics_engine_spark.operators.bloomjoin import (
+        bloom_bitmap,
+        bloom_might_contain,
+        bloom_prefiltered_join,
+    )
+    import pyspark.sql.functions as F
+
+    big = spark.range(20_000).selectExpr("id % 5000 AS custkey", "id AS o_id")
+    small = spark.range(0, 250).selectExpr("id * 20 AS custkey", "id AS c_id")
+    plain = sorted(
+        tuple(r) for r in big.join(small, "custkey").select("custkey", "o_id", "c_id").collect()
+    )
+    bloomed = sorted(
+        tuple(r)
+        for r in bloom_prefiltered_join(big, small, "custkey")
+        .select("custkey", "o_id", "c_id")
+        .collect()
+    )
+    assert plain == bloomed and len(plain) > 0
+
+    bm = bloom_bitmap(small, "custkey")
+    n_pass = (
+        big.join(F.broadcast(bm))
+        .filter(bloom_might_contain(F.col("custkey"), F.col("_bloom")))
+        .count()
+    )
+    # 250 of 5000 keys are in the filter: the bitmap must cut most rows
+    assert n_pass < big.count() * 0.25
+
+
+def test_bloom_bitmap_tiny_and_mergeable(spark):
+    """The bitmap aggregate must stay n_bits/64 longs regardless of key
+    count — the property that makes the build shuffle O(bitmap), not
+    O(keys)."""
+    from columnar_analytics_engine_spark.operators.bloomjoin import (
+        BLOOM_BITS,
+        bloom_bitmap,
+    )
+
+    small = spark.range(100_000).selectExpr("id AS k")
+    row = bloom_bitmap(small, "k").collect()[0]
+    assert len(row["_bloom"]) == BLOOM_BITS // 64
