@@ -190,3 +190,54 @@ def test_transform_with_state_matches_group_state(spark, sf_small):
     assert {r["user_id"]: r["n"] for r in final} == {
         r["user_id"]: r["count"] for r in batch
     }
+
+
+def test_incremental_dedup_foreachbatch(spark, tmp_path):
+    """Stream 3 document files through the foreachBatch incremental
+    dedup: duplicates of earlier FILES must classify as dup_of_history,
+    duplicates within one file as dup_in_batch, and the final index
+    must hold exactly one entry per distinct fingerprint with the
+    first-arrival doc_id."""
+    from columnar_analytics_engine_spark.streaming.incremental import (
+        incremental_dedup_query,
+    )
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    batches = [
+        [(1, "alpha text"), (2, "beta text"), (3, "alpha text")],   # 3 dup-in-batch of 1
+        [(10, "alpha text"), (11, "gamma text")],                   # 10 dup-of-history
+        [(20, "gamma text"), (21, "gamma text"), (22, "delta x")],  # 20 hist, 21 hist (gamma new in file 2)
+    ]
+    import os
+
+    os.makedirs(src)
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.parquet(
+            f"{src}/b{i}.parquet"
+        )
+    schema = "doc_id long, text string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/b*.parquet")
+    )
+    q = incremental_dedup_query(spark, stream, state).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    out = {
+        r["doc_id"]: (r["status"], r["matched_id"])
+        for r in spark.read.parquet(f"{state}/classified").collect()
+    }
+    assert len(out) == 8
+    # alpha: first-arrival keeper is doc 1
+    assert out[1] == ("new", 1)
+    assert out[3] == ("dup_in_batch", 1)
+    assert out[10] == ("dup_of_history", 1)
+    # gamma first appears as doc 11, then history for file 3
+    assert out[11] == ("new", 11)
+    assert out[20] == ("dup_of_history", 11)
+    assert out[21] == ("dup_of_history", 11)
+    assert out[22] == ("new", 22)
+    index = {r["fp"]: r["hist_id"] for r in spark.read.parquet(f"{state}/index").collect()}
+    assert sorted(index.values()) == [1, 2, 11, 22]
