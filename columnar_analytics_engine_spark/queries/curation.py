@@ -776,7 +776,89 @@ ORDER BY chunk_hash
 """
 
 
+def dedup_cdc_doc_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document shared-content coverage from the CDC chunk table:
+    for each doc, the fraction of its chunks (and of its tokens) whose
+    exact content also appears in another document — the per-doc signal
+    a cleaning pass thresholds on, robust to content shifts unlike the
+    fixed-window passage coverage.
+
+    Shape: the chunk table joins the chunk-level doc-count aggregate on
+    the 32-byte digest (two digest-keyed shuffles), then re-groups by
+    doc.  No pairwise work anywhere.
+    """
+    from columnar_analytics_engine_spark.operators.cdc import cdc_chunks
+
+    docs = t(spark, sf_dir, "documents")
+    chunks = cdc_chunks(docs, boundary_bits=_CDC_BITS)
+    counts = chunks.groupBy("chunk_hash").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    j = chunks.join(counts, "chunk_hash")
+    shared = (F.col("n_docs") >= 2).cast("long")
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(shared).alias("n_shared_chunks"),
+            (
+                F.sum(shared * F.col("n_tokens")).cast("double")
+                / F.sum("n_tokens").cast("double")
+            ).alias("shared_token_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_SQL_CDC_DOC_COVERAGE = f"""
+WITH tok AS (
+  SELECT doc_id,
+         CAST(generate_subscripts({_SQL_TOKENS}, 1) - 1 AS BIGINT) AS pos,
+         unnest({_SQL_TOKENS}) AS token
+  FROM documents
+),
+flagged AS (
+  SELECT doc_id, pos, token,
+         CASE WHEN ({sql_h60('cdc:', 'token')}) % {1 << _CDC_BITS} = 0
+              THEN 1 ELSE 0 END AS flag
+  FROM tok
+),
+chunked AS (
+  SELECT doc_id, pos, token,
+         COALESCE(SUM(flag) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS chunk_id
+  FROM flagged
+),
+chunks AS (
+  SELECT doc_id, chunk_id,
+         md5(string_agg(token, ' ' ORDER BY pos)) AS chunk_hash,
+         COUNT(*) AS n_tokens
+  FROM chunked GROUP BY doc_id, chunk_id
+),
+counts AS (
+  SELECT chunk_hash, COUNT(DISTINCT doc_id) AS n_docs
+  FROM chunks GROUP BY chunk_hash
+)
+SELECT c.doc_id,
+       COUNT(*) AS n_chunks,
+       CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shared_chunks,
+       CAST(SUM(CASE WHEN n_docs >= 2 THEN n_tokens ELSE 0 END) AS DOUBLE)
+         / CAST(SUM(n_tokens) AS DOUBLE) AS shared_token_frac
+FROM chunks c JOIN counts USING (chunk_hash)
+GROUP BY c.doc_id
+ORDER BY c.doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "dedup_cdc_doc_coverage": QuerySpec(
+        dedup_cdc_doc_coverage,
+        _SQL_CDC_DOC_COVERAGE,
+        "Per-doc CDC shared-content coverage (chunk + token fractions)",
+        ("llm", "dedup"),
+    ),
     "dedup_cdc_chunks": QuerySpec(
         dedup_cdc_chunks,
         _SQL_CDC_CHUNKS,
