@@ -353,6 +353,65 @@ def events_user_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PATH_LEN = 3  # journey-prefix length for path analysis
+
+
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most common 3-step event-type paths: every user's first three
+    events (by time) become a '>'-joined path; paths are counted and
+    ranked — the "what do users do first" analysis run on every product
+    event stream, and the prefix-distribution signal trajectory-building
+    pipelines use to balance agent training data.
+
+    One user_id window capped at 3 rows per user, one path groupBy —
+    both shuffles are key-bounded; a hot user still contributes exactly
+    one path.
+    """
+    df = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    firsts = (
+        df.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _PATH_LEN)
+    )
+    path = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+            lambda s: s["event_type"],
+        ),
+        ">",
+    )
+    per_user = firsts.groupBy("user_id").agg(
+        path.alias("path"), F.count("*").alias("n_steps")
+    )
+    return (
+        per_user.filter(F.col("n_steps") == _PATH_LEN)
+        .groupBy("path")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy(F.col("n_users").desc(), "path")
+    )
+
+
+_SQL_TOP_PATHS = f"""
+WITH r AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+per_user AS (
+  SELECT user_id,
+         string_agg(event_type, '>' ORDER BY rn) AS path,
+         COUNT(*) AS n_steps
+  FROM r WHERE rn <= {_PATH_LEN}
+  GROUP BY user_id
+)
+SELECT path, COUNT(*) AS n_users
+FROM per_user WHERE n_steps = {_PATH_LEN}
+GROUP BY path
+ORDER BY n_users DESC, path
+"""
+
+
 _SQL_USER_JOURNEY = f"""
 WITH r AS (
   SELECT user_id, event_type, ts,
@@ -893,6 +952,12 @@ QUERIES: dict[str, QuerySpec] = {
         events_user_journey,
         _SQL_USER_JOURNEY,
         "Per-user capped ordered event trajectories (sequence building)",
+        ("events",),
+    ),
+    "events_top_paths": QuerySpec(
+        events_top_paths,
+        _SQL_TOP_PATHS,
+        "Most common 3-step event-type paths (first-touch path analysis)",
         ("events",),
     ),
     "pipeline_attrition_report": QuerySpec(
