@@ -265,17 +265,6 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = 
     df.write.mode(mode).option("header", str(header).lower()).csv(path)
 
 
-def read_csv(spark: SparkSession, path: str, schema: Any = None, header: bool = True) -> DataFrame:
-    """CSV source with explicit schema (inference is a full extra pass —
-    never at 100 TB)."""
-    reader = spark.read.option("header", str(header).lower())
-    if schema is not None:
-        reader = reader.schema(schema)
-    else:
-        reader = reader.option("inferSchema", "true")
-    return reader.csv(path)
-
-
 def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """ORC sink — the other mainstream columnar format (same row-group/
     stats/pushdown model as Parquet; Spark support is native)."""

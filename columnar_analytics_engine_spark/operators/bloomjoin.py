@@ -41,15 +41,18 @@ def _positions(key: Column, n_bits: int, k: int) -> list[Column]:
 
 # 2^j as a signed long for j = 0..63 (bit 63 is the sign bit); a literal
 # array lookup sidesteps shiftleft's Python-int-only shift argument and
-# stays inside whole-stage codegen
-_POW2 = F.array(
-    *[F.lit((1 << j) if j < 63 else -(1 << 63)).cast("long") for j in range(64)]
-)
+# stays inside whole-stage codegen.  Built lazily — Column construction
+# touches the JVM, so a module-level literal would require an active
+# SparkContext at import time.
+def _pow2() -> Column:
+    return F.array(
+        *[F.lit((1 << j) if j < 63 else -(1 << 63)).cast("long") for j in range(64)]
+    )
 
 
 def _bit_value(pos: Column) -> Column:
     """The single-bit long for bit ``pos % 64``."""
-    return F.element_at(_POW2, F.pmod(pos, F.lit(64)).cast("int") + 1)
+    return F.element_at(_pow2(), F.pmod(pos, F.lit(64)).cast("int") + 1)
 
 
 def bloom_bitmap(

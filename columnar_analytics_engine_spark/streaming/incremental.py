@@ -16,17 +16,39 @@ Scale shape: the index is a (fingerprint → first doc_id) parquet table
 keyed on a 32-byte digest — at 100 TB this is the maintained index a
 production pipeline keeps (optionally bucketed on the digest for a
 shuffle-free probe join); the per-batch work is one digest join + one
-window over the batch, never a history rescan.  The index append is the
-only state mutation and it is idempotent-per-fingerprint (only ``new``
-rows are appended, one per digest).
+window over the batch, never a history rescan.
+
+Exactly-once: both sinks are partitioned by ``batch_id`` and written
+with dynamic partition OVERWRITE, so a foreachBatch retry of the same
+micro-batch (Spark replays the batch_id after a failure) replaces its
+own partition instead of appending a duplicate — the classified output
+and the index stay exact under retries without a driver-side commit
+log.
 """
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from columnar_analytics_engine_spark.functions.text import fingerprint
+
+
+def read_index(spark: SparkSession, index_path: str) -> DataFrame:
+    """The fingerprint index, or an empty frame if none exists yet.
+
+    Only the path-not-found miss is treated as "no index"; a genuine
+    read failure (corrupt footer, permissions, transient FS error) must
+    propagate — swallowing it would reclassify every historical
+    duplicate as ``new`` and corrupt the index.
+    """
+    try:
+        return spark.read.parquet(index_path).select("fp", "hist_id")
+    except AnalysisException as exc:
+        if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+            return spark.createDataFrame([], "fp string, hist_id long")
+        raise
 
 
 def classify_batch(
@@ -34,10 +56,7 @@ def classify_batch(
 ) -> DataFrame:
     """Classify one batch of (doc_id, text) rows against the index."""
     fp = batch.select("doc_id", fingerprint(F.col("text")).alias("fp"))
-    try:
-        hist = spark.read.parquet(index_path)
-    except Exception:  # first batch: no index yet
-        hist = spark.createDataFrame([], "fp string, hist_id long")
+    hist = read_index(spark, index_path)
     w = W.partitionBy("fp").orderBy("doc_id")
     ranked = fp.withColumn("rn", F.row_number().over(w))
     j = ranked.join(hist, "fp", "left")
@@ -59,9 +78,10 @@ def incremental_dedup_query(
     docs_stream: DataFrame,
     state_dir: str,
 ):
-    """Build the streaming query: classify every micro-batch, append the
+    """Build the streaming query: classify every micro-batch, write the
     classified rows to ``{state_dir}/classified`` and the new
-    fingerprints to ``{state_dir}/index``.
+    fingerprints to ``{state_dir}/index``, both partitioned by batch id
+    (dynamic-overwrite per partition ⇒ retry-idempotent).
 
     Returns the (not-yet-started) ``DataStreamWriter``; callers pick the
     trigger (tests use ``availableNow`` to drain a bounded source).
@@ -70,16 +90,25 @@ def incremental_dedup_query(
     out_path = f"{state_dir}/classified"
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        classified = classify_batch(spark, batch_df, index_path)
+        classified = classify_batch(spark, batch_df, index_path).withColumn(
+            "batch_id", F.lit(batch_id)
+        )
         # persist before the two writes: classification reads the index,
         # and the index append below must not see its own batch
         classified.persist()
         try:
-            classified.write.mode("append").parquet(out_path)
+            (
+                classified.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(out_path)
+            )
             (
                 classified.filter(F.col("status") == "new")
-                .select("fp", F.col("doc_id").alias("hist_id"))
-                .write.mode("append")
+                .select("fp", F.col("doc_id").alias("hist_id"), "batch_id")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
                 .parquet(index_path)
             )
         finally:

@@ -31,22 +31,40 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     nanosecond fixtures are read as int64 (nanosAsLong) and truncated to
     microsecond timestamps; microsecond NTZ fixtures are read as
     session-tz (UTC) TIMESTAMP via inferTimestampNTZ=false.
+
+    The confs are save/restored around schema capture (same discipline
+    as io.read_table) so later unrelated reads by the caller are
+    unaffected.  NOTE: a streaming query clones the session conf at
+    ``.start()`` — the stream declares an EXPLICIT schema and converts
+    ns columns itself, so micro-batch execution does not depend on the
+    restored confs (pinned by tests/test_streaming.py, which runs every
+    stream after this restore has already happened).
     """
-    from columnar_analytics_engine_spark.io import _ns_timestamp_fields, read_table
+    from columnar_analytics_engine_spark.io import _ns_timestamp_fields
 
     ns_cols = _ns_timestamp_fields(f"{sf_dir}/events.parquet")
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    confs = {"spark.sql.parquet.inferTimestampNTZ.enabled": "false"}
     if ns_cols:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
-    # file-stream sources take a directory; select just the events file
-    # from the fixture dir via glob filter
-    stream = (
-        spark.readStream.schema(batch.schema)
-        .option("maxFilesPerTrigger", "1")
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+        confs["spark.sql.legacy.parquet.nanosAsLong"] = "true"
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+        # file-stream sources take a directory; select just the events
+        # file from the fixture dir via glob filter
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+    finally:
+        for k, old in prev.items():
+            if old is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, old)
     for c in ns_cols:
         stream = stream.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
     return stream
