@@ -47,7 +47,8 @@ BENCH_QUERIES: dict[str, bool] = {
     "contamination_ngram_overlap": False,  # broadcast-bench shingle screen
     "kmeans_embeddings": False,    # iterative distributed clustering
     "dedup_duplicate_passages": False,  # exact-substring inverted index
-    "similarity_ivfpq_topk": False,  # IVF-PQ probe + ADC scan
+    "similarity_ivfpq_topk": False,  # IVF-PQ probe + ADC scan (replay path)
+    "similarity_ivfpq_probe": False,  # IVF-PQ from the persisted index (warm-up builds it)
     "dedup_cdc_chunks": False,     # content-defined chunking dedup
     "quality_gopher_rules": False,  # scan-speed quality rules
     "events_funnel_windowed": False,  # single-shuffle windowed funnel

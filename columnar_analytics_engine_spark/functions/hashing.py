@@ -80,3 +80,72 @@ def sql_affine_hash(expr: str, k: int) -> list[str]:
         f"((({MINHASH_A[i]} * {x1}) % {P31}) + (({MINHASH_B[i]} * {x2}) % {P31}) + {i}) % {P31}"
         for i in range(k)
     ]
+
+
+# -- numeric n-gram (shingle) hashing -----------------------------------------
+#
+# Shingle queries need a hash per token POSITION over an n-token window.
+# Building the joined window string and md5-ing it costs one string
+# allocation + one digest per position (n-token windows overlap, so each
+# token is re-concatenated and re-hashed n times).  Instead: md5 each
+# token ONCE, split the digest into two independent 31-bit values, and
+# combine windows with two polynomial rolling hashes (bases B1/B2 over
+# GF(p), p = 2^31 − 1); the pair packs into one 62-bit int.  A gram
+# collision needs BOTH 31-bit polynomials to collide (~2^-62) — same
+# collision regime as the 60-bit string hash it replaces.  All
+# intermediates stay < 2^63, so the arithmetic is exact int64 on both
+# engines and the DuckDB oracle replays it bit-for-bit.
+
+ROLL_B1 = 1_000_003
+ROLL_B2 = 999_999_937
+
+
+def token_hash_structs(l: Column) -> Column:
+    """array<struct<a,b>> of per-token 31-bit hash pairs (one md5 each)."""
+
+    def per_tok(tok: Column) -> Column:
+        d = F.md5(tok)
+        a = F.conv(F.substring(d, 1, 15), 16, 10).cast("long") % F.lit(P31)
+        b = F.conv(F.substring(d, 16, 15), 16, 10).cast("long") % F.lit(P31)
+        return F.struct(a.alias("a"), b.alias("b"))
+
+    return F.transform(l, per_tok)
+
+
+def gram_hash_array(hl: Column, n: int) -> Column:
+    """62-bit rolling hash per n-gram position of a token-hash array."""
+
+    def build(i: Column) -> Column:
+        acc_a = F.element_at(hl, i).getField("a")
+        acc_b = F.element_at(hl, i).getField("b")
+        for j in range(1, n):
+            acc_a = (acc_a * F.lit(ROLL_B1) + F.element_at(hl, i + j).getField("a")) % F.lit(P31)
+            acc_b = (acc_b * F.lit(ROLL_B2) + F.element_at(hl, i + j).getField("b")) % F.lit(P31)
+        return acc_a * F.lit(2_147_483_648) + acc_b
+
+    return F.transform(F.sequence(F.lit(1), F.size(hl) - (n - 1)), build)
+
+
+def sql_token_hash_structs(expr: str) -> str:
+    """DuckDB fragment matching :func:`token_hash_structs` bit-for-bit."""
+    a = f"CAST(CONCAT('0x', SUBSTR(md5(t), 1, 15)) AS BIGINT) % {P31}"
+    b = f"CAST(CONCAT('0x', SUBSTR(md5(t), 16, 15)) AS BIGINT) % {P31}"
+    return f"list_transform({expr}, t -> {{'a': {a}, 'b': {b}}})"
+
+
+def sql_gram_hash_array(hl_expr: str, n: int) -> str:
+    """DuckDB fragment matching :func:`gram_hash_array` bit-for-bit.
+
+    Emits ``list_transform(range(1, len(hl) - (n-2)), i -> ...)`` — the
+    range upper bound is exclusive, so positions run 1..len-n+1 exactly
+    like the Spark ``sequence``.
+    """
+
+    def roll(field: str, base: int) -> str:
+        acc = f"struct_extract({hl_expr}[i], '{field}')"
+        for j in range(1, n):
+            acc = f"(({acc}) * {base} + struct_extract({hl_expr}[i+{j}], '{field}')) % {P31}"
+        return acc
+
+    gram = f"({roll('a', ROLL_B1)}) * 2147483648 + ({roll('b', ROLL_B2)})"
+    return f"list_transform(range(1, len({hl_expr}) - {n - 2}), i -> {gram})"

@@ -41,7 +41,14 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from columnar_analytics_engine_spark.functions import text as X
-from columnar_analytics_engine_spark.functions.hashing import h60, sql_h60
+from columnar_analytics_engine_spark.functions.hashing import (
+    gram_hash_array,
+    h60,
+    sql_gram_hash_array,
+    sql_h60,
+    sql_token_hash_structs,
+    token_hash_structs,
+)
 from columnar_analytics_engine_spark.queries._util import QuerySpec, t
 
 _SQL_TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
@@ -58,55 +65,42 @@ def dedup_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-token spans that occur verbatim in at least one OTHER document.
 
     Inverted-index shape: every span position becomes one (doc, span-
-    hash) row; a groupBy on the hash counts distinct documents per span;
-    joining that count back and re-grouping by doc yields the coverage
-    fraction.  Both shuffles key on the 60-bit span hash / doc id —
-    map-side combinable, no pairwise joins, scales like word count.
-    A span repeated only WITHIN one document does not count (that is
-    ``quality_repetition_filters``' job); ≥ 50% cross-doc coverage flags
-    the doc as a near-copy.
+    hash) row, pre-aggregated to distinct (doc, span) with a count; a
+    COUNT window over the span hash attaches how many documents carry
+    each span; re-grouping by doc yields the coverage fraction.  The
+    plan is LINEAR — three key shuffles (doc+hash agg → hash window →
+    doc rollup), one scan of documents, no self-join and no persist
+    (the former pairs⋈per_span diamond re-shuffled the same rows and
+    needed a plan-keyed persist to avoid scanning documents twice).
+    Span hashing is numeric: one md5 per TOKEN, then a dual polynomial
+    rolling hash per position (functions/hashing.gram_hash_array) — no
+    per-position string build, ~8× fewer digests than hashing each
+    window string.  A span repeated only WITHIN one document does not
+    count (that is ``quality_repetition_filters``' job); ≥ 50% cross-doc
+    coverage flags the doc as a near-copy.
     """
     docs = t(spark, sf_dir, "documents")
     # token array materialized once per row — lambda args would re-inline
     toks = docs.select("doc_id", X.tokens(F.col("text")).alias("l")).filter(
         F.size("l") >= _PASSAGE_W
     )
-    l = F.col("l")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(l) - (_PASSAGE_W - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(l, i + j) for j in range(_PASSAGE_W)]
-        ),
+    hashed = toks.select("doc_id", token_hash_structs(F.col("l")).alias("hl"))
+    spans = hashed.select(
+        "doc_id", F.explode(gram_hash_array(F.col("hl"), _PASSAGE_W)).alias("gh")
     )
-    spans = toks.select(
-        "doc_id", F.explode(grams).alias("g")
-    ).select("doc_id", h60("ps:", F.col("g")).alias("gh"))
-    # Aggregate to (doc, span) and memoize: the (doc_id, gh, cnt) table
-    # feeds BOTH the per-span distinct-doc count and the per-doc rollup.
-    # Left lazy, Catalyst prunes the two branches differently (one
-    # drops cnt), the subtrees stop being equal, exchange reuse doesn't
-    # fire, and the expensive explode+hash projection runs twice —
-    # including a second full scan of documents at 100 TB.  Plan-keyed
-    # persist (see operators/dedup._persist_once) materializes it once.
-    from columnar_analytics_engine_spark.operators.dedup import _persist_once
-
-    pairs = _persist_once(
-        spans.groupBy("doc_id", "gh").agg(F.count("*").alias("cnt"))
+    pairs = spans.groupBy("doc_id", "gh").agg(F.count("*").alias("cnt"))
+    # rows are distinct (doc, gh), so COUNT over the gh partition is the
+    # number of docs carrying the span — no join-back needed
+    with_n = pairs.withColumn(
+        "n_docs_with_span", F.count("*").over(W.partitionBy("gh"))
     )
-    per_span = pairs.groupBy("gh").agg(
-        F.count("*").alias("n_docs_with_span")  # rows are distinct (doc, gh)
-    )
-    per_doc = (
-        pairs.join(per_span, "gh")
-        .groupBy("doc_id")
-        .agg(
-            F.sum("cnt").alias("n_spans"),
-            F.sum(
-                F.when(F.col("n_docs_with_span") >= 2, F.col("cnt")).otherwise(
-                    F.lit(0)
-                )
-            ).alias("n_dup_spans"),
-        )
+    per_doc = with_n.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_spans"),
+        F.sum(
+            F.when(F.col("n_docs_with_span") >= 2, F.col("cnt")).otherwise(
+                F.lit(0)
+            )
+        ).alias("n_dup_spans"),
     )
     frac = F.col("n_dup_spans").cast("double") / F.col("n_spans").cast("double")
     return per_doc.select(
@@ -118,31 +112,30 @@ def dedup_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-_PASSAGE_GRAM_SQL = " || ' ' || ".join(f"l[i+{j}]" for j in range(_PASSAGE_W))
-
 _SQL_DUPLICATE_PASSAGES = f"""
 WITH f AS (
   SELECT doc_id, {_SQL_TOKENS} AS l FROM documents
   WHERE len({_SQL_TOKENS}) >= {_PASSAGE_W}
 ),
-spans AS (
-  SELECT doc_id, {sql_h60('ps:', 'g')} AS gh
-  FROM (
-    SELECT doc_id, unnest(list_transform(
-             range(1, len(l) - {_PASSAGE_W - 2}),
-             i -> {_PASSAGE_GRAM_SQL}
-           )) AS g
-    FROM f)
+h AS (
+  SELECT doc_id, {sql_token_hash_structs('l')} AS hl FROM f
 ),
-per_span AS (
-  SELECT gh, COUNT(DISTINCT doc_id) AS n_docs_with_span FROM spans GROUP BY gh
+spans AS (
+  SELECT doc_id, unnest({sql_gram_hash_array('hl', _PASSAGE_W)}) AS gh FROM h
+),
+pairs AS (
+  SELECT doc_id, gh, COUNT(*) AS cnt FROM spans GROUP BY doc_id, gh
+),
+with_n AS (
+  SELECT doc_id, gh, cnt, COUNT(*) OVER (PARTITION BY gh) AS n_docs_with_span
+  FROM pairs
 ),
 per_doc AS (
-  SELECT s.doc_id,
-         COUNT(*) AS n_spans,
-         SUM(CASE WHEN p.n_docs_with_span >= 2 THEN 1 ELSE 0 END) AS n_dup_spans
-  FROM spans s JOIN per_span p USING (gh)
-  GROUP BY s.doc_id
+  SELECT doc_id,
+         SUM(cnt) AS n_spans,
+         SUM(CASE WHEN n_docs_with_span >= 2 THEN cnt ELSE 0 END) AS n_dup_spans
+  FROM with_n
+  GROUP BY doc_id
 )
 SELECT doc_id,
        CAST(n_spans AS BIGINT) AS n_spans,

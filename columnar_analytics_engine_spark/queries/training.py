@@ -26,11 +26,20 @@ All arithmetic follows the exact cross-engine rules in
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from columnar_analytics_engine_spark.functions import text as X
-from columnar_analytics_engine_spark.functions.hashing import h60, sql_h60
+from columnar_analytics_engine_spark.functions.hashing import (
+    gram_hash_array,
+    h60,
+    sql_gram_hash_array,
+    sql_h60,
+    sql_token_hash_structs,
+    token_hash_structs,
+)
 from columnar_analytics_engine_spark.functions.similarity import cosine, with_norms
 from columnar_analytics_engine_spark.queries._util import QuerySpec, t
 
@@ -147,28 +156,20 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the benchmark shingle table is tiny by construction, so
     it is BROADCAST and the 100 TB corpus side is scanned once; the only
-    shuffle is the per-doc groupBy.  Shingles join on their h60 hash —
-    at real scale the benchmark side ships as a bloom-ish hash set, not
-    strings.
+    shuffle is the per-doc groupBy.  Shingles are hashed numerically —
+    one md5 per token, dual polynomial rolling hash per 5-gram window
+    (functions/hashing.gram_hash_array), no per-window string build —
+    and join on the 62-bit hash; at real scale the benchmark side ships
+    as a bloom-ish hash set, not strings.
     """
     docs = t(spark, sf_dir, "documents")
     # token array materialized once (see quality_repetition_filters)
     toks = docs.select("doc_id", X.tokens(F.col("text")).alias("l")).filter(
         F.size("l") >= _CONTAM_N
     )
-    l = F.col("l")
-    sh = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(l) - (_CONTAM_N - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(l, i + j) for j in range(_CONTAM_N)]
-            ),
-        )
-    )
-    shingled = (
-        toks.select("doc_id", F.explode(sh).alias("g"))
-        .select("doc_id", h60("ctm:", F.col("g")).alias("gh"))
-    )
+    hashed = toks.select("doc_id", token_hash_structs(F.col("l")).alias("hl"))
+    sh = F.array_distinct(gram_hash_array(F.col("hl"), _CONTAM_N))
+    shingled = hashed.select("doc_id", F.explode(sh).alias("gh"))
     bench = (
         shingled.filter(F.col("doc_id") % _CONTAM_BENCH_MOD == 0)
         .select("gh").distinct()
@@ -198,15 +199,13 @@ WITH f AS (
   SELECT doc_id, {_SQL_TOKENS} AS l FROM documents
   WHERE len({_SQL_TOKENS}) >= {_CONTAM_N}
 ),
+h AS (
+  SELECT doc_id, {sql_token_hash_structs('l')} AS hl FROM f
+),
 sh AS (
   SELECT doc_id,
-         {sql_h60('ctm:', 'g')} AS gh
-  FROM (
-    SELECT doc_id, unnest(list_distinct(list_transform(
-             range(1, len(l) - {_CONTAM_N - 2}),
-             i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' || l[i+4]
-           ))) AS g
-    FROM f)
+         unnest(list_distinct({sql_gram_hash_array('hl', _CONTAM_N)})) AS gh
+  FROM h
 ),
 bench AS (SELECT DISTINCT gh FROM sh WHERE doc_id % {_CONTAM_BENCH_MOD} = 0),
 ov AS (
@@ -956,6 +955,155 @@ WHERE "rank" <= {_PQ_TOPK}
 """
 
 
+# ---------------------------------------------------------------------------
+# IVF-PQ persistent index: train-once / probe-many
+# ---------------------------------------------------------------------------
+#
+# ``similarity_ivfpq_topk`` deliberately replays codebook training on
+# every invocation so the whole computation is one oracle-replayable
+# plan.  A production pipeline trains ONCE and serves many probes from
+# the persisted artifact (same pattern as the streaming dedup
+# fingerprint index, streaming/incremental.py).  The artifact:
+#
+#   {index_dir}/codebook.parquet  (code, dim, cq)        — PQ codebook
+#   {index_dir}/seeds.parquet     (list_id, dim, sq)     — coarse cells
+#   {index_dir}/codes.parquet     (vec_id, subspace, code), PARTITIONED
+#                                 BY list_id — a probe touches only the
+#                                 probed cells' directories (dynamic
+#                                 partition pruning; at deployment scale
+#                                 also bucketed, io.write_bucketed)
+#
+# The index is keyed by the corpus file's identity (path+mtime+size), so
+# a regenerated corpus re-trains automatically.
+
+_INDEX_VERSION = "v1"
+
+
+def _ivfpq_index_dir(sf_dir: str) -> str:
+    import hashlib
+
+    p = os.path.abspath(os.path.join(sf_dir, "embeddings.parquet"))
+    st = os.stat(p)
+    key = hashlib.md5(
+        f"{p}:{st.st_mtime_ns}:{st.st_size}:{_INDEX_VERSION}".encode()
+    ).hexdigest()[:16]
+    root = os.environ.get(
+        "SPARK_GRAFT_INDEX_DIR",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".cache"),
+    )
+    return os.path.join(root, f"ivfpq_{key}")
+
+
+def build_ivfpq_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
+    """Train the IVF-PQ index once and persist it (see block comment)."""
+    from columnar_analytics_engine_spark.io import write_table
+
+    e = _pq_exploded(t(spark, sf_dir, "embeddings"))
+    seeds = e.filter(F.col("vec_id") < _IVF_LISTS).select(
+        F.col("vec_id").alias("list_id"), "dim", F.col("vq").alias("sq")
+    )
+    sdiff = F.col("vq") - F.col("sq")
+    cell_dists = (
+        e.join(F.broadcast(seeds), "dim")
+        .groupBy("vec_id", "list_id")
+        .agg(F.sum(sdiff * sdiff).alias("d"))
+    )
+    assigned = (
+        cell_dists.groupBy("vec_id")
+        .agg(F.min(F.struct("d", "list_id")).alias("m"))
+        .select("vec_id", F.col("m.list_id").alias("list_id"))
+    )
+    cents1 = _pq_codebook(e)
+    codes = _pq_assign(e, cents1)
+    entries = codes.join(assigned, "vec_id")
+    write_table(cents1, f"{index_dir}/codebook.parquet")
+    write_table(seeds, f"{index_dir}/seeds.parquet")
+    write_table(entries, f"{index_dir}/codes.parquet", partition_by=["list_id"])
+    with open(os.path.join(index_dir, "_INDEX_OK"), "w") as fh:
+        fh.write(_INDEX_VERSION)
+
+
+def ensure_ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
+    """Path of the (built-if-absent) IVF-PQ index for a corpus."""
+    index_dir = _ivfpq_index_dir(sf_dir)
+    if not os.path.exists(os.path.join(index_dir, "_INDEX_OK")):
+        os.makedirs(index_dir, exist_ok=True)
+        build_ivfpq_index(spark, sf_dir, index_dir)
+    return index_dir
+
+
+def _quantized_queries(emb: DataFrame) -> DataFrame:
+    """(query_id, dim, subspace, vq) for the query vectors only — the
+    corpus-side explode never runs on the probe path."""
+    return (
+        emb.filter(F.col("vec_id") < _PQ_NQ)
+        .select("vec_id", F.posexplode(F.col("embedding")).alias("dim", "val"))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "dim",
+            (F.col("dim") / _PQ_SUB).cast("int").alias("subspace"),
+            F.round(F.col("val").cast("double") * F.lit(float(_KM_SCALE)))
+            .cast("long")
+            .alias("vq"),
+        )
+    )
+
+
+def similarity_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-k served from the PERSISTED index — the production
+    probe path (train-once/probe-many), bit-identical to
+    :func:`similarity_ivfpq_topk` because the index holds exactly what
+    that query's training phase computes.
+
+    Scale shape: only the query vectors are read from the corpus (5
+    rows, filter pushed to the scan); seeds / codebook / probe table /
+    LUT are tiny broadcasts; the code table is read from its
+    list_id-partitioned layout, and the broadcast join against the
+    probed cells dynamic-partition-prunes the unprobed directories, so
+    the scan touches ~probe/lists of the index files.  The oracle
+    replays the training (same SQL as similarity_ivfpq_topk) — probing
+    a correctly built index must reproduce it exactly.
+    """
+    index_dir = ensure_ivfpq_index(spark, sf_dir)
+    eq = _quantized_queries(t(spark, sf_dir, "embeddings"))
+    seeds = spark.read.parquet(f"{index_dir}/seeds.parquet")
+    qdiff = F.col("vq") - F.col("sq")
+    qcell = (
+        eq.join(F.broadcast(seeds), "dim")
+        .groupBy("query_id", "list_id")
+        .agg(F.sum(qdiff * qdiff).alias("d"))
+    )
+    w_probe = W.partitionBy("query_id").orderBy("d", "list_id")
+    probes = (
+        qcell.withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= _IVF_PROBE)
+        .select("query_id", "list_id")
+    )
+    cb = spark.read.parquet(f"{index_dir}/codebook.parquet")
+    cdiff = F.col("vq") - F.col("cq")
+    lut = (
+        eq.join(F.broadcast(cb), "dim")
+        .groupBy("query_id", "subspace", "code")
+        .agg(F.sum(cdiff * cdiff).alias("part"))
+    )
+    entries = spark.read.parquet(f"{index_dir}/codes.parquet").withColumn(
+        "list_id", F.col("list_id").cast("long")
+    )
+    scored = (
+        entries.join(F.broadcast(probes), "list_id")
+        .join(F.broadcast(lut), ["query_id", "subspace", "code"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("part").alias("adc_dist"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = W.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _PQ_TOPK)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )
+
+
 _SQL_PQ_ADC = f"""{_SQL_PQ_CTES},
 codes AS (SELECT vec_id, subspace, code FROM pa1),
 lut AS (
@@ -1230,6 +1378,12 @@ QUERIES: dict[str, QuerySpec] = {
         _SQL_IVFPQ,
         "IVF-PQ top-10: coarse cell probing + ADC over probed codes",
         ("similarity",),
+    ),
+    "similarity_ivfpq_probe": QuerySpec(
+        similarity_ivfpq_probe,
+        _SQL_IVFPQ,
+        "IVF-PQ top-10 from the persisted train-once index (probe path)",
+        ("similarity", "index"),
     ),
     "training_export_manifest": QuerySpec(
         training_export_manifest,

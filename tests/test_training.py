@@ -152,6 +152,67 @@ def test_ivfpq_returns_topk_within_probed_cells(spark, sf_small):
         assert min(r.adc_dist for r in rows) >= global_best
 
 
+def test_ivfpq_probe_matches_replay_and_trains_once(spark, sf_small, tmp_path, monkeypatch):
+    """The persisted-index probe path must reproduce the replay query
+    bit-for-bit, and a second probe must serve from the artifact without
+    retraining (train-once/probe-many)."""
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path))
+    probe = sorted(map(tuple, T.similarity_ivfpq_probe(spark, sf_small).collect()))
+    replay = sorted(map(tuple, T.similarity_ivfpq_topk(spark, sf_small).collect()))
+    assert probe == replay
+    # second invocation must not rebuild: poison the builder
+    def boom(*a, **k):
+        raise AssertionError("index was rebuilt on the probe-many path")
+    monkeypatch.setattr(T, "build_ivfpq_index", boom)
+    again = sorted(map(tuple, T.similarity_ivfpq_probe(spark, sf_small).collect()))
+    assert again == probe
+
+
+def test_ivfpq_probe_plan_prunes_partitions(spark, sf_small, tmp_path, monkeypatch):
+    """The probe join against the probed-cell table must reach the
+    list_id-partitioned code scan as a (dynamic) partition filter — the
+    at-scale property that a probe touches ~probe/lists of the index."""
+    from columnar_analytics_engine_spark.plans.explain import formatted_plan
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path))
+    df = T.similarity_ivfpq_probe(spark, sf_small)
+    plan = formatted_plan(df)
+    assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_ivfpq_bucketed_codes_probe_join_no_code_side_shuffle(spark, sf_small, tmp_path, monkeypatch):
+    """Index codes stored bucketed by list id join the probe table with
+    NO Exchange on the code side: the bucketed scan already satisfies
+    the join partitioning, so only the tiny probe side shuffles — the
+    shuffle-free probe shape a deployed ANN index relies on."""
+    from columnar_analytics_engine_spark.io import write_bucketed
+    from columnar_analytics_engine_spark.plans.explain import formatted_plan
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path))
+    index_dir = T.ensure_ivfpq_index(spark, sf_small)
+    entries = spark.read.parquet(f"{index_dir}/codes.parquet").select(
+        "vec_id", "subspace", "code", F.col("list_id").cast("long").alias("list_id")
+    )
+    write_bucketed(entries, "b_ivfpq_codes", "list_id", 8)
+    probes = spark.createDataFrame(
+        [(q, l) for q in range(2) for l in range(2)], "query_id long, list_id long"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_ivfpq_codes").join(probes, "list_id")
+        plan = formatted_plan(joined)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        # exactly one Exchange node: the probe side; the bucketed code
+        # scan must feed the join directly
+        import re
+
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS b_ivfpq_codes")
+
+
 def test_semantic_dedup_pairs_are_within_cluster_cosine_pairs(spark, sf_small):
     """Every SemDeDup pair must (a) share a k-means cluster and (b) appear
     in the exact all-pairs cosine screen at the same threshold — the
