@@ -134,9 +134,197 @@ def reference_parity_bench(num_rows: int = 1_000_000, seed: int = 42) -> None:
         )
 
 
+def _bench_quartet(spark, df, num_rows: int, n_bytes: int) -> list[dict]:
+    """The reference's 4 benchmark queries, measured warm (best-of-3),
+    emitted in the reference's result shape (benchmark.cpp:233-276):
+    name / elapsed_ms / rows_processed / bytes_processed /
+    throughput_mbps / rows_per_sec."""
+    from pyspark.sql import functions as F
+
+    queries = {
+        "Full Table Scan": lambda: df.count(),
+        "Filtered Scan (value > 50000)": lambda: df.filter(
+            F.col("value") > 50_000
+        ).count(),
+        "Aggregation (SUM value)": lambda: df.agg(
+            F.sum("value").alias("s"), F.count("*").alias("n")
+        ).collect(),
+        "GROUP BY region": lambda: df.groupBy("region")
+        .agg(F.sum("value").alias("s"), F.count("*").alias("n"))
+        .orderBy("region")
+        .collect(),
+    }
+    results = []
+    _set_low_latency(spark, True)
+    for fn in queries.values():  # warm-up
+        fn()
+    for name, fn in queries.items():
+        best = float("inf")
+        for _ in range(N_TIMED_RUNS):
+            start = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - start)
+        elapsed_ms = best * 1000.0
+        results.append(
+            {
+                "name": name,
+                "elapsed_ms": round(elapsed_ms, 3),
+                "rows_processed": num_rows,
+                "bytes_processed": n_bytes,
+                "throughput_mbps": round(n_bytes / 1e6 / best, 2),
+                "rows_per_sec": round(num_rows / best, 1),
+            }
+        )
+    _set_low_latency(spark, False)
+    return results
+
+
+def _write_results_files(results: list[dict], out_dir: str, tag: str) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, f"benchmark_results_{tag}.json"), "w") as fh:
+        json.dump({"benchmarks": results}, fh, indent=2)
+    cols = [
+        "benchmark", "elapsed_ms", "rows_processed", "bytes_processed",
+        "throughput_mbps", "rows_per_sec",
+    ]
+    with open(os.path.join(out_dir, f"benchmark_results_{tag}.csv"), "w") as fh:
+        fh.write(",".join(cols) + "\n")
+        for r in results:
+            fh.write(
+                f"{r['name']},{r['elapsed_ms']},{r['rows_processed']},"
+                f"{r['bytes_processed']},{r['throughput_mbps']},{r['rows_per_sec']}\n"
+            )
+
+
+def _svg_scalability_chart(all_results: dict[int, list[dict]], path: str) -> None:
+    """Dependency-free SVG twin of the reference's scalability plot
+    (benches/run_multiple_benchmarks.py): rows/sec per query vs size."""
+    sizes = sorted(all_results)
+    names = [r["name"] for r in all_results[sizes[0]]]
+    colors = ["#2c7fb8", "#7fcdbb", "#f03b20", "#756bb1"]
+    w, h, pad = 720, 420, 60
+    series = {
+        n: [all_results[s][i]["rows_per_sec"] / 1e6 for s in sizes]
+        for i, n in enumerate(names)
+    }
+    y_max = max(max(v) for v in series.values()) * 1.1 or 1.0
+    x_of = lambda i: pad + i * (w - 2 * pad) / max(1, len(sizes) - 1)
+    y_of = lambda v: h - pad - v / y_max * (h - 2 * pad)
+    parts = [
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{w}" height="{h}" '
+        f'font-family="sans-serif" font-size="11">',
+        f'<rect width="{w}" height="{h}" fill="white"/>',
+        f'<text x="{w/2}" y="20" text-anchor="middle" font-size="14">'
+        f"Scalability: processing speed vs dataset size</text>",
+        f'<line x1="{pad}" y1="{h-pad}" x2="{w-pad}" y2="{h-pad}" stroke="#333"/>',
+        f'<line x1="{pad}" y1="{pad}" x2="{pad}" y2="{h-pad}" stroke="#333"/>',
+        f'<text x="{w/2}" y="{h-12}" text-anchor="middle">rows</text>',
+        f'<text x="14" y="{h/2}" text-anchor="middle" '
+        f'transform="rotate(-90 14 {h/2})">M rows/s</text>',
+    ]
+    for i, s in enumerate(sizes):
+        parts.append(
+            f'<text x="{x_of(i)}" y="{h-pad+16}" text-anchor="middle">{s:,}</text>'
+        )
+    for t in range(5):
+        v = y_max * t / 4
+        parts.append(
+            f'<text x="{pad-6}" y="{y_of(v)+4}" text-anchor="end">{v:.0f}</text>'
+        )
+    for k, (n, vals) in enumerate(series.items()):
+        pts = " ".join(f"{x_of(i):.1f},{y_of(v):.1f}" for i, v in enumerate(vals))
+        c = colors[k % len(colors)]
+        parts.append(
+            f'<polyline points="{pts}" fill="none" stroke="{c}" stroke-width="2"/>'
+        )
+        for i, v in enumerate(vals):
+            parts.append(f'<circle cx="{x_of(i):.1f}" cy="{y_of(v):.1f}" r="3" fill="{c}"/>')
+        parts.append(
+            f'<text x="{pad+8}" y="{pad + 14*k}" fill="{c}">{n}</text>'
+        )
+    parts.append("</svg>")
+    with open(path, "w") as fh:
+        fh.write("\n".join(parts))
+
+
+def _png_scalability_chart(all_results: dict[int, list[dict]], path: str) -> bool:
+    """matplotlib PNG twin (the reference's visualize_results.py shape);
+    returns False when matplotlib is not installed (SVG is authoritative
+    in this container)."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        return False
+    sizes = sorted(all_results)
+    names = [r["name"] for r in all_results[sizes[0]]]
+    fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(14, 5))
+    for i, n in enumerate(names):
+        ax1.plot(sizes, [all_results[s][i]["throughput_mbps"] for s in sizes], marker="o", label=n)
+        ax2.plot(sizes, [all_results[s][i]["rows_per_sec"] / 1e6 for s in sizes], marker="o", label=n)
+    ax1.set_xlabel("rows"); ax1.set_ylabel("MB/s"); ax1.set_title("Throughput"); ax1.legend(); ax1.grid(alpha=0.3)
+    ax2.set_xlabel("rows"); ax2.set_ylabel("M rows/s"); ax2.set_title("Processing speed"); ax2.legend(); ax2.grid(alpha=0.3)
+    fig.tight_layout()
+    fig.savefig(path, dpi=150)
+    plt.close(fig)
+    return True
+
+
+def multi_size_bench(sizes: list[int], out_dir: str, seed: int = 42) -> None:
+    """Multi-size sweep twin of the reference's
+    benches/run_multiple_benchmarks.py: run the quartet at each size,
+    export per-size JSON+CSV in the reference's schema, a combined
+    scalability.json, and a chart (SVG always; PNG when matplotlib
+    exists)."""
+    import tempfile
+
+    from columnar_analytics_engine_spark.sources.synthetic import bench_table
+    from columnar_analytics_engine_spark.io import write_table
+
+    spark = get_spark(app_name="cae-bench-sweep")
+    all_results: dict[int, list[dict]] = {}
+    for num_rows in sizes:
+        with tempfile.TemporaryDirectory() as tmp:
+            path = f"{tmp}/bench_{num_rows}.parquet"
+            write_table(bench_table(spark, num_rows, seed=seed), path)
+            n_bytes = sum(
+                os.path.getsize(os.path.join(root, f))
+                for root, _d, files in os.walk(path)
+                for f in files
+                if f.endswith(".parquet")
+            )
+            df = spark.read.parquet(path)
+            all_results[num_rows] = _bench_quartet(spark, df, num_rows, n_bytes)
+            _write_results_files(all_results[num_rows], out_dir, str(num_rows))
+            print(f"sized {num_rows}: " + json.dumps(all_results[num_rows]))
+    with open(os.path.join(out_dir, "scalability.json"), "w") as fh:
+        json.dump(
+            {"sizes": sorted(all_results), "results": {str(k): v for k, v in all_results.items()}},
+            fh,
+            indent=2,
+        )
+    _svg_scalability_chart(all_results, os.path.join(out_dir, "scalability.svg"))
+    if _png_scalability_chart(all_results, os.path.join(out_dir, "scalability.png")):
+        print(f"wrote {out_dir}/scalability.png")
+    print(f"wrote {out_dir}/scalability.svg + per-size JSON/CSV")
+
+
 def main() -> None:
     if "--reference" in sys.argv:
         reference_parity_bench()
+        return
+    if "--sizes" in sys.argv:
+        sizes = [
+            int(s) for s in sys.argv[sys.argv.index("--sizes") + 1].split(",")
+        ]
+        out_dir = (
+            sys.argv[sys.argv.index("--plot") + 1]
+            if "--plot" in sys.argv
+            else "bench_out"
+        )
+        multi_size_bench(sizes, out_dir)
         return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)

@@ -137,6 +137,7 @@ def write_table(
     row_group_bytes: int | None = None,
     partition_by: list[str] | None = None,
     compression: str | None = None,
+    column_options: dict[str, dict[str, Any]] | None = None,
 ) -> None:
     """Write a DataFrame as Parquet.
 
@@ -150,6 +151,20 @@ def write_table(
     picks the parquet codec ('snappy' default, 'zstd' for cold data,
     'none' for parity with the reference's uncompressed format —
     /root/reference/README.md:132 lists "no compression" as a limit).
+
+    ``column_options`` is the per-column control surface the reference
+    declares in its schema (``include/format.h:49-61`` carries the
+    encoding per column; ``cli.cpp:29-62`` sets it at write time).
+    Parquet picks ENCODINGS automatically, but the writer exposes the
+    same *control* per column via parquet-hadoop's ``option#column``
+    form::
+
+        column_options={"city": {"dictionary": False},
+                        "user_id": {"bloom_filter": True}}
+
+    ``dictionary`` toggles dictionary encoding for that column;
+    ``bloom_filter`` writes a split-block bloom filter (the point-lookup
+    analogue of the reference's min/max page stats).
     """
     writer = df.write.mode(mode)
     if row_group_bytes is not None:
@@ -158,6 +173,15 @@ def write_table(
         writer = writer.partitionBy(*partition_by)
     if compression is not None:
         writer = writer.option("compression", compression)
+    for col, opts in (column_options or {}).items():
+        if "dictionary" in opts:
+            writer = writer.option(
+                f"parquet.enable.dictionary#{col}", str(bool(opts["dictionary"])).lower()
+            )
+        if "bloom_filter" in opts:
+            writer = writer.option(
+                f"parquet.bloom.filter.enabled#{col}", str(bool(opts["bloom_filter"])).lower()
+            )
     writer.parquet(path)
 
 
@@ -226,6 +250,76 @@ def write_sorted(
     merge-style consumers stream files in key order.
     """
     out = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(*sort_cols)
+    writer = out.write.mode(mode)
+    if row_group_bytes is not None:
+        writer = writer.option("parquet.block.size", str(row_group_bytes))
+    writer.parquet(path)
+
+
+def write_zorder(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 32,
+    bits: int = 16,
+    mode: str = "overwrite",
+    row_group_bytes: int | None = None,
+) -> None:
+    """Z-order (Morton-curve) clustered Parquet export: multi-column
+    locality for multi-column pruning.
+
+    ``write_sorted`` clusters on ONE key — file min/max stats prune
+    scans filtering that key, but a filter on any other column still
+    reads every file.  Z-ordering interleaves the bits of ``cols``
+    (each range-binned to ``bits`` bits) into one Morton value and
+    range-partitions + sorts on it, so every file covers a small
+    hyper-rectangle of the combined key space: row-group/file stats
+    prune scans filtering ANY of the z-columns (the layout Delta/
+    Iceberg call Z-ORDER BY; here as a plain-Parquet writer).
+
+    All arithmetic is JVM expressions; the per-column min/max needed
+    for binning is a 1-row aggregate broadcast-joined in-plan — no
+    driver collect, one extra (tiny) pass.  ``bits``·len(cols) must
+    stay ≤ 62 (signed long).
+    """
+    from pyspark.sql import functions as F
+
+    if bits * len(cols) > 62:
+        raise ValueError("bits * len(cols) must be <= 62")
+    stats = df.agg(
+        *[F.min(c).cast("double").alias(f"_mn_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"_mx_{c}") for c in cols],
+    )
+    j = df.join(F.broadcast(stats))
+    scale = float((1 << bits) - 1)
+    binned = {
+        c: F.least(
+            F.lit((1 << bits) - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.col(c).cast("double") - F.col(f"_mn_{c}"))
+                    / (F.greatest(F.col(f"_mx_{c}") - F.col(f"_mn_{c}"), F.lit(1e-300)))
+                    * F.lit(scale)
+                ).cast("long"),
+            ),
+        )
+        for c in cols
+    }
+    z = F.lit(0).cast("long")
+    for bit in range(bits):
+        for i, c in enumerate(cols):
+            z = z + F.shiftleft(
+                F.shiftright(binned[c], bit).bitwiseAND(F.lit(1)),
+                bit * len(cols) + i,
+            )
+    out = (
+        j.withColumn("_z", z)
+        .drop(*[f"_mn_{c}" for c in cols], *[f"_mx_{c}" for c in cols])
+        .repartitionByRange(n_files, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )
     writer = out.write.mode(mode)
     if row_group_bytes is not None:
         writer = writer.option("parquet.block.size", str(row_group_bytes))

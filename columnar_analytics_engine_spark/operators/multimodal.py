@@ -118,15 +118,91 @@ def chunk_payload(media: DataFrame, chunk_bytes: int = 1024) -> DataFrame:
     )
 
 
+# JPEG SOFn markers that carry frame dimensions: C0-CF minus C4 (DHT),
+# C8 (JPG extension), CC (DAC)
+_JPEG_SOF_MARKERS = [
+    0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+    0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF,
+]
+_JPEG_MAX_SEGMENTS = 32  # JFIF/EXIF/ICC/quant/Huffman headers before SOF
+
+
+def _jpeg_dims(p):  # noqa: ANN001 - Column in, Column out
+    """(width, height) struct from a JPEG byte stream, or nulls.
+
+    JPEG has no fixed-offset dimensions: the stream is FFD8 then a chain
+    of FF-marker segments, each carrying a big-endian length, and the
+    dimensions live in the first SOFn segment (height at payload offset
+    +3, width at +5).  The walk is a bounded fold — ``aggregate`` over
+    up to ``_JPEG_MAX_SEGMENTS`` steps threading (offset, w, h, done)
+    through substring/conv arithmetic — so it stays a pure JVM
+    expression: no UDF, no codec, scan-speed like the PNG/GIF paths.
+    """
+
+    def u8(pos):  # byte value at 1-based Column offset
+        return F.conv(F.hex(F.substring(p, pos, F.lit(1))), 16, 10).cast("long")
+
+    def be16(pos):
+        return F.conv(F.hex(F.substring(p, pos, F.lit(2))), 16, 10).cast("long")
+
+    null_l = F.lit(None).cast("long")
+    init = F.struct(
+        F.lit(3).cast("long").alias("off"),
+        null_l.alias("w"),
+        null_l.alias("h"),
+        F.lit(False).alias("done"),
+    )
+
+    def step(acc, _):
+        pos = acc.getField("off")
+        first = u8(pos)
+        mark = u8(pos + 1)
+        seglen = be16(pos + 2)
+        is_sof = mark.isin(*_JPEG_SOF_MARKERS)
+        return (
+            F.when(acc.getField("done"), acc)
+            .when(  # lost sync / truncated: stop with null dims
+                first.isNull() | (first != F.lit(255)) | seglen.isNull(),
+                F.struct(pos.alias("off"), null_l.alias("w"), null_l.alias("h"), F.lit(True).alias("done")),
+            )
+            .when(
+                is_sof,
+                F.struct(
+                    pos.alias("off"),
+                    be16(pos + 7).alias("w"),
+                    be16(pos + 5).alias("h"),
+                    F.lit(True).alias("done"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    (pos + 2 + seglen).alias("off"),
+                    null_l.alias("w"),
+                    null_l.alias("h"),
+                    F.lit(False).alias("done"),
+                )
+            )
+        )
+
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(_JPEG_MAX_SEGMENTS)),
+        init,
+        step,
+        lambda acc: F.struct(acc.getField("w").alias("w"), acc.getField("h").alias("h")),
+    )
+
+
 def image_dimensions(media: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Sniff image format and pixel dimensions from raw payload bytes —
     pure JVM expressions (hex + substring + conv), no Python, no codec.
 
-    Covers the two formats whose headers are fixed-offset:
+    Covers the three dominant web formats:
       * PNG — 8-byte signature, then the IHDR chunk holds width/height
         as big-endian uint32 at byte offsets 16..23 (0-based);
       * GIF — 'GIF87a'/'GIF89a' signature, then the logical screen
-        width/height as little-endian uint16 at offsets 6..9.
+        width/height as little-endian uint16 at offsets 6..9;
+      * JPEG — FFD8 signature, then a bounded marker-segment walk to the
+        first SOFn frame header (see :func:`_jpeg_dims`).
     Unknown payloads get format NULL (metadata-only rows pass through).
 
     This is the header-metadata extraction a 100 TB media crawl runs
@@ -145,12 +221,33 @@ def image_dimensions(media: DataFrame, payload_col: str = "payload") -> DataFram
         return lo + hi * F.lit(256)
 
     sig8 = F.hex(F.expr(f"substring({payload_col}, 1, 8)"))
-    sig6 = F.decode(F.expr(f"substring({payload_col}, 1, 6)"), "UTF-8")
+    # hex compare, never decode(): arbitrary binary is not valid UTF-8
+    # and StringDecode throws on it
+    sig6 = F.hex(F.expr(f"substring({payload_col}, 1, 6)"))
     is_png = sig8 == F.lit("89504E470D0A1A0A")
-    is_gif = sig6.isin("GIF87a", "GIF89a")
-    fmt = F.when(is_png, "png").when(is_gif, "gif").otherwise(F.lit(None))
-    width = F.when(is_png, be32(16)).when(is_gif, le16(6)).otherwise(F.lit(None))
-    height = F.when(is_png, be32(20)).when(is_gif, le16(8)).otherwise(F.lit(None))
+    is_gif = sig6.isin(
+        "474946383761", "474946383961"  # 'GIF87a' / 'GIF89a'
+    )
+    is_jpeg = F.hex(F.expr(f"substring({payload_col}, 1, 2)")) == F.lit("FFD8")
+    jd = _jpeg_dims(p)
+    fmt = (
+        F.when(is_png, "png")
+        .when(is_gif, "gif")
+        .when(is_jpeg, "jpeg")
+        .otherwise(F.lit(None))
+    )
+    width = (
+        F.when(is_png, be32(16))
+        .when(is_gif, le16(6))
+        .when(is_jpeg, jd.getField("w"))
+        .otherwise(F.lit(None))
+    )
+    height = (
+        F.when(is_png, be32(20))
+        .when(is_gif, le16(8))
+        .when(is_jpeg, jd.getField("h"))
+        .otherwise(F.lit(None))
+    )
     return media.withColumn("img_format", fmt).withColumn(
         "img_width", width
     ).withColumn("img_height", height)

@@ -143,6 +143,40 @@ def test_write_table_compression_codecs(spark, tmp_path):
     assert size(p_zstd) < size(p_none)
 
 
+def test_write_table_per_column_options(spark, tmp_path):
+    """Per-column writer control (the reference declares encoding per
+    column in its schema, include/format.h:49-61): disabling dictionary
+    for one column and enabling it for another must show in the footer
+    encodings that ``describe`` reads back."""
+    from columnar_analytics_engine_spark.io import describe, write_table
+    from pyspark.sql import functions as F
+
+    df = spark.range(50_000).select(
+        "id",
+        (F.col("id") % 5).cast("string").alias("cat"),
+        (F.col("id") % 7).alias("num"),
+    ).coalesce(1)
+    path = str(tmp_path / "percol.parquet")
+    write_table(
+        df,
+        path,
+        column_options={
+            "cat": {"dictionary": False},
+            "num": {"dictionary": True, "bloom_filter": True},
+        },
+    )
+    d = describe(path)
+    enc = {
+        c["column"]: set(c["encodings"])
+        for c in d["files"][0]["row_groups"][0]["columns"]
+    }
+    # 5 distinct values would normally dictionary-encode; the option
+    # forces PLAIN for cat, and num keeps its dictionary encoding
+    assert not any("DICTIONARY" in e for e in enc["cat"])
+    assert any("DICTIONARY" in e for e in enc["num"])
+    assert spark.read.parquet(path).count() == 50_000
+
+
 def test_docs_table_deterministic_with_dups(spark):
     from columnar_analytics_engine_spark.sources.synthetic import docs_table
 

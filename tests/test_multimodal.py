@@ -111,3 +111,45 @@ def test_image_dimensions_from_real_headers(spark):
     assert (out[2]["img_format"], out[2]["img_width"], out[2]["img_height"]) == ("gif", 320, 200)
     assert out[3]["img_format"] is None and out[3]["img_width"] is None
     assert out[4]["img_format"] is None
+
+
+def _jpeg_bytes(width: int, height: int, sof_marker: int = 0xC0, n_filler: int = 2) -> bytes:
+    """Minimal spec-correct JPEG header: SOI, APP0(JFIF), ``n_filler``
+    extra variable-length segments (EXIF-style padding), then SOFn with
+    the frame dimensions."""
+    import struct
+
+    out = b"\xff\xd8"                                 # SOI
+    jfif = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xe0" + struct.pack(">H", len(jfif) + 2) + jfif
+    for i in range(n_filler):                          # APPn/COM segments
+        body = bytes([i]) * (10 + 7 * i)
+        out += bytes([0xFF, 0xE1 + i]) + struct.pack(">H", len(body) + 2) + body
+    sof = b"\x08" + struct.pack(">HH", height, width) + b"\x03"
+    out += bytes([0xFF, sof_marker]) + struct.pack(">H", len(sof) + 2) + sof
+    return out
+
+
+def test_jpeg_dimensions_from_sof_markers(spark):
+    """JPEG dimensions come from a marker-segment walk, not a fixed
+    offset: baseline SOF0, progressive SOF2, deep filler-segment chains,
+    and corrupt streams must all resolve byte-exactly."""
+    from columnar_analytics_engine_spark.operators.multimodal import image_dimensions
+
+    cases = [
+        (1, _jpeg_bytes(1920, 1080)),                      # baseline SOF0
+        (2, _jpeg_bytes(640, 480, sof_marker=0xC2)),       # progressive SOF2
+        (3, _jpeg_bytes(33, 7, n_filler=9)),               # long header chain
+        (4, b"\xff\xd8\xff\xe0\x00\x04\x00\x00"),          # truncated: no SOF
+        (5, b"\xff\xd8" + b"garbage-not-a-marker"),        # lost sync
+    ]
+    media = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b in cases], "doc_id long, payload binary"
+    )
+    out = {r["doc_id"]: r.asDict() for r in image_dimensions(media).collect()}
+    assert (out[1]["img_format"], out[1]["img_width"], out[1]["img_height"]) == ("jpeg", 1920, 1080)
+    assert (out[2]["img_format"], out[2]["img_width"], out[2]["img_height"]) == ("jpeg", 640, 480)
+    assert (out[3]["img_format"], out[3]["img_width"], out[3]["img_height"]) == ("jpeg", 33, 7)
+    # corrupt streams keep the sniffed format but yield NULL dimensions
+    assert out[4]["img_format"] == "jpeg" and out[4]["img_width"] is None
+    assert out[5]["img_format"] == "jpeg" and out[5]["img_width"] is None

@@ -30,12 +30,34 @@ _SINGLE_PARTITION_ALLOW = {
 
 @pytest.mark.parametrize("name", sorted(all_queries()))
 def test_no_plan_antipatterns(spark, sf_small, name):
+    from columnar_analytics_engine_spark.plans.lint import lint_plan
+
     spec = all_queries()[name]
-    plan = spec.fn(spark, sf_small)._jdf.queryExecution().executedPlan().toString()
-    assert "CartesianProduct" not in plan, f"{name}: cartesian product"
-    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
     cap = _SINGLE_PARTITION_ALLOW.get(name, 1)
-    n_single = plan.count("Exchange SinglePartition")
-    assert n_single <= cap, (
-        f"{name}: {n_single} single-partition exchanges (allow {cap})"
-    )
+    findings = lint_plan(spec.fn(spark, sf_small), max_single_partition=cap)
+    assert findings == [], f"{name}: {findings}"
+
+
+def test_lint_plan_flags_known_antipatterns(spark):
+    """The lint API itself must catch each anti-pattern class."""
+    from columnar_analytics_engine_spark.plans.lint import lint_plan
+    from pyspark.sql import Window, functions as F
+
+    a = spark.range(10)
+    b = spark.range(10).withColumnRenamed("id", "id2")
+    # a small side broadcasts into BroadcastNestedLoopJoin; disable it so
+    # the non-equi join compiles to the CartesianProduct it is at scale
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        cartesian = a.join(b, F.col("id") < F.col("id2"))
+        assert any("CartesianProduct" in f for f in lint_plan(cartesian))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+    row_udf = a.withColumn("u", F.udf(lambda x: x + 1, "long")(F.col("id")))
+    assert any("BatchEvalPython" in f for f in lint_plan(row_udf))
+
+    global_window = a.withColumn("rn", F.row_number().over(Window.orderBy("id")))
+    assert any("single-partition" in f for f in lint_plan(global_window, max_single_partition=0))
+
+    assert lint_plan(a.groupBy((F.col("id") % 2).alias("k")).count()) == []
