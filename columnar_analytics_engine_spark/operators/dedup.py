@@ -255,6 +255,34 @@ def minhash_signatures(
     return tok.join(vocab, "token").groupBy("doc_id").agg(*mins)
 
 
+def band_table(
+    signatures: DataFrame,
+    bands: int = LSH_BANDS,
+    rows_per_band: int = LSH_ROWS_PER_BAND,
+) -> DataFrame:
+    """(doc_id, band_id, band_key) rows from a MinHash signature table —
+    the LSH bucketing key.  Shared by the batch self-join candidates
+    (:func:`lsh_candidates`) and the streaming persistent band index
+    (streaming/neardup.py)."""
+    band_rows = []
+    for j in range(bands):
+        cols = [
+            F.col(f"h{j * rows_per_band + r}").cast("string")
+            for r in range(rows_per_band)
+        ]
+        band_rows.append(
+            signatures.select(
+                "doc_id",
+                F.lit(j).alias("band_id"),
+                F.md5(F.concat_ws(",", *cols)).alias("band_key"),
+            )
+        )
+    all_bands = band_rows[0]
+    for b in band_rows[1:]:
+        all_bands = all_bands.unionByName(b)
+    return all_bands
+
+
 def lsh_candidates(
     signatures: DataFrame,
     bands: int = LSH_BANDS,
@@ -277,22 +305,7 @@ def lsh_candidates(
     mega-clusters, which exact dedup catches anyway).  Default None
     keeps exact LSH semantics (and oracle parity).
     """
-    band_rows = []
-    for j in range(bands):
-        cols = [
-            F.col(f"h{j * rows_per_band + r}").cast("string")
-            for r in range(rows_per_band)
-        ]
-        band_rows.append(
-            signatures.select(
-                "doc_id",
-                F.lit(j).alias("band_id"),
-                F.md5(F.concat_ws(",", *cols)).alias("band_key"),
-            )
-        )
-    all_bands = band_rows[0]
-    for b in band_rows[1:]:
-        all_bands = all_bands.unionByName(b)
+    all_bands = band_table(signatures, bands=bands, rows_per_band=rows_per_band)
     if max_bucket_size is not None:
         # one extra key-shuffle to size buckets; the window shares the
         # (band_id, band_key) partitioning the join needs anyway

@@ -192,6 +192,60 @@ def test_transform_with_state_matches_group_state(spark, sf_small):
     }
 
 
+def test_incremental_neardup_foreachbatch(spark, tmp_path):
+    """Stream 3 document files through the foreachBatch MinHash/LSH
+    near-dedup: lightly-edited copies of earlier FILES must classify as
+    near_dup_of_history, near-copies within one file as
+    near_dup_in_batch, and only `new` docs' signatures may enter the
+    index."""
+    import os
+
+    from columnar_analytics_engine_spark.streaming.neardup import (
+        incremental_neardup_query,
+    )
+
+    base_a = "the quick brown fox jumps over the lazy dog near the river bank today"
+    base_b = "machine learning systems process large volumes of text data every single day"
+    uniq_c = "completely different content about cooking pasta with garlic and olive oil"
+    batches = [
+        [(1, base_a), (2, base_b), (3, base_a.replace("today", "tonight"))],
+        [(10, base_a.replace("quick", "speedy")), (11, uniq_c)],
+        [(20, uniq_c.replace("garlic", "onion")), (21, base_b.replace("single", "working"))],
+    ]
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    os.makedirs(src)
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.parquet(
+            f"{src}/b{i}.parquet"
+        )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/b*.parquet")
+    )
+    q = incremental_neardup_query(spark, stream, state).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+
+    out = {
+        r["doc_id"]: (r["status"], r["matched_id"])
+        for r in spark.read.parquet(f"{state}/classified").collect()
+    }
+    assert len(out) == 7
+    assert out[1] == ("new", None)
+    assert out[2] == ("new", None)
+    assert out[3] == ("near_dup_in_batch", 1)      # 1-word edit of doc 1
+    assert out[10] == ("near_dup_of_history", 1)   # edit of doc 1, prior file
+    assert out[11] == ("new", None)
+    assert out[20] == ("near_dup_of_history", 11)
+    assert out[21] == ("near_dup_of_history", 2)
+    # index holds signatures for exactly the `new` docs
+    idx = {r["doc_id"] for r in spark.read.parquet(f"{state}/sigs").collect()}
+    assert idx == {1, 2, 11}
+    bands = spark.read.parquet(f"{state}/bands")
+    assert {r["doc_id"] for r in bands.select("doc_id").distinct().collect()} == {1, 2, 11}
+
+
 def test_incremental_dedup_foreachbatch(spark, tmp_path):
     """Stream 3 document files through the foreachBatch incremental
     dedup: duplicates of earlier FILES must classify as dup_of_history,
