@@ -256,6 +256,64 @@ def write_sorted(
     writer.parquet(path)
 
 
+def read_evolved(spark: SparkSession, *paths: str) -> DataFrame:
+    """Read Parquet shards written under an EVOLVING schema as one
+    DataFrame with the merged (union) schema.
+
+    A 100 TB corpus is written over months; later shards grow columns
+    (a new quality score, a language tag).  A plain read takes the
+    schema from one footer and silently DROPS the newer columns —
+    ``mergeSchema`` reconciles all footers instead; shards missing a
+    column surface NULLs there.  Type conflicts across shards raise
+    (the correct outcome — silent coercion corrupts data at scale).
+    """
+    return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+
+def write_shuffled(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    seed: int = 0,
+    n_files: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Deterministic (seeded) global shuffle export — training-order
+    randomization that is reproducible across runs and engines.
+
+    ``rand()`` reshuffles differently every run (and per task retry!),
+    which breaks resumable training and run-to-run comparisons.  Here
+    BOTH the shard a row lands in and its order within the shard are
+    pure functions of (key, seed): shard = keyed-md5(key) mod n_files,
+    within-shard order = (hash, key).  Same seed ⇒ the same rows in the
+    same order in every shard, run after run — so "resume from shard N"
+    re-reads exactly the same data; new seed ⇒ a fresh permutation.
+    (``repartitionByRange`` would NOT give this: its range bounds come
+    from run-local sampling, so file membership drifts between runs.)
+
+    The output is directory-partitioned by ``shard_id`` (readable back
+    as a column — the shard manifest).  Rows sharing a key collide into
+    the same shard at the same rank with nondeterministic relative
+    order; use a unique key (doc id) for full determinism.  NULL keys
+    hash via a sentinel and shuffle like any other value.
+    """
+    from pyspark.sql import functions as F
+
+    from columnar_analytics_engine_spark.functions.hashing import h60
+
+    rk = h60(
+        f"shuffle{seed}:", F.coalesce(F.col(key_col).cast("string"), F.lit("\x00"))
+    )
+    out = (
+        df.withColumn("_shuffle_rank", rk)
+        .withColumn("shard_id", F.pmod(F.col("_shuffle_rank"), F.lit(n_files)).cast("int"))
+        .repartition(n_files, F.col("shard_id"))
+        .sortWithinPartitions("shard_id", "_shuffle_rank", key_col)
+        .drop("_shuffle_rank")
+    )
+    out.write.mode(mode).partitionBy("shard_id").parquet(path)
+
+
 def write_zorder(
     df: DataFrame,
     path: str,

@@ -1066,7 +1066,11 @@ def similarity_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     index_dir = ensure_ivfpq_index(spark, sf_dir)
     eq = _quantized_queries(t(spark, sf_dir, "embeddings"))
-    seeds = spark.read.parquet(f"{index_dir}/seeds.parquet")
+    # explicit schemas: an empty corpus writes empty (file-less) index
+    # datasets, where schema inference has nothing to read
+    seeds = spark.read.schema("list_id long, dim int, sq long").parquet(
+        f"{index_dir}/seeds.parquet"
+    )
     qdiff = F.col("vq") - F.col("sq")
     qcell = (
         eq.join(F.broadcast(seeds), "dim")
@@ -1079,16 +1083,18 @@ def similarity_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _IVF_PROBE)
         .select("query_id", "list_id")
     )
-    cb = spark.read.parquet(f"{index_dir}/codebook.parquet")
+    cb = spark.read.schema("code long, dim int, cq long").parquet(
+        f"{index_dir}/codebook.parquet"
+    )
     cdiff = F.col("vq") - F.col("cq")
     lut = (
         eq.join(F.broadcast(cb), "dim")
         .groupBy("query_id", "subspace", "code")
         .agg(F.sum(cdiff * cdiff).alias("part"))
     )
-    entries = spark.read.parquet(f"{index_dir}/codes.parquet").withColumn(
-        "list_id", F.col("list_id").cast("long")
-    )
+    entries = spark.read.schema(
+        "vec_id long, subspace int, code long, list_id long"
+    ).parquet(f"{index_dir}/codes.parquet")
     scored = (
         entries.join(F.broadcast(probes), "list_id")
         .join(F.broadcast(lut), ["query_id", "subspace", "code"])

@@ -168,6 +168,63 @@ def test_write_zorder_enables_multi_column_pruning(spark, tmp_path):
     assert spark.read.parquet(zpath).count() == n
 
 
+def test_read_evolved_merges_shard_schemas(spark, tmp_path):
+    """Shards written months apart grow columns; the merged read must
+    surface the union schema with NULLs for pre-evolution shards."""
+    from columnar_analytics_engine_spark.io import read_evolved
+
+    old = str(tmp_path / "batch=0")
+    new = str(tmp_path / "batch=1")
+    spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string").write.parquet(old)
+    spark.createDataFrame(
+        [(3, "c", "en", 0.9)], "doc_id long, text string, lang string, quality double"
+    ).write.parquet(new)
+    merged = read_evolved(spark, old, new)
+    assert set(merged.columns) == {"doc_id", "text", "lang", "quality"}
+    rows = {r["doc_id"]: r for r in merged.collect()}
+    assert rows[1]["lang"] is None and rows[3]["lang"] == "en"
+    assert merged.count() == 3
+
+
+def test_write_shuffled_deterministic_permutation(spark, tmp_path):
+    """Same seed ⇒ every shard holds the same rows in the same order
+    across independent exports (the resumable-training contract); new
+    seed ⇒ a different permutation; all rows survive."""
+    import os
+
+    from columnar_analytics_engine_spark.io import write_shuffled
+
+    df = spark.range(5_000).withColumn("v", F.col("id") * 3)
+    p1, p2, p3 = (str(tmp_path / n) for n in ("s1", "s2", "s3"))
+    write_shuffled(df, p1, "id", seed=1, n_files=4)
+    write_shuffled(df, p2, "id", seed=1, n_files=4)
+    write_shuffled(df, p3, "id", seed=2, n_files=4)
+
+    def shards(path):
+        out = {}
+        for d in sorted(os.listdir(path)):
+            if d.startswith("shard_id="):
+                sid = int(d.split("=")[1])
+                files = sorted(
+                    os.path.join(path, d, f)
+                    for f in os.listdir(os.path.join(path, d))
+                    if f.endswith(".parquet")
+                )
+                out[sid] = [
+                    r["id"] for f in files for r in spark.read.parquet(f).collect()
+                ]
+        return out
+
+    a, b, c = shards(p1), shards(p2), shards(p3)
+    assert set(a) == {0, 1, 2, 3}
+    assert a == b, "same seed must reproduce identical shard contents and order"
+    assert a != c, "different seed must yield a different permutation"
+    flat = sorted(x for rows in a.values() for x in rows)
+    assert flat == list(range(5_000))
+    assert sorted(x for rows in c.values() for x in rows) == list(range(5_000))
+    assert a[0] != sorted(a[0]), "within-shard order must be shuffled, not sorted"
+
+
 def test_compact_files_reduces_file_count(spark, tmp_path):
     import os
 
