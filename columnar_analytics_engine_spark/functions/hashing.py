@@ -123,7 +123,13 @@ def gram_hash_array(hl: Column, n: int) -> Column:
             acc_b = (acc_b * F.lit(ROLL_B2) + F.element_at(hl, i + j).getField("b")) % F.lit(P31)
         return acc_a * F.lit(2_147_483_648) + acc_b
 
-    return F.transform(F.sequence(F.lit(1), F.size(hl) - (n - 1)), build)
+    # Spark's sequence(1, stop) DESCENDS when stop < 1 (it never yields
+    # an empty array), so short inputs need an explicit empty branch —
+    # DuckDB's range() is empty there and the two must agree
+    positions = F.when(
+        F.size(hl) >= n, F.sequence(F.lit(1), F.size(hl) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(positions, build)
 
 
 def sql_token_hash_structs(expr: str) -> str:
