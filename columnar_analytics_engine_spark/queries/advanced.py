@@ -708,6 +708,56 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("column_name")
 
 
+def skew_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic: the hottest 20 user_ids on the events
+    stream with each key's share of all rows — the measurement that
+    decides between a plain shuffle join, AQE skew splitting, and an
+    explicit salted join (operators/skew.salted_join).
+
+    Scale shape: one map-combinable groupBy on the key; the top-20 is
+    TakeOrderedAndProject (per-partition heaps), the total rides along
+    as an in-plan 1-row broadcast, and rank is a window over the ≤20
+    surviving rows — bounded by the report size, never by data.
+    ``share`` is one exact IEEE division of two exact longs, so the
+    oracle reproduces it bit-for-bit.
+    """
+    events = t(spark, sf_dir, "events")
+    counts = events.groupBy(F.col("user_id").alias("key")).agg(
+        F.count("*").alias("n_rows")
+    )
+    total = counts.agg(F.sum("n_rows").alias("_total"))
+    top = counts.orderBy(F.desc("n_rows"), "key").limit(20)
+    w = W.orderBy(F.desc("n_rows"), "key")
+    return (
+        top.join(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .select(
+            "key",
+            "n_rows",
+            (F.col("n_rows").cast("double") / F.col("_total").cast("double")).alias("share"),
+            "rank",
+        )
+    )
+
+
+QUERIES["skew_key_report"] = QuerySpec(
+    skew_key_report,
+    """
+    WITH counts AS (
+      SELECT user_id AS key, COUNT(*) AS n_rows FROM events GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n_rows) AS t FROM counts),
+    top AS (SELECT key, n_rows FROM counts ORDER BY n_rows DESC, key LIMIT 20)
+    SELECT key, n_rows,
+           CAST(n_rows AS DOUBLE) / CAST(t AS DOUBLE) AS share,
+           CAST(ROW_NUMBER() OVER (ORDER BY n_rows DESC, key) AS BIGINT) AS "rank"
+    FROM top, tot
+    """,
+    "hottest-join-key report: top-20 keys with row share (salting decision input)",
+    ("agg", "metadata", "skew"),
+)
+
+
 QUERIES["table_profile"] = QuerySpec(
     table_profile,
     """

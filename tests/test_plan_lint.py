@@ -25,6 +25,9 @@ _SINGLE_PARTITION_ALLOW = {
     "table_profile": 4,
     # per-stage funnel accounting: one 1-row count per pipeline stage
     "pipeline_attrition_report": 4,
+    # top-20 report: rank window over the ≤20 surviving rows + the
+    # 1-row total — bounded by the report size, not the data
+    "skew_key_report": 3,
 }
 
 
