@@ -1,0 +1,104 @@
+"""Custom Python DataSource: a length-prefixed record archive reader —
+the crawl-archive connector shape (WARC-like: a shard file is a
+concatenation of ``[4-byte big-endian length][payload bytes]`` records).
+
+Large-scale corpus ingest routinely starts from archive formats Spark
+has no built-in reader for.  PySpark 4's Python DataSource API is the
+idiomatic extension point: the driver lists shard files and plans ONE
+InputPartition per file (archives are not splittable mid-record without
+an index, and shard files are written at target size anyway), then each
+executor task streams records from its file — reading scales with file
+count, payloads stay opaque ``binary`` for the multimodal pipeline
+(operators/multimodal.py) to decode downstream.
+
+Usage::
+
+    spark.dataSource.register(RecordArchiveDataSource)
+    df = spark.read.format("recordarchive").load("/data/shards")
+    # schema: file string, offset long, n_bytes long, payload binary
+
+``write_record_archive`` is the matching plain-Python shard writer
+(ingest-side tooling; record framing is trivial enough not to need the
+cluster).
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+MAGIC_SUFFIX = ".lprec"
+
+
+def write_record_archive(path: str, payloads: list[bytes]) -> int:
+    """Write one shard file of length-prefixed records; returns bytes
+    written.  Framing: 4-byte big-endian length, then the payload."""
+    n = 0
+    with open(path, "wb") as fh:
+        for p in payloads:
+            fh.write(struct.pack(">I", len(p)))
+            fh.write(p)
+            n += 4 + len(p)
+    return n
+
+
+def read_records(file_path: str) -> Iterator[tuple[int, bytes]]:
+    """(offset, payload) records of one shard; raises on a truncated
+    frame (a short archive means a failed ingest write — silently
+    yielding a partial corpus is the worse outcome)."""
+    with open(file_path, "rb") as fh:
+        offset = 0
+        while True:
+            head = fh.read(4)
+            if not head:
+                return
+            if len(head) < 4:
+                raise EOFError(f"{file_path}: truncated length prefix at {offset}")
+            (n,) = struct.unpack(">I", head)
+            payload = fh.read(n)
+            if len(payload) < n:
+                raise EOFError(f"{file_path}: truncated record at {offset}")
+            yield offset, payload
+            offset += 4 + n
+
+
+class _ShardPartition(InputPartition):
+    def __init__(self, file_path: str):
+        self.file_path = file_path
+
+
+class RecordArchiveReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("recordarchive: .load(path) is required")
+
+    def partitions(self):  # one task per shard file
+        if os.path.isdir(self.path):
+            files = sorted(
+                os.path.join(self.path, f)
+                for f in os.listdir(self.path)
+                if f.endswith(MAGIC_SUFFIX)
+            )
+        else:
+            files = [self.path]
+        return [_ShardPartition(f) for f in files]
+
+    def read(self, partition: _ShardPartition):
+        for offset, payload in read_records(partition.file_path):
+            yield (partition.file_path, offset, len(payload), payload)
+
+
+class RecordArchiveDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "recordarchive"
+
+    def schema(self) -> str:
+        return "file string, offset long, n_bytes long, payload binary"
+
+    def reader(self, schema) -> RecordArchiveReader:
+        return RecordArchiveReader(self.options)
