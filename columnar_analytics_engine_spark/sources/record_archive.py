@@ -28,12 +28,18 @@ import os
 import struct
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 MAGIC_SUFFIX = ".lprec"
 
 
-def write_record_archive(path: str, payloads: list[bytes]) -> int:
+def write_record_archive(path: str, payloads) -> int:
     """Write one shard file of length-prefixed records; returns bytes
     written.  Framing: 4-byte big-endian length, then the payload."""
     n = 0
@@ -92,6 +98,39 @@ class RecordArchiveReader(DataSourceReader):
             yield (partition.file_path, offset, len(payload), payload)
 
 
+class RecordArchiveWriter(DataSourceWriter):
+    """Sink side: each task writes ONE shard file of its partition's
+    ``payload`` column (task-temp name, renamed on task success — a
+    failed/retried task leaves no visible shard), so shard count ==
+    partition count and a ``repartition(n)`` upstream sizes the shards.
+    """
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("recordarchive: .save(path) is required")
+
+    def write(self, iterator) -> WriterCommitMessage:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        part = ctx.partitionId() if ctx else 0
+        os.makedirs(self.path, exist_ok=True)
+        final = os.path.join(self.path, f"shard-{part:05d}{MAGIC_SUFFIX}")
+        tmp = final + f".tmp-{os.getpid()}"
+        n = write_record_archive(
+            tmp, (bytes(row["payload"]) for row in iterator)
+        )
+        os.replace(tmp, final)
+        return WriterCommitMessage()
+
+    def abort(self, messages) -> None:
+        pass  # temp files are pid-suffixed; committed shards stay atomic
+
+    def commit(self, messages) -> None:
+        pass
+
+
 class RecordArchiveDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -102,3 +141,9 @@ class RecordArchiveDataSource(DataSource):
 
     def reader(self, schema) -> RecordArchiveReader:
         return RecordArchiveReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> RecordArchiveWriter:
+        names = [f.name for f in schema.fields]
+        if "payload" not in names:
+            raise ValueError("recordarchive writer requires a 'payload' binary column")
+        return RecordArchiveWriter(self.options)

@@ -58,6 +58,21 @@ def test_datasource_reads_all_shards(spark, archive_dir):
     assert all(r["n_bytes"] == len(bytes(r["payload"])) for r in rows)
 
 
+def test_datasource_write_read_roundtrip(spark, tmp_path):
+    """Spark-side sink: one shard per partition, atomic rename, byte
+    round-trip through the reader."""
+    spark.dataSource.register(RecordArchiveDataSource)
+    payloads = [bytes([i]) * (i + 1) for i in range(10)]
+    df = spark.createDataFrame([(p,) for p in payloads], "payload binary").repartition(3)
+    out = str(tmp_path / "sink")
+    df.write.format("recordarchive").mode("append").save(out)
+    shards = [f for f in os.listdir(out) if f.endswith(".lprec")]
+    assert len(shards) == 3
+    assert not any(".tmp-" in f for f in os.listdir(out))
+    back = spark.read.format("recordarchive").load(out)
+    assert sorted(bytes(r["payload"]) for r in back.collect()) == sorted(payloads)
+
+
 def test_datasource_feeds_multimodal_pipeline(spark, archive_dir):
     """Archive payloads flow straight into the binary-column pipeline:
     sniff image headers on the raw bytes without any decode."""
