@@ -109,12 +109,15 @@ def reference_parity_bench(num_rows: int = 1_000_000, seed: int = 42) -> None:
             .collect(),
         }
         _set_low_latency(spark, True)
-        for fn in bench_queries.values():  # warm-up
-            fn()
+        for _ in range(3):  # warm-up: plan cache + C2 JIT steady state
+            for fn in bench_queries.values():
+                fn()
+        # sub-second queries under a noisy box need more samples for a
+        # stable minimum; they're cheap, so take best-of-5
         timings = {}
         for name, fn in bench_queries.items():
             best = float("inf")
-            for _ in range(N_TIMED_RUNS):
+            for _ in range(5):
                 start = time.perf_counter()
                 fn()
                 best = min(best, time.perf_counter() - start)
