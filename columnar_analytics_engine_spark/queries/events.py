@@ -341,3 +341,61 @@ QUERIES["events_resample_gapfill"] = QuerySpec(
     "1-hour resampling with zero gap-fill per event type",
     ("streaming", "window"),
 )
+
+
+def events_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history build from a change
+    log: collapse each user's event stream into contiguous
+    ``event_type`` regimes with [valid_from, valid_to) microsecond
+    bounds and an ``is_current`` flag — the standard CDC-compaction step
+    that turns an append-only log into a queryable dimension table.
+
+    Shape: one shuffle on ``user_id``; the change-detection lag window
+    and the valid_to lead window share the same partitioning, so
+    Catalyst plans a single Exchange for both.  At 100 TB this is the
+    same per-key-bounded window as sessionization — no global sort, no
+    driver state, and the output is strictly smaller than the input
+    (one row per regime change).
+    """
+    df = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    changed = F.lag("event_type").over(w).isNull() | (
+        F.lag("event_type").over(w) != F.col("event_type")
+    )
+    starts = df.withColumn("_chg", changed).filter(F.col("_chg"))
+    w2 = W.partitionBy("user_id").orderBy("ts", "event_id")
+    valid_to = F.lead(F.unix_micros("ts")).over(w2)
+    return starts.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("valid_from_us"),
+        valid_to.alias("valid_to_us"),
+        valid_to.isNull().alias("is_current"),
+    ).orderBy("user_id", "valid_from_us")
+
+
+QUERIES["events_scd2_history"] = QuerySpec(
+    events_scd2_history,
+    """
+    WITH changes AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    ),
+    starts AS (
+      SELECT user_id, event_type, ts, event_id FROM changes
+      WHERE prev_type IS NULL OR prev_type != event_type
+    )
+    SELECT user_id, event_type,
+           CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,
+           lead(CAST(epoch_us(ts) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to_us,
+           (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
+             AS is_current
+    FROM starts
+    ORDER BY user_id, valid_from_us
+    """,
+    "SCD type-2 dimension history compacted from the event change log",
+    ("events", "window", "cdc"),
+)

@@ -618,3 +618,222 @@ QUERIES: dict[str, QuerySpec] = {
         ("sketch", "approx", "events"),
     ),
 }
+
+
+# ---------------------------------------------------------------------------
+# Mergeable histogram quantile sketch
+# ---------------------------------------------------------------------------
+
+_HQ_WIDTH = 1000.0  # value-space bin width for l_extendedprice
+_HQ_QUANTILES = (0.5, 0.9, 0.99)
+
+
+def approx_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimation from a fixed-width histogram sketch: bin
+    counts (one map-side-combined groupBy), then linear interpolation
+    inside the first bin whose cumulative count reaches ``q*n``.
+
+    This is the mergeable-quantile pattern for a 1000-executor cluster:
+    each shard's histogram is an O(bins) integer vector, merged
+    associatively — unlike exact percentile (global sort) the data is
+    touched once and never re-shuffled.  The cumulative window runs on
+    the ~100-row bin table, not the data, so its single-partition
+    window is bounded by the bin count, not the corpus.  Accuracy is
+    bounded by the bin width (pinned in tests/test_approx.py); the
+    estimate itself is deterministic, so the DuckDB oracle replays it
+    exactly.
+    """
+    df = t(spark, sf_dir, "lineitem")
+    binned = df.select(
+        F.floor(F.col("l_extendedprice") / F.lit(_HQ_WIDTH)).cast("long").alias("bin")
+    )
+    hist = binned.groupBy("bin").agg(F.count("*").alias("cnt"))
+    w_cum = W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = hist.select(
+        "bin", "cnt", F.sum("cnt").over(w_cum).alias("cum")
+    ).withColumn("n", F.sum("cnt").over(W.orderBy(F.lit(1)).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing)))
+    qs = spark.createDataFrame([(q,) for q in _HQ_QUANTILES], "q double")
+    target = F.col("q") * F.col("n").cast("double")
+    hit = (
+        cum.join(F.broadcast(qs))
+        .filter(F.col("cum").cast("double") >= target)
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                W.partitionBy("q").orderBy("bin")
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+    )
+    est = (
+        F.col("bin").cast("double") * F.lit(_HQ_WIDTH)
+        + F.lit(_HQ_WIDTH)
+        * (target - (F.col("cum") - F.col("cnt")).cast("double"))
+        / F.col("cnt").cast("double")
+    )
+    return hit.select(
+        "q", F.round(est, 6).alias("approx_value"), F.col("n").alias("n_rows")
+    ).orderBy("q")
+
+
+_SQL_HQ = f"""
+WITH hist AS (
+  SELECT CAST(FLOOR(l_extendedprice / {_HQ_WIDTH!r}) AS BIGINT) AS bin,
+         COUNT(*) AS cnt
+  FROM lineitem GROUP BY 1
+),
+cum AS (
+  SELECT bin, cnt,
+         SUM(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(cnt) OVER () AS n
+  FROM hist
+),
+qs AS (SELECT unnest([{", ".join(repr(q) for q in _HQ_QUANTILES)}]) AS q),
+hit AS (
+  SELECT q, bin, cnt, cum, n,
+         ROW_NUMBER() OVER (PARTITION BY q ORDER BY bin) AS _rn
+  FROM cum CROSS JOIN qs
+  WHERE CAST(cum AS DOUBLE) >= q * CAST(n AS DOUBLE)
+)
+SELECT q,
+       ROUND(CAST(bin AS DOUBLE) * {_HQ_WIDTH!r}
+             + {_HQ_WIDTH!r} * (q * CAST(n AS DOUBLE) - CAST(cum - cnt AS DOUBLE))
+               / CAST(cnt AS DOUBLE), 6) AS approx_value,
+       CAST(n AS BIGINT) AS n_rows
+FROM hit WHERE _rn = 1
+ORDER BY q
+"""
+
+QUERIES["approx_quantile_histogram"] = QuerySpec(
+    approx_quantile_histogram,
+    _SQL_HQ,
+    "mergeable fixed-bin histogram quantiles (p50/p90/p99, interpolated)",
+    ("sketch", "approx"),
+)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of lexical + vector rankings
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60  # standard RRF dampening constant
+_RRF_TOPK = 10
+
+
+def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: fuse the BM25 lexical top-10 (query
+    ``BM25_TERMS``) with the embedding-cosine top-10 (query vector
+    ``vec_id = 0``; ``vec_id`` is the embedding of document ``doc_id``)
+    by reciprocal-rank fusion ``score = Σ 1/(60 + rank)`` — the
+    standard fusion rule dense+sparse retrieval stacks use, robust to
+    the two scores living on incomparable scales.
+
+    Scale shape: each ranking is already top-k (TakeOrdered / per-query
+    window), so fusion joins two ≤k-row tables — broadcast territory
+    regardless of corpus size.  The rank windows below run on ≤10-row
+    inputs, bounded by k, not the corpus.
+    """
+    from columnar_analytics_engine_spark.operators.similarity import cosine_topk
+
+    lex = retrieval_bm25_topk(spark, sf_dir).select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.col("bm25").desc(), "doc_id"))
+        .cast("long")
+        .alias("lex_rank"),
+    )
+    emb = t(spark, sf_dir, "embeddings")
+    sem = cosine_topk(emb.filter(F.col("vec_id") == 0), emb, k=_RRF_TOPK).select(
+        F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("sem_rank")
+    )
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(float(_RRF_K)) + F.col("lex_rank").cast("double")),
+        F.lit(0.0),
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(float(_RRF_K)) + F.col("sem_rank").cast("double")),
+        F.lit(0.0),
+    )
+    return (
+        lex.join(sem, "doc_id", "full_outer")
+        .select("doc_id", "lex_rank", "sem_rank", rrf.alias("rrf_score"))
+        .orderBy(F.col("rrf_score").desc(), "doc_id")
+        .limit(_RRF_TOPK)
+    )
+
+
+_SQL_HYBRID_RRF = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents
+),
+hits AS (SELECT * FROM tok WHERE token IN ({_SQL_BM25_HITS})),
+tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM hits GROUP BY 1, 2
+),
+df AS (
+  SELECT token, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+  FROM hits GROUP BY 1
+),
+dl AS (
+  SELECT doc_id, CAST(len({_SQL_TOKENS}) AS DOUBLE) AS dl FROM documents
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         CAST(SUM(len({_SQL_TOKENS})) AS DOUBLE) AS total_tokens
+  FROM documents
+),
+scored AS (
+  SELECT tf.doc_id, tf.token,
+         ((n_docs - df + 0.5) / (df + 0.5))
+         * ((tf * {BM25_K1 + 1.0}) /
+            (tf + {BM25_K1} * ((1.0 - {BM25_B}) + ({BM25_B} * dl) / (total_tokens / n_docs))))
+         AS s
+  FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
+),
+pivoted AS (
+  SELECT doc_id,
+         {", ".join(f"MAX(CASE WHEN token = '{t_}' THEN s END) AS s_{i}" for i, t_ in enumerate(BM25_TERMS))}
+  FROM scored GROUP BY doc_id
+),
+lex AS (
+  SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT)
+           AS lex_rank
+  FROM (
+    SELECT doc_id,
+           {" + ".join(f"COALESCE(s_{i}, 0.0)" for i in range(len(BM25_TERMS)))} AS bm25
+    FROM pivoted ORDER BY bm25 DESC, doc_id LIMIT 10
+  ) top_lex
+),
+n AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                          list_transform(embedding, x -> CAST(x AS DOUBLE))) AS sq_norm
+  FROM embeddings
+),
+sem AS (
+  SELECT neighbor_id AS doc_id, sem_rank FROM (
+    SELECT c.vec_id AS neighbor_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY
+             ROUND(list_dot_product(q.v, c.v)
+                   / (SQRT(q.sq_norm) * SQRT(c.sq_norm)), 4) DESC,
+             c.vec_id) AS BIGINT) AS sem_rank
+    FROM n q JOIN n c ON q.vec_id != c.vec_id
+    WHERE q.vec_id = 0) sub
+  WHERE sem_rank <= {_RRF_TOPK}
+)
+SELECT doc_id, lex_rank, sem_rank,
+       COALESCE(1.0 / ({_RRF_K}.0 + CAST(lex_rank AS DOUBLE)), 0.0)
+       + COALESCE(1.0 / ({_RRF_K}.0 + CAST(sem_rank AS DOUBLE)), 0.0) AS rrf_score
+FROM lex FULL OUTER JOIN sem USING (doc_id)
+ORDER BY rrf_score DESC, doc_id
+LIMIT {_RRF_TOPK}
+"""
+
+QUERIES["retrieval_hybrid_rrf"] = QuerySpec(
+    retrieval_hybrid_rrf,
+    _SQL_HYBRID_RRF,
+    "reciprocal-rank fusion of BM25 lexical and embedding-cosine rankings",
+    ("retrieval", "similarity", "topk"),
+)

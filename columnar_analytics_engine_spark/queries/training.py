@@ -1410,3 +1410,64 @@ QUERIES: dict[str, QuerySpec] = {
         ("sample", "clustering"),
     ),
 }
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis–Spirakis A-ES)
+# ---------------------------------------------------------------------------
+
+_WRS_K = 100
+
+
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement: keep the ``_WRS_K``
+    documents with the largest ``u^(1/w)`` (Efraimidis–Spirakis A-ES),
+    weight = ``n_chars`` — longer documents proportionally likelier, but
+    each document drawn at most once (unlike Bernoulli/Poisson gating,
+    which cannot hit an exact k).
+
+    Determinism: ``u`` derives from ``h60(doc_id)`` (not an RNG), and
+    the ranking key is ``round(-ln(u)/w * 1e12)`` — maximizing
+    ``u^(1/w)`` is minimizing ``-ln(u)/w``, and the integer rounding
+    absorbs any 1-ulp ``ln`` difference between engines (same
+    scaled-round strategy as `_util`'s exact sums).  ``doc_id``
+    tie-breaks make the selected set unique.
+
+    Scale shape: a pure projection followed by TakeOrderedAndProject —
+    each partition keeps its local top-k, the driver merges k×P keys.
+    No shuffle of the data itself; this is how you draw an exact-k
+    weighted sample from a 100 TB corpus in one pass.
+    """
+    docs = t(spark, sf_dir, "documents")
+    u_int = (h60("wrs:", F.col("doc_id").cast("string")) % 1_000_000) + 1
+    u = u_int.cast("double") / F.lit(1_000_000.0)
+    w = F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
+    key = F.round((-F.log(u) / w) * F.lit(1e12)).cast("long")
+    return (
+        docs.select("doc_id", "n_chars", key.alias("wrs_key"))
+        .orderBy("wrs_key", "doc_id")
+        .limit(_WRS_K)
+    )
+
+
+_SQL_WRS_U = (
+    f"(({sql_h60('wrs:', 'CAST(doc_id AS VARCHAR)')} % 1000000) + 1) / 1000000.0"
+)
+
+_SQL_WRS = f"""
+SELECT doc_id, n_chars, wrs_key FROM (
+  SELECT doc_id, n_chars,
+         CAST(ROUND((-ln({_SQL_WRS_U}) / CAST(GREATEST(n_chars, 1) AS DOUBLE))
+                    * 1e12) AS BIGINT) AS wrs_key
+  FROM documents
+) sub
+ORDER BY wrs_key, doc_id
+LIMIT {_WRS_K}
+"""
+
+QUERIES["sample_weighted_reservoir"] = QuerySpec(
+    sample_weighted_reservoir,
+    _SQL_WRS,
+    "exact-k weighted sample without replacement (A-ES, hash-derived uniforms)",
+    ("sampling",),
+)

@@ -49,3 +49,23 @@ def test_funnel_window_and_ordering(spark, tmp_path):
         "n_clicked_in_window": 2,   # users 1 and 4
         "n_purchased_in_window": 1,  # user 1 only
     }
+
+
+def test_scd2_history_invariants(spark, sf_small):
+    """SCD2 contract: per user, regimes tile the timeline (each
+    valid_to equals the next valid_from), exactly one open row, and
+    consecutive regimes always change type."""
+    from columnar_analytics_engine_spark.queries.events import events_scd2_history
+
+    rows = events_scd2_history(spark, sf_small).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert by_user
+    for user, hist in by_user.items():
+        hist.sort(key=lambda r: r["valid_from_us"])
+        assert sum(1 for r in hist if r["is_current"]) == 1
+        assert hist[-1]["is_current"] and hist[-1]["valid_to_us"] is None
+        for a, b in zip(hist, hist[1:]):
+            assert a["valid_to_us"] == b["valid_from_us"], user
+            assert a["event_type"] != b["event_type"], user

@@ -152,3 +152,27 @@ def test_cms_overestimates_only_and_detects_heavy_hitter(spark, tmp_path):
     # rows make the min tight here) and some light user collides
     assert top["cms_estimate"] < 600
     assert any(r["cms_estimate"] > r["exact_n"] for r in out)
+
+
+def test_hybrid_rrf_fuses_both_rankings(spark, sf_small):
+    """RRF output contains both modalities' top hits, scores equal
+    1/(60+rank) summed over the lists a doc appears in, and a doc in
+    both lists beats a same-rank single-list doc."""
+    from columnar_analytics_engine_spark.queries.retrieval import (
+        _RRF_K,
+        retrieval_hybrid_rrf,
+    )
+
+    rows = retrieval_hybrid_rrf(spark, sf_small).collect()
+    assert rows
+    assert any(r["lex_rank"] is not None for r in rows)
+    assert any(r["sem_rank"] is not None for r in rows)
+    for r in rows:
+        expect = 0.0
+        if r["lex_rank"] is not None:
+            expect += 1.0 / (_RRF_K + r["lex_rank"])
+        if r["sem_rank"] is not None:
+            expect += 1.0 / (_RRF_K + r["sem_rank"])
+        assert abs(r["rrf_score"] - expect) < 1e-12
+    scores = [r["rrf_score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)

@@ -311,3 +311,45 @@ def test_kmeans_mllib_twin_matches_exact_shape(spark, sf_small):
     assert set(ml) == set(range(_KM_K))
     assert sum(ml.values()) == sum(exact.values())  # every vector assigned once
     assert all(n > 0 for n in ml.values())
+
+
+def test_weighted_reservoir_exact_k_and_weight_bias(spark, sf_oracle):
+    """A-ES draws exactly k distinct documents, and char-weighting
+    overrepresents long documents vs the corpus mean."""
+    from columnar_analytics_engine_spark.queries.training import (
+        _WRS_K,
+        sample_weighted_reservoir,
+    )
+
+    sample = sample_weighted_reservoir(spark, sf_oracle).collect()
+    assert len(sample) == _WRS_K
+    assert len({r["doc_id"] for r in sample}) == _WRS_K
+    docs = t(spark, sf_oracle, "documents")
+    corpus_avg = docs.agg(F.avg("n_chars")).first()[0]
+    sample_avg = sum(r["n_chars"] for r in sample) / _WRS_K
+    assert sample_avg > corpus_avg  # heavier docs likelier, as designed
+
+
+def test_weighted_reservoir_stable_across_partitioning(spark, sf_oracle):
+    """The selected set is a pure function of the data — repartitioning
+    (a different cluster layout) must not change it."""
+    from columnar_analytics_engine_spark.queries._util import t as t_
+    from columnar_analytics_engine_spark.queries.training import (
+        sample_weighted_reservoir,
+    )
+
+    base = {r["doc_id"] for r in sample_weighted_reservoir(spark, sf_oracle).collect()}
+    from columnar_analytics_engine_spark.functions.hashing import h60
+    docs = t_(spark, sf_oracle, "documents").repartition(17)
+    u_int = (h60("wrs:", F.col("doc_id").cast("string")) % 1_000_000) + 1
+    u = u_int.cast("double") / F.lit(1_000_000.0)
+    w = F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
+    key = F.round((-F.log(u) / w) * F.lit(1e12)).cast("long")
+    again = {
+        r["doc_id"]
+        for r in docs.select("doc_id", key.alias("k"))
+        .orderBy("k", "doc_id")
+        .limit(100)
+        .collect()
+    }
+    assert again == base
