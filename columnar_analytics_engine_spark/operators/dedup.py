@@ -553,3 +553,71 @@ def simhash_near_duplicates(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.9,
+    min_shingles: int = 5,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Directional shingle-set containment ``|A∩B| / |A| ≥ threshold``:
+    finds documents mostly CONTAINED in another (quotes, excerpts,
+    boilerplate wrappers) that symmetric Jaccard misses — a 50-token
+    quote inside a 5000-token article has Jaccard ≈ 0.01 but
+    containment 1.0.  Output is (src, dst, containment): src's n-word
+    shingles are inside dst.  Shingles, not tokens: containment means
+    shared SEQUENCES, so a small shared vocabulary doesn't make
+    everything "contained" in everything.
+
+    One unordered co-occurrence join scores both directions; the
+    threshold is the exact rational predicate ``den·common ≥ num·|A|``
+    so the boundary is bit-identical cross-engine.  ``min_shingles``
+    drops trivially-contained tiny docs.  Same scale posture as
+    :func:`ngram_jaccard_pairs` — shingle inverted-index self-join is
+    sparse (docs only meet on an exact shared n-word sequence); feed
+    LSH candidates + a set-array verify instead at web scale.
+    """
+    num, den = _rational_threshold(threshold)
+    tok = (
+        docs.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("l"))
+        .filter(F.size("l") >= n)
+        .select("doc_id", F.explode(word_shingles(F.col("l"), n)).alias("token"))
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
+    ta = tok.alias("ta")
+    tb = tok.alias("tb")
+    common = (
+        ta.join(
+            tb,
+            (F.col("ta.token") == F.col("tb.token"))
+            & (F.col("ta.doc_id") < F.col("tb.doc_id")),
+        )
+        .groupBy(F.col("ta.doc_id").alias("d1"), F.col("tb.doc_id").alias("d2"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    joined = (
+        common.join(sizes.alias("s1"), F.col("d1") == F.col("s1.doc_id"))
+        .join(sizes.alias("s2"), F.col("d2") == F.col("s2.doc_id"))
+        .select(
+            "d1", "d2", "n_common",
+            F.col("s1.n_tokens").alias("n1"),
+            F.col("s2.n_tokens").alias("n2"),
+        )
+    )
+    def direction(src, dst, n_src):
+        return (
+            joined.filter(
+                (F.col(n_src) >= F.lit(min_shingles))
+                & (F.lit(den) * F.col("n_common") >= F.lit(num) * F.col(n_src))
+            )
+            .select(
+                F.col(src).alias("src"),
+                F.col(dst).alias("dst"),
+                (F.col("n_common").cast("double") / F.col(n_src).cast("double"))
+                .alias("containment"),
+            )
+        )
+    return direction("d1", "d2", "n1").unionByName(direction("d2", "d1", "n2"))

@@ -849,3 +849,45 @@ QUERIES["similarity_lsh_topk"] = QuerySpec(
     "random-hyperplane LSH approximate ANN (seeded planes replayed in SQL)",
     ("similarity",),
 )
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-duplicate (excerpt/quote) detection via directional
+    3-word-shingle containment ≥ 0.9 (operators/dedup.containment_pairs)."""
+    return D.containment_pairs(t(spark, sf_dir, "documents"), threshold=0.9)
+
+
+QUERIES["dedup_containment"] = QuerySpec(
+    dedup_containment,
+    f"""
+    WITH s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(l) - 1),
+                 i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS sh
+      FROM (SELECT doc_id, {_SQL_TOKENS} AS l FROM documents)
+      WHERE len(l) >= 3
+    ),
+    tok AS (SELECT doc_id, unnest(sh) AS token FROM s),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+    common AS (
+      SELECT ta.doc_id AS d1, tb.doc_id AS d2, COUNT(*) AS n_common
+      FROM tok ta JOIN tok tb ON ta.token = tb.token AND ta.doc_id < tb.doc_id
+      GROUP BY 1, 2
+    ),
+    joined AS (
+      SELECT c.d1, c.d2, c.n_common, s1.n AS n1, s2.n AS n2
+      FROM common c
+      JOIN sz s1 ON s1.doc_id = c.d1
+      JOIN sz s2 ON s2.doc_id = c.d2
+    )
+    SELECT d1 AS src, d2 AS dst,
+           CAST(n_common AS DOUBLE) / CAST(n1 AS DOUBLE) AS containment
+    FROM joined WHERE n1 >= 5 AND 10 * n_common >= 9 * n1
+    UNION ALL
+    SELECT d2 AS src, d1 AS dst,
+           CAST(n_common AS DOUBLE) / CAST(n2 AS DOUBLE) AS containment
+    FROM joined WHERE n2 >= 5 AND 10 * n_common >= 9 * n2
+    """,
+    "directional containment ≥ 0.9 (excerpt/partial-duplicate pairs)",
+    ("dedup",),
+)

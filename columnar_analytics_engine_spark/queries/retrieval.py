@@ -837,3 +837,94 @@ QUERIES["retrieval_hybrid_rrf"] = QuerySpec(
     "reciprocal-rank fusion of BM25 lexical and embedding-cosine rankings",
     ("retrieval", "similarity", "topk"),
 )
+
+
+def approx_quantile_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped quantiles from per-group histogram sketches: p50/p90 of
+    ``l_extendedprice`` per ``l_returnflag``, interpolated inside the
+    first bin whose per-group cumulative count reaches ``q*n_g``.
+
+    The grouped form of :func:`approx_quantile_histogram` — and the
+    reason the histogram beats exact percentile at scale: every window
+    below is partitioned by the group key, so NOTHING in the plan is
+    single-partition.  Each group's sketch is an O(bins) vector built
+    with map-side combine; a 100 TB table with millions of group keys
+    runs this as one well-distributed shuffle on (group, bin).
+    """
+    df = t(spark, sf_dir, "lineitem")
+    hist = (
+        df.select(
+            F.col("l_returnflag").alias("grp"),
+            F.floor(F.col("l_extendedprice") / F.lit(_HQ_WIDTH)).cast("long").alias("bin"),
+        )
+        .groupBy("grp", "bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w_cum = W.partitionBy("grp").orderBy("bin").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    w_all = W.partitionBy("grp").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    cum = hist.select(
+        "grp", "bin", "cnt",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    qs = spark.createDataFrame([(q,) for q in (0.5, 0.9)], "q double")
+    target = F.col("q") * F.col("n").cast("double")
+    hit = (
+        cum.join(F.broadcast(qs))
+        .filter(F.col("cum").cast("double") >= target)
+        .withColumn(
+            "_rn", F.row_number().over(W.partitionBy("grp", "q").orderBy("bin"))
+        )
+        .filter(F.col("_rn") == 1)
+    )
+    est = (
+        F.col("bin").cast("double") * F.lit(_HQ_WIDTH)
+        + F.lit(_HQ_WIDTH)
+        * (target - (F.col("cum") - F.col("cnt")).cast("double"))
+        / F.col("cnt").cast("double")
+    )
+    return hit.select(
+        "grp", "q", F.round(est, 6).alias("approx_value"),
+        F.col("n").alias("n_rows"),
+    ).orderBy("grp", "q")
+
+
+_SQL_HQ_GRP = f"""
+WITH hist AS (
+  SELECT l_returnflag AS grp,
+         CAST(FLOOR(l_extendedprice / {_HQ_WIDTH!r}) AS BIGINT) AS bin,
+         COUNT(*) AS cnt
+  FROM lineitem GROUP BY 1, 2
+),
+cum AS (
+  SELECT grp, bin, cnt,
+         SUM(cnt) OVER (PARTITION BY grp ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(cnt) OVER (PARTITION BY grp) AS n
+  FROM hist
+),
+qs AS (SELECT unnest([0.5, 0.9]) AS q),
+hit AS (
+  SELECT grp, q, bin, cnt, cum, n,
+         ROW_NUMBER() OVER (PARTITION BY grp, q ORDER BY bin) AS _rn
+  FROM cum CROSS JOIN qs
+  WHERE CAST(cum AS DOUBLE) >= q * CAST(n AS DOUBLE)
+)
+SELECT grp, q,
+       ROUND(CAST(bin AS DOUBLE) * {_HQ_WIDTH!r}
+             + {_HQ_WIDTH!r} * (q * CAST(n AS DOUBLE) - CAST(cum - cnt AS DOUBLE))
+               / CAST(cnt AS DOUBLE), 6) AS approx_value,
+       CAST(n AS BIGINT) AS n_rows
+FROM hit WHERE _rn = 1
+ORDER BY grp, q
+"""
+
+QUERIES["approx_quantile_by_group"] = QuerySpec(
+    approx_quantile_by_group,
+    _SQL_HQ_GRP,
+    "per-group histogram-sketch quantiles (p50/p90 per return flag, fully partitioned)",
+    ("sketch", "approx", "agg"),
+)

@@ -59,3 +59,19 @@ def test_histogram_quantile_merges_across_shards(spark, sf_small):
     direct = binned.groupBy("bin").agg(F.count("*").alias("cnt"))
     assert merged.exceptAll(direct).count() == 0
     assert direct.exceptAll(merged).count() == 0
+
+
+def test_grouped_histogram_quantile_within_bin_width(spark, sf_small):
+    from columnar_analytics_engine_spark.queries.retrieval import (
+        _HQ_WIDTH,
+        approx_quantile_by_group,
+    )
+
+    rows = approx_quantile_by_group(spark, sf_small).collect()
+    assert {r["grp"] for r in rows} == {"A", "N", "R"}
+    df = read_table(spark, sf_small, "lineitem")
+    for r in rows:
+        exact = df.filter(F.col("l_returnflag") == r["grp"]).agg(
+            F.expr(f"percentile(l_extendedprice, {r['q']})").alias("e")
+        ).first()["e"]
+        assert abs(r["approx_value"] - exact) <= _HQ_WIDTH, r

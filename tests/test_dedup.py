@@ -162,3 +162,40 @@ def test_collapse_identical_sets_templated_corpus(spark):
     expected.add((100, 101))
     assert set(got) == expected
     assert all(j == 1.0 for j in got.values())
+
+
+def test_containment_catches_excerpt_jaccard_misses(spark):
+    """A short quote inside a long article: shingle containment flags
+    the directional pair (quote -> article); symmetric Jaccard at the
+    same corpus barely registers; unrelated docs stay clean."""
+    from columnar_analytics_engine_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+    )
+
+    article = " ".join(f"w{i} x{i} y{i}" for i in range(40))  # 120 tokens
+    quote = " ".join(f"w{i} x{i} y{i}" for i in range(10, 15))  # 15-token excerpt
+    other = " ".join(f"z{i} q{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, article), (2, quote), (3, other)], "doc_id long, text string"
+    )
+    pairs = {
+        (r["src"], r["dst"]): r["containment"]
+        for r in containment_pairs(docs, threshold=0.9).collect()
+    }
+    assert pairs[(2, 1)] == 1.0          # quote fully inside article
+    assert (1, 2) not in pairs           # article NOT inside quote
+    assert all(3 not in p for p in pairs)
+    jac = jaccard_pairs(docs, threshold=0.8).collect()
+    assert not [r for r in jac if {r["d1"], r["d2"]} == {1, 2}]
+
+
+def test_containment_min_shingles_drops_tiny_docs(spark):
+    from columnar_analytics_engine_spark.operators.dedup import containment_pairs
+
+    big = " ".join(f"a{i}" for i in range(50))
+    tiny = "a0 a1 a2 a3"  # 2 shingles, both inside big
+    docs = spark.createDataFrame([(1, big), (2, tiny)], "doc_id long, text string")
+    assert containment_pairs(docs, threshold=0.9, min_shingles=5).count() == 0
+    hits = containment_pairs(docs, threshold=0.9, min_shingles=1).collect()
+    assert {(r["src"], r["dst"]) for r in hits} == {(2, 1)}
