@@ -794,3 +794,112 @@ QUERIES["table_profile"] = QuerySpec(
     "per-column statistics profiling (ANALYZE twin)",
     ("agg", "metadata"),
 )
+
+
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated dimension join: events (hot user_ids — see
+    skew_key_report) joined to the customer dimension through
+    operators/skew.salted_join.  The salt scatters each hot key across
+    ``salt_factor`` shuffle partitions and replicates only the (small)
+    dimension side, so no single task receives a hot key's full row
+    mass — the manual fallback when AQE skew splitting can't apply
+    (e.g. a skewed aggregate-then-join).  Produces exactly the rows of
+    the plain equi-join, which is what the oracle checks.
+    """
+    from columnar_analytics_engine_spark.operators.skew import salted_join
+
+    events = t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    dim = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_name", "c_mktsegment"
+    )
+    return salted_join(events, dim, on="user_id").select(
+        "event_id", "user_id", "c_name", "c_mktsegment"
+    )
+
+
+QUERIES["join_salted_skew"] = QuerySpec(
+    join_salted_skew,
+    """
+    SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+    "salted equi-join over a skewed key (result identical to the plain join)",
+    ("join", "skew"),
+)
+
+
+_MERGE_CUTOFF = "2024-01-15 00:00:00"
+
+
+def events_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert on plain parquet (operators/merge.merge_upsert):
+    per-user profile (last event_type, exact-summed value) built from
+    the first half of the event log is upserted with profiles rebuilt
+    from the second half — users active after the cutoff take the new
+    profile, dormant users keep the old one.  This is the batch
+    compaction a CDC lake runs without a transactional table format:
+    one key shuffle per side, anti-join + union, no driver state.
+    """
+    from columnar_analytics_engine_spark.operators.merge import merge_upsert
+
+    events = t(spark, sf_dir, "events")
+
+    def profile(df: DataFrame) -> DataFrame:
+        w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+        last_type = (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("user_id", F.col("event_type").alias("last_type"))
+        )
+        totals = df.groupBy("user_id").agg(
+            exact_sum("value", "total_value"), F.count("*").alias("n_events")
+        )
+        return last_type.join(totals, "user_id")
+
+    cutoff = F.lit(_MERGE_CUTOFF).cast("timestamp")
+    target = profile(events.filter(F.col("ts") < cutoff))
+    source = profile(events.filter(F.col("ts") >= cutoff))
+    return merge_upsert(target, source, "user_id").orderBy("user_id")
+
+
+QUERIES["events_merge_upsert"] = QuerySpec(
+    events_merge_upsert,
+    f"""
+    WITH before AS (SELECT * FROM events WHERE ts < TIMESTAMP '{_MERGE_CUTOFF}'),
+    after AS (SELECT * FROM events WHERE ts >= TIMESTAMP '{_MERGE_CUTOFF}'),
+    t_last AS (
+      SELECT user_id, event_type AS last_type FROM (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS _rn
+        FROM before) x WHERE _rn = 1
+    ),
+    t_tot AS (
+      SELECT user_id, {sql_exact_sum('value', 'total_value')},
+             COUNT(*) AS n_events
+      FROM before GROUP BY 1
+    ),
+    target AS (SELECT user_id, last_type, total_value, n_events
+               FROM t_last JOIN t_tot USING (user_id)),
+    s_last AS (
+      SELECT user_id, event_type AS last_type FROM (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS _rn
+        FROM after) x WHERE _rn = 1
+    ),
+    s_tot AS (
+      SELECT user_id, {sql_exact_sum('value', 'total_value')},
+             COUNT(*) AS n_events
+      FROM after GROUP BY 1
+    ),
+    source AS (SELECT user_id, last_type, total_value, n_events
+               FROM s_last JOIN s_tot USING (user_id))
+    SELECT user_id, last_type, total_value, n_events FROM (
+      SELECT t.* FROM target t ANTI JOIN source s USING (user_id)
+      UNION ALL
+      SELECT * FROM source
+    ) merged
+    ORDER BY user_id
+    """,
+    "MERGE-style per-user profile upsert across a time cutoff (source wins)",
+    ("merge", "events", "cdc"),
+)
