@@ -562,6 +562,8 @@ def containment_pairs(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    candidates: DataFrame | None = None,
+    broadcast_sets: bool = True,
 ) -> DataFrame:
     """Directional shingle-set containment ``|A∩B| / |A| ≥ threshold``:
     finds documents mostly CONTAINED in another (quotes, excerpts,
@@ -577,10 +579,47 @@ def containment_pairs(
     so the boundary is bit-identical cross-engine.  ``min_shingles``
     drops trivially-contained tiny docs.  Same scale posture as
     :func:`ngram_jaccard_pairs` — shingle inverted-index self-join is
-    sparse (docs only meet on an exact shared n-word sequence); feed
-    LSH candidates + a set-array verify instead at web scale.
+    sparse (docs only meet on an exact shared n-word sequence).
+
+    At web scale pass ``candidates`` (d1 < d2 pairs, e.g. from
+    :func:`lsh_candidates`): each pair is then verified against compact
+    per-doc h60-encoded shingle-set arrays (whole-stage-codegen
+    ``array_intersect``, no shingle explosion), so cost scales with
+    |candidates| × shingles-per-doc and never with global shingle
+    co-occurrence — the same verify shape as :func:`jaccard_pairs`'s
+    candidates path.  The set table is linear and small; it broadcasts
+    so the candidate side never shuffles (``broadcast_sets=False``
+    falls back to a shuffle join for corpora whose set table exceeds
+    executor memory).
     """
     num, den = _rational_threshold(threshold)
+    if candidates is not None:
+        sets = docs.select(
+            F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("l")
+        ).select(
+            "doc_id",
+            F.when(
+                F.size("l") >= n,
+                F.transform(word_shingles(F.col("l"), n), lambda x: h60("c:", x)),
+            )
+            .otherwise(F.array().cast("array<bigint>"))
+            .alias("toks"),
+        )
+        if broadcast_sets:
+            sets = F.broadcast(sets)
+        a, b = sets.alias("sa"), sets.alias("sb")
+        t1, t2 = F.col("sa.toks"), F.col("sb.toks")
+        n1, n2 = F.size(t1).cast("long"), F.size(t2).cast("long")
+        n_common = F.size(F.array_intersect(t1, t2)).cast("long")
+        joined = (
+            candidates.join(a, F.col("d1") == F.col("sa.doc_id"))
+            .join(b, F.col("d2") == F.col("sb.doc_id"))
+            .select(
+                "d1", "d2", n_common.alias("n_common"),
+                n1.alias("n1"), n2.alias("n2"),
+            )
+        )
+        return _containment_directions(joined, num, den, min_shingles)
     tok = (
         docs.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("l"))
         .filter(F.size("l") >= n)
@@ -607,6 +646,15 @@ def containment_pairs(
             F.col("s2.n_tokens").alias("n2"),
         )
     )
+    return _containment_directions(joined, num, den, min_shingles)
+
+
+def _containment_directions(
+    joined: DataFrame, num: int, den: int, min_shingles: int
+) -> DataFrame:
+    """Score both directions of (d1, d2, n_common, n1, n2) rows with the
+    exact rational containment predicate; emit (src, dst, containment)."""
+
     def direction(src, dst, n_src):
         return (
             joined.filter(
@@ -620,4 +668,5 @@ def containment_pairs(
                 .alias("containment"),
             )
         )
+
     return direction("d1", "d2", "n1").unionByName(direction("d2", "d1", "n2"))

@@ -199,3 +199,39 @@ def test_containment_min_shingles_drops_tiny_docs(spark):
     assert containment_pairs(docs, threshold=0.9, min_shingles=5).count() == 0
     hits = containment_pairs(docs, threshold=0.9, min_shingles=1).collect()
     assert {(r["src"], r["dst"]) for r in hits} == {(2, 1)}
+
+
+def test_containment_candidates_path_matches_full(spark, sf_small):
+    """The LSH-candidates verify (set-array intersect, the web-scale
+    path) reproduces the full inverted-index result exactly when handed
+    every co-occurring pair."""
+    from pyspark.sql import functions as F
+
+    from columnar_analytics_engine_spark.operators.dedup import containment_pairs
+    from columnar_analytics_engine_spark.queries._util import t as t_
+
+    docs = t_(spark, sf_small, "documents")
+    full = containment_pairs(docs, threshold=0.9)
+    # every unordered pair the full mode could emit, as (d1 < d2)
+    cand = (
+        full.select(
+            F.least("src", "dst").alias("d1"), F.greatest("src", "dst").alias("d2")
+        )
+        .distinct()
+    )
+    via_cand = containment_pairs(docs, threshold=0.9, candidates=cand)
+    a = sorted(map(tuple, full.collect()))
+    b = sorted(map(tuple, via_cand.collect()))
+    assert a == b and a
+
+
+def test_containment_candidates_short_doc_safe(spark):
+    """Docs shorter than the shingle width get an empty set (not bogus
+    partial shingles) in the candidates path."""
+    from columnar_analytics_engine_spark.operators.dedup import containment_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b c d e f g h")], "doc_id long, text string"
+    )
+    cand = spark.createDataFrame([(1, 2)], "d1 long, d2 long")
+    assert containment_pairs(docs, threshold=0.5, candidates=cand, min_shingles=1).count() == 0
