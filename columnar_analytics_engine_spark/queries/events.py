@@ -399,3 +399,62 @@ QUERIES["events_scd2_history"] = QuerySpec(
     "SCD type-2 dimension history compacted from the event change log",
     ("events", "window", "cdc"),
 )
+
+
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of ``value`` per user over the irregular
+    event stream: each reading is weighted by how long it was current
+    (seconds until the user's next event); the final reading carries no
+    interval and drops out.  The standard aggregate for sensor/metric
+    streams where plain AVG over-weights bursts.
+
+    Exactness: cents = round(value*100) as int64, weight = integer
+    seconds, so the weighted sum is an exact associative integer sum in
+    any partition order; the closing division is one IEEE op both
+    engines evaluate identically.  Shape: one user_id shuffle (the lead
+    window and the groupBy share it).
+    """
+    df = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    secs = (F.unix_timestamp(F.lead("ts").over(w)) - F.unix_timestamp("ts"))
+    cents = F.round(F.col("value") * 100).cast("long")
+    weighted = df.select(
+        "user_id", secs.alias("w_secs"), (cents * secs).alias("w_cents")
+    ).filter(F.col("w_secs").isNotNull())
+    return (
+        weighted.groupBy("user_id")
+        .agg(
+            (
+                F.sum("w_cents").cast("double")
+                / (F.lit(100.0) * F.sum("w_secs").cast("double"))
+            ).alias("twap_value"),
+            F.sum("w_secs").alias("total_secs"),
+            F.count("*").alias("n_intervals"),
+        )
+        .orderBy("user_id")
+    )
+
+
+QUERIES["events_time_weighted_avg"] = QuerySpec(
+    events_time_weighted_avg,
+    """
+    WITH iv AS (
+      -- floor-to-second via integer µs division: matches Spark's
+      -- unix_timestamp truncation (CAST(epoch(..)) would ROUND)
+      SELECT user_id,
+             (epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) // 1000000)
+               - (epoch_us(ts) // 1000000) AS w_secs,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT user_id,
+           CAST(SUM(cents * w_secs) AS DOUBLE)
+             / (100.0 * CAST(SUM(w_secs) AS DOUBLE)) AS twap_value,
+           CAST(SUM(w_secs) AS BIGINT) AS total_secs,
+           COUNT(*) AS n_intervals
+    FROM iv WHERE w_secs IS NOT NULL
+    GROUP BY user_id ORDER BY user_id
+    """,
+    "per-user time-weighted average value over irregular intervals (cents-exact)",
+    ("events", "timeseries", "window"),
+)

@@ -891,3 +891,54 @@ QUERIES["dedup_containment"] = QuerySpec(
     "directional containment ≥ 0.9 (excerpt/partial-duplicate pairs)",
     ("dedup",),
 )
+
+
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Governance report over the transitive near-dup clusters: how many
+    clusters exist at each size, and how many documents they hold.  The
+    number a curation run reads first — a heavy tail of giant clusters
+    means template spam; all-singletons means the near-dup pass found
+    nothing.  Two map-combinable group-bys over the cluster labels; the
+    histogram is at most |distinct sizes| rows."""
+    clusters = dedup_clusters(spark, sf_dir)
+    sizes = clusters.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+QUERIES["dedup_cluster_size_histogram"] = QuerySpec(
+    dedup_cluster_size_histogram,
+    f"""
+    WITH RECURSIVE
+    pr AS ({_minhash_lsh_sql(0.8, D.MINHASH_K, D.LSH_BANDS, D.LSH_ROWS_PER_BAND)}),
+    edges AS (SELECT d1 AS a, d2 AS b FROM pr UNION SELECT d2, d1 FROM pr),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    labels AS (SELECT a AS doc_id, MIN(b) AS min_reach FROM reach GROUP BY a),
+    assigned AS (
+      SELECT d.doc_id,
+             CAST(COALESCE(LEAST(l.min_reach, d.doc_id), d.doc_id) AS BIGINT)
+               AS cluster_id
+      FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+    ),
+    sizes AS (
+      SELECT cluster_id, COUNT(*) AS cluster_size FROM assigned GROUP BY 1
+    )
+    SELECT cluster_size, COUNT(*) AS n_clusters,
+           cluster_size * COUNT(*) AS n_docs
+    FROM sizes GROUP BY cluster_size ORDER BY cluster_size
+    """,
+    "near-dup cluster size distribution (curation governance report)",
+    ("dedup", "agg"),
+)

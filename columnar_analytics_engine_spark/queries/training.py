@@ -1471,3 +1471,65 @@ QUERIES["sample_weighted_reservoir"] = QuerySpec(
     "exact-k weighted sample without replacement (A-ES, hash-derived uniforms)",
     ("sampling",),
 )
+
+
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token-distribution (Shannon) entropy in nats — the
+    vocabulary-diversity quality signal: boilerplate and template spam
+    score low, natural prose high.  H = ln(N) - (Σ c·ln c)/N over the
+    doc's token counts c.
+
+    Cross-engine exactness: Σ c·ln c is an order-dependent double sum,
+    so each term is rounded to integer micro-nats first
+    (``round(c·ln(c)·1e6)`` — same scaled-integer strategy as
+    `_util.exact_sum`); the integer sum is associative, and the closing
+    ``ln(N)`` and division are single IEEE ops.  Shape: one
+    (doc, token) shuffle with map-side combine, then a doc_id reduce —
+    both key-bounded.
+    """
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("token"))
+    counts = tok.groupBy("doc_id", "token").agg(F.count("*").alias("c"))
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.sum(
+            F.round(F.col("c").cast("double") * F.log(F.col("c").cast("double")) * F.lit(1e6))
+            .cast("long")
+        ).alias("_terms"),
+    )
+    entropy = F.log(F.col("n_tokens").cast("double")) - (
+        F.col("_terms").cast("double") / F.lit(1e6)
+    ) / F.col("n_tokens").cast("double")
+    return per_doc.select(
+        "doc_id", "n_tokens", "n_distinct", F.round(entropy, 6).alias("entropy_nats")
+    ).orderBy("doc_id")
+
+
+QUERIES["text_token_entropy"] = QuerySpec(
+    text_token_entropy,
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+      FROM documents
+    ),
+    counts AS (
+      SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY 1, 2
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_tokens,
+             COUNT(*) AS n_distinct,
+             CAST(SUM(CAST(ROUND(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) * 1e6)
+                           AS BIGINT)) AS BIGINT) AS _terms
+      FROM counts GROUP BY 1
+    )
+    SELECT doc_id, n_tokens, n_distinct,
+           ROUND(ln(CAST(n_tokens AS DOUBLE))
+                 - (CAST(_terms AS DOUBLE) / 1e6) / CAST(n_tokens AS DOUBLE), 6)
+             AS entropy_nats
+    FROM per_doc ORDER BY doc_id
+    """,
+    "per-doc Shannon token entropy (vocabulary-diversity quality signal, micro-nat exact)",
+    ("text", "quality"),
+)

@@ -68,3 +68,17 @@ def test_long_chain_converges_in_log_rounds(spark):
     out = connected_components(pairs, max_iterations=20).collect()
     assert len(out) == n + 1
     assert {r["cluster_id"] for r in out} == {0}
+
+
+def test_cluster_size_histogram_accounts_for_every_doc(spark, sf_small):
+    from pyspark.sql import functions as F
+
+    from columnar_analytics_engine_spark.queries.llm import (
+        dedup_cluster_size_histogram,
+    )
+    from columnar_analytics_engine_spark.queries._util import t as t_
+
+    hist = dedup_cluster_size_histogram(spark, sf_small).collect()
+    n_docs = t_(spark, sf_small, "documents").count()
+    assert sum(r["n_docs"] for r in hist) == n_docs
+    assert all(r["n_docs"] == r["cluster_size"] * r["n_clusters"] for r in hist)

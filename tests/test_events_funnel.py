@@ -69,3 +69,47 @@ def test_scd2_history_invariants(spark, sf_small):
         for a, b in zip(hist, hist[1:]):
             assert a["valid_to_us"] == b["valid_from_us"], user
             assert a["event_type"] != b["event_type"], user
+
+
+def test_time_weighted_avg_bounds_and_exactness(spark, sf_small):
+    """TWAP lies within [min, max] of the user's values, and a
+    hand-checkable two-interval case reproduces the weighted formula."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from columnar_analytics_engine_spark.queries.events import (
+        events_time_weighted_avg,
+    )
+    from columnar_analytics_engine_spark.queries._util import t as t_
+
+    rows = events_time_weighted_avg(spark, sf_small).collect()
+    assert rows
+    bounds = {
+        r["user_id"]: (r["mn"], r["mx"])
+        for r in t_(spark, sf_small, "events")
+        .groupBy("user_id")
+        .agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+        .collect()
+    }
+    for r in rows:
+        mn, mx = bounds[r["user_id"]]
+        assert mn - 1e-9 <= r["twap_value"] <= mx + 1e-9
+
+    base = dt.datetime(2024, 1, 1)
+    tiny = spark.createDataFrame(
+        [
+            (1, base, 7, "view", 10.0, "{}"),
+            (2, base + dt.timedelta(seconds=10), 7, "view", 20.0, "{}"),
+            (3, base + dt.timedelta(seconds=40), 7, "view", 99.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    tiny.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = events_time_weighted_avg(spark, d).collect()
+    assert len(out) == 1
+    # (10.0*10s + 20.0*30s) / 40s = 17.5 ; the 99.0 reading has no interval
+    assert out[0]["twap_value"] == 17.5
+    assert out[0]["total_secs"] == 40 and out[0]["n_intervals"] == 2

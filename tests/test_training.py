@@ -353,3 +353,28 @@ def test_weighted_reservoir_stable_across_partitioning(spark, sf_oracle):
         .collect()
     }
     assert again == base
+
+
+def test_token_entropy_bounds(spark, sf_small):
+    """0 <= H <= ln(n_distinct); a one-token doc scores exactly 0 and a
+    uniform doc exactly ln(n_distinct)."""
+    import math
+    import os
+    import tempfile
+
+    from columnar_analytics_engine_spark.queries.training import text_token_entropy
+
+    rows = text_token_entropy(spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        assert -1e-6 <= r["entropy_nats"] <= math.log(r["n_distinct"]) + 1e-6
+
+    tiny = spark.createDataFrame(
+        [(1, "same same same same"), (2, "a b c d")],
+        "doc_id long, text string",
+    )
+    d = tempfile.mkdtemp()
+    tiny.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = {r["doc_id"]: r["entropy_nats"] for r in text_token_entropy(spark, d).collect()}
+    assert out[1] == 0.0
+    assert abs(out[2] - round(math.log(4), 6)) < 2e-6
