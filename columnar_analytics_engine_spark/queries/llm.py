@@ -942,3 +942,78 @@ QUERIES["dedup_cluster_size_histogram"] = QuerySpec(
     "near-dup cluster size distribution (curation governance report)",
     ("dedup", "agg"),
 )
+
+
+def dedup_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The containment scale path end-to-end: MinHash-LSH candidate
+    generation (band-key shuffle, never a cross join) feeding the
+    set-array containment verify — cost bounded by |candidates| rather
+    than global shingle co-occurrence.  Semantics: containment ≥ 0.7
+    among Jaccard-LSH candidates; like every LSH entry, the band keys
+    are deterministic md5, so the oracle replays the probabilistic
+    misses exactly.  (A production excerpt hunt at extreme size skew
+    would band on the smaller doc's shingle MinHash instead — the
+    verify stage is unchanged.)
+    """
+    docs = t(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(docs)
+    cand = D.lsh_candidates(sigs)
+    return D.containment_pairs(docs, threshold=0.7, candidates=cand)
+
+
+def _containment_lsh_sql(threshold: float, k: int, bands: int, rows: int) -> str:
+    num, den = D._rational_threshold(threshold)
+    fam = sql_affine_hash("token", k)
+    mins = ",\n         ".join(f"MIN({fam[i]}) AS h{i}" for i in range(k))
+    band_selects = "\n      UNION ALL\n      ".join(
+        "SELECT doc_id, {j} AS band_id, md5(CONCAT_WS(',', {cols})) AS band_key FROM sig".format(
+            j=j,
+            cols=", ".join(f"CAST(h{j * rows + r} AS VARCHAR)" for r in range(rows)),
+        )
+        for j in range(bands)
+    )
+    return f"""
+    WITH {_SQL_TOK_CTE},
+    sig AS (
+      SELECT doc_id,
+         {mins}
+      FROM tok GROUP BY doc_id
+    ),
+    bands AS (
+      {band_selects}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(l) - 1),
+                 i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS sh
+      FROM (SELECT doc_id, {_SQL_TOKENS} AS l FROM documents)
+      WHERE len(l) >= 3
+    ),
+    joined AS (
+      SELECT c.d1, c.d2,
+             len(list_intersect(sa.sh, sb.sh)) AS n_common,
+             len(sa.sh) AS n1, len(sb.sh) AS n2
+      FROM cand c JOIN s sa ON sa.doc_id = c.d1 JOIN s sb ON sb.doc_id = c.d2
+    )
+    SELECT d1 AS src, d2 AS dst,
+           CAST(n_common AS DOUBLE) / CAST(n1 AS DOUBLE) AS containment
+    FROM joined WHERE n1 >= 5 AND {den} * n_common >= {num} * n1
+    UNION ALL
+    SELECT d2 AS src, d1 AS dst,
+           CAST(n_common AS DOUBLE) / CAST(n2 AS DOUBLE) AS containment
+    FROM joined WHERE n2 >= 5 AND {den} * n_common >= {num} * n2
+    """
+
+
+QUERIES["dedup_containment_lsh"] = QuerySpec(
+    dedup_containment_lsh,
+    _containment_lsh_sql(0.7, D.MINHASH_K, D.LSH_BANDS, D.LSH_ROWS_PER_BAND),
+    "LSH-candidate containment verify (the web-scale excerpt-detection pipeline)",
+    ("dedup",),
+)
