@@ -458,3 +458,58 @@ QUERIES["events_time_weighted_avg"] = QuerySpec(
     "per-user time-weighted average value over irregular intervals (cents-exact)",
     ("events", "timeseries", "window"),
 )
+
+
+_LAG_N = 8
+
+
+def events_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lag-feature row for downstream models: at each user's
+    latest event, the previous ``_LAG_N`` values as fixed columns
+    f0 (most recent) .. f7, plus the sequence length — the standard
+    feature-matrix extraction step between an event log and a trainer.
+    Users shorter than the window get NULL-padded tails (models impute),
+    reported via ``n_events``.
+
+    Shape: one user_id shuffle; the lag window and the latest-row
+    filter share the partitioning.  Values pass through untouched (no
+    re-aggregation), so cross-engine equality is exact by construction.
+    """
+    df = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wd = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    lagged = df.select(
+        "user_id",
+        F.row_number().over(wd).alias("_rn"),
+        *[F.lag("value", j).over(w).alias(f"f{j}") for j in range(_LAG_N)],
+        F.count("*").over(
+            W.partitionBy("user_id").rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        ).alias("n_events"),
+    )
+    return (
+        lagged.filter(F.col("_rn") == 1)
+        .select("user_id", *[f"f{j}" for j in range(_LAG_N)], "n_events")
+        .orderBy("user_id")
+    )
+
+
+QUERIES["events_lag_features"] = QuerySpec(
+    events_lag_features,
+    f"""
+    WITH lagged AS (
+      SELECT user_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+               AS _rn,
+             {", ".join(f"lag(value, {j}) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS f{j}" for j in range(_LAG_N))},
+             COUNT(*) OVER (PARTITION BY user_id) AS n_events
+      FROM events
+    )
+    SELECT user_id, {", ".join(f"f{j}" for j in range(_LAG_N))},
+           CAST(n_events AS BIGINT) AS n_events
+    FROM lagged WHERE _rn = 1 ORDER BY user_id
+    """,
+    "per-user last-8-value lag feature row (feature-matrix extraction)",
+    ("events", "window", "training"),
+)

@@ -1017,3 +1017,73 @@ QUERIES["dedup_containment_lsh"] = QuerySpec(
     "LSH-candidate containment verify (the web-scale excerpt-detection pipeline)",
     ("dedup",),
 )
+
+
+def dedup_lsh_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-measuring harness: the MinHash-LSH near-dup pipeline scored
+    against exact all-pairs Jaccard ground truth at the same threshold.
+    One row: pair counts, precision (LSH pairs that are truly ≥ t —
+    1.0 by construction, since candidates are verify-filtered) and
+    recall (true pairs the banding surfaced).  Run on a sample before
+    committing band/row parameters for a full-corpus pass; the oracle
+    replays both pipelines, so even this meta-report is hash-checked.
+
+    The three 1-row aggregates join via broadcast; everything upstream
+    is the two pipelines' own bounded shuffles.
+    """
+    docs = t(spark, sf_dir, "documents")
+    lsh = D.minhash_near_duplicates(docs, threshold=0.8).select("d1", "d2")
+    exact = D.jaccard_pairs(docs, threshold=0.8).select("d1", "d2")
+    n_lsh = lsh.agg(F.count("*").alias("n_lsh"))
+    n_exact = exact.agg(F.count("*").alias("n_exact"))
+    n_common = lsh.join(exact, ["d1", "d2"]).agg(F.count("*").alias("n_common"))
+    return (
+        n_exact.join(F.broadcast(n_lsh)).join(F.broadcast(n_common))
+        .select(
+            "n_exact",
+            "n_lsh",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double") / F.col("n_lsh").cast("double"), 6
+            ).alias("precision"),
+            F.round(
+                F.col("n_common").cast("double") / F.col("n_exact").cast("double"), 6
+            ).alias("recall"),
+        )
+    )
+
+
+QUERIES["dedup_lsh_quality_report"] = QuerySpec(
+    dedup_lsh_quality_report,
+    f"""
+    WITH lsh AS (
+      SELECT d1, d2 FROM ({_minhash_lsh_sql(0.8, D.MINHASH_K, D.LSH_BANDS, D.LSH_ROWS_PER_BAND)}) x
+    ),
+    {_SQL_TOK_CTE},
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+    common_tok AS (
+      SELECT ta.doc_id AS d1, tb.doc_id AS d2, COUNT(*) AS n_common
+      FROM tok ta JOIN tok tb ON ta.token = tb.token AND ta.doc_id < tb.doc_id
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT c.d1, c.d2
+      FROM common_tok c
+      JOIN sz s1 ON s1.doc_id = c.d1
+      JOIN sz s2 ON s2.doc_id = c.d2
+      WHERE CAST(c.n_common AS DOUBLE)
+              / CAST(s1.n + s2.n - c.n_common AS DOUBLE) >= 0.8
+    ),
+    counts AS (
+      SELECT (SELECT COUNT(*) FROM exact) AS n_exact,
+             (SELECT COUNT(*) FROM lsh) AS n_lsh,
+             (SELECT COUNT(*) FROM lsh JOIN exact USING (d1, d2)) AS n_common
+    )
+    SELECT n_exact, n_lsh, n_common,
+           ROUND(CAST(n_common AS DOUBLE) / CAST(n_lsh AS DOUBLE), 6) AS precision,
+           ROUND(CAST(n_common AS DOUBLE) / CAST(n_exact AS DOUBLE), 6) AS recall
+    FROM counts
+    """,
+    "LSH near-dup precision/recall vs exact Jaccard ground truth (1-row report)",
+    ("dedup", "approx"),
+)

@@ -235,3 +235,14 @@ def test_containment_candidates_short_doc_safe(spark):
     )
     cand = spark.createDataFrame([(1, 2)], "d1 long, d2 long")
     assert containment_pairs(docs, threshold=0.5, candidates=cand, min_shingles=1).count() == 0
+
+
+def test_lsh_quality_report_invariants(spark, sf_small):
+    """Precision is exactly 1.0 (candidates are verify-filtered), recall
+    is in (0, 1], and the counts are mutually consistent."""
+    from columnar_analytics_engine_spark.queries.llm import dedup_lsh_quality_report
+
+    r = dedup_lsh_quality_report(spark, sf_small).first()
+    assert r["precision"] == 1.0
+    assert r["n_common"] == r["n_lsh"] <= r["n_exact"]
+    assert 0.0 < r["recall"] <= 1.0

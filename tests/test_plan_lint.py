@@ -28,6 +28,8 @@ _SINGLE_PARTITION_ALLOW = {
     # top-20 report: rank window over the ≤20 surviving rows + the
     # 1-row total — bounded by the report size, not the data
     "skew_key_report": 3,
+    # precision/recall meta-report: three 1-row pair counts joined
+    "dedup_lsh_quality_report": 4,
 }
 
 
