@@ -295,3 +295,123 @@ def test_incremental_dedup_foreachbatch(spark, tmp_path):
     assert out[22] == ("new", 22)
     index = {r["fp"]: r["hist_id"] for r in spark.read.parquet(f"{state}/index").collect()}
     assert sorted(index.values()) == [1, 2, 11, 22]
+
+
+def test_streaming_scd2_matches_batch_history(spark, sf_small, tmp_path):
+    """Time-ordered micro-batches through the SCD2 maintainer produce
+    exactly the batch query's history (regimes spanning batch
+    boundaries collapse; valid_to/is_current derive identically)."""
+    from columnar_analytics_engine_spark.queries.events import events_scd2_history
+    from columnar_analytics_engine_spark.streaming.scd2 import (
+        history_view,
+        scd2_maintenance_query,
+    )
+    from columnar_analytics_engine_spark.io import read_table
+    from pyspark.sql import functions as F
+
+    events = read_table(spark, sf_small, "events")
+    bounds = events.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).first()
+    lo, hi = bounds["lo"], bounds["hi"]
+    step = (hi - lo) / 3
+    src = str(tmp_path / "src")
+    import os
+
+    os.makedirs(src)
+    cuts = [lo + step, lo + 2 * step]
+    parts = [
+        events.filter(F.col("ts") < cuts[0]),
+        events.filter((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])),
+        events.filter(F.col("ts") >= cuts[1]),
+    ]
+    for i, p in enumerate(parts):
+        p.coalesce(1).write.parquet(f"{src}/b{i}.parquet")
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/b*.parquet")
+    )
+    state = str(tmp_path / "state")
+    q = scd2_maintenance_query(spark, stream, state).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+
+    got = sorted(map(tuple, history_view(spark, f"{state}/history").drop("event_id").collect()))
+    want = sorted(map(tuple, events_scd2_history(spark, sf_small).collect()))
+    assert got == want and got
+
+
+def test_streaming_scd2_retry_idempotent(spark, tmp_path):
+    """Replaying the same micro-batch (a foreachBatch retry) replaces
+    its own batch_id partition instead of duplicating regimes."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from columnar_analytics_engine_spark.streaming.scd2 import (
+        apply_batch,
+        history_view,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    batch = spark.createDataFrame(
+        [
+            (1, base, 7, "view", 1.0, "{}"),
+            (2, base + dt.timedelta(minutes=1), 7, "click", 1.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    hist = str(tmp_path / "history")
+    for _ in range(2):  # original run + retry of the SAME batch_id
+        delta = apply_batch(spark, batch, hist, batch_id=0).withColumn("batch_id", F.lit(0))
+        delta.persist(); delta.count()
+        (
+            delta.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(hist)
+        )
+        delta.unpersist()
+    rows = history_view(spark, hist).collect()
+    assert [(r["user_id"], r["event_type"]) for r in rows] == [(7, "view"), (7, "click")]
+
+
+def test_streaming_scd2_retry_first_equals_last_regime(spark, tmp_path):
+    """The hard retry case: a batch whose FIRST regime type equals its
+    LAST (view, click, view).  Without excluding the batch's own rows
+    from the current-row probe, the retry would classify the first
+    regime as 'continuing' and the partition overwrite would drop it."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from columnar_analytics_engine_spark.streaming.scd2 import (
+        apply_batch,
+        history_view,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    batch = spark.createDataFrame(
+        [
+            (1, base, 7, "view", 1.0, "{}"),
+            (2, base + dt.timedelta(minutes=1), 7, "click", 1.0, "{}"),
+            (3, base + dt.timedelta(minutes=2), 7, "view", 1.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    hist = str(tmp_path / "history")
+    for _ in range(2):
+        delta = apply_batch(spark, batch, hist, batch_id=0).withColumn(
+            "batch_id", F.lit(0)
+        )
+        delta.persist(); delta.count()
+        (
+            delta.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(hist)
+        )
+        delta.unpersist()
+    types = [r["event_type"] for r in history_view(spark, hist).collect()]
+    assert types == ["view", "click", "view"]
