@@ -53,6 +53,14 @@ BENCH_QUERIES: dict[str, bool] = {
     "quality_gopher_rules": False,  # scan-speed quality rules
     "events_funnel_windowed": False,  # single-shuffle windowed funnel
     "sketch_heavy_hitters": False,  # count-min sketch build + probe
+    # round-6 additions (BASELINE.md "Round-6 headline measurements").
+    # dedup_containment_lsh is deliberately NOT here: at sf0.1 the
+    # adversarial corpus yields 7.6M LSH candidates (2.9M true near-dup
+    # pairs among 5k docs), so its verify costs ~12 s — real work at
+    # ~600k pair-verifies/s, but the dense-dedup cost class is already
+    # represented by dedup_minhash_lsh; details in BASELINE.md.
+    "approx_quantile_by_group": False,  # mergeable grouped quantile sketch
+    "retrieval_hybrid_rrf": False,  # BM25 + vector rank fusion
 }
 
 N_TIMED_RUNS = 3  # warm steady-state: best of 3 (reference methodology
