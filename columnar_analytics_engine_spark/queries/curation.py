@@ -978,3 +978,90 @@ QUERIES: dict[str, QuerySpec] = {
         ("events",),
     ),
 }
+
+
+def corpus_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift between the first and second half of the
+    corpus (by doc_id): per-token probability ratio summarized as KL
+    divergence KL(P‖Q) with add-one smoothing over the union
+    vocabulary, plus the token mass of each half — the check a
+    continuously-ingested corpus runs to detect a source going stale or
+    a scraper change shifting the token mix.
+
+    Exactness: each KL term p·ln(p/q) is computed from integer counts
+    and rounded to micro-nats BEFORE the sum (the `_util` scaled-sum
+    strategy), so the order-dependent double sum becomes an exact
+    integer sum.  One token-key shuffle with map-side combine; the KL
+    reduce is O(vocabulary).
+    """
+    docs = t(spark, sf_dir, "documents")
+    mid = docs.agg(
+        F.percentile_approx("doc_id", 0.5, 2147483647).alias("mid")
+    )
+    tok = (
+        docs.join(F.broadcast(mid))
+        .select(
+            (F.col("doc_id") <= F.col("mid")).alias("first_half"),
+            F.explode(X.tokens(F.col("text"))).alias("token"),
+        )
+    )
+    counts = tok.groupBy("token").agg(
+        F.sum(F.when(F.col("first_half"), 1).otherwise(0)).alias("c_p"),
+        F.sum(F.when(F.col("first_half"), 0).otherwise(1)).alias("c_q"),
+    )
+    totals = counts.agg(
+        F.sum("c_p").alias("n_p"),
+        F.sum("c_q").alias("n_q"),
+        F.count("*").alias("v"),
+    )
+    j = counts.join(F.broadcast(totals))
+    # add-one smoothed probabilities as exact rationals:
+    #   p = (c_p+1)/(n_p+v),  q = (c_q+1)/(n_q+v)
+    # term = p * ln(p/q); ln of a ratio of exact doubles, micro-nat rounded
+    p = (F.col("c_p") + 1).cast("double") / (F.col("n_p") + F.col("v")).cast("double")
+    q = (F.col("c_q") + 1).cast("double") / (F.col("n_q") + F.col("v")).cast("double")
+    term_micro = F.round(p * F.log(p / q) * F.lit(1e6)).cast("long")
+    return (
+        j.agg(
+            F.round(F.sum(term_micro).cast("double") / F.lit(1e6), 6).alias("kl_p_q"),
+            F.max("n_p").cast("long").alias("tokens_first_half"),
+            F.max("n_q").cast("long").alias("tokens_second_half"),
+            F.max("v").cast("long").alias("vocab_union"),
+        )
+    )
+
+
+QUERIES["corpus_drift_report"] = QuerySpec(
+    corpus_drift_report,
+    f"""
+    WITH mid AS (SELECT quantile_disc(doc_id, 0.5) AS mid FROM documents),
+    tok AS (
+      SELECT (doc_id <= mid) AS first_half,
+             unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+      FROM documents CROSS JOIN mid
+    ),
+    counts AS (
+      SELECT token,
+             SUM(CASE WHEN first_half THEN 1 ELSE 0 END) AS c_p,
+             SUM(CASE WHEN first_half THEN 0 ELSE 1 END) AS c_q
+      FROM tok GROUP BY token
+    ),
+    tot AS (SELECT SUM(c_p) AS n_p, SUM(c_q) AS n_q, COUNT(*) AS v FROM counts),
+    terms AS (
+      SELECT CAST(ROUND(
+               (CAST(c_p + 1 AS DOUBLE) / CAST(n_p + v AS DOUBLE))
+               * ln((CAST(c_p + 1 AS DOUBLE) / CAST(n_p + v AS DOUBLE))
+                    / (CAST(c_q + 1 AS DOUBLE) / CAST(n_q + v AS DOUBLE)))
+               * 1e6) AS BIGINT) AS term_micro,
+             n_p, n_q, v
+      FROM counts CROSS JOIN tot
+    )
+    SELECT ROUND(CAST(SUM(term_micro) AS DOUBLE) / 1e6, 6) AS kl_p_q,
+           CAST(MAX(n_p) AS BIGINT) AS tokens_first_half,
+           CAST(MAX(n_q) AS BIGINT) AS tokens_second_half,
+           CAST(MAX(v) AS BIGINT) AS vocab_union
+    FROM terms
+    """,
+    "KL-divergence drift report between corpus halves (micro-nat exact)",
+    ("text", "quality", "agg"),
+)

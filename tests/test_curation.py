@@ -296,3 +296,34 @@ def test_cdc_empty_and_single_token_docs(spark):
     # the two "lone" docs share their single chunk; the empty doc yields none
     assert len(out) == 1
     assert out[0]["n_docs"] == 2
+
+
+def test_corpus_drift_kl_properties(spark, sf_small):
+    """KL(P||Q) >= 0; identical halves give ~0; and a synthetic corpus
+    with a genuine vocabulary shift scores clearly higher than the
+    homogeneous test corpus."""
+    import os
+    import tempfile
+
+    from columnar_analytics_engine_spark.queries.curation import corpus_drift_report
+
+    base = corpus_drift_report(spark, sf_small).first()
+    assert base["kl_p_q"] >= 0.0
+    assert base["tokens_first_half"] > 0 and base["tokens_second_half"] > 0
+
+    rows = [(i, "alpha beta gamma delta") for i in range(50)] + [
+        (i, "omega psi chi phi") for i in range(50, 100)
+    ]
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "documents.parquet"))
+    shifted = corpus_drift_report(spark, d).first()
+    assert shifted["kl_p_q"] > base["kl_p_q"] * 10
+
+    same = [(i, "alpha beta gamma") for i in range(100)]
+    spark.createDataFrame(same, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "documents.parquet"))
+    flat = corpus_drift_report(spark, d).first()
+    assert abs(flat["kl_p_q"]) < 1e-4

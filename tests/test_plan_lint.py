@@ -30,6 +30,9 @@ _SINGLE_PARTITION_ALLOW = {
     "skew_key_report": 3,
     # precision/recall meta-report: three 1-row pair counts joined
     "dedup_lsh_quality_report": 4,
+    # drift report: median split + token totals + final KL reduce —
+    # every single-partition stage is a 1-row aggregate
+    "corpus_drift_report": 4,
 }
 
 
