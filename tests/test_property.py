@@ -327,3 +327,50 @@ def test_cdc_matches_python_reference(spark, docs):
             expected.add((doc_id, cid, pos, len(chunk)))
             pos += len(chunk)
     assert got == expected
+
+
+TOKEN = st.sampled_from(["a", "b", "c", "dd", "ee", "ff", "gg", "hh"])
+DOC_TEXTS = st.lists(
+    st.lists(TOKEN, min_size=0, max_size=12).map(" ".join),
+    min_size=2,
+    max_size=6,
+)
+
+
+@given(texts=DOC_TEXTS)
+@SETTINGS
+def test_containment_matches_python_reference(spark, texts):
+    """containment_pairs agrees with a brute-force Python reference on
+    arbitrary tiny corpora (shingle sets, both directions, exact 0.5
+    threshold boundary, min_shingles gate)."""
+    from columnar_analytics_engine_spark.operators.dedup import containment_pairs
+
+    docs = spark.createDataFrame(
+        [(i, t_) for i, t_ in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["src"], r["dst"]): r["containment"]
+        for r in containment_pairs(
+            docs, threshold=0.5, min_shingles=1, n=3
+        ).collect()
+    }
+
+    def shingles(text):
+        toks = text.split()
+        return {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        } if len(toks) >= 3 else set()
+
+    want = {}
+    sh = {i: shingles(t_) for i, t_ in enumerate(texts)}
+    for i in sh:
+        for j in sh:
+            if i == j or not sh[i]:
+                continue
+            inter = len(sh[i] & sh[j])
+            # exact rational predicate: 2*common >= 1*|A| (threshold 1/2)
+            if inter and 2 * inter >= len(sh[i]):
+                want[(i, j)] = inter / len(sh[i])
+    assert {k: round(v, 9) for k, v in got.items()} == {
+        k: round(v, 9) for k, v in want.items()
+    }
