@@ -55,3 +55,43 @@ def test_null_safe_equality_operator(spark):
     b = spark.createDataFrame([(1,), (None,)], "k long")
     out = a.join(b, a["k"].eqNullSafe(b["k"]))
     assert out.count() == 2  # <=> matches NULL with NULL
+
+
+@pytest.fixture(scope="module")
+def null_text_sf(spark, tmp_path_factory):
+    """A documents table containing NULL and empty text/lang/source rows
+    alongside normal ones — the dirty-crawl shape every text operator
+    must survive."""
+    out = str(tmp_path_factory.mktemp("null_text_sf"))
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta", "en", "s0", 36),
+        (1, None, "en", "s0", None),
+        (2, "", None, None, 0),
+        (3, "alpha beta gamma delta epsilon zeta", "fr", "s1", 36),
+        (4, "   ", "en", "s1", 3),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{out}/documents.parquet")
+    return out
+
+
+_TEXT_QUERIES = [
+    "dedup_exact",
+    "dedup_containment",
+    "text_token_stats",
+    "text_language_id",
+    "text_token_entropy",
+    "text_fingerprint",
+    "corpus_drift_report",
+    "text_inverted_index",
+    "sample_weighted_reservoir",
+    "quality_gopher_rules",
+]
+
+
+@pytest.mark.parametrize("name", _TEXT_QUERIES)
+def test_text_queries_survive_null_and_empty_text(spark, null_text_sf, name):
+    from columnar_analytics_engine_spark.queries import all_queries
+
+    assert all_queries()[name].fn(spark, null_text_sf).count() >= 0
