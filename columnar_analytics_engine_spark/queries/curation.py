@@ -1065,3 +1065,86 @@ QUERIES["corpus_drift_report"] = QuerySpec(
     "KL-divergence drift report between corpus halves (micro-nat exact)",
     ("text", "quality", "agg"),
 )
+
+
+def corpus_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution drift: KL(source ‖ rest-of-corpus) over
+    token distributions with add-one smoothing, summed over the tokens
+    the source actually contains — ranks which ingestion source is most
+    atypical, the per-feed refinement of :func:`corpus_drift_report`.
+
+    The zero-count terms (tokens the source never emits) are omitted
+    deliberately: including them means materializing the full
+    |sources| × |vocabulary| grid, which explodes at web scale, while
+    each omitted term is O(ln(v)/n_s) — the ranking is unaffected.
+    Same micro-nat-exact KL arithmetic as the corpus report; the
+    per-(source, token) counts come from ONE token shuffle, and the KL
+    reduce is per source key — fully partitioned beyond the 1-row
+    corpus totals."""
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(X.tokens(F.col("text"))).alias("token"))
+    st_counts = tok.groupBy("source", "token").agg(F.count("*").alias("c_s"))
+    tot_counts = tok.groupBy("token").agg(F.count("*").alias("c_all"))
+    vocab = tot_counts.agg(F.count("*").alias("v"), F.sum("c_all").alias("n_all"))
+    src_totals = st_counts.groupBy("source").agg(F.sum("c_s").alias("n_s"))
+    j = (
+        tot_counts.join(st_counts, "token", "left")  # every (token, source) with c_s>0
+        .join(F.broadcast(src_totals), "source")
+        .join(F.broadcast(vocab))
+    )
+    # p = source distribution (add-one over union vocab);
+    # q = rest-of-corpus distribution
+    p = (F.col("c_s") + 1).cast("double") / (F.col("n_s") + F.col("v")).cast("double")
+    c_rest = F.col("c_all") - F.col("c_s")
+    n_rest = F.col("n_all") - F.col("n_s")
+    q = (c_rest + 1).cast("double") / (n_rest + F.col("v")).cast("double")
+    term_micro = F.round(p * F.log(p / q) * F.lit(1e6)).cast("long")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.round(F.sum(term_micro).cast("double") / F.lit(1e6), 6).alias("kl_vs_rest"),
+            F.max("n_s").cast("long").alias("n_tokens"),
+        )
+        .orderBy(F.desc("kl_vs_rest"), "source")
+    )
+
+
+QUERIES["corpus_drift_by_source"] = QuerySpec(
+    corpus_drift_by_source,
+    f"""
+    WITH tok AS (
+      SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+      FROM documents
+    ),
+    st_counts AS (
+      SELECT source, token, COUNT(*) AS c_s FROM tok GROUP BY 1, 2
+    ),
+    tot_counts AS (SELECT token, COUNT(*) AS c_all FROM tok GROUP BY 1),
+    vocab AS (SELECT COUNT(*) AS v, SUM(c_all) AS n_all FROM tot_counts),
+    src_totals AS (SELECT source, SUM(c_s) AS n_s FROM st_counts GROUP BY 1),
+    j AS (
+      SELECT s.source, s.c_s, t.c_all, st.n_s, vb.v, vb.n_all
+      FROM tot_counts t
+      JOIN st_counts s USING (token)
+      JOIN src_totals st USING (source)
+      CROSS JOIN vocab vb
+    ),
+    terms AS (
+      SELECT source, n_s,
+             CAST(ROUND(
+               (CAST(c_s + 1 AS DOUBLE) / CAST(n_s + v AS DOUBLE))
+               * ln((CAST(c_s + 1 AS DOUBLE) / CAST(n_s + v AS DOUBLE))
+                    / (CAST(c_all - c_s + 1 AS DOUBLE)
+                       / CAST(n_all - n_s + v AS DOUBLE)))
+               * 1e6) AS BIGINT) AS term_micro
+      FROM j
+    )
+    SELECT source,
+           ROUND(CAST(SUM(term_micro) AS DOUBLE) / 1e6, 6) AS kl_vs_rest,
+           CAST(MAX(n_s) AS BIGINT) AS n_tokens
+    FROM terms GROUP BY source
+    ORDER BY kl_vs_rest DESC, source
+    """,
+    "per-source KL drift vs rest of corpus (most-atypical-feed ranking)",
+    ("text", "quality", "agg"),
+)

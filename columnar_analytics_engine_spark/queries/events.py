@@ -513,3 +513,44 @@ QUERIES["events_lag_features"] = QuerySpec(
     "per-user last-8-value lag feature row (feature-matrix extraction)",
     ("events", "window", "training"),
 )
+
+
+def events_user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-growth curve: per day, how many users appeared for the
+    first time and the cumulative user count — the first chart on any
+    product dashboard.  Distinct-over-time without a quadratic
+    re-count: each user contributes exactly their first-seen day (one
+    user_id reduce), so cumulative distinct is a running sum over the
+    tiny day table, not COUNT(DISTINCT) per day over history.
+
+    The running-sum window is over the ~30-row day table — bounded by
+    the calendar, not the data."""
+    df = t(spark, sf_dir, "events")
+    firsts = df.groupBy("user_id").agg(
+        F.min(F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")).alias("day")
+    )
+    daily = firsts.groupBy("day").agg(F.count("*").alias("new_users"))
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return daily.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).alias("cumulative_users"),
+    ).orderBy("day")
+
+
+QUERIES["events_user_growth"] = QuerySpec(
+    events_user_growth,
+    """
+    WITH firsts AS (
+      SELECT user_id, MIN(strftime(date_trunc('day', ts), '%Y-%m-%d')) AS day
+      FROM events GROUP BY 1
+    ),
+    daily AS (SELECT day, COUNT(*) AS new_users FROM firsts GROUP BY 1)
+    SELECT day, new_users,
+           SUM(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+             AS cumulative_users
+    FROM daily ORDER BY day
+    """,
+    "daily new + cumulative distinct users (first-seen-day reduction)",
+    ("events", "analytics", "window"),
+)

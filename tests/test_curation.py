@@ -327,3 +327,46 @@ def test_corpus_drift_kl_properties(spark, sf_small):
     ).parquet(os.path.join(d, "documents.parquet"))
     flat = corpus_drift_report(spark, d).first()
     assert abs(flat["kl_p_q"]) < 1e-4
+
+
+def test_user_growth_is_monotone_and_totals(spark, sf_small):
+    from pyspark.sql import functions as F
+
+    from columnar_analytics_engine_spark.queries.events import events_user_growth
+    from columnar_analytics_engine_spark.queries._util import t as t_
+
+    rows = events_user_growth(spark, sf_small).collect()
+    assert rows
+    cumulative = [r["cumulative_users"] for r in rows]
+    assert cumulative == sorted(cumulative)
+    assert sum(r["new_users"] for r in rows) == cumulative[-1]
+    total_users = (
+        t_(spark, sf_small, "events").select("user_id").distinct().count()
+    )
+    assert cumulative[-1] == total_users
+
+
+def test_drift_by_source_flags_planted_outlier(spark, tmp_path):
+    """A source emitting a disjoint vocabulary must rank first by a
+    wide margin."""
+    import os
+
+    from columnar_analytics_engine_spark.queries.curation import (
+        corpus_drift_by_source,
+    )
+
+    rows = (
+        [(i, "common words shared by everyone", "normal_a") for i in range(30)]
+        + [(50 + i, "common words shared by everyone", "normal_b") for i in range(30)]
+        + [
+            (100 + i, "weird outlier vocabulary entirely different", "odd")
+            for i in range(10)
+        ]
+    )
+    d = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id long, text string, source string").write.parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    out = corpus_drift_by_source(spark, d).collect()
+    assert out[0]["source"] == "odd"
+    assert out[0]["kl_vs_rest"] > 5 * out[1]["kl_vs_rest"]
