@@ -903,3 +903,185 @@ QUERIES["events_merge_upsert"] = QuerySpec(
     "MERGE-style per-user profile upsert across a time cutoff (source wins)",
     ("merge", "events", "cdc"),
 )
+
+
+def orders_backlog_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog per month: each order is an interval
+    [o_orderdate, max shipdate of its lineitems]; the backlog at month
+    m is the number of intervals covering it.  Computed as the classic
+    distributed interval-stabbing reduction — +1 at the open month, −1
+    after the close month, running-summed — one order-key reduce and a
+    window over the ~80-row month table (calendar-bounded), never a
+    per-month re-scan of the intervals.  Orders with no lineitems
+    close in their opening month.
+    """
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    month = lambda c: F.date_format(F.date_trunc("month", c), "yyyy-MM")
+    closes = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("close_d"))
+    spans = (
+        orders.join(closes, orders.o_orderkey == closes.l_orderkey, "left")
+        .select(
+            month(F.col("o_orderdate")).alias("open_m"),
+            month(
+                F.coalesce(
+                    F.greatest("close_d", "o_orderdate"), F.col("o_orderdate")
+                )
+            ).alias("close_m"),
+        )
+    )
+    deltas = (
+        spans.select(F.col("open_m").alias("month"), F.lit(1).alias("d"))
+        .unionByName(
+            spans.select(
+                F.add_months(F.to_date(F.col("close_m"), "yyyy-MM"), 1).alias("_m"),
+                F.lit(-1).alias("d"),
+            ).select(F.date_format("_m", "yyyy-MM").alias("month"), "d")
+        )
+        .groupBy("month")
+        .agg(F.sum("d").alias("net"))
+    )
+    w = W.orderBy("month").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        deltas.select("month", F.sum("net").over(w).alias("open_orders"))
+        .filter(F.col("open_orders") > 0)
+        .orderBy("month")
+    )
+
+
+QUERIES["orders_backlog_over_time"] = QuerySpec(
+    orders_backlog_over_time,
+    """
+    WITH closes AS (
+      SELECT l_orderkey, MAX(l_shipdate) AS close_d FROM lineitem GROUP BY 1
+    ),
+    spans AS (
+      SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS open_m,
+             strftime(date_trunc('month',
+                      COALESCE(GREATEST(close_d, o_orderdate), o_orderdate)),
+                      '%Y-%m') AS close_m
+      FROM orders o LEFT JOIN closes c ON o.o_orderkey = c.l_orderkey
+    ),
+    deltas AS (
+      SELECT month, SUM(d) AS net FROM (
+        SELECT open_m AS month, 1 AS d FROM spans
+        UNION ALL
+        SELECT strftime(date_trunc('month', CAST(close_m || '-01' AS DATE))
+                        + INTERVAL 1 MONTH, '%Y-%m') AS month, -1 AS d
+        FROM spans
+      ) x GROUP BY month
+    )
+    SELECT month, open_orders FROM (
+      SELECT month,
+             SUM(net) OVER (ORDER BY month ROWS UNBOUNDED PRECEDING) AS open_orders
+      FROM deltas
+    ) y WHERE open_orders > 0
+    ORDER BY month
+    """,
+    "monthly open-order backlog via interval-stabbing running sum",
+    ("orders", "timeseries", "window"),
+)
+
+
+def customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation, scale-safe: per-customer recency
+    (days since last order, relative to the corpus's latest order),
+    frequency (order count) and monetary (exact-summed total price) are
+    scored 1–5 against global quintile CUTOFFS — a 1-row percentile
+    aggregate broadcast back — instead of a global ``ntile`` window,
+    which would funnel every customer through one partition.  Cutoffs
+    are rounded to 6dp on both engines so boundary assignment is
+    bit-identical.
+    """
+    orders = t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        exact_sum("o_totalprice", "monetary"),
+    )
+    anchor = orders.agg(F.max("o_orderdate").alias("corpus_max"))
+    base = per_cust.join(F.broadcast(anchor)).select(
+        "o_custkey",
+        F.datediff("corpus_max", "last_order").cast("long").alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    qs = [0.2, 0.4, 0.6, 0.8]
+    cuts = base.agg(
+        *[
+            F.round(F.expr(f"percentile({c}, {q})"), 6).alias(f"{c[0]}c{int(q*100)}")
+            for c in ("recency_days", "frequency", "monetary")
+            for q in qs
+        ]
+    )
+
+    def score_asc(col, pfx):  # higher metric => higher score
+        c = F.col(col).cast("double")
+        return (
+            F.when(c <= F.col(f"{pfx}c20"), 1)
+            .when(c <= F.col(f"{pfx}c40"), 2)
+            .when(c <= F.col(f"{pfx}c60"), 3)
+            .when(c <= F.col(f"{pfx}c80"), 4)
+            .otherwise(5)
+        )
+
+    scored = base.join(F.broadcast(cuts))
+    r_score = F.lit(6) - score_asc("recency_days", "r")  # recent = high score
+    return scored.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        r_score.alias("r_score"),
+        score_asc("frequency", "f").alias("f_score"),
+        score_asc("monetary", "m").alias("m_score"),
+        (
+            r_score * 100 + score_asc("frequency", "f") * 10 + score_asc("monetary", "m")
+        ).alias("rfm"),
+    ).orderBy("o_custkey")
+
+
+_SQL_RFM_SCORE = lambda col, pfx: (
+    f"CASE WHEN CAST({col} AS DOUBLE) <= {pfx}c20 THEN 1 "
+    f"WHEN CAST({col} AS DOUBLE) <= {pfx}c40 THEN 2 "
+    f"WHEN CAST({col} AS DOUBLE) <= {pfx}c60 THEN 3 "
+    f"WHEN CAST({col} AS DOUBLE) <= {pfx}c80 THEN 4 ELSE 5 END"
+)
+
+QUERIES["customers_rfm_segments"] = QuerySpec(
+    customers_rfm_segments,
+    f"""
+    WITH per_cust AS (
+      SELECT o_custkey, MAX(o_orderdate) AS last_order,
+             COUNT(*) AS frequency,
+             {sql_exact_sum('o_totalprice', 'monetary')}
+      FROM orders GROUP BY 1
+    ),
+    anchor AS (SELECT MAX(o_orderdate) AS corpus_max FROM orders),
+    base AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', last_order, corpus_max) AS BIGINT) AS recency_days,
+             frequency, monetary
+      FROM per_cust CROSS JOIN anchor
+    ),
+    cuts AS (
+      SELECT {", ".join(
+        f"ROUND(quantile_cont({c}, {q}), 6) AS {c[0]}c{int(q*100)}"
+        for c in ("recency_days", "frequency", "monetary")
+        for q in (0.2, 0.4, 0.6, 0.8)
+      )}
+      FROM base
+    )
+    SELECT o_custkey, recency_days, frequency, monetary,
+           6 - {_SQL_RFM_SCORE('recency_days', 'r')} AS r_score,
+           {_SQL_RFM_SCORE('frequency', 'f')} AS f_score,
+           {_SQL_RFM_SCORE('monetary', 'm')} AS m_score,
+           (6 - {_SQL_RFM_SCORE('recency_days', 'r')}) * 100
+             + {_SQL_RFM_SCORE('frequency', 'f')} * 10
+             + {_SQL_RFM_SCORE('monetary', 'm')} AS rfm
+    FROM base CROSS JOIN cuts
+    ORDER BY o_custkey
+    """,
+    "RFM segmentation via broadcast quintile cutoffs (no global ntile)",
+    ("orders", "analytics", "agg"),
+)

@@ -370,3 +370,40 @@ def test_drift_by_source_flags_planted_outlier(spark, tmp_path):
     out = corpus_drift_by_source(spark, d).collect()
     assert out[0]["source"] == "odd"
     assert out[0]["kl_vs_rest"] > 5 * out[1]["kl_vs_rest"]
+
+
+def test_rfm_scores_partition_customers_evenly(spark, sf_small):
+    """Quintile cutoffs put roughly a fifth of customers in each score
+    band, and the composite encodes the three digits."""
+    from columnar_analytics_engine_spark.queries.advanced import (
+        customers_rfm_segments,
+    )
+
+    rows = customers_rfm_segments(spark, sf_small).collect()
+    n = len(rows)
+    assert n > 0
+    for col in ("r_score", "f_score", "m_score"):
+        counts = {}
+        for r in rows:
+            assert 1 <= r[col] <= 5
+            counts[r[col]] = counts.get(r[col], 0) + 1
+        # each band within [5%, 45%] — ties on discrete metrics skew bands
+        for c in counts.values():
+            assert 0.05 * n <= c <= 0.45 * n, (col, counts)
+    for r in rows:
+        assert r["rfm"] == r["r_score"] * 100 + r["f_score"] * 10 + r["m_score"]
+
+
+def test_backlog_peaks_then_drains(spark, sf_small):
+    """The backlog rises from the first month, is positive throughout
+    the order window, and the last month's backlog equals the orders
+    still open at the end (none, since every order closes)."""
+    from columnar_analytics_engine_spark.queries.advanced import (
+        orders_backlog_over_time,
+    )
+
+    rows = orders_backlog_over_time(spark, sf_small).collect()
+    assert rows
+    vals = [r["open_orders"] for r in rows]
+    assert all(v > 0 for v in vals)
+    assert max(vals) >= vals[0]

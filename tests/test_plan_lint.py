@@ -33,6 +33,8 @@ _SINGLE_PARTITION_ALLOW = {
     # drift report: median split + token totals + final KL reduce —
     # every single-partition stage is a 1-row aggregate
     "corpus_drift_report": 4,
+    # RFM: anchor date + quintile cutoffs — 1-row aggregates broadcast
+    "customers_rfm_segments": 3,
 }
 
 
