@@ -1085,3 +1085,76 @@ QUERIES["customers_rfm_segments"] = QuerySpec(
     "RFM segmentation via broadcast quintile cutoffs (no global ntile)",
     ("orders", "analytics", "agg"),
 )
+
+
+def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: the top-20 part pairs most often bought
+    together, with support (co-occurrence count) and lift
+    (p(a,b) / (p(a)·p(b)), 6dp).  The pair explosion is bounded by the
+    per-basket line count (TPC-H orders hold ≤7 items, so ≤21 pairs
+    per order) — an equi-join on the basket key, never an all-parts
+    cross product; part frequencies broadcast back as 1-row-per-part
+    dims.  Lift's divisions are single IEEE ops on exact counts.
+    """
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("support"))
+    )
+    freq = li.groupBy("l_partkey").agg(F.count("*").alias("n_orders_with"))
+    n_orders = li.select("l_orderkey").distinct().agg(
+        F.count("*").alias("n_orders")
+    )
+    lift = (
+        F.col("support").cast("double") * F.col("n_orders").cast("double")
+    ) / (
+        F.col("fa.n_orders_with").cast("double")
+        * F.col("fb.n_orders_with").cast("double")
+    )
+    return (
+        pairs.join(freq.alias("fa"), F.col("part_a") == F.col("fa.l_partkey"))
+        .join(freq.alias("fb"), F.col("part_b") == F.col("fb.l_partkey"))
+        .join(F.broadcast(n_orders))
+        .select("part_a", "part_b", "support", F.round(lift, 6).alias("lift"))
+        .orderBy(F.desc("support"), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+QUERIES["market_basket_pairs"] = QuerySpec(
+    market_basket_pairs,
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS support
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    freq AS (SELECT l_partkey, COUNT(*) AS n_orders_with FROM li GROUP BY 1),
+    tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM li)
+    SELECT part_a, part_b, support,
+           ROUND((CAST(support AS DOUBLE) * CAST(n_orders AS DOUBLE))
+                 / (CAST(fa.n_orders_with AS DOUBLE)
+                    * CAST(fb.n_orders_with AS DOUBLE)), 6) AS lift
+    FROM pairs
+    JOIN freq fa ON part_a = fa.l_partkey
+    JOIN freq fb ON part_b = fb.l_partkey
+    CROSS JOIN tot
+    ORDER BY support DESC, part_a, part_b
+    LIMIT 20
+    """,
+    "top-20 co-purchased part pairs with lift (basket-bounded pair join)",
+    ("orders", "analytics", "join"),
+)

@@ -554,3 +554,62 @@ QUERIES["events_user_growth"] = QuerySpec(
     "daily new + cumulative distinct users (first-seen-day reduction)",
     ("events", "analytics", "window"),
 )
+
+
+def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stickiness (DAU/WAU) per day: daily actives over distinct users
+    active in the trailing 7 days.  The windowed distinct is computed
+    scale-safely: the (day, user) activity table — already one
+    per-day dedup — is expanded to the ≤7 future days each activity
+    row covers (a bounded 7× explode, NOT a per-day history rescan),
+    then reduced by (day, user) distinct + count.  Both reduces are
+    map-combinable key shuffles; nothing is proportional to history
+    length per day.
+    """
+    df = t(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    day_user = df.select(day.alias("day"), "user_id").distinct()
+    dau = day_user.groupBy("day").agg(F.count("*").alias("dau"))
+    covers = day_user.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"), "day", "user_id"
+    ).select(F.date_add("day", F.col("off")).alias("day"), "user_id")
+    wau = (
+        covers.distinct()
+        .groupBy("day")
+        .agg(F.count("*").alias("wau"))
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau").cast("double"), 6).alias(
+                "stickiness"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+QUERIES["events_dau_wau_stickiness"] = QuerySpec(
+    events_dau_wau_stickiness,
+    """
+    WITH day_user AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+      FROM events
+    ),
+    dau AS (SELECT day, COUNT(*) AS dau FROM day_user GROUP BY 1),
+    covers AS (
+      SELECT DISTINCT day + CAST(off || ' days' AS INTERVAL) AS day, user_id
+      FROM day_user CROSS JOIN (SELECT unnest(range(0, 7)) AS off) o
+    ),
+    wau AS (SELECT day, COUNT(*) AS wau FROM covers GROUP BY 1)
+    SELECT strftime(d.day, '%Y-%m-%d') AS day, d.dau, w.wau,
+           ROUND(CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE), 6) AS stickiness
+    FROM dau d JOIN wau w USING (day)
+    ORDER BY day
+    """,
+    "DAU/WAU stickiness via bounded 7-day coverage expansion (no history rescan)",
+    ("events", "analytics"),
+)
