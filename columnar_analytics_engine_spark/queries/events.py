@@ -613,3 +613,67 @@ QUERIES["events_dau_wau_stickiness"] = QuerySpec(
     "DAU/WAU stickiness via bounded 7-day coverage expansion (no history rescan)",
     ("events", "analytics"),
 )
+
+
+def events_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: for every pair of event types, the
+    exact distinct-user overlap and its Jaccard — "how much does the
+    error-seeing audience overlap the purchasing audience".  The
+    (type, user) dedup is one reduce; the pair join is bounded by
+    |types|² pairs of audience SETS, joined on user_id (never a user ×
+    user product).  At billions of users per segment the same query
+    drops in mergeable HLL sketches (see sketch_distinct_users) for
+    the counts; this exact form is the ground truth it is checked
+    against.
+    """
+    df = t(spark, sf_dir, "events")
+    tu = df.select("event_type", "user_id").distinct()
+    sizes = tu.groupBy("event_type").agg(F.count("*").alias("n_users"))
+    a, b = tu.alias("a"), tu.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.n_users") + F.col("sb.n_users") - F.col("n_common")
+    ).cast("double")
+    return (
+        common.join(sizes.alias("sa"), F.col("type_a") == F.col("sa.event_type"))
+        .join(sizes.alias("sb"), F.col("type_b") == F.col("sb.event_type"))
+        .select(
+            "type_a", "type_b", "n_common", F.round(jac, 6).alias("jaccard")
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+QUERIES["events_segment_overlap"] = QuerySpec(
+    events_segment_overlap,
+    """
+    WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+    sizes AS (SELECT event_type, COUNT(*) AS n_users FROM tu GROUP BY 1),
+    common AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_common
+      FROM tu a JOIN tu b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, n_common,
+           ROUND(CAST(n_common AS DOUBLE)
+                 / CAST(sa.n_users + sb.n_users - n_common AS DOUBLE), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON type_a = sa.event_type
+    JOIN sizes sb ON type_b = sb.event_type
+    ORDER BY type_a, type_b
+    """,
+    "distinct-user audience overlap (exact Jaccard) between event-type pairs",
+    ("events", "analytics", "join"),
+)

@@ -47,6 +47,22 @@ def main() -> None:
     print(f"corpus {n0} -> quality {n1} -> deduped {n2} -> train {n3}")
     train.select("doc_id", "lang", "n_chars").show(5)
 
+    # 4. governance reports over the surviving corpus (round-6 operators)
+    from columnar_analytics_engine_spark.queries.curation import (
+        corpus_drift_by_source,
+    )
+    from columnar_analytics_engine_spark.queries.llm import (
+        dedup_cluster_size_histogram,
+        dedup_lsh_quality_report,
+    )
+
+    print("near-dup cluster size distribution:")
+    dedup_cluster_size_histogram(spark, SF_DIR).show()
+    print("LSH recall vs exact Jaccard (tune bands/rows on a sample):")
+    dedup_lsh_quality_report(spark, SF_DIR).show()
+    print("most-atypical ingestion sources (KL vs rest):")
+    corpus_drift_by_source(spark, SF_DIR).show(5)
+
 
 if __name__ == "__main__":
     main()
