@@ -1,0 +1,77 @@
+"""Maintenance for foreachBatch parquet state tables (the dedup
+fingerprint index, the MinHash signature index, the SCD2 regime log).
+
+Those tables append one ``batch_id=<n>`` partition per micro-batch for
+retry idempotency — correct, but after 100k micro-batches the state
+directory holds 100k partition directories of small files, and every
+probe join pays the file-listing cost.  ``compact_batch_partitions``
+rewrites the table into a single partition (tagged with the highest
+batch id seen, so the partitioning scheme — and any retry-exclusion
+logic keyed on batch_id — keeps working) with size-targeted files.
+
+Run it OFFLINE, between streaming runs: Spark only ever retries the
+in-flight micro-batch recorded in the checkpoint, so once the stream
+has stopped cleanly there are no pending retries against the old
+per-batch partitions; the next run starts at a strictly higher batch
+id.  The rewrite goes to ``<path>.compacting`` and is swapped in with
+two directory renames — the table is never half-rewritten in place
+(a crash between the renames leaves either the old or the new
+directory complete; ``<path>.old`` is removed last).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_TARGET_ROWS_PER_FILE = 4_000_000  # ~128 MB of 32-byte-key index rows
+
+
+def compact_batch_partitions(
+    spark: SparkSession,
+    path: str,
+    target_rows_per_file: int = _TARGET_ROWS_PER_FILE,
+) -> dict:
+    """Rewrite a batch_id-partitioned state table into one partition.
+
+    Returns a summary dict (rows, files before/after, new batch_id).
+    """
+    df = spark.read.parquet(path)
+    max_bid = df.agg(F.max("batch_id")).first()[0]
+    n_rows = df.count()
+    n_files_before = sum(
+        1
+        for root, _d, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_out = max(1, -(-n_rows // target_rows_per_file))  # ceil division
+    tmp = f"{path}.compacting"
+    old = f"{path}.old"
+    (
+        df.withColumn("batch_id", F.lit(max_bid))
+        .repartition(n_out)
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(tmp)
+    )
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    n_files_after = sum(
+        1
+        for root, _d, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    return {
+        "rows": n_rows,
+        "files_before": n_files_before,
+        "files_after": n_files_after,
+        "batch_id": max_bid,
+    }

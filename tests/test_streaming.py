@@ -415,3 +415,58 @@ def test_streaming_scd2_retry_first_equals_last_regime(spark, tmp_path):
         delta.unpersist()
     types = [r["event_type"] for r in history_view(spark, hist).collect()]
     assert types == ["view", "click", "view"]
+
+
+def test_compact_state_preserves_history_and_allows_resume(spark, tmp_path):
+    """Compacting the SCD2 regime log between streaming runs: the
+    derived history is unchanged, the file count drops, and a later
+    batch applied after compaction still extends the history
+    correctly."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from columnar_analytics_engine_spark.streaming.maintenance import (
+        compact_batch_partitions,
+    )
+    from columnar_analytics_engine_spark.streaming.scd2 import (
+        apply_batch,
+        history_view,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    hist = str(tmp_path / "history")
+
+    def commit(rows, bid):
+        b = spark.createDataFrame(rows, schema)
+        delta = apply_batch(spark, b, hist, batch_id=bid).withColumn(
+            "batch_id", F.lit(bid)
+        )
+        delta.persist(); delta.count()
+        (
+            delta.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(hist)
+        )
+        delta.unpersist()
+
+    for bid in range(5):  # five 1-row batches, alternating regimes
+        etype = "view" if bid % 2 == 0 else "click"
+        commit([(bid, base + dt.timedelta(minutes=bid), 7, etype, 1.0, "{}")], bid)
+
+    before = sorted(map(tuple, history_view(spark, hist).collect()))
+    summary = compact_batch_partitions(spark, hist)
+    after = sorted(map(tuple, history_view(spark, hist).collect()))
+    assert after == before
+    assert summary["files_after"] < summary["files_before"]
+    assert summary["rows"] == 5 and summary["batch_id"] == 4
+
+    # resume: a later batch (higher id) still extends the history
+    commit([(99, base + dt.timedelta(minutes=99), 7, "purchase", 1.0, "{}")], 10)
+    types = [r["event_type"] for r in history_view(spark, hist).collect()]
+    assert types[-1] == "purchase" and len(types) == 6
