@@ -1533,3 +1533,90 @@ QUERIES["text_token_entropy"] = QuerySpec(
     "per-doc Shannon token entropy (vocabulary-diversity quality signal, micro-nat exact)",
     ("text", "quality"),
 )
+
+
+# ---------------------------------------------------------------------------
+# embedding-space benchmark contamination
+# ---------------------------------------------------------------------------
+
+_CONTAM_EMB_THRESHOLD = 0.35
+
+
+def contamination_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space contamination screen: for every corpus vector,
+    the maximum cosine similarity to any *benchmark* vector (stand-in:
+    ``vec_id % 100 == 0``, same convention as the n-gram screen) and a
+    flag at >= ``_CONTAM_EMB_THRESHOLD`` — the semantic-leakage
+    complement of :func:`contamination_ngram_overlap` (catches eval
+    paraphrases that share no 5-gram).
+
+    Scale shape: benchmark suites are tiny by construction, so the
+    bench side (vectors + norms) is BROADCAST and the 100 TB corpus
+    side is scanned exactly ONCE — a broadcast nested-loop over a
+    constant-size bench table, never a data-by-data cartesian.  The
+    per-vector argmax is a struct-max groupBy keyed on vec_id (the
+    broadcast join leaves all of a vector's candidates in one
+    partition, so partial aggregation collapses them map-side).
+    """
+    n = with_norms(t(spark, sf_dir, "embeddings"))
+    bench = n.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("bench_id"),
+        F.col("v").alias("bv"),
+        F.col("sq_norm").alias("bn"),
+    )
+    corpus = n.filter(F.col("vec_id") % 100 != 0).select("vec_id", "v", "sq_norm")
+    sim = cosine(F.col("v"), F.col("bv"), F.col("sq_norm"), F.col("bn"), 4)
+    best = (
+        corpus.crossJoin(F.broadcast(bench))
+        .select("vec_id", F.col("bench_id"), sim.alias("cos_sim"))
+        .groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("cos_sim"), (-F.col("bench_id")).alias("neg_bench")
+                )
+            ).alias("m")
+        )
+    )
+    return best.select(
+        "vec_id",
+        (-F.col("m.neg_bench")).alias("bench_id"),
+        F.col("m.cos_sim").alias("max_cos"),
+        (F.col("m.cos_sim") >= F.lit(_CONTAM_EMB_THRESHOLD)).alias("is_contaminated"),
+    ).orderBy("vec_id")
+
+
+QUERIES["contamination_embedding_cosine"] = QuerySpec(
+    contamination_embedding_cosine,
+    f"""
+    WITH n AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             list_dot_product(CAST(embedding AS DOUBLE[]),
+                              CAST(embedding AS DOUBLE[])) AS sq_norm
+      FROM embeddings
+    ),
+    bench AS (
+      SELECT vec_id AS bench_id, v AS bv, sq_norm AS bn
+      FROM n WHERE vec_id % 100 = 0
+    ),
+    corpus AS (SELECT * FROM n WHERE vec_id % 100 <> 0),
+    scored AS (
+      SELECT c.vec_id, b.bench_id,
+             ROUND(list_dot_product(c.v, b.bv)
+                   / (SQRT(c.sq_norm) * SQRT(b.bn)), 4) AS cos_sim
+      FROM corpus c CROSS JOIN bench b
+    ),
+    best AS (
+      SELECT vec_id, bench_id, cos_sim FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY cos_sim DESC, bench_id) AS rn
+        FROM scored) x
+      WHERE rn = 1
+    )
+    SELECT vec_id, bench_id, cos_sim AS max_cos,
+           cos_sim >= {_CONTAM_EMB_THRESHOLD} AS is_contaminated
+    FROM best ORDER BY vec_id
+    """,
+    "embedding-space benchmark-contamination screen (broadcast bench, max-cosine per vector)",
+    ("llm", "contamination"),
+)
