@@ -1148,3 +1148,141 @@ QUERIES["corpus_drift_by_source"] = QuerySpec(
     "per-source KL drift vs rest of corpus (most-atypical-feed ranking)",
     ("text", "quality", "agg"),
 )
+
+
+# ---------------------------------------------------------------------------
+# duplicated-passage REMOVAL (keep-one-copy text rewrite)
+# ---------------------------------------------------------------------------
+
+
+def dedup_passage_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-passage *removal*: rewrite every document with its
+    cross-document duplicated 8-token spans cut out, keeping exactly one
+    copy corpus-wide (the lowest-doc_id carrier) — the Dolma/RefinedWeb
+    rewrite step that follows :func:`dedup_duplicate_passages`'s report.
+
+    Policy (deterministic, order-free): a span occurrence is removable
+    iff its span hash occurs in >= 2 documents AND this document is not
+    the minimum-doc_id carrier; every token position covered by at
+    least one removable span is dropped; remaining tokens rejoin with
+    single spaces (whitespace is normalized by construction — the
+    tokenizer contract).  Short docs (< 8 tokens) and null-text docs
+    pass through with ``n_removed = 0``.
+
+    Scale shape (the linear plan, no doc-pair join): span stats are a
+    span-hash-keyed aggregation (the inverted index), removability is a
+    span-hash join back, coverage expansion is a bounded x8 explode,
+    and the rebuild is a doc-keyed sort-free ``array_sort(collect_list)``
+    — shuffle keys are span hash and doc_id only, so the plan scales
+    with corpus size, never with pair count.  Span hashing is numeric
+    (one md5 per token + dual polynomial rolling hash), as everywhere.
+    """
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.coalesce(X.tokens(F.col("text")), F.array().cast("array<string>")).alias("l"),
+    )
+    hashed = toks.select(
+        "doc_id", token_hash_structs(F.col("l")).alias("hl")
+    )
+    spans = hashed.select(
+        "doc_id", F.posexplode(gram_hash_array(F.col("hl"), _PASSAGE_W))
+    ).select("doc_id", (F.col("pos") + 1).alias("pos"), F.col("col").alias("gh"))
+    stats = spans.groupBy("gh").agg(
+        F.count_distinct("doc_id").alias("n_docs"), F.min("doc_id").alias("min_doc")
+    )
+    removable = spans.join(stats, "gh").filter(
+        (F.col("n_docs") >= 2) & (F.col("doc_id") != F.col("min_doc"))
+    )
+    covered = removable.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + _PASSAGE_W - 1)).alias(
+            "tpos"
+        ),
+    ).distinct()
+    tokens = toks.select(
+        "doc_id", F.posexplode(F.col("l"))
+    ).select("doc_id", (F.col("pos") + 1).alias("tpos"), F.col("col").alias("token"))
+    kept = tokens.join(covered, ["doc_id", "tpos"], "left_anti")
+    clean = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("tpos"), F.col("token")))
+                ),
+                lambda s: s.getField("token"),
+            ),
+            " ",
+        ).alias("clean_text")
+    )
+    rem = covered.groupBy("doc_id").agg(F.count("*").alias("n_removed"))
+    return (
+        toks.select("doc_id", F.size("l").cast("long").alias("n_tokens"))
+        .join(rem, "doc_id", "left")
+        .join(clean, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_removed"), F.lit(0)).alias("n_removed"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["dedup_passage_removal"] = QuerySpec(
+    dedup_passage_removal,
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             COALESCE({_SQL_TOKENS}, []::VARCHAR[]) AS l
+      FROM documents
+    ),
+    h AS (SELECT doc_id, {sql_token_hash_structs('l')} AS hl FROM d),
+    g AS (SELECT doc_id, {sql_gram_hash_array('hl', _PASSAGE_W)} AS ga FROM h),
+    spans AS (
+      SELECT doc_id, CAST(generate_subscripts(ga, 1) AS INT) AS pos,
+             unnest(ga) AS gh
+      FROM g
+    ),
+    stats AS (
+      SELECT gh, COUNT(DISTINCT doc_id) AS n_docs, MIN(doc_id) AS min_doc
+      FROM spans GROUP BY 1
+    ),
+    removable AS (
+      SELECT s.doc_id, s.pos
+      FROM spans s JOIN stats st USING (gh)
+      WHERE st.n_docs >= 2 AND s.doc_id <> st.min_doc
+    ),
+    covered AS (
+      SELECT DISTINCT doc_id,
+             CAST(unnest(range(pos, pos + {_PASSAGE_W})) AS INT) AS tpos
+      FROM removable
+    ),
+    tokens AS (
+      SELECT doc_id, CAST(generate_subscripts(l, 1) AS INT) AS tpos,
+             unnest(l) AS token
+      FROM d
+    ),
+    kept AS (
+      SELECT t.doc_id, t.tpos, t.token
+      FROM tokens t ANTI JOIN covered c
+        ON t.doc_id = c.doc_id AND t.tpos = c.tpos
+    ),
+    clean AS (
+      SELECT doc_id, string_agg(token, ' ' ORDER BY tpos) AS clean_text
+      FROM kept GROUP BY 1
+    ),
+    rem AS (SELECT doc_id, COUNT(*) AS n_removed FROM covered GROUP BY 1)
+    SELECT d.doc_id,
+           CAST(len(d.l) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(rem.n_removed, 0) AS BIGINT) AS n_removed,
+           COALESCE(clean.clean_text, '') AS clean_text
+    FROM d
+    LEFT JOIN rem USING (doc_id)
+    LEFT JOIN clean USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+    "keep-one-copy duplicated-passage removal (text rewrite, linear inverted-index plan)",
+    ("llm", "dedup"),
+)

@@ -407,3 +407,44 @@ def test_backlog_peaks_then_drains(spark, sf_small):
     vals = [r["open_orders"] for r in rows]
     assert all(v > 0 for v in vals)
     assert max(vals) >= vals[0]
+
+
+def test_passage_removal_keeps_one_copy(spark, tmp_path):
+    from columnar_analytics_engine_spark.queries.curation import dedup_passage_removal
+
+    span = "a b c d e f g h"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{span} unique1 tail1"),   # lowest carrier: keeps the span
+            (2, f"prefix2 {span} tail2"),   # loses the span
+            (3, "q r s t u v w"),           # 7 tokens: too short, passthrough
+            (4, None),                      # null text: passthrough, empty
+        ],
+        "doc_id long, text string",
+    )
+    sf = str(tmp_path)
+    docs.write.parquet(f"{sf}/documents.parquet")
+    out = {r["doc_id"]: r.asDict() for r in dedup_passage_removal(spark, sf).collect()}
+    assert out[1]["n_removed"] == 0
+    assert out[1]["clean_text"] == f"{span} unique1 tail1"
+    assert out[2]["n_removed"] == 8
+    assert out[2]["clean_text"] == "prefix2 tail2"
+    assert out[3]["n_removed"] == 0 and out[3]["clean_text"] == "q r s t u v w"
+    assert out[4]["n_tokens"] == 0 and out[4]["clean_text"] == ""
+
+
+def test_passage_removal_overlapping_spans_union_coverage(spark, tmp_path):
+    from columnar_analytics_engine_spark.queries.curation import dedup_passage_removal
+
+    # doc 2 contains a 9-token run shared with doc 1 => two overlapping
+    # removable spans whose coverage must union to 9 tokens, not 16
+    run = "a b c d e f g h i"
+    docs = spark.createDataFrame(
+        [(1, f"{run} x1 y1"), (2, f"z2 {run} w2")],
+        "doc_id long, text string",
+    )
+    sf = str(tmp_path)
+    docs.write.parquet(f"{sf}/documents.parquet")
+    out = {r["doc_id"]: r.asDict() for r in dedup_passage_removal(spark, sf).collect()}
+    assert out[2]["n_removed"] == 9
+    assert out[2]["clean_text"] == "z2 w2"
