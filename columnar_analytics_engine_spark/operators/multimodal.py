@@ -275,3 +275,197 @@ def resize_features(
 
     pooled = F.transform(F.sequence(F.lit(0), F.lit(out_dim - 1)), pool)
     return features.withColumn(feature_col, pooled)
+
+
+# ---------------------------------------------------------------------------
+# audio header sniffing (WAV deep parse + container format detection)
+# ---------------------------------------------------------------------------
+
+_RIFF_MAX_CHUNKS = 12  # fmt /LIST/fact/cue headers before data
+
+
+def _wav_fields(p):  # noqa: ANN001 - Column in, Column out
+    """(n_channels, sample_rate, bits, block_align, data_bytes) struct
+    from a RIFF/WAVE byte stream, or nulls.
+
+    WAV is RIFF: 'RIFF' + file size + 'WAVE', then a chain of chunks,
+    each a 4-byte id + LE32 size + payload (padded to even length).
+    The 'fmt ' chunk carries channels/sample-rate/bits; the 'data'
+    chunk's size gives the sample count.  Chunk order is NOT fixed
+    (LIST/fact/cue may precede data), so this is the same bounded
+    ``aggregate`` fold as the JPEG SOF walk — a pure JVM expression,
+    scan-speed, no codec.
+    """
+
+    def u8(pos):
+        return F.conv(F.hex(F.substring(p, pos, F.lit(1))), 16, 10).cast("long")
+
+    def le16(pos):
+        return u8(pos) + u8(pos + 1) * F.lit(256)
+
+    def le32(pos):
+        return (
+            u8(pos)
+            + u8(pos + 1) * F.lit(256)
+            + u8(pos + 2) * F.lit(65536)
+            + u8(pos + 3) * F.lit(16777216)
+        )
+
+    null_l = F.lit(None).cast("long")
+    init = F.struct(
+        F.lit(13).cast("long").alias("off"),  # first chunk (1-based)
+        null_l.alias("ch"),
+        null_l.alias("sr"),
+        null_l.alias("bits"),
+        null_l.alias("ba"),
+        null_l.alias("db"),
+        F.lit(False).alias("done"),
+    )
+
+    def step(acc, _):
+        pos = acc.getField("off")
+        cid = F.hex(F.substring(p, pos, F.lit(4)))
+        size = le32(pos + 4)
+        is_fmt = cid == F.lit("666D7420")  # 'fmt '
+        is_data = cid == F.lit("64617461")  # 'data'
+        nxt = pos + 8 + size + size % 2
+        got_fmt = F.coalesce(acc.getField("sr").isNotNull(), F.lit(False))
+        got_data_after = F.when(is_data, F.lit(True)).otherwise(
+            acc.getField("db").isNotNull()
+        )
+        return (
+            F.when(acc.getField("done"), acc)
+            .when(  # truncated / lost sync: stop with whatever was found
+                size.isNull() | (F.length(F.substring(p, pos, F.lit(8))) < 8),
+                F.struct(
+                    pos.alias("off"),
+                    acc.getField("ch").alias("ch"),
+                    acc.getField("sr").alias("sr"),
+                    acc.getField("bits").alias("bits"),
+                    acc.getField("ba").alias("ba"),
+                    acc.getField("db").alias("db"),
+                    F.lit(True).alias("done"),
+                ),
+            )
+            .when(
+                is_fmt,
+                F.struct(
+                    nxt.alias("off"),
+                    le16(pos + 10).alias("ch"),
+                    le32(pos + 12).alias("sr"),
+                    le16(pos + 22).alias("bits"),
+                    le16(pos + 20).alias("ba"),
+                    acc.getField("db").alias("db"),
+                    got_data_after.alias("done"),
+                ),
+            )
+            .when(
+                is_data,
+                F.struct(
+                    nxt.alias("off"),
+                    acc.getField("ch").alias("ch"),
+                    acc.getField("sr").alias("sr"),
+                    acc.getField("bits").alias("bits"),
+                    acc.getField("ba").alias("ba"),
+                    size.alias("db"),
+                    got_fmt.alias("done"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    nxt.alias("off"),
+                    acc.getField("ch").alias("ch"),
+                    acc.getField("sr").alias("sr"),
+                    acc.getField("bits").alias("bits"),
+                    acc.getField("ba").alias("ba"),
+                    acc.getField("db").alias("db"),
+                    F.lit(False).alias("done"),
+                )
+            )
+        )
+
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(_RIFF_MAX_CHUNKS)),
+        init,
+        step,
+        lambda acc: F.struct(
+            acc.getField("ch").alias("ch"),
+            acc.getField("sr").alias("sr"),
+            acc.getField("bits").alias("bits"),
+            acc.getField("ba").alias("ba"),
+            acc.getField("db").alias("db"),
+        ),
+    )
+
+
+def audio_metadata(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Sniff audio/video container format — and for WAV the full frame
+    metadata — from raw payload bytes; pure JVM expressions, no codec.
+
+    Adds:
+      * ``media_format`` — wav / mp3 / flac / ogg / aiff / mp4 / webm,
+        NULL when unrecognized;
+      * ``n_channels``, ``sample_rate_hz``, ``bits_per_sample`` — from
+        the WAV 'fmt ' chunk (NULL for other formats: their metadata
+        sits in frame headers or length-prefixed packets a scan-speed
+        sniff shouldn't chase; the decode stage owns those);
+      * ``duration_ms`` — exact integer ``frames * 1000 div rate`` from
+        the WAV 'data' chunk size and block alignment.
+
+    The WAV walk handles out-of-order chunks (LIST/fact before data)
+    and truncated streams (partial fields, no error) — see
+    :func:`_wav_fields`.  This is the pre-decode filter a 100 TB audio
+    crawl runs: sample-rate/channel predicates prune undecodable or
+    out-of-spec assets at scan speed, before any Python.
+    """
+    p = F.col(payload_col)
+
+    def magic(n: int) -> F.Column:
+        return F.hex(F.expr(f"substring({payload_col}, 1, {n})"))
+
+    is_riff = magic(4) == F.lit("52494646")  # 'RIFF'
+    kind8 = F.hex(F.expr(f"substring({payload_col}, 9, 4)"))
+    is_wav = is_riff & (kind8 == F.lit("57415645"))  # 'WAVE'
+    is_avi = is_riff & (kind8 == F.lit("41564920"))  # 'AVI '
+    is_mp3 = magic(3).isin("494433") | (  # 'ID3'
+        magic(2).isin("FFFB", "FFF3", "FFF2", "FFFA")  # MPEG frame sync
+    )
+    is_flac = magic(4) == F.lit("664C6143")  # 'fLaC'
+    is_ogg = magic(4) == F.lit("4F676753")  # 'OggS'
+    is_aiff = (magic(4) == F.lit("464F524D")) & (  # 'FORM'
+        kind8.isin("41494646", "41494643")  # 'AIFF' / 'AIFC'
+    )
+    is_mp4 = (
+        F.hex(F.expr(f"substring({payload_col}, 5, 4)")) == F.lit("66747970")
+    )  # 'ftyp' box
+    is_webm = magic(4) == F.lit("1A45DFA3")  # EBML/Matroska
+
+    wf = _wav_fields(p)
+    fmt = (
+        F.when(is_wav, "wav")
+        .when(is_avi, "avi")
+        .when(is_mp3, "mp3")
+        .when(is_flac, "flac")
+        .when(is_ogg, "ogg")
+        .when(is_aiff, "aiff")
+        .when(is_mp4, "mp4")
+        .when(is_webm, "webm")
+        .otherwise(F.lit(None))
+    )
+    # exact while db*1000 < 2^53 (always: RIFF sizes are u32); the
+    # double division truncates deterministically
+    n_frames = (wf.getField("db") / wf.getField("ba")).cast("long")
+    duration = F.when(
+        is_wav
+        & wf.getField("db").isNotNull()
+        & (wf.getField("ba") > 0)
+        & (wf.getField("sr") > 0),
+        (n_frames * F.lit(1000) / wf.getField("sr")).cast("long"),
+    )
+    return (
+        media.withColumn("media_format", fmt)
+        .withColumn("n_channels", F.when(is_wav, wf.getField("ch")))
+        .withColumn("sample_rate_hz", F.when(is_wav, wf.getField("sr")))
+        .withColumn("bits_per_sample", F.when(is_wav, wf.getField("bits")))
+        .withColumn("duration_ms", duration)
+    )

@@ -153,3 +153,85 @@ def test_jpeg_dimensions_from_sof_markers(spark):
     # corrupt streams keep the sniffed format but yield NULL dimensions
     assert out[4]["img_format"] == "jpeg" and out[4]["img_width"] is None
     assert out[5]["img_format"] == "jpeg" and out[5]["img_width"] is None
+
+
+def _wav_bytes(channels=2, rate=44100, width=2, n_frames=1000):
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setframerate(rate)
+        w.setsampwidth(width)
+        w.writeframes(b"\x01\x02" * (channels * n_frames * width // 2))
+    return buf.getvalue()
+
+
+def test_audio_metadata_wav_fields_byte_exact(spark):
+    from columnar_analytics_engine_spark.operators.multimodal import audio_metadata
+
+    wav = _wav_bytes(channels=2, rate=44100, width=2, n_frames=44100)  # 1 s
+    mono = _wav_bytes(channels=1, rate=8000, width=1, n_frames=4000)  # 0.5 s
+    rows = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(mono))], "doc_id long, payload binary"
+    )
+    out = {r.doc_id: r.asDict() for r in audio_metadata(rows).collect()}
+    assert out[1]["media_format"] == "wav"
+    assert out[1]["n_channels"] == 2
+    assert out[1]["sample_rate_hz"] == 44100
+    assert out[1]["bits_per_sample"] == 16
+    assert out[1]["duration_ms"] == 1000
+    assert out[2]["n_channels"] == 1
+    assert out[2]["sample_rate_hz"] == 8000
+    assert out[2]["bits_per_sample"] == 8
+    assert out[2]["duration_ms"] == 500
+
+
+def test_audio_metadata_walks_past_extra_riff_chunks(spark):
+    # a LIST chunk between 'fmt ' and 'data' must not break the walk
+    import struct
+
+    from columnar_analytics_engine_spark.operators.multimodal import audio_metadata
+
+    wav = _wav_bytes(channels=1, rate=16000, width=2, n_frames=16000)
+    fmt_end = 12 + 8 + 16  # RIFF hdr + 'fmt ' chunk (PCM: 16-byte payload)
+    listchunk = b"LIST" + struct.pack("<I", 10) + b"INFOdata12"  # even, 10 B
+    patched = wav[:fmt_end] + listchunk + wav[fmt_end:]
+    patched = patched[:4] + struct.pack("<I", len(patched) - 8) + patched[8:]
+    rows = spark.createDataFrame([(1, bytearray(patched))], "doc_id long, payload binary")
+    r = audio_metadata(rows).collect()[0]
+    assert r.media_format == "wav" and r.sample_rate_hz == 16000
+    assert r.duration_ms == 1000
+
+
+def test_audio_metadata_truncated_and_foreign_formats(spark):
+    from columnar_analytics_engine_spark.operators.multimodal import audio_metadata
+
+    wav = _wav_bytes()
+    rows = spark.createDataFrame(
+        [
+            (1, bytearray(wav[:20])),  # truncated mid-header
+            (2, bytearray(b"ID3\x04\x00rest-of-mp3")),
+            (3, bytearray(b"\xff\xfb\x90\x00frame")),  # raw MPEG sync
+            (4, bytearray(b"fLaC\x00\x00\x00\x22")),
+            (5, bytearray(b"OggS\x00\x02")),
+            (6, bytearray(b"FORMxxxxAIFF")),
+            (7, bytearray(b"\x00\x00\x00\x20ftypisom")),
+            (8, bytearray(b"\x1a\x45\xdf\xa3webm")),
+            (9, bytearray(b"not audio at all")),
+            (10, None),
+        ],
+        "doc_id long, payload binary",
+    )
+    out = {r.doc_id: r.asDict() for r in audio_metadata(rows).collect()}
+    assert out[1]["media_format"] == "wav" and out[1]["duration_ms"] is None
+    assert out[2]["media_format"] == "mp3"
+    assert out[3]["media_format"] == "mp3"
+    assert out[4]["media_format"] == "flac"
+    assert out[5]["media_format"] == "ogg"
+    assert out[6]["media_format"] == "aiff"
+    assert out[7]["media_format"] == "mp4"
+    assert out[8]["media_format"] == "webm"
+    assert out[9]["media_format"] is None
+    assert out[10]["media_format"] is None and out[10]["n_channels"] is None
