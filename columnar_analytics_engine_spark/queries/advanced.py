@@ -1158,3 +1158,164 @@ QUERIES["market_basket_pairs"] = QuerySpec(
     "top-20 co-purchased part pairs with lift (basket-bounded pair join)",
     ("orders", "analytics", "join"),
 )
+
+
+# ---------------------------------------------------------------------------
+# data-quality constraint validation (dbt-test / Deequ-style report)
+# ---------------------------------------------------------------------------
+
+
+def dq_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality validation report: PK uniqueness, FK
+    integrity, not-null, accepted-values, and value-range constraints
+    over the orders/lineitem/customer tables, one row per check with
+    exact violation counts — the dbt-test/Deequ-style gate a production
+    pipeline runs before publishing a table.
+
+    Scale shape: ONE scan per fact table computes every check on it —
+    the FK probe is a left join against the distinct dimension keys
+    (Catalyst/AQE picks broadcast vs shuffle by size) and all violation
+    counters ride the same aggregate; per-table results are 1-row
+    frames combined by broadcast join and exploded into the report.
+    Two single-partition exchanges total, both 1-row (allowlisted in
+    test_plan_lint).
+    """
+    orders = t(spark, sf_dir, "orders")
+    lineitem = t(spark, sf_dir, "lineitem")
+    customer = t(spark, sf_dir, "customer")
+
+    ckeys = customer.select(F.col("c_custkey").alias("_ck")).distinct()
+    o = orders.join(
+        F.broadcast(ckeys), orders["o_custkey"] == F.col("_ck"), "left"
+    )
+    bad_status = F.col("o_orderstatus").isNull() | ~F.col("o_orderstatus").isin(
+        "O", "F", "P"
+    )
+    o_agg = o.agg(
+        F.count("*").alias("n_o"),
+        (F.count("*") - F.count_distinct("o_orderkey")).alias("v_pk_o"),
+        F.count(F.when(F.col("_ck").isNull(), 1)).alias("v_fk_o"),
+        F.count(F.when(bad_status, 1)).alias("v_dom_o"),
+        F.count(
+            F.when(F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0), 1)
+        ).alias("v_price_o"),
+    )
+
+    okeys = orders.select(F.col("o_orderkey").alias("_ok")).distinct()
+    li = lineitem.join(okeys, lineitem["l_orderkey"] == F.col("_ok"), "left")
+    bad_disc = (
+        F.col("l_discount").isNull()
+        | (F.col("l_discount") < 0)
+        | (F.col("l_discount") > 1)
+    )
+    bad_ship = (
+        F.col("l_shipdate").isNull()
+        | (F.year("l_shipdate") < 1992)
+        | (F.year("l_shipdate") > 2005)
+    )
+    li_agg = li.agg(
+        F.count("*").alias("n_l"),
+        (F.count("*") - F.count_distinct("l_orderkey", "l_linenumber")).alias(
+            "v_pk_l"
+        ),
+        F.count(F.when(F.col("_ok").isNull(), 1)).alias("v_fk_l"),
+        F.count(F.when(F.col("l_quantity").isNull(), 1)).alias("v_qty_l"),
+        F.count(F.when(bad_disc, 1)).alias("v_disc_l"),
+        F.count(F.when(bad_ship, 1)).alias("v_ship_l"),
+    )
+
+    row = o_agg.join(F.broadcast(li_agg))
+    checks = [
+        (1, "pk_orders_orderkey_unique", "orders", "n_o", "v_pk_o"),
+        (2, "fk_orders_custkey_in_customer", "orders", "n_o", "v_fk_o"),
+        (3, "domain_orders_status_OFP", "orders", "n_o", "v_dom_o"),
+        (4, "range_orders_totalprice_positive", "orders", "n_o", "v_price_o"),
+        (5, "pk_lineitem_orderkey_linenumber_unique", "lineitem", "n_l", "v_pk_l"),
+        (6, "fk_lineitem_orderkey_in_orders", "lineitem", "n_l", "v_fk_l"),
+        (7, "notnull_lineitem_quantity", "lineitem", "n_l", "v_qty_l"),
+        (8, "range_lineitem_discount_0_1", "lineitem", "n_l", "v_disc_l"),
+        (9, "range_lineitem_shipdate_1992_2005", "lineitem", "n_l", "v_ship_l"),
+    ]
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(cid).cast("int").alias("check_id"),
+                F.lit(name).alias("check_name"),
+                F.lit(tbl).alias("table_name"),
+                F.col(ncol).cast("long").alias("n_rows"),
+                F.col(vcol).cast("long").alias("n_violations"),
+            )
+            for cid, name, tbl, ncol, vcol in checks
+        ]
+    )
+    return (
+        row.select(F.explode(entries).alias("c"))
+        .select(
+            "c.check_id",
+            "c.check_name",
+            "c.table_name",
+            "c.n_rows",
+            "c.n_violations",
+            (F.col("c.n_violations") == 0).alias("passed"),
+        )
+        .orderBy("check_id")
+    )
+
+
+QUERIES["dq_validation_report"] = QuerySpec(
+    dq_validation_report,
+    """
+    WITH o AS (
+      SELECT o.*, c._ck FROM orders o
+      LEFT JOIN (SELECT DISTINCT c_custkey AS _ck FROM customer) c
+        ON o.o_custkey = c._ck
+    ),
+    oa AS (
+      SELECT COUNT(*) AS n_o,
+             COUNT(*) - COUNT(DISTINCT o_orderkey) AS v_pk_o,
+             SUM(CASE WHEN _ck IS NULL THEN 1 ELSE 0 END) AS v_fk_o,
+             SUM(CASE WHEN o_orderstatus IS NULL
+                        OR o_orderstatus NOT IN ('O', 'F', 'P')
+                      THEN 1 ELSE 0 END) AS v_dom_o,
+             SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0
+                      THEN 1 ELSE 0 END) AS v_price_o
+      FROM o
+    ),
+    l AS (
+      SELECT l.*, ok._ok FROM lineitem l
+      LEFT JOIN (SELECT DISTINCT o_orderkey AS _ok FROM orders) ok
+        ON l.l_orderkey = ok._ok
+    ),
+    la AS (
+      SELECT COUNT(*) AS n_l,
+             COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS v_pk_l,
+             SUM(CASE WHEN _ok IS NULL THEN 1 ELSE 0 END) AS v_fk_l,
+             SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS v_qty_l,
+             SUM(CASE WHEN l_discount IS NULL OR l_discount < 0 OR l_discount > 1
+                      THEN 1 ELSE 0 END) AS v_disc_l,
+             SUM(CASE WHEN l_shipdate IS NULL
+                        OR year(l_shipdate) < 1992 OR year(l_shipdate) > 2005
+                      THEN 1 ELSE 0 END) AS v_ship_l
+      FROM l
+    ),
+    rpt AS (
+      SELECT 1 AS check_id, 'pk_orders_orderkey_unique' AS check_name,
+             'orders' AS table_name, n_o AS n_rows, v_pk_o AS n_violations FROM oa
+      UNION ALL SELECT 2, 'fk_orders_custkey_in_customer', 'orders', n_o, v_fk_o FROM oa
+      UNION ALL SELECT 3, 'domain_orders_status_OFP', 'orders', n_o, v_dom_o FROM oa
+      UNION ALL SELECT 4, 'range_orders_totalprice_positive', 'orders', n_o, v_price_o FROM oa
+      UNION ALL SELECT 5, 'pk_lineitem_orderkey_linenumber_unique', 'lineitem', n_l, v_pk_l FROM la
+      UNION ALL SELECT 6, 'fk_lineitem_orderkey_in_orders', 'lineitem', n_l, v_fk_l FROM la
+      UNION ALL SELECT 7, 'notnull_lineitem_quantity', 'lineitem', n_l, v_qty_l FROM la
+      UNION ALL SELECT 8, 'range_lineitem_discount_0_1', 'lineitem', n_l, v_disc_l FROM la
+      UNION ALL SELECT 9, 'range_lineitem_shipdate_1992_2005', 'lineitem', n_l, v_ship_l FROM la
+    )
+    SELECT CAST(check_id AS INT) AS check_id, check_name, table_name,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_violations AS BIGINT) AS n_violations,
+           n_violations = 0 AS passed
+    FROM rpt ORDER BY check_id
+    """,
+    "dbt/Deequ-style data-quality validation: PK/FK/not-null/domain/range checks, one scan per table",
+    ("quality", "governance"),
+)

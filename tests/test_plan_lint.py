@@ -35,6 +35,9 @@ _SINGLE_PARTITION_ALLOW = {
     "corpus_drift_report": 4,
     # RFM: anchor date + quintile cutoffs — 1-row aggregates broadcast
     "customers_rfm_segments": 3,
+    # DQ report: one 1-row aggregate per validated table (orders,
+    # lineitem), combined by broadcast join
+    "dq_validation_report": 2,
 }
 
 
