@@ -470,3 +470,85 @@ def test_compact_state_preserves_history_and_allows_resume(spark, tmp_path):
     commit([(99, base + dt.timedelta(minutes=99), 7, "purchase", 1.0, "{}")], 10)
     types = [r["event_type"] for r in history_view(spark, hist).collect()]
     assert types[-1] == "purchase" and len(types) == 6
+
+
+def test_streaming_cms_matches_batch_sketch_and_is_retry_safe(spark, tmp_path):
+    """Stream the events in 3 files through the foreachBatch CMS
+    maintenance; the merged sketch must equal the single-pass batch
+    sketch counter-for-counter (mergeability is exact addition), a
+    replayed batch must not change it, and estimates must upper-bound
+    exact counts."""
+    import os
+
+    from columnar_analytics_engine_spark.streaming.sketch import (
+        cms_maintenance_query,
+        estimate_counts,
+        partial_sketch,
+        read_sketch,
+    )
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    os.makedirs(src)
+    rows = [(i, i % 17) for i in range(600)]  # (event_id, user_id)
+    all_df = spark.createDataFrame(rows, "event_id long, user_id long")
+    for b in range(3):
+        all_df.filter(F.col("event_id") % 3 == b).coalesce(1).write.parquet(
+            f"{src}/b{b}.parquet"
+        )
+
+    stream = (
+        spark.readStream.schema("event_id long, user_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/b*.parquet")
+    )
+    q = cms_maintenance_query(spark, stream, state).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    merged = {
+        (r.row_id, r.bucket): r.c for r in read_sketch(spark, f"{state}/cms").collect()
+    }
+    single_pass = {
+        (r.row_id, r.bucket): r.c for r in partial_sketch(all_df).collect()
+    }
+    assert merged == single_pass
+
+    # retry: re-apply batch 1's partial write with the same batch_id
+    b1 = spark.read.parquet(f"{src}/b1.parquet")
+    (
+        partial_sketch(b1).withColumn("batch_id", F.lit(1))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(f"{state}/cms")
+    )
+    after_retry = {
+        (r.row_id, r.bucket): r.c for r in read_sketch(spark, f"{state}/cms").collect()
+    }
+    assert after_retry == merged
+
+    exact = all_df.groupBy("user_id").agg(F.count("*").alias("exact_n"))
+    est = estimate_counts(spark, f"{state}/cms", exact.select("user_id"))
+    joined = exact.join(est, "user_id").collect()
+    assert len(joined) == 17
+    assert all(r.cms_estimate >= r.exact_n for r in joined)
+
+
+def test_streaming_cms_estimate_unseen_key_is_zero_or_collision(spark, tmp_path):
+    from columnar_analytics_engine_spark.streaming.sketch import (
+        estimate_counts,
+        partial_sketch,
+    )
+
+    state = str(tmp_path / "state")
+    batch = spark.createDataFrame([(1, 7)] * 5, "event_id long, user_id long")
+    (
+        partial_sketch(batch).withColumn("batch_id", F.lit(0))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(f"{state}/cms")
+    )
+    keys = spark.createDataFrame([(7,), (999999,)], "user_id long")
+    out = {r.user_id: r.cms_estimate for r in estimate_counts(spark, f"{state}/cms", keys).collect()}
+    assert out[7] == 5
+    assert 0 <= out[999999] <= 5  # zero unless all d buckets collide
