@@ -17,7 +17,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from columnar_analytics_engine_spark.functions.hashing import sql_affine_hash, sql_h60
+from columnar_analytics_engine_spark.functions.hashing import (
+    gram_hash_array,
+    sql_affine_hash,
+    sql_gram_hash_array,
+    sql_h60,
+    sql_token_hash_structs,
+    token_hash_structs,
+)
 from columnar_analytics_engine_spark.functions import text as X
 from columnar_analytics_engine_spark.operators import dedup as D
 from columnar_analytics_engine_spark.operators import similarity as S
@@ -1086,4 +1093,115 @@ QUERIES["dedup_lsh_quality_report"] = QuerySpec(
     """,
     "LSH near-dup precision/recall vs exact Jaccard ground truth (1-row report)",
     ("dedup", "approx"),
+)
+
+
+# ---------------------------------------------------------------------------
+# PageRank centrality over the passage-sharing duplication graph
+# ---------------------------------------------------------------------------
+
+_PR_W = 8            # span width (same granularity as dedup_duplicate_passages)
+_PR_MAX_CARRIERS = 16  # ignore spans shared by more docs (boilerplate guard)
+_PR_ITERS = 3
+_PR_TOPK = 50
+
+
+def graph_pagerank_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the passage-sharing graph: docs are
+    nodes, an (undirected) edge links two docs that share at least one
+    verbatim 8-token span — the hub score that ranks template spam and
+    canonical sources above incidental duplicates (connected components
+    say WHICH docs cluster; this says which node anchors the cluster).
+
+    Scale shape: edges come from the passage inverted index (span-hash
+    keyed), with spans carried by more than ``_PR_MAX_CARRIERS`` docs
+    dropped BEFORE pairing — the standard frequent-shingle guard that
+    keeps the per-span pair fan-out quadratic in a constant, not in
+    corpus size.  Each PageRank round is an edge join + dst aggregation
+    (operators/graph.pagerank); integer arithmetic throughout, so the
+    oracle replays all 3 rounds bit-for-bit.  Top-50 output compiles to
+    TakeOrderedAndProject.
+    """
+    from columnar_analytics_engine_spark.operators.graph import pagerank
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", X.tokens(F.col("text")).alias("l")).filter(
+        F.size("l") >= _PR_W
+    )
+    hashed = toks.select("doc_id", token_hash_structs(F.col("l")).alias("hl"))
+    spans = hashed.select(
+        "doc_id", F.explode(gram_hash_array(F.col("hl"), _PR_W)).alias("gh")
+    ).distinct()
+    ok = (
+        spans.groupBy("gh")
+        .agg(F.count("*").alias("_n"))
+        .filter((F.col("_n") >= 2) & (F.col("_n") <= _PR_MAX_CARRIERS))
+        .select("gh")
+    )
+    sp = spans.join(ok, "gh")
+    a = sp.select(F.col("doc_id").alias("d1"), "gh")
+    b = sp.select(F.col("doc_id").alias("d2"), "gh")
+    pairs = (
+        a.join(b, "gh").filter(F.col("d1") < F.col("d2")).select("d1", "d2").distinct()
+    )
+    edges = pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst")).union(
+        pairs.select(F.col("d2").alias("src"), F.col("d1").alias("dst"))
+    )
+    r = pagerank(edges, iterations=_PR_ITERS)
+    return (
+        r.select(F.col("node").alias("doc_id"), "degree", "rank")
+        .orderBy(F.col("rank").desc(), "doc_id")
+        .limit(_PR_TOPK)
+    )
+
+
+def _pagerank_sql() -> str:
+    from columnar_analytics_engine_spark.operators.graph import (
+        PR_SCALE,
+        pagerank_round_sql,
+    )
+
+    rounds = ",".join(
+        pagerank_round_sql(f"r{i}", f"r{i + 1}") for i in range(_PR_ITERS)
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id, {_SQL_TOKENS} AS l FROM documents
+      WHERE len({_SQL_TOKENS}) >= {_PR_W}
+    ),
+    h AS (SELECT doc_id, {sql_token_hash_structs('l')} AS hl FROM d),
+    g AS (SELECT doc_id, {sql_gram_hash_array('hl', _PR_W)} AS ga FROM h),
+    spans AS (SELECT DISTINCT doc_id, unnest(ga) AS gh FROM g),
+    ok AS (
+      SELECT gh FROM spans GROUP BY 1
+      HAVING COUNT(*) >= 2 AND COUNT(*) <= {_PR_MAX_CARRIERS}
+    ),
+    sp AS (SELECT s.doc_id, s.gh FROM spans s JOIN ok USING (gh)),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM sp a JOIN sp b ON a.gh = b.gh AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT d1 AS src, d2 AS dst FROM pairs
+      UNION ALL SELECT d2, d1 FROM pairs
+    ),
+    deg AS (SELECT src AS node, COUNT(*) AS degree FROM edges GROUP BY 1),
+    nn AS (SELECT COUNT(*) AS n_nodes FROM deg),
+    r0 AS (
+      SELECT node, degree, n_nodes, {PR_SCALE} // n_nodes AS rank
+      FROM deg, nn
+    ),
+    {rounds}
+    SELECT node AS doc_id, degree, rank
+    FROM r{_PR_ITERS}
+    ORDER BY rank DESC, doc_id LIMIT {_PR_TOPK}
+    """
+
+
+QUERIES["graph_pagerank_dupgraph"] = QuerySpec(
+    graph_pagerank_dupgraph,
+    _pagerank_sql(),
+    "integer PageRank over the passage-sharing duplication graph "
+    "(hub/canonical-doc centrality; oracle replays all rounds)",
+    ("llm", "graph", "dedup"),
 )

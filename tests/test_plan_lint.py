@@ -38,6 +38,9 @@ _SINGLE_PARTITION_ALLOW = {
     # DQ report: one 1-row aggregate per validated table (orders,
     # lineitem), combined by broadcast join
     "dq_validation_report": 2,
+    # integer PageRank: the 1-row n_nodes aggregate is re-instantiated
+    # once per rank round by plan depth (3 rounds + init, each 1-row)
+    "graph_pagerank_dupgraph": 4,
 }
 
 
