@@ -1286,3 +1286,85 @@ QUERIES["dedup_passage_removal"] = QuerySpec(
     "keep-one-copy duplicated-passage removal (text rewrite, linear inverted-index plan)",
     ("llm", "dedup"),
 )
+
+
+# ---------------------------------------------------------------------------
+# temperature-based mixture sampling (p^alpha, the multilingual recipe)
+# ---------------------------------------------------------------------------
+
+_TEMP_ALPHA = 0.3  # mT5/XLM-R temperature exponent
+
+
+def training_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture weights: target share of source i is
+    p_i^alpha / sum_j p_j^alpha with alpha = 0.3 — the multilingual
+    sampling recipe (mT5/XLM-R) that upweights small sources without
+    flattening to uniform (alpha=0 is uniform, alpha=1 is natural;
+    :func:`training_mixture_weights` is the uniform-target sibling).
+
+    Cross-engine exactness: p_i is a single IEEE division of exact
+    token counts; p_i^alpha is one libm pow of that double, rounded to
+    integer MICRO-units before the normalizing sum (the `_util`
+    scaled-sum strategy — the sum is associative integer addition, so
+    partition order cannot flip the result); the final shares and
+    weights are single IEEE divisions of exact values.  Same plan shape
+    as the uniform report: one tiny source groupBy + a broadcast 1-row
+    totals join.
+    """
+    docs = t(spark, sf_dir, "documents")
+    per_src = (
+        docs.select("source", X.token_count(F.col("text")).alias("n_tok"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
+    )
+    totals = per_src.agg(F.sum("n_tokens").alias("_total_tokens"))
+    j = per_src.join(F.broadcast(totals))
+    p = F.col("n_tokens").cast("double") / F.col("_total_tokens").cast("double")
+    pow_micro = F.round(F.pow(p, F.lit(_TEMP_ALPHA)) * F.lit(1e6)).cast("long")
+    j2 = j.select("source", "n_docs", "n_tokens", p.alias("natural_share"),
+                  pow_micro.alias("_pm"))
+    norm = j2.agg(F.sum("_pm").alias("_pm_sum"))
+    out = j2.join(F.broadcast(norm))
+    temp_share = F.col("_pm").cast("double") / F.col("_pm_sum").cast("double")
+    weight = temp_share / F.col("natural_share")
+    return out.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "natural_share",
+        temp_share.alias("temp_share"),
+        weight.alias("weight"),
+        (weight > F.lit(1.0)).alias("needs_upsampling"),
+    ).orderBy("source")
+
+
+QUERIES["training_mixture_temperature"] = QuerySpec(
+    training_mixture_temperature,
+    f"""
+    WITH per_src AS (
+      SELECT source, COUNT(*) AS n_docs,
+             SUM(len({_SQL_TOKENS})) AS n_tokens
+      FROM documents GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n_tokens) AS total_tokens FROM per_src),
+    p AS (
+      SELECT source, n_docs, n_tokens,
+             CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS natural_share,
+             CAST(ROUND(POWER(CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE),
+                              {_TEMP_ALPHA}) * 1e6) AS BIGINT) AS pm
+      FROM per_src, tot
+    ),
+    norm AS (SELECT SUM(pm) AS pm_sum FROM p)
+    SELECT source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           natural_share,
+           CAST(pm AS DOUBLE) / CAST(pm_sum AS DOUBLE) AS temp_share,
+           (CAST(pm AS DOUBLE) / CAST(pm_sum AS DOUBLE)) / natural_share AS weight,
+           (CAST(pm AS DOUBLE) / CAST(pm_sum AS DOUBLE)) / natural_share > 1.0
+             AS needs_upsampling
+    FROM p, norm ORDER BY source
+    """,
+    "temperature-based (p^0.3) mixture sampling weights — the multilingual upsampling recipe",
+    ("llm", "sampling"),
+)

@@ -448,3 +448,21 @@ def test_passage_removal_overlapping_spans_union_coverage(spark, tmp_path):
     out = {r["doc_id"]: r.asDict() for r in dedup_passage_removal(spark, sf).collect()}
     assert out[2]["n_removed"] == 9
     assert out[2]["clean_text"] == "z2 w2"
+
+
+def test_mixture_temperature_upweights_small_sources(spark, sf_small):
+    from columnar_analytics_engine_spark.queries.curation import (
+        training_mixture_temperature,
+    )
+
+    rows = training_mixture_temperature(spark, sf_small).collect()
+    assert abs(sum(r.temp_share for r in rows) - 1.0) < 1e-9
+    smallest = min(rows, key=lambda r: r.n_tokens)
+    largest = max(rows, key=lambda r: r.n_tokens)
+    # alpha < 1 compresses shares toward uniform: small sources upweight
+    assert smallest.weight > 1.0 and smallest.needs_upsampling
+    assert largest.weight < 1.0 and not largest.needs_upsampling
+    # temperature keeps the ORDER of shares (unlike uniform flattening)
+    by_nat = sorted(rows, key=lambda r: r.natural_share)
+    by_temp = sorted(rows, key=lambda r: r.temp_share)
+    assert [r.source for r in by_nat] == [r.source for r in by_temp]

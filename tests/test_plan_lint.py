@@ -41,6 +41,10 @@ _SINGLE_PARTITION_ALLOW = {
     # integer PageRank: the 1-row n_nodes aggregate is re-instantiated
     # once per rank round by plan depth (3 rounds + init, each 1-row)
     "graph_pagerank_dupgraph": 4,
+    # temperature mixture: two chained 1-row totals (token total feeds
+    # the pow terms, whose micro-sum normalizes) — the first is
+    # re-instantiated under the second by plan depth
+    "training_mixture_temperature": 3,
 }
 
 
