@@ -552,3 +552,85 @@ def test_streaming_cms_estimate_unseen_key_is_zero_or_collision(spark, tmp_path)
     out = {r.user_id: r.cms_estimate for r in estimate_counts(spark, f"{state}/cms", keys).collect()}
     assert out[7] == 5
     assert 0 <= out[999999] <= 5  # zero unless all d buckets collide
+
+
+def test_streaming_rollup_matches_batch_and_survives_retry_and_compaction(
+    spark, tmp_path
+):
+    """foreachBatch incremental materialized aggregate: the merged view
+    must equal the from-scratch batch rollup, stay unchanged when a
+    batch is replayed, and stay unchanged after state compaction."""
+    import datetime
+    import os
+
+    from columnar_analytics_engine_spark.streaming.maintenance import (
+        compact_batch_partitions,
+    )
+    from columnar_analytics_engine_spark.streaming.rollup import (
+        partial_rollup,
+        read_rollup,
+        rollup_maintenance_query,
+    )
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    os.makedirs(src)
+    base = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    rows = [
+        (
+            i,
+            base + datetime.timedelta(hours=7 * i),
+            i % 5,
+            ["click", "view"][i % 2],
+            round(0.01 * i, 2),
+        )
+        for i in range(300)
+    ]
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    all_df = spark.createDataFrame(rows, schema)
+    for b in range(3):
+        all_df.filter(F.col("event_id") % 3 == b).coalesce(1).write.parquet(
+            f"{src}/b{b}.parquet"
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/b*.parquet")
+    )
+    q = rollup_maintenance_query(spark, stream, state).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    def view():
+        return [tuple(r) for r in read_rollup(spark, f"{state}/rollup").collect()]
+
+    batch_truth = [
+        tuple(r)
+        for r in partial_rollup(all_df)
+        .select(
+            "day",
+            "event_type",
+            "n_events",
+            (F.col("sum_cents").cast("double") / 100.0).alias("sum_value"),
+        )
+        .orderBy("day", "event_type")
+        .collect()
+    ]
+    v0 = view()
+    assert v0 == batch_truth and len(v0) > 10
+
+    # replay batch 1 (same batch_id): the view must not change
+    b1 = spark.read.parquet(f"{src}/b1.parquet")
+    (
+        partial_rollup(b1).withColumn("batch_id", F.lit(1))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(f"{state}/rollup")
+    )
+    assert view() == v0
+
+    # compaction folds partitions without changing the merged view
+    summary = compact_batch_partitions(spark, f"{state}/rollup")
+    assert summary["files_after"] <= summary["files_before"]
+    assert view() == v0
