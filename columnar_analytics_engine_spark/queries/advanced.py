@@ -1319,3 +1319,119 @@ QUERIES["dq_validation_report"] = QuerySpec(
     "dbt/Deequ-style data-quality validation: PK/FK/not-null/domain/range checks, one scan per table",
     ("quality", "governance"),
 )
+
+
+# ---------------------------------------------------------------------------
+# extended distribution statistics (skewness / kurtosis / mode)
+# ---------------------------------------------------------------------------
+
+
+def stats_moments_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distribution shape: exact population variance,
+    skewness, kurtosis (non-excess), and the modal value — the
+    higher-moment profile a feature-quality monitor tracks beyond
+    mean/stddev (``stats_correlation`` covers second-order cross
+    moments).
+
+    Cross-engine exactness (two-pass): pass 1 computes the exact mean
+    from integer cents; pass 2 computes centered powers (value-mean)^k
+    — each a deterministic chain of exactly-rounded IEEE ops on exact
+    inputs — ROUNDED TO MICRO-UNITS per row before the associative
+    integer sum (the `_util`/KL-term strategy).  The mode ties break to
+    the smallest value.  Shape: aggregations keyed on event_type (and
+    (event_type, cents) for the mode), the k-row means broadcast back —
+    no windows, no single-partition stages beyond none.
+    """
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * F.lit(100.0)).cast("long").alias("c")
+    )
+    means = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        (
+            (F.sum("c").cast("double") / F.count("*").cast("double"))
+            / F.lit(100.0)
+        ).alias("mean_value"),
+    )
+    d = F.col("c").cast("double") / F.lit(100.0) - F.col("mean_value")
+    term = lambda k: F.sum(
+        F.round(
+            (d ** F.lit(k)) * F.lit(1e6)
+        ).cast("long")
+    ).alias(f"s{k}")
+    cent = (
+        ev.join(F.broadcast(means), "event_type")
+        .groupBy("event_type")
+        .agg(term(2), term(3), term(4))
+    )
+    m = lambda k: F.col(f"s{k}").cast("double") / F.lit(1e6) / F.col("n").cast("double")
+    mode = (
+        ev.groupBy("event_type", "c")
+        .agg(F.count("*").alias("_cnt"))
+        .groupBy("event_type")
+        .agg(
+            F.max(F.struct(F.col("_cnt"), (-F.col("c")).alias("_negc"))).alias("_m")
+        )
+        .select(
+            "event_type",
+            (-F.col("_m._negc")).cast("double").alias("_mode_cents"),
+        )
+        .select(
+            "event_type", (F.col("_mode_cents") / F.lit(100.0)).alias("mode_value")
+        )
+    )
+    return (
+        means.join(cent, "event_type")
+        .join(mode, "event_type")
+        .select(
+            "event_type",
+            "n",
+            "mean_value",
+            F.round(m(2), 6).alias("var_pop"),
+            F.round(m(3) / (m(2) ** F.lit(1.5)), 6).alias("skewness"),
+            F.round(m(4) / (m(2) ** F.lit(2.0)), 6).alias("kurtosis"),
+            "mode_value",
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["stats_moments_extended"] = QuerySpec(
+    stats_moments_extended,
+    """
+    WITH ev AS (
+      SELECT event_type, CAST(ROUND(value * 100.0) AS BIGINT) AS c FROM events
+    ),
+    means AS (
+      SELECT event_type, COUNT(*) AS n,
+             (CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) / 100.0 AS mean_value
+      FROM ev GROUP BY 1
+    ),
+    cent AS (
+      SELECT e.event_type,
+             SUM(CAST(ROUND(POWER(CAST(c AS DOUBLE) / 100.0 - mean_value, 2) * 1e6) AS BIGINT)) AS s2,
+             SUM(CAST(ROUND(POWER(CAST(c AS DOUBLE) / 100.0 - mean_value, 3) * 1e6) AS BIGINT)) AS s3,
+             SUM(CAST(ROUND(POWER(CAST(c AS DOUBLE) / 100.0 - mean_value, 4) * 1e6) AS BIGINT)) AS s4
+      FROM ev e JOIN means USING (event_type)
+      GROUP BY 1
+    ),
+    mode AS (
+      SELECT event_type, CAST(c AS DOUBLE) / 100.0 AS mode_value FROM (
+        SELECT event_type, c,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY COUNT(*) DESC, c) AS rn
+        FROM ev GROUP BY event_type, c) x
+      WHERE rn = 1
+    )
+    SELECT m.event_type, m.n, m.mean_value,
+           ROUND(CAST(s2 AS DOUBLE) / 1e6 / n, 6) AS var_pop,
+           ROUND((CAST(s3 AS DOUBLE) / 1e6 / n)
+                 / POWER(CAST(s2 AS DOUBLE) / 1e6 / n, 1.5), 6) AS skewness,
+           ROUND((CAST(s4 AS DOUBLE) / 1e6 / n)
+                 / POWER(CAST(s2 AS DOUBLE) / 1e6 / n, 2.0), 6) AS kurtosis,
+           mode_value
+    FROM means m JOIN cent USING (event_type) JOIN mode USING (event_type)
+    ORDER BY m.event_type
+    """,
+    "per-type variance/skewness/kurtosis/mode (two-pass, micro-quantized centered powers)",
+    ("stats", "analytics"),
+)
