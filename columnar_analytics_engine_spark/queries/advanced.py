@@ -1435,3 +1435,70 @@ QUERIES["stats_moments_extended"] = QuerySpec(
     "per-type variance/skewness/kurtosis/mode (two-pass, micro-quantized centered powers)",
     ("stats", "analytics"),
 )
+
+
+def stats_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test between document language and
+    source — the significance test behind a drift/skew alarm (is the
+    lang mix independent of the source, or is some source feeding a
+    biased slice?).
+
+    Exactness: observed counts are integers; each expected count is
+    (row_total * col_total) / n — one IEEE division of exact longs; each
+    cell term (o-e)^2/e is rounded to micro-units before the
+    associative integer sum.  Shape: one (lang, source) contingency
+    aggregation, two marginal re-aggregations joined back (k-row
+    tables), one 1-row total broadcast.
+    """
+    docs = t(spark, sf_dir, "documents")
+    cont = docs.groupBy("lang", "source").agg(F.count("*").alias("o"))
+    row_m = cont.groupBy("lang").agg(F.sum("o").alias("_rt"))
+    col_m = cont.groupBy("source").agg(F.sum("o").alias("_ct"))
+    tot = cont.agg(
+        F.sum("o").alias("_n"),
+        F.count_distinct("lang").alias("_nr"),
+        F.count_distinct("source").alias("_nc"),
+    )
+    e = (F.col("_rt") * F.col("_ct")).cast("double") / F.col("_n").cast("double")
+    term = F.round(
+        ((F.col("o").cast("double") - e) ** F.lit(2.0) / e) * F.lit(1e6)
+    ).cast("long")
+    return (
+        cont.join(row_m, "lang")
+        .join(col_m, "source")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(term).alias("_chi_micro"),
+            F.first("_nr").alias("_fr"),
+            F.first("_nc").alias("_fc"),
+        )
+        .select(
+            (F.col("_chi_micro").cast("double") / F.lit(1e6)).alias("chi_square"),
+            ((F.col("_fr") - 1) * (F.col("_fc") - 1)).cast("long").alias("dof"),
+        )
+    )
+
+
+QUERIES["stats_chi_square"] = QuerySpec(
+    stats_chi_square,
+    """
+    WITH cont AS (
+      SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY 1, 2
+    ),
+    row_m AS (SELECT lang, SUM(o) AS rt FROM cont GROUP BY 1),
+    col_m AS (SELECT source, SUM(o) AS ct FROM cont GROUP BY 1),
+    tot AS (
+      SELECT SUM(o) AS n, COUNT(DISTINCT lang) AS nr,
+             COUNT(DISTINCT source) AS nc
+      FROM cont
+    )
+    SELECT CAST(SUM(CAST(ROUND(
+             POWER(CAST(o AS DOUBLE) - CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE), 2.0)
+               / (CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE)) * 1e6) AS BIGINT))
+             AS DOUBLE) / 1e6 AS chi_square,
+           CAST((MIN(nr) - 1) * (MIN(nc) - 1) AS BIGINT) AS dof
+    FROM cont JOIN row_m USING (lang) JOIN col_m USING (source), tot
+    """,
+    "chi-square independence test lang-vs-source (micro-quantized cell terms)",
+    ("stats", "quality"),
+)
