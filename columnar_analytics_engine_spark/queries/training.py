@@ -1620,3 +1620,63 @@ QUERIES["contamination_embedding_cosine"] = QuerySpec(
     "embedding-space benchmark-contamination screen (broadcast bench, max-cosine per vector)",
     ("llm", "contamination"),
 )
+
+
+def training_shard_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent content checksum per training shard: each doc
+    contributes two independently-salted ``h60`` hashes of its
+    (id, content-fingerprint) pair, combined per shard by bitwise XOR —
+    a commutative, overflow-free fold at any shard size, so the
+    checksum is independent of partitioning, task order,
+    and file layout.  This is the reproducibility audit of a corpus
+    build: re-exporting the same corpus must reproduce these checksums
+    byte-independent-of-layout, and any doc added/dropped/mutated flips
+    them.  Same shard rule as :func:`shard_assignment`; one groupBy.
+    """
+    docs = t(spark, sf_dir, "documents")
+    shard = (h60("shard:", F.col("doc_id").cast("string")) % _N_SHARDS).alias("shard")
+    payload = F.concat(
+        F.col("doc_id").cast("string"),
+        F.lit("|"),
+        F.coalesce(X.fingerprint(F.col("text")), F.lit("")),
+    )
+    # two independent 60-bit xor folds (different salts): commutative and
+    # overflow-free at any shard size, ~120-bit collision strength
+    return (
+        docs.select(
+            shard,
+            h60("chk:", payload).alias("h1"),
+            h60("chk2:", payload).alias("h2"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.expr("bit_xor(h1)").alias("xor_check1"),
+            F.expr("bit_xor(h2)").alias("xor_check2"),
+        )
+        .orderBy("shard")
+    )
+
+
+_SQL_FP_CONCAT = (
+    "CONCAT(CAST(doc_id AS VARCHAR), '|', "
+    "COALESCE(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), ''))"
+)
+
+QUERIES["training_shard_checksums"] = QuerySpec(
+    training_shard_checksums,
+    f"""
+    WITH h AS (
+      SELECT {sql_h60('shard:', 'CAST(doc_id AS VARCHAR)')} % {_N_SHARDS} AS shard,
+             {sql_h60('chk:', _SQL_FP_CONCAT)} AS h1,
+             {sql_h60('chk2:', _SQL_FP_CONCAT)} AS h2
+      FROM documents
+    )
+    SELECT shard, COUNT(*) AS n_docs,
+           CAST(BIT_XOR(h1) AS BIGINT) AS xor_check1,
+           CAST(BIT_XOR(h2) AS BIGINT) AS xor_check2
+    FROM h GROUP BY 1 ORDER BY 1
+    """,
+    "order-independent per-shard content checksums (dual xor folds — the reproducibility audit)",
+    ("pipeline", "governance"),
+)

@@ -378,3 +378,30 @@ def test_token_entropy_bounds(spark, sf_small):
     out = {r["doc_id"]: r["entropy_nats"] for r in text_token_entropy(spark, d).collect()}
     assert out[1] == 0.0
     assert abs(out[2] - round(math.log(4), 6)) < 2e-6
+
+
+def test_shard_checksums_partition_invariant_and_mutation_sensitive(spark, tmp_path):
+    from columnar_analytics_engine_spark.queries.training import (
+        training_shard_checksums,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text body {i}", "en", "s", 10) for i in range(200)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf_a, sf_b, sf_c = (str(tmp_path / x) for x in "abc")
+    docs.coalesce(1).write.parquet(f"{sf_a}/documents.parquet")
+    docs.repartition(7).write.parquet(f"{sf_b}/documents.parquet")  # same content, new layout
+    mutated = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 123, F.lit("tampered")).otherwise(F.col("text")),
+    )
+    mutated.coalesce(1).write.parquet(f"{sf_c}/documents.parquet")
+
+    a = [tuple(r) for r in training_shard_checksums(spark, sf_a).collect()]
+    b = [tuple(r) for r in training_shard_checksums(spark, sf_b).collect()]
+    c = [tuple(r) for r in training_shard_checksums(spark, sf_c).collect()]
+    assert a == b           # layout/partitioning cannot move the checksum
+    assert a != c           # one mutated doc flips its shard's checksum
+    diff = [(x, y) for x, y in zip(a, c) if x != y]
+    assert len(diff) == 1   # ...and ONLY its shard
