@@ -1368,3 +1368,70 @@ QUERIES["training_mixture_temperature"] = QuerySpec(
     "temperature-based (p^0.3) mixture sampling weights — the multilingual upsampling recipe",
     ("llm", "sampling"),
 )
+
+
+# ---------------------------------------------------------------------------
+# URL / domain-level curation stats
+# ---------------------------------------------------------------------------
+
+# host capture: scheme, optional credentials, then the host run.  ASCII
+# classes only — identical semantics in Java regex (Spark) and RE2
+# (DuckDB), same discipline as BPE_ISH_PATTERN.
+_URL_HOST = r"https?://(?:[^/\s@]*@)?([A-Za-z0-9.-]+)"
+
+
+def text_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain URL statistics over the corpus: distinct linking docs
+    and total URL mentions per (lowercased, www-stripped) host — the
+    domain-level signal behind crawl curation policies (domain caps,
+    blocklists, per-domain quality priors all key on this table).
+
+    Scale shape: ``regexp_extract_all`` runs at scan speed inside
+    codegen; one explode and one (domain)-keyed aggregation with
+    map-side combine — the same linear class as the token stats.  On
+    the synthetic fixture corpus (no URLs) the result is empty; the
+    regex semantics are pinned against DuckDB on a URL-laden fixture in
+    tests/test_curation.py (the PII-scrub precedent).
+    """
+    docs = t(spark, sf_dir, "documents")
+    hosts = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit(_URL_HOST), F.lit(1))
+        ).alias("host"),
+    )
+    domain = F.regexp_replace(F.lower(F.col("host")), r"^www\.", "")
+    return (
+        hosts.select("doc_id", domain.alias("domain"))
+        .groupBy("domain")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_urls"),
+        )
+        .orderBy(F.col("n_urls").desc(), "domain")
+    )
+
+
+def sql_url_domains() -> str:
+    """DuckDB twin of :func:`text_url_domains` (shared by the oracle
+    entry and the URL-fixture test)."""
+    return f"""
+    WITH hosts AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(text, '{_URL_HOST}', 1)) AS host
+      FROM documents
+    )
+    SELECT regexp_replace(lower(host), '^www\\.', '') AS domain,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS n_urls
+    FROM hosts
+    GROUP BY 1 ORDER BY n_urls DESC, domain
+    """
+
+
+QUERIES["text_url_domains"] = QuerySpec(
+    text_url_domains,
+    sql_url_domains(),
+    "per-domain URL stats (lowercased www-stripped hosts — the domain-cap/blocklist key table)",
+    ("text", "curation"),
+)

@@ -466,3 +466,42 @@ def test_mixture_temperature_upweights_small_sources(spark, sf_small):
     by_nat = sorted(rows, key=lambda r: r.natural_share)
     by_temp = sorted(rows, key=lambda r: r.temp_share)
     assert [r.source for r in by_nat] == [r.source for r in by_temp]
+
+
+_URL_DOCS = [
+    (1, "see https://Example.COM/page and http://www.example.com/other plus https://sub.Site.org/x"),
+    (2, "mailto is not a url; ftp://nope.com either; but https://user:pw@Example.com/ counts"),
+    (3, "bare text without links"),
+    (4, "dup https://example.com https://example.com and https://other.net/"),
+    (5, None),
+]
+
+
+def test_url_domains_matches_duckdb_on_url_fixture(spark, tmp_path):
+    """The sf fixtures carry no URLs; pin the regex + aggregation
+    semantics against DuckDB on URL-laden rows (PII-scrub precedent)."""
+    import duckdb
+
+    from columnar_analytics_engine_spark.queries.curation import (
+        sql_url_domains,
+        text_url_domains,
+    )
+
+    df = spark.createDataFrame(_URL_DOCS, "doc_id long, text string")
+    path = f"{tmp_path}/documents.parquet"
+    df.write.parquet(path)
+
+    spark_rows = [tuple(r) for r in text_url_domains(spark, str(tmp_path)).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}/*.parquet')"
+    )
+    duck_rows = [tuple(r) for r in con.execute(sql_url_domains()).fetchall()]
+    con.close()
+    assert spark_rows == duck_rows
+    out = dict((d, (nd, nu)) for d, nd, nu in spark_rows)
+    # case-folded + www-stripped: doc1 hits example.com twice (COM/www),
+    # doc2 once through credentials, doc4 twice
+    assert out["example.com"] == (3, 5)
+    assert out["sub.site.org"] == (1, 1)
+    assert "nope.com" not in out  # ftp is not harvested
