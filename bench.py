@@ -61,6 +61,9 @@ BENCH_QUERIES: dict[str, bool] = {
     # represented by dedup_minhash_lsh; details in BASELINE.md.
     "approx_quantile_by_group": False,  # mergeable grouped quantile sketch
     "retrieval_hybrid_rrf": False,  # BM25 + vector rank fusion
+    # round-6 second-session additions (new cost classes; BASELINE.md)
+    "classifier_nb_confusion": False,  # trained NB classifier: vocab join + argmax
+    "dedup_passage_removal": False,  # keep-one-copy text rewrite
 }
 
 N_TIMED_RUNS = 3  # warm steady-state: best of 3 (reference methodology
