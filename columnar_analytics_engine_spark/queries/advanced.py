@@ -1502,3 +1502,90 @@ QUERIES["stats_chi_square"] = QuerySpec(
     "chi-square independence test lang-vs-source (micro-quantized cell terms)",
     ("stats", "quality"),
 )
+
+
+def stats_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-return-flag OLS fit of extended price on quantity: slope,
+    intercept, and r² from the closed-form normal equations — the
+    distributed-regression primitive (price elasticity per segment).
+
+    Exactness: all five sufficient statistics (n, Σx, Σy, Σxy, Σx²,
+    Σy²) are exact integer sums of cents-scaled values (x ≤ 50 units,
+    y ≤ ~1e5 cents ⇒ Σxy ≤ ~6e13 per group — far under 2^63), and the
+    closed-form combination is a fixed chain of IEEE ops on exact
+    integers.  One groupBy; the regression never materializes a matrix
+    — this is the map-side-combinable sufficient-statistics shape that
+    scales to any row count (switch the accumulators to DECIMAL(38)
+    past ~10^15 rows, see queries/_util).
+    """
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_quantity")).cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * F.lit(100.0)).cast("long").alias("y"),
+    )
+    agg = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    r_num = n * sxy - sx * sy
+    r2 = (r_num * r_num) / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return agg.select(
+        "l_returnflag",
+        "n",
+        F.round(slope / F.lit(100.0), 6).alias("slope"),
+        F.round(intercept / F.lit(100.0), 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    ).orderBy("l_returnflag")
+
+
+QUERIES["stats_linear_regression"] = QuerySpec(
+    stats_linear_regression,
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(ROUND(l_quantity) AS BIGINT) AS x,
+             CAST(ROUND(l_extendedprice * 100.0) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    agg AS (
+      SELECT l_returnflag, COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+      FROM s GROUP BY 1
+    )
+    SELECT l_returnflag, n,
+           ROUND(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) / 100.0, 6) AS slope,
+           ROUND(((CAST(sy AS DOUBLE)
+                   - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                     * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)) / 100.0, 6) AS intercept,
+           ROUND(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+                 / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2
+    FROM agg ORDER BY l_returnflag
+    """,
+    "per-segment OLS regression from exact sufficient statistics (slope/intercept/r2)",
+    ("stats", "analytics"),
+)
