@@ -75,3 +75,58 @@ def test_nb_and_lr_share_output_schema(spark, sf_small):
     nb = classifier_nb_confusion(spark, sf_small)
     lr = classifier_mllib_lr(spark, sf_small)
     assert nb.columns == lr.columns == ["actual", "predicted", "n_docs"]
+
+
+def test_nb_matches_brute_force_python_reference(spark):
+    """Replay the NB decomposition in pure Python (same micro-nat
+    rounding) on a seeded random corpus and demand identical
+    predictions — the brute-force cross-check that the sparse
+    vocabulary-join decomposition implements textbook multinomial NB."""
+    import math
+    import random
+    from collections import Counter
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    langs = ["de", "en", "fr"]
+    rows = []
+    for i in range(120):
+        lang = langs[i % 3]
+        # skew token choice by label so classes are learnable
+        bias = langs.index(lang) * 10
+        toks = [vocab[(rng.randrange(12) + bias) % 30] for _ in range(rng.randrange(3, 15))]
+        rows.append((i, " ".join(toks), lang, "s", 0))
+    docs = _docs(spark, rows)
+    got = {r.doc_id: r.predicted for r in _nb_predictions(docs).collect()}
+
+    train = [(d, t, l) for d, t, l, _, _ in rows if d % 2 == 0]
+    test = [(d, t, l) for d, t, l, _, _ in rows if d % 2 == 1]
+    c = Counter()
+    n_l = Counter()
+    docs_l = Counter()
+    vocab_set = set()
+    for _d, t, l in train:
+        toks = t.split()
+        vocab_set.update(toks)
+        for tok in toks:
+            c[(tok, l)] += 1
+            n_l[l] += 1
+        docs_l[l] += 1
+    v = len(vocab_set)
+    mln = lambda x: round(math.log(x) * 1e6)
+    classes = sorted(docs_l)
+    prior = {l: mln(docs_l[l] / len(train)) for l in classes}
+    lnden = {l: mln(n_l[l] + v) for l in classes}
+    expected = {}
+    for d, t, _l in test:
+        counts = Counter(tok for tok in t.split() if tok in vocab_set)
+        n_known = sum(counts.values())
+        scores = {}
+        for l in classes:
+            s = prior[l] - n_known * lnden[l]
+            for tok, cnt in counts.items():
+                if (tok, l) in c:
+                    s += cnt * mln(c[(tok, l)] + 1)
+            scores[l] = s
+        expected[d] = max(classes, key=lambda l: (scores[l], [-ord(ch) for ch in l]))
+    assert got == expected
