@@ -63,6 +63,25 @@ def main() -> None:
     print("most-atypical ingestion sources (KL vs rest):")
     corpus_drift_by_source(spark, SF_DIR).show(5)
 
+    # 5. round-6 second-session operators: model-based curation +
+    # reproducibility audit
+    from columnar_analytics_engine_spark.queries.classify import (
+        classifier_nb_confusion,
+    )
+    from columnar_analytics_engine_spark.queries.curation import (
+        dedup_passage_removal,
+    )
+    from columnar_analytics_engine_spark.queries.training import (
+        training_shard_checksums,
+    )
+
+    print("trained NB language classifier, held-out confusion matrix:")
+    classifier_nb_confusion(spark, SF_DIR).show(5)
+    print("duplicated-passage removal (keep-one-copy rewrite), sample:")
+    dedup_passage_removal(spark, SF_DIR).filter(F.col("n_removed") > 0).show(3)
+    print("per-shard content checksums (reproducibility audit):")
+    training_shard_checksums(spark, SF_DIR).show(4)
+
 
 if __name__ == "__main__":
     main()
