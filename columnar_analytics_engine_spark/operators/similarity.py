@@ -134,27 +134,18 @@ def near_duplicate_pairs(
     )
 
 
-def ivf_topk(
-    queries: DataFrame,
+def ivf_assignments(
     candidates: DataFrame,
-    k: int = 10,
     n_lists: int = 16,
-    n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    decimals: int = 4,
-) -> DataFrame:
-    """Approximate top-k via inverted-file (IVF) bucketing.
-
-    Deterministic seeds: the n_lists vectors with the smallest ids serve
-    as centroids (no iterative k-means — keeps the operator a pure,
-    reproducible DataFrame plan; swap in MLlib KMeans centroids for
-    quality).  Seed selection is ``orderBy(id).limit(n)`` — Spark plans
-    it as TakeOrderedAndProject (per-partition top-n then a driver-side
-    merge of n_lists rows), never a global sort or single-partition
-    window.  Both assignment and probing broadcast the tiny centroid
-    table, so the only large shuffle is the final per-query top-k.
-    """
+) -> tuple[DataFrame, DataFrame]:
+    """(seeds, assigned) for the IVF index: the n_lists deterministic
+    seed centroids and every candidate's (neighbor_id, cv, cn, list_id)
+    nearest-seed assignment.  Shared by :func:`ivf_topk`; a deployment
+    persists ``assigned`` bucketed by ``list_id`` (io.write_bucketed) so
+    probes join the index shuffle-free — demonstrated in
+    tests/test_scale_ops.py."""
     cands_n = with_norms(candidates, vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv"), F.col("sq_norm").alias("cn")
     )
@@ -177,6 +168,31 @@ def ivf_topk(
         .filter(F.col("_r") == 1)
         .select("neighbor_id", "cv", "cn", "list_id")
     )
+    return seeds, assigned
+
+
+def ivf_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 4,
+) -> DataFrame:
+    """Approximate top-k via inverted-file (IVF) bucketing.
+
+    Deterministic seeds: the n_lists vectors with the smallest ids serve
+    as centroids (no iterative k-means — keeps the operator a pure,
+    reproducible DataFrame plan; swap in MLlib KMeans centroids for
+    quality).  Seed selection is ``orderBy(id).limit(n)`` — Spark plans
+    it as TakeOrderedAndProject (per-partition top-n then a driver-side
+    merge of n_lists rows), never a global sort or single-partition
+    window.  Both assignment and probing broadcast the tiny centroid
+    table, so the only large shuffle is the final per-query top-k.
+    """
+    seeds, assigned = ivf_assignments(candidates, n_lists, id_col, vec_col)
     # each query probes its n_probe nearest lists
     q = with_norms(queries, vec_col).select(
         F.col(id_col).alias("query_id"), F.col("v").alias("qv"), F.col("sq_norm").alias("qn")

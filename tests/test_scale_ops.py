@@ -314,3 +314,37 @@ def test_bloom_bitmap_tiny_and_mergeable(spark):
     small = spark.range(100_000).selectExpr("id AS k")
     row = bloom_bitmap(small, "k").collect()[0]
     assert len(row["_bloom"]) == BLOOM_BITS // 64
+
+
+def test_bucketed_ivf_index_probe_is_shuffle_free_on_index_side(spark, sf_small):
+    """The deployment shape for the IVF index: assignments persisted
+    bucketed by list_id mean a probe join reads the index WITHOUT an
+    Exchange — only the (small) probe side shuffles to the bucket
+    layout.  This is verdict item: bucketed vector-index write."""
+    from columnar_analytics_engine_spark.operators.similarity import ivf_assignments
+
+    emb = read_table(spark, sf_small, "embeddings")
+    _seeds, assigned = ivf_assignments(emb, n_lists=16)
+    write_bucketed(
+        assigned.select("neighbor_id", "list_id"), "b_ivf_index", "list_id", 8
+    )
+    index = spark.table("b_ivf_index")
+    probes = spark.createDataFrame(
+        [(q, l) for q in range(3) for l in (0, 1, 2, 3)], "query_id long, list_id long"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = index.join(probes, "list_id")
+        plan = formatted_plan(joined)
+        tree = plan.split("\n\n")[0].splitlines()
+        # exactly one Exchange node: the probe side re-layouts to the
+        # buckets; the bucketed index scan itself never shuffles
+        assert sum("Exchange" in ln for ln in tree) == 1, plan
+        left = [ln for ln in tree if ln.lstrip().startswith(":")]
+        assert any("b_ivf_index" in ln for ln in left), plan
+        assert not any("Exchange" in ln for ln in left), plan
+        assert "Bucketed: true" in plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS b_ivf_index")
