@@ -87,6 +87,13 @@ _TEXT_QUERIES = [
     "text_inverted_index",
     "sample_weighted_reservoir",
     "quality_gopher_rules",
+    # round-6 second-session text consumers
+    "classifier_nb_confusion",
+    "dedup_passage_removal",
+    "text_url_domains",
+    "graph_pagerank_dupgraph",
+    "training_shard_checksums",
+    "training_mixture_temperature",
 ]
 
 
