@@ -634,3 +634,26 @@ def test_streaming_rollup_matches_batch_and_survives_retry_and_compaction(
     summary = compact_batch_partitions(spark, f"{state}/rollup")
     assert summary["files_after"] <= summary["files_before"]
     assert view() == v0
+
+
+def test_incremental_dedup_corrupt_index_raises_not_reclassifies(spark, tmp_path):
+    """ADVICE r05 contract: only PATH_NOT_FOUND means 'no index yet'.
+    A corrupt index file must propagate an error — silently treating it
+    as empty would reclassify every historical duplicate as new and
+    corrupt the index further."""
+    import os
+
+    import pytest as _pytest
+
+    from columnar_analytics_engine_spark.streaming.incremental import classify_batch
+
+    index = str(tmp_path / "index")
+    os.makedirs(index)
+    with open(f"{index}/part-00000.parquet", "wb") as f:
+        f.write(b"this is not a parquet file")
+    batch = spark.createDataFrame([(1, "alpha")], "doc_id long, text string")
+    with _pytest.raises(Exception) as exc_info:
+        classify_batch(spark, batch, index).collect()
+    # any engine-level failure is acceptable; a silent empty-index
+    # fallback (classifying the row as 'new') is not
+    assert exc_info.type is not AssertionError
