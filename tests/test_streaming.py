@@ -657,3 +657,66 @@ def test_incremental_dedup_corrupt_index_raises_not_reclassifies(spark, tmp_path
     # any engine-level failure is acceptable; a silent empty-index
     # fallback (classifying the row as 'new') is not
     assert exc_info.type is not AssertionError
+
+
+def test_watermark_drops_and_accounts_late_rows(spark, tmp_path):
+    """Late-data contract: rows older than the watermark are dropped
+    from the windowed aggregate AND the drop is observable in the query
+    progress (numRowsDroppedByWatermark) — the accounting a production
+    stream alerts on."""
+    import datetime
+    import os
+    import time as _time
+
+    from columnar_analytics_engine_spark.streaming.windows import tumbling_counts
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    base = datetime.datetime(2024, 5, 1, 10, 0, 0)
+    schema = "event_id long, ts timestamp, event_type string, value double"
+
+    def write(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(f"{src}/{name}")
+
+    # batch 0: on-time rows spanning 6 hours -> watermark (2h) lands at
+    # 14:00 after the batch commits
+    write("b0.parquet", [(i, base + datetime.timedelta(hours=i), "click", 1.0) for i in range(7)])
+    # batch 1: an on-time row; the late-events watermark lags one batch
+    # (Spark uses the PREVIOUS batch's committed watermark to filter),
+    # so this batch merely locks 14:00 in for batch 2
+    write("b1.parquet", [
+        (101, base + datetime.timedelta(hours=6, minutes=5), "click", 1.0),
+    ])
+    # batch 2: one late row (10:05, far behind the 14:00 watermark)
+    write("b2.parquet", [
+        (100, base + datetime.timedelta(minutes=5), "click", 1.0),
+    ])
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/b*.parquet")
+    )
+    out = tumbling_counts(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("late_acct")
+        .outputMode("update")
+        .option("checkpointLocation", f"{tmp_path}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for op in p.get("stateOperators", [])
+    )
+    assert dropped == 1
+    rows = spark.sql("SELECT * FROM late_acct").collect()
+    got = {(r.window_start, r.n_events) for r in rows}
+    # the late 10:05 row never lands in the 10:00 window (count stays 1)
+    assert ("2024-05-01 10:00:00", 1) in got
+    assert ("2024-05-01 10:00:00", 2) not in got
+    # the on-time 16:05 row from batch 1 does land
+    assert ("2024-05-01 16:00:00", 1) in got
