@@ -536,3 +536,31 @@ def describe(path: str) -> dict[str, Any]:
             "files": files,
         }
     return _one(path)
+
+
+def write_with_metrics(
+    df: DataFrame,
+    path: str,
+    metric_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> dict[str, Any]:
+    """Audited single-pass write: write ``df`` as parquet AND return
+    data-quality metrics (row count + per-column null counts) collected
+    DURING the write via ``DataFrame.observe`` — no second scan.
+
+    At 100 TB the naive ``count()-then-write`` audit doubles the most
+    expensive stage of the pipeline; ``observe`` attaches accumulator-
+    style aggregates to the write job itself, so the audit is free.
+    Metrics flow through the Observation handle (the PySpark wrapper
+    over the query-execution listener), not through the data path.
+    """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    cols = metric_cols if metric_cols is not None else df.columns
+    obs = Observation("write_metrics")
+    exprs = [F.count(F.lit(1)).alias("n_rows")] + [
+        F.count(F.when(F.col(c).isNull(), 1)).alias(f"n_null_{c}") for c in cols
+    ]
+    df.observe(obs, *exprs).write.mode(mode).parquet(path)
+    return dict(obs.get)

@@ -255,3 +255,19 @@ def test_read_csv_schema_and_corrupt_capture(spark, tmp_path):
     inferred = read_csv(spark, str(p))
     assert inferred.columns == ["doc_id", "score"]
     assert inferred.count() == 4
+
+
+def test_write_with_metrics_single_pass_audit(spark, tmp_path):
+    from columnar_analytics_engine_spark.io import write_with_metrics
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c"), (4, None), (5, "e")],
+        "id long, name string",
+    )
+    out = str(tmp_path / "audited.parquet")
+    metrics = write_with_metrics(df, out)
+    assert metrics["n_rows"] == 5
+    assert metrics["n_null_id"] == 0
+    assert metrics["n_null_name"] == 2
+    # the write really happened and matches the audited count
+    assert spark.read.parquet(out).count() == metrics["n_rows"]

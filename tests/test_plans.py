@@ -158,3 +158,23 @@ def test_funnel_windowed_single_scan(spark, sf_small):
     )
     assert plan.count("FileScan parquet") == 1
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_join_strategy_hints_control_physical_plan(spark, sf_small):
+    """Join-strategy hints give per-query physical control when the
+    size-based default picks wrong (a skewed dim that must not
+    broadcast, a pre-sorted pair that should merge): each hint compiles
+    to its operator."""
+    orders = read_table(spark, sf_small, "orders")
+    customer = read_table(spark, sf_small, "customer")
+    cond = orders["o_custkey"] == customer["c_custkey"]
+
+    merged = orders.join(customer.hint("merge"), cond)
+    assert "SortMergeJoin" in formatted_plan(merged)
+
+    hashed = orders.join(customer.hint("shuffle_hash"), cond)
+    p = formatted_plan(hashed)
+    assert "ShuffledHashJoin" in p and "SortMergeJoin" not in p
+
+    bcast = orders.join(customer.hint("broadcast"), cond)
+    assert "BroadcastHashJoin" in formatted_plan(bcast)
