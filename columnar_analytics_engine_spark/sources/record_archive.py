@@ -33,6 +33,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceWriter,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 
@@ -131,6 +132,60 @@ class RecordArchiveWriter(DataSourceWriter):
         pass
 
 
+class RecordArchiveStreamReader(SimpleDataSourceStreamReader):
+    """Streaming side: continuous ingestion of an append-only shard
+    directory — the live-crawl-drop shape (new ``.lprec`` shards appear
+    as upstream fetchers finish; the stream picks each up exactly once).
+
+    Offset model: ``{"seen": [filename, ...]}`` — file-granularity is
+    EXACT here because the batch writer publishes shards atomically
+    (os.replace), so a visible file is complete.  ``read`` returns all
+    records of not-yet-seen files and advances the offset;
+    ``readBetweenOffsets`` replays a committed range deterministically
+    from the file-list diff (failure recovery).  Listing is
+    per-microbatch driver work (one readdir); record parsing happens
+    where the simple-stream API runs it.
+    """
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("recordarchive: .load(path) is required")
+
+    def _list(self) -> list:
+        if os.path.isdir(self.path):
+            return sorted(
+                f for f in os.listdir(self.path) if f.endswith(MAGIC_SUFFIX)
+            )
+        return [os.path.basename(self.path)]
+
+    def _dir(self) -> str:
+        return self.path if os.path.isdir(self.path) else os.path.dirname(self.path)
+
+    def initialOffset(self) -> dict:
+        return {"seen": []}
+
+    def _rows_for(self, names) -> list:
+        # a LIST, not a generator: the simple-stream API pickles the
+        # returned rows into the offset log for deterministic replay
+        rows = []
+        for name in names:
+            fp = os.path.join(self._dir(), name)
+            for offset, payload in read_records(fp):
+                rows.append((fp, offset, len(payload), payload))
+        return rows
+
+    def read(self, start: dict):
+        seen = set(start.get("seen", []))
+        new = [n for n in self._list() if n not in seen]
+        end = {"seen": sorted(seen | set(new))}
+        return iter(self._rows_for(new)), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        replay = sorted(set(end.get("seen", [])) - set(start.get("seen", [])))
+        return iter(self._rows_for(replay))
+
+
 class RecordArchiveDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -141,6 +196,9 @@ class RecordArchiveDataSource(DataSource):
 
     def reader(self, schema) -> RecordArchiveReader:
         return RecordArchiveReader(self.options)
+
+    def simpleStreamReader(self, schema) -> RecordArchiveStreamReader:
+        return RecordArchiveStreamReader(self.options)
 
     def writer(self, schema, overwrite: bool) -> RecordArchiveWriter:
         names = [f.name for f in schema.fields]
