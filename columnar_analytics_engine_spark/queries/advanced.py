@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from columnar_analytics_engine_spark.functions.hashing import h60, sql_h60
 from columnar_analytics_engine_spark.queries._util import (
     QuerySpec,
     exact_sum,
@@ -1588,4 +1589,108 @@ QUERIES["stats_linear_regression"] = QuerySpec(
     """,
     "per-segment OLS regression from exact sufficient statistics (slope/intercept/r2)",
     ("stats", "analytics"),
+)
+
+
+# ---------------------------------------------------------------------------
+# privacy governance: k-anonymity audit + DP-noised aggregate release
+# ---------------------------------------------------------------------------
+
+_KANON_K = 5
+_DP_EPSILON = 1.0
+_H60_RANGE = float(1 << 60)
+
+
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the customer quasi-identifiers
+    (market segment × nation): every equivalence class with fewer than
+    k=5 members is a re-identification risk the release process must
+    suppress or generalize — the standard pre-publication check.
+
+    One groupBy on the quasi-identifier tuple; the summary row count is
+    bounded by the QI domain, not the data.
+    """
+    cust = t(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_mktsegment", "c_nationkey")
+        .agg(F.count("*").alias("class_size"))
+        .select(
+            "c_mktsegment",
+            "c_nationkey",
+            "class_size",
+            (F.col("class_size") < _KANON_K).alias("at_risk"),
+        )
+        .orderBy("c_mktsegment", "c_nationkey")
+    )
+
+
+def privacy_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private-style noisy release of per-language
+    document counts: each count gets Laplace(1/epsilon) noise derived
+    from a SEEDED hash uniform (h60 of the group key), so the release
+    is reproducible run-to-run and engine-to-engine — the auditable-DP
+    recipe (a production system would swap the seeded uniform for a
+    vetted DP RNG; the pipeline shape — per-group noise at release
+    time, never on raw rows — is identical).
+
+    Laplace inverse-CDF: noise = -sign(u-1/2) * (1/eps) * ln(1-2|u-1/2|)
+    with u in (0,1) from the top 60 hash bits; the ln term is rounded
+    to micro-units (the `_util` strategy) so both engines agree.
+    """
+    docs = t(spark, sf_dir, "documents")
+    per_lang = docs.groupBy("lang").agg(F.count("*").alias("true_n"))
+    u = (h60("dp:", F.col("lang")).cast("double") + F.lit(0.5)) / F.lit(_H60_RANGE)
+    centered = u - F.lit(0.5)
+    sign = F.when(centered >= 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+    ln_micro = F.round(
+        F.log(F.lit(1.0) - F.lit(2.0) * F.abs(centered)) * F.lit(1e6)
+    ).cast("long")
+    noise = -sign * (F.lit(1.0) / F.lit(_DP_EPSILON)) * (
+        ln_micro.cast("double") / F.lit(1e6)
+    )
+    released = F.round(F.col("true_n") + noise).cast("long")
+    return per_lang.select(
+        "lang",
+        released.alias("released_n"),
+        F.round(noise, 6).alias("noise"),
+    ).orderBy("lang")
+
+
+QUERIES["privacy_k_anonymity"] = QuerySpec(
+    privacy_k_anonymity,
+    f"""
+    SELECT c_mktsegment, c_nationkey, COUNT(*) AS class_size,
+           COUNT(*) < {_KANON_K} AS at_risk
+    FROM customer GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "k-anonymity audit over quasi-identifier classes (pre-release re-identification check)",
+    ("privacy", "governance"),
+)
+
+QUERIES["privacy_dp_release"] = QuerySpec(
+    privacy_dp_release,
+    f"""
+    WITH per_lang AS (
+      SELECT lang, COUNT(*) AS true_n FROM documents GROUP BY 1
+    ),
+    n AS (
+      SELECT lang, true_n,
+             ({sql_h60('dp:', 'lang')} + 0.5) / {_H60_RANGE} AS u
+      FROM per_lang
+    ),
+    lap AS (
+      SELECT lang, true_n,
+             (CASE WHEN u - 0.5 >= 0 THEN -1.0 ELSE 1.0 END)
+               * (1.0 / {_DP_EPSILON})
+               * (CAST(CAST(ROUND(LN(1.0 - 2.0 * ABS(u - 0.5)) * 1e6) AS BIGINT)
+                       AS DOUBLE) / 1e6) AS noise
+      FROM n
+    )
+    SELECT lang,
+           CAST(ROUND(true_n + noise) AS BIGINT) AS released_n,
+           ROUND(noise, 6) AS noise
+    FROM lap ORDER BY lang
+    """,
+    "seeded-Laplace noisy aggregate release (reproducible DP-style publication shape)",
+    ("privacy", "governance"),
 )
