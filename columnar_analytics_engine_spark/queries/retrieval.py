@@ -928,3 +928,175 @@ QUERIES["approx_quantile_by_group"] = QuerySpec(
     "per-group histogram-sketch quantiles (p50/p90 per return flag, fully partitioned)",
     ("sketch", "approx", "agg"),
 )
+
+
+# ---------------------------------------------------------------------------
+# positional index + exact phrase search
+# ---------------------------------------------------------------------------
+
+_PHRASE = ("data", "query")
+
+
+def retrieval_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search ("data query") via positional postings: the
+    capability a doc-level inverted index (text_inverted_index) cannot
+    express — phrase match needs token POSITIONS and an adjacency join
+    (pos_b = pos_a + 1), the classic search-engine phrase plan.
+
+    Scale shape: the positional explode filters to the phrase's terms
+    IMMEDIATELY (in production the phrase terms' posting lists are the
+    only index rows read — term-keyed pruning), so the adjacency join
+    is doc-keyed over two slim posting sets, never the whole index.
+    Output: per-doc occurrence count, ranked.
+    """
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(X.tokens(F.col("text"))).alias("pos", "token")
+    ).filter(F.col("token").isin(*_PHRASE))
+    a = tok.filter(F.col("token") == _PHRASE[0]).select(
+        "doc_id", F.col("pos").alias("pa")
+    )
+    b = tok.filter(F.col("token") == _PHRASE[1]).select(
+        "doc_id", F.col("pos").alias("pb")
+    )
+    return (
+        a.join(b, "doc_id")
+        .filter(F.col("pb") == F.col("pa") + 1)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+        .orderBy(F.col("n_hits").desc(), "doc_id")
+    )
+
+
+QUERIES["retrieval_phrase_search"] = QuerySpec(
+    retrieval_phrase_search,
+    f"""
+    WITH tok AS (
+      SELECT doc_id,
+             CAST(generate_subscripts({_SQL_TOKENS}, 1) - 1 AS INT) AS pos,
+             unnest({_SQL_TOKENS}) AS token
+      FROM documents
+    ),
+    a AS (SELECT doc_id, pos AS pa FROM tok WHERE token = '{_PHRASE[0]}'),
+    b AS (SELECT doc_id, pos AS pb FROM tok WHERE token = '{_PHRASE[1]}')
+    SELECT a.doc_id, COUNT(*) AS n_hits
+    FROM a JOIN b ON a.doc_id = b.doc_id AND b.pb = a.pa + 1
+    GROUP BY 1 ORDER BY n_hits DESC, a.doc_id
+    """,
+    "exact phrase search via positional postings (adjacency join on term positions)",
+    ("retrieval", "text"),
+)
+
+
+# ---------------------------------------------------------------------------
+# interpolated bigram LM quality score
+# ---------------------------------------------------------------------------
+
+_BG_LAMBDA = 0.7  # bigram weight; 1-lambda backs off to add-one unigram
+
+
+def text_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM fluency score: mean log-probability of each document's
+    token transitions under an interpolated corpus bigram model —
+    P(w2|w1) = λ·c(w1,w2)/c(w1·) + (1-λ)·(c(w2)+1)/(T+V).  Where the
+    unigram score (text_unigram_lm_quality) measures vocabulary
+    typicality, this measures SEQUENCE typicality: shuffled or
+    boilerplate-spliced text scores low even when its token mix is
+    normal — the next quality gate after unigram filtering.
+
+    Exactness: every count is an exact integer; each position's P is a
+    fixed chain of IEEE ops on those integers, and ln(P) is rounded to
+    micro-nats per position before the associative integer sum (the
+    `_util`/KL strategy).  Scale shape: bigram instances come from an
+    arrays_zip (no self-join); model joins are bigram- and token-keyed
+    shuffles; corpus totals are a broadcast 1-row aggregate.
+    """
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", X.tokens(F.col("text")).alias("l")).filter(
+        F.size("l") >= 2
+    )
+    pairs = toks.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("l"), 1, F.size("l") - 1).alias("w1"),
+                F.slice(F.col("l"), 2, F.size("l") - 1).alias("w2"),
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    bg_counts = pairs.groupBy(
+        F.col("w1").alias("b1"), F.col("w2").alias("b2")
+    ).agg(F.count("*").alias("cb"))
+    ctx = bg_counts.groupBy(F.col("b1").alias("cw")).agg(
+        F.sum("cb").alias("cctx")
+    )
+    uni = (
+        docs.select(F.explode(X.tokens(F.col("text"))).alias("u"))
+        .groupBy("u")
+        .agg(F.count("*").alias("cu"))
+    )
+    stats = uni.agg(
+        F.sum("cu").alias("t_tokens"), F.count("*").alias("v_size")
+    )
+    p = F.lit(_BG_LAMBDA) * (
+        F.col("cb").cast("double") / F.col("cctx").cast("double")
+    ) + F.lit(1.0 - _BG_LAMBDA) * (
+        (F.col("cu") + 1).cast("double")
+        / (F.col("t_tokens") + F.col("v_size")).cast("double")
+    )
+    term = F.round(F.log(p) * F.lit(1e6)).cast("long")
+    scored = (
+        pairs.join(bg_counts, (F.col("w1") == F.col("b1")) & (F.col("w2") == F.col("b2")))
+        .join(ctx, F.col("w1") == F.col("cw"))
+        .join(uni, F.col("w2") == F.col("u"))
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"), F.sum(term).alias("_s"))
+    )
+    mean_logp = (F.col("_s").cast("double") / F.lit(1e6)) / F.col("n_bigrams").cast(
+        "double"
+    )
+    return scored.select(
+        "doc_id", "n_bigrams", F.round(mean_logp, 6).alias("bigram_logprob")
+    ).orderBy("doc_id")
+
+
+QUERIES["text_bigram_lm_quality"] = QuerySpec(
+    text_bigram_lm_quality,
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKENS} AS l FROM documents
+      WHERE len({_SQL_TOKENS}) >= 2
+    ),
+    pairs AS (
+      SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+      FROM (SELECT doc_id, l, unnest(range(1, len(l))) AS i FROM toks) x
+    ),
+    bg AS (SELECT w1 AS b1, w2 AS b2, COUNT(*) AS cb FROM pairs GROUP BY 1, 2),
+    ctx AS (SELECT b1 AS cw, SUM(cb) AS cctx FROM bg GROUP BY 1),
+    uni AS (
+      SELECT token AS u, COUNT(*) AS cu FROM (
+        SELECT unnest({_SQL_TOKENS}) AS token FROM documents) y
+      GROUP BY 1
+    ),
+    stats AS (SELECT SUM(cu) AS t_tokens, COUNT(*) AS v_size FROM uni),
+    scored AS (
+      SELECT p.doc_id, COUNT(*) AS n_bigrams,
+             SUM(CAST(ROUND(LN({_BG_LAMBDA} * (CAST(cb AS DOUBLE) / CAST(cctx AS DOUBLE))
+                     + {1.0 - _BG_LAMBDA} * (CAST(cu + 1 AS DOUBLE)
+                        / CAST(t_tokens + v_size AS DOUBLE))) * 1e6) AS BIGINT)) AS s
+      FROM pairs p
+      JOIN bg ON p.w1 = bg.b1 AND p.w2 = bg.b2
+      JOIN ctx ON p.w1 = ctx.cw
+      JOIN uni ON p.w2 = uni.u
+      CROSS JOIN stats
+      GROUP BY 1
+    )
+    SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           ROUND((CAST(s AS DOUBLE) / 1e6) / CAST(n_bigrams AS DOUBLE), 6)
+             AS bigram_logprob
+    FROM scored ORDER BY doc_id
+    """,
+    "interpolated bigram-LM sequence-typicality score (micro-nat exact)",
+    ("text", "quality"),
+)
