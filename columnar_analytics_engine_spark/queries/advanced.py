@@ -1388,8 +1388,14 @@ def stats_moments_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             "mean_value",
             F.round(m(2), 6).alias("var_pop"),
-            F.round(m(3) / (m(2) ** F.lit(1.5)), 6).alias("skewness"),
-            F.round(m(4) / (m(2) ** F.lit(2.0)), 6).alias("kurtosis"),
+            # a constant-valued group has m2 = 0: shape moments are
+            # undefined there — NULL, never a 0/0 NaN
+            F.round(
+                F.when(F.col("s2") > 0, m(3) / (m(2) ** F.lit(1.5))), 6
+            ).alias("skewness"),
+            F.round(
+                F.when(F.col("s2") > 0, m(4) / (m(2) ** F.lit(2.0))), 6
+            ).alias("kurtosis"),
             "mode_value",
         )
         .orderBy("event_type")
@@ -1425,10 +1431,10 @@ QUERIES["stats_moments_extended"] = QuerySpec(
     )
     SELECT m.event_type, m.n, m.mean_value,
            ROUND(CAST(s2 AS DOUBLE) / 1e6 / n, 6) AS var_pop,
-           ROUND((CAST(s3 AS DOUBLE) / 1e6 / n)
-                 / POWER(CAST(s2 AS DOUBLE) / 1e6 / n, 1.5), 6) AS skewness,
-           ROUND((CAST(s4 AS DOUBLE) / 1e6 / n)
-                 / POWER(CAST(s2 AS DOUBLE) / 1e6 / n, 2.0), 6) AS kurtosis,
+           ROUND(CASE WHEN s2 > 0 THEN (CAST(s3 AS DOUBLE) / 1e6 / n)
+                 / POWER(CAST(s2 AS DOUBLE) / 1e6 / n, 1.5) END, 6) AS skewness,
+           ROUND(CASE WHEN s2 > 0 THEN (CAST(s4 AS DOUBLE) / 1e6 / n)
+                 / POWER(CAST(s2 AS DOUBLE) / 1e6 / n, 2.0) END, 6) AS kurtosis,
            mode_value
     FROM means m JOIN cent USING (event_type) JOIN mode USING (event_type)
     ORDER BY m.event_type

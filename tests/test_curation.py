@@ -505,3 +505,27 @@ def test_url_domains_matches_duckdb_on_url_fixture(spark, tmp_path):
     assert out["example.com"] == (3, 5)
     assert out["sub.site.org"] == (1, 1)
     assert "nope.com" not in out  # ftp is not harvested
+
+
+def test_moments_constant_group_yields_null_shape_moments(spark, tmp_path):
+    """A constant-valued group has zero variance: skewness/kurtosis are
+    NULL (undefined), never a 0/0 NaN that engines render differently."""
+    import datetime
+
+    from columnar_analytics_engine_spark.queries.advanced import (
+        stats_moments_extended,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [(i, base, i, "flat", 7.0, "{}") for i in range(10)] + [
+        (100 + i, base, i, "vary", float(i), "{}") for i in range(10)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+    out = {r.event_type: r.asDict() for r in stats_moments_extended(spark, str(tmp_path)).collect()}
+    assert out["flat"]["var_pop"] == 0.0
+    assert out["flat"]["skewness"] is None and out["flat"]["kurtosis"] is None
+    assert out["flat"]["mode_value"] == 7.0
+    assert out["vary"]["var_pop"] > 0 and out["vary"]["kurtosis"] is not None
