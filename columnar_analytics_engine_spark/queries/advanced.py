@@ -1700,3 +1700,89 @@ QUERIES["privacy_dp_release"] = QuerySpec(
     "seeded-Laplace noisy aggregate release (reproducible DP-style publication shape)",
     ("privacy", "governance"),
 )
+
+
+# ---------------------------------------------------------------------------
+# snapshot diff (CDC between two table versions)
+# ---------------------------------------------------------------------------
+
+def snapshot_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level diff between two snapshots of a keyed table — the
+    change-data-capture primitive behind incremental downstream rebuilds
+    ("what changed since the last corpus release?").
+
+    The two versions are derived deterministically from ``orders`` so
+    both engines see identical snapshots: v1 drops keys ≡0 (mod 11)
+    (those appear *added* in v2), v2 drops keys ≡0 (mod 13) (*removed*),
+    and v2 bumps the total price by 1.00 for keys ≡0 (mod 7)
+    (*changed*).  Output is only the delta rows — added / removed /
+    changed with old/new values — never the unchanged bulk.
+
+    Scale: ONE full-outer join keyed on the primary key (AQE handles
+    skew); both snapshots stored bucketed by the key
+    (``io.write_bucketed``) make it shuffle-free, which is how a
+    100 TB nightly diff is actually run.  Prices ride through the diff
+    as exact integer cents (queries/_util doc) so the comparison is
+    bit-stable.
+    """
+    orders = t(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * F.lit(100.0)).cast("long").alias("cents"),
+    )
+    v1 = base.filter(F.col("o_orderkey") % 11 != 0)
+    v2 = base.filter(F.col("o_orderkey") % 13 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.col("cents") + 100)
+        .otherwise(F.col("cents"))
+        .alias("cents"),
+    )
+    j = (
+        v1.withColumnRenamed("cents", "old_c")
+        .join(v2.withColumnRenamed("cents", "new_c"), "o_orderkey", "full_outer")
+    )
+    return (
+        j.select(
+            "o_orderkey",
+            F.when(F.col("old_c").isNull(), F.lit("added"))
+            .when(F.col("new_c").isNull(), F.lit("removed"))
+            .when(F.col("old_c") != F.col("new_c"), F.lit("changed"))
+            .alias("change_type"),
+            (F.col("old_c").cast("double") / F.lit(100.0)).alias("old_totalprice"),
+            (F.col("new_c").cast("double") / F.lit(100.0)).alias("new_totalprice"),
+        )
+        .filter(F.col("change_type").isNotNull())
+    )
+
+
+QUERIES["snapshot_table_diff"] = QuerySpec(
+    snapshot_table_diff,
+    """
+    WITH base AS (
+      SELECT o_orderkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    v1 AS (SELECT * FROM base WHERE o_orderkey % 11 != 0),
+    v2 AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN cents + 100 ELSE cents END AS cents
+      FROM base WHERE o_orderkey % 13 != 0
+    ),
+    j AS (
+      SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+             a.cents AS old_c, b.cents AS new_c
+      FROM v1 a FULL OUTER JOIN v2 b ON a.o_orderkey = b.o_orderkey
+    )
+    SELECT o_orderkey,
+           CASE WHEN old_c IS NULL THEN 'added'
+                WHEN new_c IS NULL THEN 'removed'
+                WHEN old_c != new_c THEN 'changed' END AS change_type,
+           CAST(old_c AS DOUBLE) / 100.0 AS old_totalprice,
+           CAST(new_c AS DOUBLE) / 100.0 AS new_totalprice
+    FROM j
+    WHERE old_c IS NULL OR new_c IS NULL OR old_c != new_c
+    """,
+    "CDC snapshot diff: added/removed/changed rows via one full-outer key join",
+    ("cdc", "join", "ops"),
+)

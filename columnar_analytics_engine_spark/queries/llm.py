@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from columnar_analytics_engine_spark.functions.hashing import (
     gram_hash_array,
+    h60,
     sql_affine_hash,
     sql_gram_hash_array,
     sql_h60,
@@ -1209,4 +1210,71 @@ QUERIES["graph_pagerank_dupgraph"] = QuerySpec(
     "integer PageRank over the passage-sharing duplication graph "
     "(hub/canonical-doc centrality; oracle replays all rounds)",
     ("llm", "graph", "dedup"),
+)
+
+
+# ---------------------------------------------------------------------------
+# leakage-safe train/validation/test split
+# ---------------------------------------------------------------------------
+
+def training_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/validation/test assignment that cannot leak near-duplicates
+    across splits: the split gate hashes the CLUSTER id (transitive
+    near-dup component, :func:`dedup_clusters`), not the document id, so
+    every member of a duplicate cluster lands in the same split.  A
+    doc-keyed split would put a train document's near-copy in the test
+    set — the classic eval-contamination bug this operator exists to
+    prevent (same concern as ``contamination_ngram_overlap``, applied to
+    the corpus's own held-out splits).
+
+    Gate: ``h60('split:', cluster_id) % 100`` → <90 train, <95
+    validation, else test.  Deterministic, seedable by prefix, and
+    storable as a manifest column.
+
+    Scale: the split itself is a pure projection over the cluster
+    labels; total cost is the connected-components pass (pointer
+    jumping, O(log diameter) rounds — see operators/clusters.py).  The
+    invariant "no cluster spans two splits" is pinned by
+    tests/test_training.py.
+    """
+    clusters = dedup_clusters(spark, sf_dir)
+    gate = h60("split:", F.col("cluster_id").cast("string")) % 100
+    return clusters.select(
+        "doc_id",
+        "cluster_id",
+        F.when(gate < 90, F.lit("train"))
+        .when(gate < 95, F.lit("validation"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+QUERIES["training_leakage_safe_split"] = QuerySpec(
+    training_leakage_safe_split,
+    f"""
+    WITH RECURSIVE
+    pr AS ({{lsh}}),
+    edges AS (SELECT d1 AS a, d2 AS b FROM pr UNION SELECT d2, d1 FROM pr),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    labels AS (SELECT a AS doc_id, MIN(b) AS min_reach FROM reach GROUP BY a),
+    assigned AS (
+      SELECT d.doc_id,
+             CAST(COALESCE(LEAST(l.min_reach, d.doc_id), d.doc_id) AS BIGINT)
+               AS cluster_id
+      FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+    )
+    SELECT doc_id, cluster_id,
+           CASE WHEN gate < 90 THEN 'train'
+                WHEN gate < 95 THEN 'validation'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id, cluster_id,
+                 {sql_h60('split:', 'CAST(cluster_id AS VARCHAR)')} % 100 AS gate
+          FROM assigned) g
+    """.format(lsh=_minhash_lsh_sql(0.8, D.MINHASH_K, D.LSH_BANDS, D.LSH_ROWS_PER_BAND)),
+    "cluster-aware train/val/test split (near-dups never straddle splits)",
+    ("llm", "dedup", "training"),
 )

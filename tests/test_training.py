@@ -405,3 +405,24 @@ def test_shard_checksums_partition_invariant_and_mutation_sensitive(spark, tmp_p
     assert a != c           # one mutated doc flips its shard's checksum
     diff = [(x, y) for x, y in zip(a, c) if x != y]
     assert len(diff) == 1   # ...and ONLY its shard
+
+
+def test_leakage_safe_split_never_straddles_clusters(spark, sf_small):
+    """Every near-dup cluster lands wholly inside one split, and the
+    assignment is total (one row per document) and deterministic."""
+    from columnar_analytics_engine_spark.queries.llm import (
+        training_leakage_safe_split,
+    )
+
+    df = training_leakage_safe_split(spark, sf_small).toPandas()
+    n_docs = spark.read.parquet(f"{sf_small}/documents.parquet").count()
+    assert len(df) == n_docs
+    assert df["doc_id"].is_unique
+    assert set(df["split"].unique()) <= {"train", "validation", "test"}
+    # the leakage guard: no cluster spans two splits
+    assert df.groupby("cluster_id")["split"].nunique().max() == 1
+    # deterministic across invocations
+    df2 = training_leakage_safe_split(spark, sf_small).toPandas()
+    assert df.sort_values("doc_id").reset_index(drop=True).equals(
+        df2.sort_values("doc_id").reset_index(drop=True)
+    )
