@@ -235,3 +235,101 @@ def test_audio_metadata_truncated_and_foreign_formats(spark):
     assert out[8]["media_format"] == "webm"
     assert out[9]["media_format"] is None
     assert out[10]["media_format"] is None and out[10]["n_channels"] is None
+
+
+def _bmff_box(typ: bytes, payload: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+
+def _mp4_bytes(
+    timescale=1000, duration=5000, width=640, height=360, mvhd_version=0,
+    tkhd_version=0, extended_mdat=False, audio_trak_first=True,
+):
+    """Hand-built minimal ISO-BMFF: ftyp + (extended-size) mdat + moov."""
+    import struct
+
+    def mvhd():
+        if mvhd_version == 0:
+            body = b"\x00\x00\x00\x00" + struct.pack(">II", 0, 0)
+            body += struct.pack(">II", timescale, duration) + b"\x00" * 80
+        else:
+            body = b"\x01\x00\x00\x00" + struct.pack(">QQ", 0, 0)
+            body += struct.pack(">I", timescale) + struct.pack(">Q", duration)
+            body += b"\x00" * 80
+        return _bmff_box(b"mvhd", body)
+
+    def tkhd(w, h):
+        if tkhd_version == 0:
+            body = b"\x00\x00\x00\x07" + b"\x00" * 16 + b"\x00" * 4  # times/id/rsvd/dur
+            body += b"\x00" * 8 + b"\x00" * 8 + b"\x00" * 36  # rsvd/layer+vol/matrix
+        else:
+            body = b"\x01\x00\x00\x07" + b"\x00" * 28 + b"\x00" * 4
+            body += b"\x00" * 8 + b"\x00" * 8 + b"\x00" * 36
+        body += struct.pack(">II", w << 16, h << 16)  # 16.16 fixed
+        return _bmff_box(b"tkhd", body)
+
+    def trak(w, h):
+        return _bmff_box(b"trak", tkhd(w, h))
+
+    traks = b""
+    if audio_trak_first:
+        traks += trak(0, 0)  # audio track: zero dims, must be skipped
+    traks += trak(width, height)
+    moov = _bmff_box(b"moov", mvhd() + traks)
+    ftyp = _bmff_box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isommp42")
+    if extended_mdat:
+        payload = b"\x00" * 24
+        mdat = struct.pack(">I", 1) + b"mdat" + struct.pack(">Q", 16 + len(payload)) + payload
+    else:
+        mdat = _bmff_box(b"mdat", b"\x00" * 24)
+    return ftyp + mdat + moov
+
+
+def test_video_metadata_mp4_box_walk_byte_exact(spark):
+    from columnar_analytics_engine_spark.operators.multimodal import video_metadata
+
+    rows = spark.createDataFrame(
+        [
+            (1, bytearray(_mp4_bytes())),
+            (2, bytearray(_mp4_bytes(timescale=600, duration=1234, mvhd_version=1,
+                                     tkhd_version=1, width=1920, height=1080))),
+            (3, bytearray(_mp4_bytes(extended_mdat=True))),  # u64 box size walk
+            (4, bytearray(_mp4_bytes(audio_trak_first=False, width=320, height=240))),
+        ],
+        "doc_id long, payload binary",
+    )
+    out = {r.doc_id: r.asDict() for r in video_metadata(rows).collect()}
+    assert out[1]["video_brand"] == "isom"
+    assert out[1]["video_timescale"] == 1000
+    assert out[1]["video_duration_ms"] == 5000
+    assert out[1]["video_width"] == 640 and out[1]["video_height"] == 360
+    # version-1 mvhd/tkhd layouts (64-bit times)
+    assert out[2]["video_timescale"] == 600
+    assert out[2]["video_duration_ms"] == 1234 * 1000 // 600
+    assert out[2]["video_width"] == 1920 and out[2]["video_height"] == 1080
+    # extended (size==1 → u64) mdat must not derail the top-level walk
+    assert out[3]["video_duration_ms"] == 5000
+    assert out[4]["video_width"] == 320 and out[4]["video_height"] == 240
+
+
+def test_video_metadata_non_mp4_truncated_and_null(spark):
+    from columnar_analytics_engine_spark.operators.multimodal import video_metadata
+
+    full = _mp4_bytes()
+    rows = spark.createDataFrame(
+        [
+            (1, bytearray(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)),
+            (2, bytearray(full[:40])),  # truncated before moov
+            (3, None),
+            (4, bytearray(b"\x00\x00\x00\x20ftyp\xff\xfe\xfd\xfc" + b"\x00" * 20)),  # unprintable brand
+        ],
+        "doc_id long, payload binary",
+    )
+    out = {r.doc_id: r.asDict() for r in video_metadata(rows).collect()}
+    for d in (1, 2, 3):
+        assert out[d]["video_duration_ms"] is None
+        assert out[d]["video_width"] is None
+    assert out[1]["video_brand"] is None
+    assert out[4]["video_brand"] is None  # detected mp4 but brand not ASCII
