@@ -1786,3 +1786,97 @@ QUERIES["snapshot_table_diff"] = QuerySpec(
     "CDC snapshot diff: added/removed/changed rows via one full-outer key join",
     ("cdc", "join", "ops"),
 )
+
+
+# ---------------------------------------------------------------------------
+# two-sample Kolmogorov–Smirnov test
+# ---------------------------------------------------------------------------
+
+def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic between the value
+    distributions of 'click' and 'purchase' events — the
+    distribution-shift detector behind drift alarms (are two segments
+    drawing from the same distribution?).
+
+    D = max over x of |F1(x) − F2(x)| needs a global CDF, i.e. a global
+    running sum — the classic scale killer if done with one unpartitioned
+    window.  Same distributed shape as :func:`window_ntile_percent`:
+    aggregate per distinct value (ties collapse, so the CDF is evaluated
+    exactly at sample points), range-repartition on the value, local
+    running counts per partition, then add per-partition offsets (a
+    #partitions-row cumulative sum, broadcast back).
+
+    Exactness: D's numerator is max|c1·N2 − c2·N1| over exact integer
+    counts; the single final division by N1·N2 is one IEEE op — both
+    engines produce the same double.  (Past ~3·10^9 rows per side the
+    c·N products need DECIMAL(38) accumulators; counts to 2^31 keep the
+    product under 2^62.)
+    """
+    ev = t(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        F.col("value").alias("v"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).cast("long").alias("g1"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).cast("long").alias("g2"),
+    )
+    d = s.groupBy("v").agg(F.sum("g1").alias("n1"), F.sum("g2").alias("n2"))
+    part = d.repartitionByRange("v").withColumn("_pid", F.spark_partition_id())
+    w_local = W.partitionBy("_pid").orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    local = part.withColumn("c1l", F.sum("n1").over(w_local)).withColumn(
+        "c2l", F.sum("n2").over(w_local)
+    )
+    counts = local.groupBy("_pid").agg(
+        F.sum("n1").alias("_s1"), F.sum("n2").alias("_s2")
+    )
+    # cumulative offsets over #partitions rows — bounded by cluster
+    # size, not data size
+    w_off = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid",
+        F.coalesce(F.sum("_s1").over(w_off), F.lit(0)).alias("_o1"),
+        F.coalesce(F.sum("_s2").over(w_off), F.lit(0)).alias("_o2"),
+    )
+    tot = d.agg(F.sum("n1").alias("_N1"), F.sum("n2").alias("_N2"))
+    cum = local.join(F.broadcast(offsets), "_pid").join(F.broadcast(tot))
+    num = F.abs(
+        (F.col("c1l") + F.col("_o1")) * F.col("_N2")
+        - (F.col("c2l") + F.col("_o2")) * F.col("_N1")
+    )
+    return cum.agg(
+        F.max(num).alias("_dnum"),
+        F.first("_N1").alias("_n1"),
+        F.first("_N2").alias("_n2"),
+    ).select(
+        (
+            F.col("_dnum").cast("double")
+            / (F.col("_n1") * F.col("_n2")).cast("double")
+        ).alias("ks_d"),
+        F.col("_n1").alias("n_click"),
+        F.col("_n2").alias("n_purchase"),
+    )
+
+
+QUERIES["stats_ks_test"] = QuerySpec(
+    stats_ks_test,
+    """
+    WITH s AS (
+      SELECT value AS v,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g1,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g2
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    d AS (SELECT v, SUM(g1) AS n1, SUM(g2) AS n2 FROM s GROUP BY v),
+    c AS (
+      SELECT v, SUM(n1) OVER (ORDER BY v) AS c1,
+             SUM(n2) OVER (ORDER BY v) AS c2
+      FROM d
+    ),
+    t AS (SELECT SUM(n1) AS N1, SUM(n2) AS N2 FROM d)
+    SELECT CAST(MAX(ABS(c1 * N2 - c2 * N1)) AS DOUBLE)
+             / CAST(MIN(N1) * MIN(N2) AS DOUBLE) AS ks_d,
+           CAST(MIN(N1) AS BIGINT) AS n_click,
+           CAST(MIN(N2) AS BIGINT) AS n_purchase
+    FROM c, t
+    """,
+    "exact two-sample Kolmogorov-Smirnov D (distributed CDF via range offsets)",
+    ("stats", "quality"),
+)

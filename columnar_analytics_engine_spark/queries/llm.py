@@ -1278,3 +1278,137 @@ QUERIES["training_leakage_safe_split"] = QuerySpec(
     "cluster-aware train/val/test split (near-dups never straddle splits)",
     ("llm", "dedup", "training"),
 )
+
+
+# ---------------------------------------------------------------------------
+# triangle counting / clustering coefficient on the duplication graph
+# ---------------------------------------------------------------------------
+
+def _passage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(d1 < d2) edges of the passage-sharing graph — the same
+    derivation as :func:`graph_pagerank_dupgraph` (span inverted index
+    with the frequent-shingle carrier guard), plan-keyed-persisted so
+    consumers that branch the edge list scan it once."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", X.tokens(F.col("text")).alias("l")).filter(
+        F.size("l") >= _PR_W
+    )
+    hashed = toks.select("doc_id", token_hash_structs(F.col("l")).alias("hl"))
+    spans = hashed.select(
+        "doc_id", F.explode(gram_hash_array(F.col("hl"), _PR_W)).alias("gh")
+    ).distinct()
+    ok = (
+        spans.groupBy("gh")
+        .agg(F.count("*").alias("_n"))
+        .filter((F.col("_n") >= 2) & (F.col("_n") <= _PR_MAX_CARRIERS))
+        .select("gh")
+    )
+    sp = spans.join(ok, "gh")
+    a = sp.select(F.col("doc_id").alias("d1"), "gh")
+    b = sp.select(F.col("doc_id").alias("d2"), "gh")
+    return D._persist_once(
+        a.join(b, "gh").filter(F.col("d1") < F.col("d2")).select("d1", "d2").distinct()
+    )
+
+
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count + global clustering coefficient of the
+    passage-sharing graph — the cohesion metric that separates dense
+    template families (many triangles: every copy shares spans with
+    every other) from chain-shaped incidental duplication (paths, few
+    triangles).  Together with PageRank (hubs) and connected components
+    (membership) this completes the dup-graph analytics trio.
+
+    Shape: each triangle {x<y<z} is counted once by joining ordered
+    edges (x,y)+(y,z) and closing with (x,z) — two key-partitioned
+    shuffle joins on the edge list, never a cross join; wedges come from
+    the degree table (Σ deg·(deg−1)/2, exact integers).  The standard
+    skew guard at 100 TB — cap per-node degree before wedging — is the
+    carrier cap already applied upstream (`_PR_MAX_CARRIERS` bounds how
+    many docs share a span, which bounds clique blowup).
+
+    Exactness: counts and wedge sums are exact int64; the clustering
+    coefficient 3·T/W is one IEEE division of exact integers.
+    """
+    pairs = _passage_pairs(spark, sf_dir)
+    n_edges = pairs.agg(F.count("*").alias("n_edges"))
+    both = pairs.select(F.col("d1").alias("node")).union(
+        pairs.select(F.col("d2").alias("node"))
+    )
+    deg = both.groupBy("node").agg(F.count("*").alias("degree"))
+    stats = deg.agg(
+        F.count("*").alias("n_nodes"),
+        F.sum(F.expr("degree * (degree - 1) div 2")).alias("n_wedges"),
+    )
+    e1 = pairs.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
+    e2 = pairs.select(F.col("d1").alias("b"), F.col("d2").alias("c"))
+    e3 = pairs.select(F.col("d1").alias("a"), F.col("d2").alias("c"))
+    tris = e1.join(e2, "b").join(e3, ["a", "c"]).agg(
+        F.count("*").alias("n_triangles")
+    )
+    return (
+        tris.join(F.broadcast(n_edges))
+        .join(F.broadcast(stats))
+        .select(
+            "n_triangles",
+            "n_edges",
+            "n_nodes",
+            "n_wedges",
+            F.when(
+                F.col("n_wedges") > 0,
+                (F.lit(3) * F.col("n_triangles")).cast("double")
+                / F.col("n_wedges").cast("double"),
+            ).alias("clustering_coeff"),
+        )
+    )
+
+
+def _triangle_sql() -> str:
+    return f"""
+    WITH d AS (
+      SELECT doc_id, {_SQL_TOKENS} AS l FROM documents
+      WHERE len({_SQL_TOKENS}) >= {_PR_W}
+    ),
+    h AS (SELECT doc_id, {sql_token_hash_structs('l')} AS hl FROM d),
+    g AS (SELECT doc_id, {sql_gram_hash_array('hl', _PR_W)} AS ga FROM h),
+    spans AS (SELECT DISTINCT doc_id, unnest(ga) AS gh FROM g),
+    ok AS (
+      SELECT gh FROM spans GROUP BY 1
+      HAVING COUNT(*) >= 2 AND COUNT(*) <= {_PR_MAX_CARRIERS}
+    ),
+    sp AS (SELECT s.doc_id, s.gh FROM spans s JOIN ok USING (gh)),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM sp a JOIN sp b ON a.gh = b.gh AND a.doc_id < b.doc_id
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS degree
+      FROM (SELECT d1 AS node FROM pairs UNION ALL SELECT d2 FROM pairs) u
+      GROUP BY 1
+    ),
+    st AS (
+      SELECT COUNT(*) AS n_nodes,
+             CAST(SUM(degree * (degree - 1) // 2) AS BIGINT) AS n_wedges
+      FROM deg
+    ),
+    ne AS (SELECT COUNT(*) AS n_edges FROM pairs),
+    tri AS (
+      SELECT COUNT(*) AS n_triangles
+      FROM pairs e1
+      JOIN pairs e2 ON e1.d2 = e2.d1
+      JOIN pairs e3 ON e3.d1 = e1.d1 AND e3.d2 = e2.d2
+    )
+    SELECT n_triangles, n_edges, n_nodes, n_wedges,
+           CASE WHEN n_wedges > 0
+                THEN CAST(3 * n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE)
+           END AS clustering_coeff
+    FROM tri, ne, st
+    """
+
+
+QUERIES["graph_triangle_count"] = QuerySpec(
+    graph_triangle_count,
+    _triangle_sql(),
+    "exact triangles + clustering coefficient of the dup graph (ordered edge joins)",
+    ("llm", "graph", "dedup"),
+)

@@ -1680,3 +1680,108 @@ QUERIES["training_shard_checksums"] = QuerySpec(
     "order-independent per-shard content checksums (dual xor folds — the reproducibility audit)",
     ("pipeline", "governance"),
 )
+
+
+# ---------------------------------------------------------------------------
+# collocation mining (bigram PMI)
+# ---------------------------------------------------------------------------
+
+def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 bigram collocations by pointwise mutual information —
+    the phrase-mining pass that finds multi-word units ("new york",
+    "machine learning") worth treating as single tokens in a tokenizer
+    or index.  PMI = ln(P(w1,w2) / (P(w1)·P(w2))) with bigram and
+    unigram probabilities from corpus counts; a minimum pair count
+    (≥10) guards the low-frequency PMI explosion.
+
+    Shape: one explode per granularity (unigram, adjacent-pair), two
+    count aggregations, two key joins of the bigram table against the
+    unigram table, two 1-row lazy totals broadcast in-plan, and a
+    TakeOrderedAndProject top-20 — all map-combinable shuffles on token
+    keys; at 100 TB the unigram side is Zipf-heavy but both joins key
+    on the SAME token domain, so AQE skew splitting applies directly.
+
+    Exactness: counts are exact integers, the probability ratio is a
+    fixed left-associative chain of IEEE ops, and the natural log is
+    micro-rounded (1e6) before ordering/output — the same cross-libm
+    discipline as corpus_drift_report / sample_weighted_reservoir.
+    """
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(X.tokens(F.col("text")).alias("l"))
+    uni = (
+        toks.select(F.explode("l").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(l) - 1),"
+                " i -> struct(element_at(l, i) AS w1, element_at(l, i + 1) AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bic = pairs.groupBy("w1", "w2").agg(F.count("*").alias("n_pair"))
+    tot = uni.agg(F.sum("c").alias("_T"))
+    btot = bic.agg(F.sum("n_pair").alias("_B"))
+    j = (
+        bic.filter(F.col("n_pair") >= 10)
+        .join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
+        .join(F.broadcast(tot))
+        .join(F.broadcast(btot))
+    )
+    ratio = (
+        F.col("n_pair").cast("double")
+        * F.col("_T").cast("double")
+        * F.col("_T").cast("double")
+    ) / (
+        F.col("_B").cast("double")
+        * F.col("c1").cast("double")
+        * F.col("c2").cast("double")
+    )
+    pmi_micro = F.round(F.log(ratio) * F.lit(1e6)).cast("long")
+    return (
+        j.select(
+            "w1", "w2", "n_pair",
+            (pmi_micro.cast("double") / F.lit(1e6)).alias("pmi"),
+            pmi_micro.alias("_pm"),
+        )
+        .orderBy(F.col("_pm").desc(), "w1", "w2")
+        .limit(20)
+        .drop("_pm")
+    )
+
+
+QUERIES["text_collocations_pmi"] = QuerySpec(
+    text_collocations_pmi,
+    f"""
+    WITH tk AS (SELECT {_SQL_TOKENS} AS l FROM documents),
+    uni AS (
+      SELECT w, COUNT(*) AS c
+      FROM (SELECT unnest(l) AS w FROM tk) u GROUP BY 1
+    ),
+    pr AS (
+      SELECT l[i] AS w1, l[i + 1] AS w2
+      FROM (SELECT l, unnest(range(1, len(l))) AS i FROM tk) x
+    ),
+    bic AS (SELECT w1, w2, COUNT(*) AS n_pair FROM pr GROUP BY 1, 2),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS T FROM uni),
+    btot AS (SELECT CAST(SUM(n_pair) AS BIGINT) AS B FROM bic),
+    j AS (
+      SELECT b.w1, b.w2, b.n_pair,
+             CAST(ROUND(LN(
+               (CAST(b.n_pair AS DOUBLE) * CAST(T AS DOUBLE) * CAST(T AS DOUBLE))
+               / (CAST(B AS DOUBLE) * CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE))
+             ) * 1e6) AS BIGINT) AS pmi_micro
+      FROM bic b
+      JOIN uni u1 ON u1.w = b.w1
+      JOIN uni u2 ON u2.w = b.w2, tot, btot
+      WHERE b.n_pair >= 10
+    )
+    SELECT w1, w2, n_pair, CAST(pmi_micro AS DOUBLE) / 1e6 AS pmi
+    FROM j ORDER BY pmi_micro DESC, w1, w2 LIMIT 20
+    """,
+    "top-20 bigram collocations by micro-rounded PMI (phrase mining)",
+    ("text", "training"),
+)

@@ -38,6 +38,18 @@ _SINGLE_PARTITION_ALLOW = {
     # DQ report: one 1-row aggregate per validated table (orders,
     # lineitem), combined by broadcast join
     "dq_validation_report": 2,
+    # chi-square: the 1-row totals broadcast + the final 1-row reduce —
+    # both fed by the tiny contingency table (|langs|·|sources| rows)
+    "stats_chi_square": 2,
+    # KS test: the #partitions-row offsets cumsum + the 1-row totals
+    # broadcast + the final 1-row max-reduce (distributed-CDF shape,
+    # same class as window_ntile_percent)
+    "stats_ks_test": 3,
+    # triangle census: three 1-row reduces (triangles, edges,
+    # nodes+wedges) combined by broadcast join
+    "graph_triangle_count": 3,
+    # PMI: two 1-row lazy totals (unigram + bigram) broadcast in-plan
+    "text_collocations_pmi": 2,
     # integer PageRank: the 1-row n_nodes aggregate is re-instantiated
     # once per rank round by plan depth (3 rounds + init, each 1-row)
     "graph_pagerank_dupgraph": 4,
