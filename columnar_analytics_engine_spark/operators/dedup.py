@@ -190,7 +190,12 @@ def word_shingles(toks: Column, n: int = 3) -> Column:
         F.sequence(F.lit(1), F.size(toks) - (n - 1)),
         lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
     )
-    return F.array_distinct(grams)
+    # sequence(1, stop) DESCENDS through index 0 when stop < 1 (see
+    # functions/hashing.py) — short docs must yield no shingles, not an
+    # INVALID_INDEX_OF_ZERO error
+    return F.when(
+        F.size(toks) >= n, F.array_distinct(grams)
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def ngram_jaccard_pairs(

@@ -1125,26 +1125,7 @@ def graph_pagerank_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from columnar_analytics_engine_spark.operators.graph import pagerank
 
-    docs = t(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", X.tokens(F.col("text")).alias("l")).filter(
-        F.size("l") >= _PR_W
-    )
-    hashed = toks.select("doc_id", token_hash_structs(F.col("l")).alias("hl"))
-    spans = hashed.select(
-        "doc_id", F.explode(gram_hash_array(F.col("hl"), _PR_W)).alias("gh")
-    ).distinct()
-    ok = (
-        spans.groupBy("gh")
-        .agg(F.count("*").alias("_n"))
-        .filter((F.col("_n") >= 2) & (F.col("_n") <= _PR_MAX_CARRIERS))
-        .select("gh")
-    )
-    sp = spans.join(ok, "gh")
-    a = sp.select(F.col("doc_id").alias("d1"), "gh")
-    b = sp.select(F.col("doc_id").alias("d2"), "gh")
-    pairs = (
-        a.join(b, "gh").filter(F.col("d1") < F.col("d2")).select("d1", "d2").distinct()
-    )
+    pairs = _passage_pairs(spark, sf_dir)
     edges = pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst")).union(
         pairs.select(F.col("d2").alias("src"), F.col("d1").alias("dst"))
     )

@@ -50,11 +50,15 @@ _SQL_TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
 # ---------------------------------------------------------------------------
 
 def _bigrams(l):  # noqa: ANN001 - Column in, Column out
-    """Adjacent-token bigrams of an array column (1-based element_at)."""
-    return F.transform(
+    """Adjacent-token bigrams of an array column (1-based element_at).
+    Guarded: sequence(1, stop) DESCENDS through index 0 when stop < 1
+    (see functions/hashing.py), so 0/1-token docs yield an empty array
+    instead of an INVALID_INDEX_OF_ZERO error."""
+    grams = F.transform(
         F.sequence(F.lit(1), F.size(l) - 1),
         lambda i: F.concat_ws(" ", F.element_at(l, i), F.element_at(l, i + 1)),
     )
+    return F.when(F.size(l) >= 2, grams).otherwise(F.array().cast("array<string>"))
 
 
 def quality_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1713,7 +1717,8 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count("*").alias("c"))
     )
-    pairs = toks.select(
+    # size guard: sequence(1, stop) descends through index 0 for stop < 1
+    pairs = toks.filter(F.size("l") >= 2).select(
         F.explode(
             F.expr(
                 "transform(sequence(1, size(l) - 1),"
@@ -1783,5 +1788,37 @@ QUERIES["text_collocations_pmi"] = QuerySpec(
     FROM j ORDER BY pmi_micro DESC, w1, w2 LIMIT 20
     """,
     "top-20 bigram collocations by micro-rounded PMI (phrase mining)",
+    ("text", "training"),
+)
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (merge induction)
+# ---------------------------------------------------------------------------
+
+def training_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first 12 BPE merge rules from the corpus — tokenizer
+    *training*, complementing the BPE-ish token *counting* surface
+    (text_bpe_token_stats).  One corpus-scale word-frequency
+    aggregation, then vocabulary-bounded merge rounds (see
+    operators/bpe.py for the scale argument and the greedy-fold merge
+    semantics).  Iterative and not SQL-expressible — verified by the
+    pure-Python reference cross-check in tests/test_bpe.py (the same
+    shape as the NB classifier and k-means entries)."""
+    from columnar_analytics_engine_spark.operators.bpe import bpe_merges_df
+
+    docs = t(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(X.tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    return bpe_merges_df(words, n_merges=12)
+
+
+QUERIES["training_bpe_merges"] = QuerySpec(
+    training_bpe_merges,
+    None,  # iterative argmax/merge loop: Python-reference-verified (test_bpe.py)
+    "first 12 BPE merge rules from the corpus word-frequency table",
     ("text", "training"),
 )

@@ -69,6 +69,7 @@ def null_text_sf(spark, tmp_path_factory):
         (2, "", None, None, 0),
         (3, "alpha beta gamma delta epsilon zeta", "fr", "s1", 36),
         (4, "   ", "en", "s1", 3),
+        (5, "solo", "en", "s1", 4),  # exactly one token: bigram/shingle edge
     ]
     spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string, n_chars long"
@@ -94,6 +95,12 @@ _TEXT_QUERIES = [
     "graph_pagerank_dupgraph",
     "training_shard_checksums",
     "training_mixture_temperature",
+    # round-6 third-session: sequence(1, size-1) index-0 guards
+    "quality_repetition_filters",
+    "dedup_ngram_jaccard",
+    "text_collocations_pmi",
+    "text_bigram_lm_quality",
+    "training_bpe_merges",
 ]
 
 
