@@ -1880,3 +1880,178 @@ QUERIES["stats_ks_test"] = QuerySpec(
     "exact two-sample Kolmogorov-Smirnov D (distributed CDF via range offsets)",
     ("stats", "quality"),
 )
+
+
+# ---------------------------------------------------------------------------
+# robust statistics: trimmed mean, Welch's t-test
+# ---------------------------------------------------------------------------
+
+def stats_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5% two-sided trimmed mean of event value per event type — the
+    robust location estimate that survives the sensor-glitch/outlier
+    tails a plain mean is wrecked by.
+
+    Exact, not approximate: rows are ranked per group by (value,
+    event_id) — a unique composite, so the rank is deterministic — and
+    the floor(n·0.05) smallest and largest rows are dropped before an
+    exact integer-cents average of the survivors.  The rank window is
+    PARTITIONED by event type (no global window); two shuffles total
+    (rank + re-aggregate), map-side combinable.
+    """
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * F.lit(100.0)).cast("long").alias("cents"),
+        F.col("value").alias("v"),
+    )
+    w = W.partitionBy("event_type").orderBy("v", "event_id")
+    n_w = W.partitionBy("event_type")
+    ranked = ev.withColumn("rn", F.row_number().over(w).cast("long")).withColumn(
+        "n", F.count("*").over(n_w).cast("long")
+    )
+    k = F.floor(F.col("n") * F.lit(0.05)).cast("long")
+    kept = ranked.filter((F.col("rn") > k) & (F.col("rn") <= F.col("n") - k))
+    return (
+        kept.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_kept"),
+            (
+                (F.sum("cents").cast("double") / F.count("*").cast("double"))
+                / F.lit(100.0)
+            ).alias("trimmed_mean"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["stats_trimmed_mean"] = QuerySpec(
+    stats_trimmed_mean,
+    """
+    WITH ranked AS (
+      SELECT event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n_kept,
+           (CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) / 100.0
+             AS trimmed_mean
+    FROM ranked
+    WHERE rn > CAST(FLOOR(n * 0.05) AS BIGINT)
+      AND rn <= n - CAST(FLOOR(n * 0.05) AS BIGINT)
+    GROUP BY event_type ORDER BY event_type
+    """,
+    "exact 5% trimmed mean per event type (deterministic per-group ranks)",
+    ("stats", "analytics"),
+)
+
+
+def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between click and purchase event
+    values — "are these two segments' means actually different, or is
+    the dashboard delta noise?".
+
+    Sufficient-statistics shape (the only scalable way): one groupBy
+    computes n, Σx, Σx² per side as exact integers over cents-quantized
+    values; the t statistic and Welch–Satterthwaite degrees of freedom
+    are a fixed chain of IEEE ops on those exact integers, micro-rounded
+    (1e6) for cross-engine output identity.  Σx² of cents stays under
+    2^63 to ~10^6 rows per side at |value| ≤ 10^4 — past that, switch
+    the accumulators to DECIMAL(38) (queries/_util doc).
+    """
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    c = F.round(F.col("value") * F.lit(100.0)).cast("long")
+    stats = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(c).alias("s"),
+        F.sum(c * c).alias("s2"),
+    )
+
+    def side(name, tag):
+        return (
+            stats.filter(F.col("event_type") == name)
+            .select(
+                F.col("n").alias(f"n{tag}"),
+                F.col("s").alias(f"s{tag}"),
+                F.col("s2").alias(f"q{tag}"),
+            )
+        )
+
+    j = side("click", "1").join(F.broadcast(side("purchase", "2")))
+    # mean_i = s_i/n_i (cents); var_i = (n·q − s²)/(n·(n−1)) (cents²).
+    # n·q and s² are formed in DOUBLE: the integer inputs are exact, but
+    # their products pass 2^63 around sf1 (s ~ 2e10 cents ⇒ s² ~ 4e20);
+    # the identical double expression chain keeps both engines bit-equal
+    m1 = F.col("s1").cast("double") / F.col("n1").cast("double")
+    m2 = F.col("s2").cast("double") / F.col("n2").cast("double")
+
+    def var(n, s, q):
+        nd, sd, qd = (F.col(x).cast("double") for x in (n, s, q))
+        return (nd * qd - sd * sd) / (nd * (nd - F.lit(1.0)))
+
+    v1 = var("n1", "s1", "q1")
+    v2 = var("n2", "s2", "q2")
+    se1 = v1 / F.col("n1").cast("double")
+    se2 = v2 / F.col("n2").cast("double")
+    tstat = (m1 - m2) / F.sqrt(se1 + se2)
+    dof = ((se1 + se2) * (se1 + se2)) / (
+        se1 * se1 / (F.col("n1") - 1).cast("double")
+        + se2 * se2 / (F.col("n2") - 1).cast("double")
+    )
+    return j.select(
+        F.col("n1").alias("n_click"),
+        F.col("n2").alias("n_purchase"),
+        (F.round(tstat * F.lit(1e6)).cast("long").cast("double") / F.lit(1e6)).alias(
+            "t_stat"
+        ),
+        (F.round(dof * F.lit(1e6)).cast("long").cast("double") / F.lit(1e6)).alias(
+            "welch_dof"
+        ),
+    )
+
+
+QUERIES["stats_welch_ttest"] = QuerySpec(
+    stats_welch_ttest,
+    """
+    WITH st AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS s,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)
+                      * CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS q
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY 1
+    ),
+    a AS (SELECT n AS n1, s AS s1, q AS q1 FROM st WHERE event_type = 'click'),
+    b AS (SELECT n AS n2, s AS s2, q AS q2 FROM st WHERE event_type = 'purchase'),
+    x AS (
+      SELECT n1, n2,
+             CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+             CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
+             ((CAST(n1 AS DOUBLE) * CAST(q1 AS DOUBLE)
+               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+              / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0)))
+               / CAST(n1 AS DOUBLE) AS se1,
+             ((CAST(n2 AS DOUBLE) * CAST(q2 AS DOUBLE)
+               - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+              / (CAST(n2 AS DOUBLE) * (CAST(n2 AS DOUBLE) - 1.0)))
+               / CAST(n2 AS DOUBLE) AS se2
+      FROM a, b
+    )
+    SELECT n1 AS n_click, n2 AS n_purchase,
+           CAST(CAST(ROUND((m1 - m2) / SQRT(se1 + se2) * 1e6) AS BIGINT) AS DOUBLE)
+             / 1e6 AS t_stat,
+           CAST(CAST(ROUND(((se1 + se2) * (se1 + se2))
+                 / (se1 * se1 / CAST(n1 - 1 AS DOUBLE)
+                    + se2 * se2 / CAST(n2 - 1 AS DOUBLE)) * 1e6) AS BIGINT) AS DOUBLE)
+             / 1e6 AS welch_dof
+    FROM x
+    """,
+    "Welch unequal-variance t-test click-vs-purchase (exact sufficient stats)",
+    ("stats", "analytics"),
+)
