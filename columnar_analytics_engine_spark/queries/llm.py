@@ -1393,3 +1393,169 @@ QUERIES["graph_triangle_count"] = QuerySpec(
     "exact triangles + clustering coefficient of the dup graph (ordered edge joins)",
     ("llm", "graph", "dedup"),
 )
+
+
+# ---------------------------------------------------------------------------
+# language-ID accuracy report + corpus n-gram diversity
+# ---------------------------------------------------------------------------
+
+def text_language_id_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language evaluation of the stopword-evidence language
+    identifier against the labeled ``lang`` column: support, correct
+    count, recall, and the most common confusion — the eval harness a
+    curation team reads before trusting the classifier to route
+    documents.  One projection (the classifier is a CASE chain) + two
+    key-grouped aggregations; the winner-confusion pick is a top-1
+    window per label over the |langs|² confusion cells."""
+    pred = text_language_id(spark, sf_dir).select("labeled_lang", "pred_lang")
+    cells = pred.groupBy("labeled_lang", "pred_lang").agg(F.count("*").alias("n"))
+    per_label = cells.groupBy("labeled_lang").agg(
+        F.sum("n").alias("n_docs"),
+        F.sum(F.when(F.col("pred_lang") == F.col("labeled_lang"), F.col("n")).otherwise(F.lit(0))).alias(
+            "n_correct"
+        ),
+    )
+    wrong = cells.filter(F.col("pred_lang") != F.col("labeled_lang"))
+    w = W.partitionBy("labeled_lang").orderBy(F.col("n").desc(), "pred_lang")
+    top_conf = (
+        wrong.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("labeled_lang", F.col("pred_lang").alias("top_confusion"), F.col("n").alias("n_confused"))
+    )
+    return (
+        per_label.join(top_conf, "labeled_lang", "left")
+        .select(
+            "labeled_lang",
+            "n_docs",
+            "n_correct",
+            (F.col("n_correct").cast("double") / F.col("n_docs").cast("double")).alias("recall"),
+            "top_confusion",
+            F.coalesce("n_confused", F.lit(0)).alias("n_confused"),
+        )
+        .orderBy("labeled_lang")
+    )
+
+
+QUERIES["text_language_id_accuracy"] = QuerySpec(
+    text_language_id_accuracy,
+    f"""
+    WITH scores AS (
+      SELECT doc_id, lang AS labeled_lang,
+             {', '.join(f"{_SQL_LANG_SCORES[lang]} AS s_{lang}" for lang in X.LANG_PRIORITY)}
+      FROM documents
+    ),
+    pred AS (
+      SELECT labeled_lang, {_langid_case_sql()} AS pred_lang FROM scores
+    ),
+    cells AS (
+      SELECT labeled_lang, pred_lang, COUNT(*) AS n
+      FROM pred GROUP BY 1, 2
+    ),
+    per_label AS (
+      SELECT labeled_lang,
+             CAST(SUM(n) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN pred_lang = labeled_lang THEN n ELSE 0 END) AS BIGINT)
+               AS n_correct
+      FROM cells GROUP BY 1
+    ),
+    conf AS (
+      SELECT labeled_lang, pred_lang AS top_confusion, n AS n_confused,
+             ROW_NUMBER() OVER (PARTITION BY labeled_lang
+                                ORDER BY n DESC, pred_lang) AS rk
+      FROM cells WHERE pred_lang != labeled_lang
+    )
+    SELECT p.labeled_lang, p.n_docs, p.n_correct,
+           CAST(p.n_correct AS DOUBLE) / CAST(p.n_docs AS DOUBLE) AS recall,
+           c.top_confusion,
+           CAST(COALESCE(c.n_confused, 0) AS BIGINT) AS n_confused
+    FROM per_label p
+    LEFT JOIN (SELECT * FROM conf WHERE rk = 1) c USING (labeled_lang)
+    ORDER BY p.labeled_lang
+    """,
+    "language-ID eval: per-label support/recall/top confusion",
+    ("text", "quality"),
+)
+
+
+def corpus_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source n-gram diversity report: distinct/total ratios for
+    unigrams and bigrams (distinct-1 / distinct-2 in the synthetic-data
+    literature) — the mode-collapse detector for generated or templated
+    corpora: a source whose bigram diversity craters relative to peers
+    is emitting near-identical text the dedup pass then has to mop up.
+
+    Two explodes (token, adjacent pair), two count-distinct
+    aggregations keyed by source, one join — all map-combinable; exact
+    integers with one final division per ratio."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("source", X.tokens(F.col("text")).alias("l"))
+    uni = toks.select("source", F.explode("l").alias("w"))
+    uni_stats = uni.groupBy("source").agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("w").alias("n_distinct_tokens"),
+    )
+    bi = toks.filter(F.size("l") >= 2).select(
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(l) - 1),"
+                " i -> struct(element_at(l, i) AS w1, element_at(l, i + 1) AS w2))"
+            )
+        ).alias("p"),
+    )
+    bi_stats = bi.groupBy("source").agg(
+        F.count("*").alias("n_bigrams"),
+        F.countDistinct("p.w1", "p.w2").alias("n_distinct_bigrams"),
+    )
+    return (
+        uni_stats.join(bi_stats, "source")
+        .select(
+            "source",
+            "n_tokens",
+            "n_distinct_tokens",
+            (
+                F.col("n_distinct_tokens").cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("distinct_1"),
+            "n_bigrams",
+            "n_distinct_bigrams",
+            (
+                F.col("n_distinct_bigrams").cast("double")
+                / F.col("n_bigrams").cast("double")
+            ).alias("distinct_2"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["corpus_ngram_diversity"] = QuerySpec(
+    corpus_ngram_diversity,
+    f"""
+    WITH tk AS (SELECT source, {_SQL_TOKENS} AS l FROM documents),
+    uni AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(COUNT(DISTINCT w) AS BIGINT) AS n_distinct_tokens
+      FROM (SELECT source, unnest(l) AS w FROM tk) u GROUP BY 1
+    ),
+    bi AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(COUNT(DISTINCT (w1, w2)) AS BIGINT) AS n_distinct_bigrams
+      FROM (
+        SELECT source, l[i] AS w1, l[i + 1] AS w2
+        FROM (SELECT source, l, unnest(range(1, len(l))) AS i FROM tk) x
+      ) p GROUP BY 1
+    )
+    SELECT u.source, u.n_tokens, u.n_distinct_tokens,
+           CAST(u.n_distinct_tokens AS DOUBLE) / CAST(u.n_tokens AS DOUBLE)
+             AS distinct_1,
+           b.n_bigrams, b.n_distinct_bigrams,
+           CAST(b.n_distinct_bigrams AS DOUBLE) / CAST(b.n_bigrams AS DOUBLE)
+             AS distinct_2
+    FROM uni u JOIN bi b USING (source)
+    ORDER BY u.source
+    """,
+    "per-source distinct-1/distinct-2 n-gram diversity (mode-collapse detector)",
+    ("text", "quality", "llm"),
+)
