@@ -1559,3 +1559,118 @@ QUERIES["corpus_ngram_diversity"] = QuerySpec(
     "per-source distinct-1/distinct-2 n-gram diversity (mode-collapse detector)",
     ("text", "quality", "llm"),
 )
+
+
+# ---------------------------------------------------------------------------
+# cross-source duplication matrix + embedding quality report
+# ---------------------------------------------------------------------------
+
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate flow BETWEEN sources: for each (source_a,
+    source_b) pair, how many MinHash near-dup pairs straddle them —
+    the governance matrix that answers "which feeds are recrawling
+    each other / mirroring the same upstream?" and decides which source
+    to de-prioritize.  Diagonal rows (a == b) count within-source
+    duplication.
+
+    Two broadcast-able doc→source joins onto the near-dup pair list
+    (the pair list is the expensive part and is the SAME plan as
+    dedup_minhash_lsh); source pairs are unordered (lexicographic
+    normalization) so each undirected pair lands in one cell."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = D.minhash_near_duplicates(docs, threshold=0.8)
+    src = docs.select("doc_id", "source")
+    j = (
+        pairs.join(src.select(F.col("doc_id").alias("d1"), F.col("source").alias("_s1")), "d1")
+        .join(src.select(F.col("doc_id").alias("d2"), F.col("source").alias("_s2")), "d2")
+    )
+    return (
+        j.select(
+            F.least("_s1", "_s2").alias("source_a"),
+            F.greatest("_s1", "_s2").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_dup_pairs"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+QUERIES["dedup_cross_source_matrix"] = QuerySpec(
+    dedup_cross_source_matrix,
+    f"""
+    WITH pr AS ({_minhash_lsh_sql(0.8, D.MINHASH_K, D.LSH_BANDS, D.LSH_ROWS_PER_BAND)})
+    SELECT LEAST(sa.source, sb.source) AS source_a,
+           GREATEST(sa.source, sb.source) AS source_b,
+           COUNT(*) AS n_dup_pairs
+    FROM pr
+    JOIN documents sa ON sa.doc_id = pr.d1
+    JOIN documents sb ON sb.doc_id = pr.d2
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "near-dup pair counts between source pairs (mirror/recrawl governance matrix)",
+    ("dedup", "llm", "governance"),
+)
+
+
+def embedding_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label vector hygiene: count, zero-vector count, wrong-width
+    count, and exact micro-quantized min/max/mean L2 norm — the QA gate
+    a vector pipeline runs before indexing (zero vectors poison cosine
+    similarity; mixed dims crash ANN kernels; a collapsed norm range
+    flags a broken encoder).
+
+    One projection computing the squared norm as an array fold (JVM,
+    codegen) + one keyed aggregation; norms are micro-quantized
+    (round(sqrt·1e6)) before the order-independent integer mean."""
+    emb = t(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    norm_micro = F.round(F.sqrt(sq) * F.lit(1e6)).cast("long")
+    base = emb.select(
+        "label",
+        F.size("embedding").alias("dim"),
+        norm_micro.alias("nm"),
+    )
+    return (
+        base.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.sum(F.when(F.col("nm") == 0, 1).otherwise(0)).cast("long").alias("n_zero"),
+            F.sum(F.when(F.col("dim") != 64, 1).otherwise(0)).cast("long").alias("n_wrong_dim"),
+            (F.min("nm").cast("double") / F.lit(1e6)).alias("min_norm"),
+            (F.max("nm").cast("double") / F.lit(1e6)).alias("max_norm"),
+            (
+                (F.sum("nm").cast("double") / F.count("*").cast("double"))
+                / F.lit(1e6)
+            ).alias("mean_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+QUERIES["embedding_quality_report"] = QuerySpec(
+    embedding_quality_report,
+    """
+    WITH base AS (
+      SELECT label,
+             len(embedding) AS dim,
+             CAST(ROUND(SQRT(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                              CAST(embedding AS DOUBLE[]))) * 1e6)
+                  AS BIGINT) AS nm
+      FROM embeddings
+    )
+    SELECT label,
+           COUNT(*) AS n_vectors,
+           CAST(SUM(CASE WHEN nm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+           CAST(SUM(CASE WHEN dim != 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_wrong_dim,
+           CAST(MIN(nm) AS DOUBLE) / 1e6 AS min_norm,
+           CAST(MAX(nm) AS DOUBLE) / 1e6 AS max_norm,
+           (CAST(SUM(nm) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) / 1e6 AS mean_norm
+    FROM base GROUP BY label ORDER BY label
+    """,
+    "per-label vector hygiene: zero/odd-dim counts + exact norm stats",
+    ("similarity", "quality", "llm"),
+)
