@@ -1822,3 +1822,114 @@ QUERIES["training_bpe_merges"] = QuerySpec(
     "first 12 BPE merge rules from the corpus word-frequency table",
     ("text", "training"),
 )
+
+
+# ---------------------------------------------------------------------------
+# Zipf-law fit over the vocabulary
+# ---------------------------------------------------------------------------
+
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS fit of ln(frequency) on ln(rank) over the whole vocabulary —
+    the Zipf-law health check: natural language sits near slope −1;
+    templated/generated corpora and tokenizer bugs bend the curve (a
+    shallow slope means a fat head of repeated boilerplate).
+
+    The global frequency rank is assembled DISTRIBUTED (the
+    window_ntile_percent / stats_ks_test shape): range-repartition the
+    vocabulary on (−freq, token), rank locally per partition, add
+    broadcast per-partition offsets.  Regression inputs are
+    10⁻⁴-quantized logs (exact integers; the log itself is the only
+    cross-libm term and 1e-4 quantization dwarfs ulp differences);
+    sufficient sums are exact int64 (|x| ≤ 1.4e5 ⇒ Σxy safe past 10⁹
+    vocabulary terms) and the closed-form slope/intercept/r² combine
+    them in double exactly like the oracle.
+    """
+    docs = t(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(X.tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    part = vocab.repartitionByRange(F.col("c").desc(), F.col("w")).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = W.partitionBy("_pid").orderBy(F.col("c").desc(), "w")
+    local = part.withColumn("_lrn", F.row_number().over(w_local).cast("long"))
+    counts = local.groupBy("_pid").agg(F.count("*").alias("_n"))
+    w_off = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).cast("long").alias("_off")
+    )
+    ranked = local.join(F.broadcast(offsets), "_pid").select(
+        (F.col("_off") + F.col("_lrn")).alias("rank"), "c"
+    )
+    x = F.round(F.log(F.col("rank").cast("double")) * F.lit(1e4)).cast("long")
+    y = F.round(F.log(F.col("c").cast("double")) * F.lit(1e4)).cast("long")
+    s = ranked.select(x.alias("x"), y.alias("y")).agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd, sxd, syd, sxyd, sxxd, syyd = (
+        F.col(c).cast("double") for c in ("n", "sx", "sy", "sxy", "sxx", "syy")
+    )
+    slope = (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+    intercept = (syd - slope * sxd) / nd / F.lit(1e4)
+    r_num = nd * sxyd - sxd * syd
+    r2 = (r_num * r_num) / ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd))
+    mr = lambda col: F.round(col * F.lit(1e6)).cast("long").cast("double") / F.lit(1e6)  # noqa: E731
+    return s.select(
+        F.col("n").alias("n_vocab"),
+        mr(slope).alias("zipf_slope"),
+        mr(intercept).alias("ln_intercept"),
+        mr(r2).alias("r2"),
+    )
+
+
+QUERIES["text_zipf_fit"] = QuerySpec(
+    text_zipf_fit,
+    f"""
+    WITH vocab AS (
+      SELECT w, COUNT(*) AS c
+      FROM (SELECT unnest({_SQL_TOKENS}) AS w FROM documents) u GROUP BY 1
+    ),
+    ranked AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rnk, c FROM vocab
+    ),
+    pts AS (
+      SELECT CAST(ROUND(LN(CAST(rnk AS DOUBLE)) * 1e4) AS BIGINT) AS x,
+             CAST(ROUND(LN(CAST(c AS DOUBLE)) * 1e4) AS BIGINT) AS y
+      FROM ranked
+    ),
+    s AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM pts
+    ),
+    d AS (
+      SELECT CAST(n AS BIGINT) AS n,
+             CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+             CAST(sy AS DOUBLE) AS syd, CAST(sxy AS DOUBLE) AS sxyd,
+             CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd
+      FROM s
+    )
+    SELECT n AS n_vocab,
+           CAST(CAST(ROUND(((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd))
+                * 1e6) AS BIGINT) AS DOUBLE) / 1e6 AS zipf_slope,
+           CAST(CAST(ROUND(((syd - ((nd * sxyd - sxd * syd)
+                                    / (nd * sxxd - sxd * sxd)) * sxd) / nd / 1e4)
+                * 1e6) AS BIGINT) AS DOUBLE) / 1e6 AS ln_intercept,
+           CAST(CAST(ROUND((((nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd))
+                / ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)))
+                * 1e6) AS BIGINT) AS DOUBLE) / 1e6 AS r2
+    FROM d
+    """,
+    "Zipf-law OLS fit over the vocabulary (distributed global rank; slope≈-1 healthy)",
+    ("text", "stats", "quality"),
+)

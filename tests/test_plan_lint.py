@@ -50,6 +50,9 @@ _SINGLE_PARTITION_ALLOW = {
     "graph_triangle_count": 3,
     # PMI: two 1-row lazy totals (unigram + bigram) broadcast in-plan
     "text_collocations_pmi": 2,
+    # Zipf fit: the #partitions-row offsets cumsum + the final 1-row
+    # sufficient-stats reduce (distributed-rank shape)
+    "text_zipf_fit": 2,
     # integer PageRank: the 1-row n_nodes aggregate is re-instantiated
     # once per rank round by plan depth (3 rounds + init, each 1-row)
     "graph_pagerank_dupgraph": 4,
