@@ -40,7 +40,10 @@ def main() -> None:
     deduped = quality.join(dropped, "doc_id", "left_anti")
     n2 = deduped.count()
 
-    # 3. stable 80% train split by content hash (survives reshards/reruns)
+    # 3. stable 80% train split by content hash (survives reshards/reruns).
+    # NOTE the subtle eval-leakage bug this simple split carries: two
+    # NEAR-duplicates hash differently and can land on opposite sides of
+    # the split — training_leakage_safe_split (step 6) is the fix.
     train = deduped.filter(h60("split:", F.col("text")) % 100 < 80)
     n3 = train.count()
 
@@ -81,6 +84,27 @@ def main() -> None:
     dedup_passage_removal(spark, SF_DIR).filter(F.col("n_removed") > 0).show(3)
     print("per-shard content checksums (reproducibility audit):")
     training_shard_checksums(spark, SF_DIR).show(4)
+
+    # 6. round-6 third-session operators: leakage-safe splits + corpus
+    # health diagnostics
+    from columnar_analytics_engine_spark.queries.llm import (
+        corpus_ngram_diversity,
+        dedup_cross_source_matrix,
+        training_leakage_safe_split,
+    )
+    from columnar_analytics_engine_spark.queries.training import text_zipf_fit
+
+    print("cluster-aware train/val/test split (near-dups never straddle):")
+    split = training_leakage_safe_split(spark, SF_DIR)
+    split.groupBy("split").count().show()
+    print("near-dup flow between sources (mirror/recrawl matrix), top cells:")
+    dedup_cross_source_matrix(spark, SF_DIR).orderBy(
+        F.col("n_dup_pairs").desc()
+    ).show(5)
+    print("per-source n-gram diversity (low distinct_2 = templated):")
+    corpus_ngram_diversity(spark, SF_DIR).show(5)
+    print("Zipf fit over the vocabulary (slope near -1 = healthy):")
+    text_zipf_fit(spark, SF_DIR).show()
 
 
 if __name__ == "__main__":
