@@ -2055,3 +2055,87 @@ QUERIES["stats_welch_ttest"] = QuerySpec(
     "Welch unequal-variance t-test click-vs-purchase (exact sufficient stats)",
     ("stats", "analytics"),
 )
+
+
+def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U between click and purchase event values — the
+    rank-sum complement to :func:`stats_ks_test` (KS asks "same
+    distribution?", U asks "does one side stochastically dominate?").
+
+    Fully integer-exact including ties: group by distinct value with
+    per-side counts, assemble the global cumulative count with the same
+    distributed offsets shape as the KS CDF, then per distinct value the
+    DOUBLED average rank 2·r̄ = (c_before + 1) + (c_before + n_v)
+    is an exact integer, so the doubled rank sum 2·R₁ = Σ n1(v)·2·r̄(v)
+    is exact int64 and U₁ = R₁ − n₁(n₁+1)/2 is a single exact halving.
+    (Doubled-rank bookkeeping is how ties stay in integer arithmetic —
+    no 0.5 floats until the final division.)
+    """
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    s = ev.select(
+        F.col("value").alias("v"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).cast("long").alias("g1"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).cast("long").alias("g2"),
+    )
+    d = s.groupBy("v").agg(
+        F.sum("g1").alias("n1v"), F.sum("g2").alias("n2v")
+    ).withColumn("nv", F.col("n1v") + F.col("n2v"))
+    part = d.repartitionByRange("v").withColumn("_pid", F.spark_partition_id())
+    w_local = W.partitionBy("_pid").orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    local = part.withColumn("cl", F.sum("nv").over(w_local))
+    counts = local.groupBy("_pid").agg(F.sum("nv").alias("_s"))
+    w_off = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_s").over(w_off), F.lit(0)).alias("_o")
+    )
+    tot = d.agg(F.sum("n1v").alias("_N1"), F.sum("n2v").alias("_N2"))
+    cum = local.join(F.broadcast(offsets), "_pid")
+    c_before = F.col("cl") + F.col("_o") - F.col("nv")  # count strictly below v
+    dbl_rank = (c_before + 1) + (c_before + F.col("nv"))  # 2 * average rank
+    sums = cum.agg(
+        F.sum(F.col("n1v") * dbl_rank).alias("_2r1"),
+    ).join(F.broadcast(tot))
+    u1 = (F.col("_2r1") - F.col("_N1") * (F.col("_N1") + 1)) / F.lit(2.0)
+    return sums.select(
+        F.col("_N1").alias("n_click"),
+        F.col("_N2").alias("n_purchase"),
+        u1.alias("u_click"),
+        ((F.col("_N1") * F.col("_N2")).cast("double") - u1).alias("u_purchase"),
+    )
+
+
+QUERIES["stats_mann_whitney_u"] = QuerySpec(
+    stats_mann_whitney_u,
+    """
+    WITH s AS (
+      SELECT value AS v,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g1,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g2
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    d AS (
+      SELECT v, SUM(g1) AS n1v, SUM(g2) AS n2v, SUM(g1) + SUM(g2) AS nv
+      FROM s GROUP BY v
+    ),
+    c AS (
+      SELECT v, n1v, n2v, nv,
+             SUM(nv) OVER (ORDER BY v) - nv AS c_before
+      FROM d
+    ),
+    t AS (SELECT CAST(SUM(n1v) AS BIGINT) AS N1,
+                 CAST(SUM(n2v) AS BIGINT) AS N2 FROM d),
+    r AS (
+      SELECT CAST(SUM(n1v * ((c_before + 1) + (c_before + nv))) AS BIGINT) AS r2x
+      FROM c
+    )
+    SELECT N1 AS n_click, N2 AS n_purchase,
+           CAST(r2x - N1 * (N1 + 1) AS DOUBLE) / 2.0 AS u_click,
+           CAST(N1 AS DOUBLE) * CAST(N2 AS DOUBLE)
+             - CAST(r2x - N1 * (N1 + 1) AS DOUBLE) / 2.0 AS u_purchase
+    FROM r, t
+    """,
+    "Mann-Whitney U click-vs-purchase (integer-exact doubled-rank ties)",
+    ("stats", "analytics"),
+)

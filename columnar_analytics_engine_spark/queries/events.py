@@ -677,3 +677,75 @@ QUERIES["events_segment_overlap"] = QuerySpec(
     "distinct-user audience overlap (exact Jaccard) between event-type pairs",
     ("events", "analytics", "join"),
 )
+
+
+# ---------------------------------------------------------------------------
+# seasonal-naive forecast evaluation
+# ---------------------------------------------------------------------------
+
+def events_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the seasonal-naive forecaster (predict each day's
+    event count with the same weekday's count one week earlier) per
+    event type — the capacity-planning baseline every fancier model must
+    beat, and the cheapest possible drift alarm when its error jumps.
+
+    Calendar-correct: the prediction joins on (type, day − 7 days), not
+    a row lag, so missing days never misalign the season.  One daily
+    rollup + one self-join keyed on (type, day); MAE is an exact integer
+    mean, MAPE micro-quantizes each |a−p|/a term before the exact
+    integer mean (same cross-engine discipline as the KL/LM scores).
+    """
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type"),
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+    ).agg(F.count("*").alias("n"))
+    pred = daily.select(
+        "event_type",
+        F.date_add(F.col("day"), 7).alias("day"),
+        F.col("n").alias("pred"),
+    )
+    j = daily.join(pred, ["event_type", "day"])
+    err = F.abs(F.col("n") - F.col("pred"))
+    ape_micro = F.round(
+        err.cast("double") / F.col("n").cast("double") * F.lit(1e6)
+    ).cast("long")
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_days_scored"),
+            (F.sum(err).cast("double") / F.count("*").cast("double")).alias("mae"),
+            (
+                (F.sum(ape_micro).cast("double") / F.count("*").cast("double"))
+                / F.lit(1e6)
+            ).alias("mape"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["events_seasonal_naive_eval"] = QuerySpec(
+    events_seasonal_naive_eval,
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT a.event_type, a.n, p.n AS pred
+      FROM daily a
+      JOIN daily p ON p.event_type = a.event_type
+                  AND p.day = a.day - INTERVAL 7 DAY
+    )
+    SELECT event_type,
+           COUNT(*) AS n_days_scored,
+           CAST(SUM(ABS(n - pred)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mae,
+           (CAST(SUM(CAST(ROUND(CAST(ABS(n - pred) AS DOUBLE)
+                                / CAST(n AS DOUBLE) * 1e6) AS BIGINT)) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE)) / 1e6 AS mape
+    FROM j GROUP BY event_type ORDER BY event_type
+    """,
+    "seasonal-naive (t-7d) forecast backtest per type: MAE + micro-exact MAPE",
+    ("timeseries", "analytics"),
+)

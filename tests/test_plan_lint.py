@@ -53,6 +53,9 @@ _SINGLE_PARTITION_ALLOW = {
     # Zipf fit: the #partitions-row offsets cumsum + the final 1-row
     # sufficient-stats reduce (distributed-rank shape)
     "text_zipf_fit": 2,
+    # Mann-Whitney U: offsets cumsum + 1-row totals broadcast + final
+    # 1-row rank-sum reduce (same distributed-CDF shape as stats_ks_test)
+    "stats_mann_whitney_u": 3,
     # integer PageRank: the 1-row n_nodes aggregate is re-instantiated
     # once per rank round by plan depth (3 rounds + init, each 1-row)
     "graph_pagerank_dupgraph": 4,

@@ -95,3 +95,23 @@ def test_snapshot_diff_classification_counts(spark, tmp_path):
     assert all(r["new_totalprice"] == r["old_totalprice"] + 1.0 for r in changed_rows)
     added_rows = [r for r in out if r["change_type"] == "added"]
     assert all(r["old_totalprice"] is None for r in added_rows)
+
+
+def test_mann_whitney_u_invariant_and_hand_example(spark, tmp_path):
+    from columnar_analytics_engine_spark.queries.advanced import stats_mann_whitney_u
+
+    # hand example with ties: click {1,2,2}, purchase {2,3}
+    # pooled ranks: 1->1; 2,2,2 -> avg 3; 3 -> 5
+    # R_click = 1 + 3 + 3 = 7; U_click = 7 - 3*4/2 = 1.0
+    rows = [
+        (1, _BASE, 1, "click", 1.0, "{}"),
+        (2, _BASE, 1, "click", 2.0, "{}"),
+        (3, _BASE, 1, "click", 2.0, "{}"),
+        (4, _BASE, 1, "purchase", 2.0, "{}"),
+        (5, _BASE, 1, "purchase", 3.0, "{}"),
+    ]
+    _write_events(spark, tmp_path, rows)
+    r = stats_mann_whitney_u(spark, str(tmp_path)).collect()[0]
+    assert r["u_click"] == 1.0
+    assert r["u_purchase"] == 5.0
+    assert r["u_click"] + r["u_purchase"] == r["n_click"] * r["n_purchase"]
