@@ -2139,3 +2139,50 @@ QUERIES["stats_mann_whitney_u"] = QuerySpec(
     "Mann-Whitney U click-vs-purchase (integer-exact doubled-rank ties)",
     ("stats", "analytics"),
 )
+
+
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit: k-anonymity's required companion — a class can
+    be large (k-safe) yet still leak if every member shares the same
+    SENSITIVE value.  Per quasi-identifier class (market segment ×
+    nation), count distinct sensitive values (account-balance band,
+    1000-unit buckets) and flag classes with fewer than l=3 — those
+    need generalization before release even though k passed.
+
+    One groupBy on the QI tuple with a distinct-count (map-side partial
+    distinct per bucket); output bounded by the QI domain."""
+    cust = t(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("long")
+    return (
+        cust.select("c_mktsegment", "c_nationkey", band.alias("bal_band"))
+        .groupBy("c_mktsegment", "c_nationkey")
+        .agg(
+            F.count("*").alias("class_size"),
+            F.countDistinct("bal_band").alias("l_diversity"),
+        )
+        .select(
+            "c_mktsegment",
+            "c_nationkey",
+            "class_size",
+            "l_diversity",
+            (F.col("l_diversity") < 3).alias("needs_generalization"),
+        )
+        .orderBy("c_mktsegment", "c_nationkey")
+    )
+
+
+QUERIES["privacy_l_diversity"] = QuerySpec(
+    privacy_l_diversity,
+    """
+    SELECT c_mktsegment, c_nationkey,
+           COUNT(*) AS class_size,
+           CAST(COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT)) AS BIGINT)
+             AS l_diversity,
+           COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT)) < 3
+             AS needs_generalization
+    FROM customer
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "l-diversity audit over QI classes (distinct sensitive bands, l>=3 gate)",
+    ("privacy", "governance"),
+)

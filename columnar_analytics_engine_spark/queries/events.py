@@ -749,3 +749,54 @@ QUERIES["events_seasonal_naive_eval"] = QuerySpec(
     "seasonal-naive (t-7d) forecast backtest per type: MAE + micro-exact MAPE",
     ("timeseries", "analytics"),
 )
+
+
+def events_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC (open/high/low/close) bars of event value per type —
+    the time-series downsampling shape every monitoring/market pipeline
+    emits.  Open/close are deterministic: first/last by (ts, event_id),
+    computed with min/max over a (ts, event_id, value) struct — a pure
+    aggregation (map-side combinable), NOT a sort or window, so one
+    shuffle on (day, type) produces the bars at any scale.  High/low/
+    volume ride the same aggregate."""
+    ev = t(spark, sf_dir, "events")
+    key = F.struct(F.col("ts"), F.col("event_id"), F.col("value"))
+    return (
+        ev.groupBy(
+            F.date_trunc("day", F.col("ts")).cast("date").cast("string").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.min(key).getField("value").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(key).getField("value").alias("close"),
+            F.count("*").alias("volume"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+QUERIES["events_ohlc_daily"] = QuerySpec(
+    events_ohlc_daily,
+    """
+    WITH r AS (
+      SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
+             event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY date_trunc('day', ts), event_type
+                                ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY date_trunc('day', ts), event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT day, event_type,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+           COUNT(*) AS volume
+    FROM r GROUP BY day, event_type ORDER BY day, event_type
+    """,
+    "daily OHLC bars per type (deterministic open/close via struct min/max)",
+    ("timeseries", "agg"),
+)
