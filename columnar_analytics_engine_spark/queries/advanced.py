@@ -2186,3 +2186,40 @@ QUERIES["privacy_l_diversity"] = QuerySpec(
     "l-diversity audit over QI classes (distinct sensitive bands, l>=3 gate)",
     ("privacy", "governance"),
 )
+
+
+def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pre-flight join-size accounting for orders ⋈ lineitem on
+    the order key: Σ_k cA(k)·cB(k) plus matched-key and max-fanout
+    diagnostics — the number an engineer checks BEFORE launching a
+    100 TB join to catch key-explosion (it costs two cheap per-key
+    count aggregations instead of the join itself, and the max-fanout
+    row is the salting decision input alongside skew_key_report).
+    """
+    o = t(spark, sf_dir, "orders").groupBy(
+        F.col("o_orderkey").alias("k")
+    ).agg(F.count("*").alias("ca"))
+    l = t(spark, sf_dir, "lineitem").groupBy(
+        F.col("l_orderkey").alias("k")
+    ).agg(F.count("*").alias("cb"))
+    j = o.join(l, "k")
+    return j.agg(
+        F.sum(F.col("ca") * F.col("cb")).alias("join_rows"),
+        F.count("*").alias("matched_keys"),
+        F.max(F.col("ca") * F.col("cb")).alias("max_key_fanout"),
+    )
+
+
+QUERIES["join_size_estimate"] = QuerySpec(
+    join_size_estimate,
+    """
+    WITH o AS (SELECT o_orderkey AS k, COUNT(*) AS ca FROM orders GROUP BY 1),
+    l AS (SELECT l_orderkey AS k, COUNT(*) AS cb FROM lineitem GROUP BY 1)
+    SELECT CAST(SUM(ca * cb) AS BIGINT) AS join_rows,
+           COUNT(*) AS matched_keys,
+           CAST(MAX(ca * cb) AS BIGINT) AS max_key_fanout
+    FROM o JOIN l USING (k)
+    """,
+    "exact pre-flight join cardinality + max key fanout (skew/explosion check)",
+    ("join", "ops", "stats"),
+)
