@@ -2223,3 +2223,50 @@ QUERIES["join_size_estimate"] = QuerySpec(
     "exact pre-flight join cardinality + max key fanout (skew/explosion check)",
     ("join", "ops", "stats"),
 )
+
+
+def lateral_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 orders per customer via a correlated LATERAL subquery —
+    the SQL-dialect route to per-group top-k (both engines support
+    LATERAL; Catalyst decorrelates it into the same window/TakeOrdered
+    shape the DataFrame `window_topk_per_group` entry compiles to, so
+    this pins the SQL API surface, not a new physical strategy).
+    Restricted to one nation's customers to keep the output a report.
+    """
+    from columnar_analytics_engine_spark.sql import run_sql
+
+    return run_sql(
+        spark,
+        sf_dir,
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice
+          FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 2
+        ) t
+        WHERE c.c_nationkey = 1
+        """,
+    )
+
+
+QUERIES["lateral_join_topk"] = QuerySpec(
+    lateral_join_topk,
+    """
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+    LATERAL (
+      SELECT o_orderkey, o_totalprice
+      FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 2
+    ) t
+    WHERE c.c_nationkey = 1
+    """,
+    "correlated LATERAL top-2 orders per customer (SQL dialect parity)",
+    ("join", "sql"),
+)

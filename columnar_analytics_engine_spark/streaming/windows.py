@@ -192,3 +192,33 @@ def run_available_now(
 def _is_aggregating(df: DataFrame) -> bool:
     plan = df._jdf.queryExecution().analyzed().toString()
     return "Aggregate" in plan
+
+
+def ohlc_daily_bars(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked daily OHLC bars per event type — the streaming twin
+    of queries/events.py::events_ohlc_daily.  Open/close come from
+    min/max over a (ts, event_id, value) struct, which is an ordinary
+    mergeable aggregate, so the same deterministic bars fall out of
+    incremental micro-batches as from the batch job (struct min/max
+    needs no sort and keeps per-window state O(1))."""
+    key = F.struct(F.col("ts"), F.col("event_id"), F.col("value"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.min(key).getField("value").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(key).getField("value").alias("close"),
+            F.count("*").alias("volume"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+        )
+    )

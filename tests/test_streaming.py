@@ -720,3 +720,19 @@ def test_watermark_drops_and_accounts_late_rows(spark, tmp_path):
     assert ("2024-05-01 10:00:00", 2) not in got
     # the on-time 16:05 row from batch 1 does land
     assert ("2024-05-01 16:00:00", 1) in got
+
+
+def test_streaming_ohlc_matches_batch(spark, sf_small):
+    from columnar_analytics_engine_spark.queries.events import events_ohlc_daily
+    from columnar_analytics_engine_spark.streaming.windows import (
+        ohlc_daily_bars,
+        read_events_stream,
+        run_available_now,
+    )
+
+    stream = read_events_stream(spark, sf_small)
+    out = run_available_now(ohlc_daily_bars(stream), spark)
+    batch = events_ohlc_daily(spark, sf_small)
+    assert _sorted_rows(out, "day", "event_type") == _sorted_rows(
+        batch, "day", "event_type"
+    )
