@@ -1674,3 +1674,65 @@ QUERIES["embedding_quality_report"] = QuerySpec(
     "per-label vector hygiene: zero/odd-dim counts + exact norm stats",
     ("similarity", "quality", "llm"),
 )
+
+
+# ---------------------------------------------------------------------------
+# ANN self-evaluation: IVF recall vs brute force
+# ---------------------------------------------------------------------------
+
+def similarity_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF approximate search against the brute-force
+    ground truth, per query vector — the eval every ANN deployment
+    tracks when tuning n_lists/n_probes (pytest pins a floor; this
+    entry makes the number a first-class, oracle-checked report).
+
+    Pure composition: both sides are the existing oracle-green
+    pipelines; one left join on (query, neighbor) + a per-query
+    aggregate."""
+    bf = similarity_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    ivf = (
+        similarity_ivf_topk(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    j = bf.join(ivf, ["query_id", "neighbor_id"], "left")
+    return (
+        j.groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits"),
+            F.count("*").alias("k"),
+        )
+        .select(
+            "query_id",
+            "n_hits",
+            "k",
+            (F.col("n_hits").cast("double") / F.col("k").cast("double")).alias(
+                "recall_at_10"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
+QUERIES["similarity_ivf_recall_report"] = QuerySpec(
+    similarity_ivf_recall_report,
+    None,  # filled below from the two component oracles
+    "per-query recall@10 of IVF vs brute-force ground truth",
+    ("similarity", "quality"),
+)
+QUERIES["similarity_ivf_recall_report"].sql = f"""
+    WITH bf AS ({QUERIES["similarity_topk"].sql}),
+    ivf AS ({QUERIES["similarity_ivf_topk"].sql}),
+    j AS (
+      SELECT b.query_id,
+             CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM bf b
+      LEFT JOIN ivf i ON i.query_id = b.query_id
+                     AND i.neighbor_id = b.neighbor_id
+    )
+    SELECT query_id,
+           CAST(SUM(hit) AS BIGINT) AS n_hits,
+           COUNT(*) AS k,
+           CAST(SUM(hit) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall_at_10
+    FROM j GROUP BY query_id ORDER BY query_id
+    """
