@@ -1100,3 +1100,116 @@ QUERIES["text_bigram_lm_quality"] = QuerySpec(
     "interpolated bigram-LM sequence-typicality score (micro-nat exact)",
     ("text", "quality"),
 )
+
+
+# ---------------------------------------------------------------------------
+# sparse TF-IDF cosine retrieval (more-like-this)
+# ---------------------------------------------------------------------------
+
+def retrieval_tfidf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 most similar documents per query doc (doc_id < 3) by
+    SPARSE TF-IDF cosine — the "more like this" retrieval shape, and
+    the sparse complement of the dense ANN surface: similarity flows
+    through an inverted-index join on shared terms (token-keyed
+    shuffle, cost ∝ co-occurring postings), never through dense
+    vectors or pairwise comparison.
+
+    Exactness: smoothed idf ln((N+1)/df) is 1e-4-quantized to an
+    integer; per-(doc,term) weight w = tf·idf_q is exact int64 (≤ ~4e7
+    at plausible tf), so dots and squared norms are exact integer sums
+    (≤ ~1e17 at this vocabulary — switch to DECIMAL(38) accumulators
+    past ~10^5-term documents); the cosine is one double division
+    rounded to 4 places, both engines identical.
+    """
+    from columnar_analytics_engine_spark.operators.dedup import _persist_once
+
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("token"))
+    tf = _persist_once(tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf")))
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    idf_q = F.round(
+        F.log((F.col("n_docs") + 1).cast("double") / F.col("df").cast("double"))
+        * F.lit(1e4)
+    ).cast("long")
+    wtab = (
+        tf.join(df_, "token")
+        .join(F.broadcast(n_docs))
+        .select("doc_id", "token", (F.col("tf") * idf_q).alias("w"))
+    )
+    wtab = _persist_once(wtab)
+    norms = wtab.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("nn"))
+    q = wtab.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), "token", F.col("w").alias("wq")
+    )
+    dots = (
+        q.join(wtab, "token")
+        .filter(F.col("query_id") != F.col("doc_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(F.col("wq") * F.col("w")).alias("dot"))
+    )
+    scored = (
+        dots.join(norms.select(F.col("doc_id").alias("query_id"), F.col("nn").alias("qn")), "query_id")
+        .join(norms.select("doc_id", F.col("nn").alias("cn")), "doc_id")
+        .filter((F.col("qn") > 0) & (F.col("cn") > 0))
+        .select(
+            "query_id",
+            F.col("doc_id").alias("neighbor_id"),
+            F.round(
+                F.col("dot").cast("double")
+                / (F.sqrt(F.col("qn").cast("double")) * F.sqrt(F.col("cn").cast("double"))),
+                4,
+            ).alias("cos_sim"),
+        )
+    )
+    w_rank = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+QUERIES["retrieval_tfidf_cosine_topk"] = QuerySpec(
+    retrieval_tfidf_cosine_topk,
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents
+    ),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    dfx AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+    nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+    wtab AS (
+      SELECT t.doc_id, t.token,
+             t.tf * CAST(ROUND(LN(CAST(n_docs + 1 AS DOUBLE)
+                                  / CAST(df AS DOUBLE)) * 1e4) AS BIGINT) AS w
+      FROM tf t JOIN dfx USING (token), nd
+    ),
+    norms AS (SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS nn FROM wtab GROUP BY 1),
+    dots AS (
+      SELECT q.doc_id AS query_id, c.doc_id AS doc_id,
+             CAST(SUM(q.w * c.w) AS BIGINT) AS dot
+      FROM wtab q JOIN wtab c ON q.token = c.token AND q.doc_id != c.doc_id
+      WHERE q.doc_id < 3
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT d.query_id, d.doc_id AS neighbor_id,
+             ROUND(CAST(d.dot AS DOUBLE)
+                   / (SQRT(CAST(qn.nn AS DOUBLE)) * SQRT(CAST(cn.nn AS DOUBLE))), 4)
+               AS cos_sim
+      FROM dots d
+      JOIN norms qn ON qn.doc_id = d.query_id
+      JOIN norms cn ON cn.doc_id = d.doc_id
+      WHERE qn.nn > 0 AND cn.nn > 0
+    )
+    SELECT query_id, neighbor_id, cos_sim, "rank" FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS "rank"
+      FROM scored) sub
+    WHERE "rank" <= 5
+    """,
+    "sparse TF-IDF cosine more-like-this (inverted-index join, top-5 per query doc)",
+    ("retrieval", "similarity", "text"),
+)

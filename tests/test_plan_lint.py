@@ -56,6 +56,10 @@ _SINGLE_PARTITION_ALLOW = {
     # Mann-Whitney U: offsets cumsum + 1-row totals broadcast + final
     # 1-row rank-sum reduce (same distributed-CDF shape as stats_ks_test)
     "stats_mann_whitney_u": 3,
+    # sparse TF-IDF cosine: ONE cached 1-row n_docs aggregate whose
+    # Exchange reprints inside every InMemoryTableScan description of
+    # the persisted weight table (4 references, materialized once)
+    "retrieval_tfidf_cosine_topk": 4,
     # integer PageRank: the 1-row n_nodes aggregate is re-instantiated
     # once per rank round by plan depth (3 rounds + init, each 1-row)
     "graph_pagerank_dupgraph": 4,
