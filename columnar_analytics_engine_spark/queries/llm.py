@@ -1736,3 +1736,95 @@ QUERIES["similarity_ivf_recall_report"].sql = f"""
            CAST(SUM(hit) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall_at_10
     FROM j GROUP BY query_id ORDER BY query_id
     """
+
+
+# ---------------------------------------------------------------------------
+# LSH banding tuning curve
+# ---------------------------------------------------------------------------
+
+_LSH_TUNING_CONFIGS = [(4, 8), (8, 4), (16, 2), (32, 1)]  # (bands, rows)
+
+
+def dedup_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected LSH recall per banding configuration, evaluated on the
+    corpus's OWN similarity distribution — the tuning table read before
+    picking (bands, rows): for a pair with Jaccard s, the standard
+    banding analysis gives detection probability 1 − (1 − s^r)^b, and
+    averaging it over the observed ≥0.5-Jaccard pairs says what each
+    config would actually catch HERE (a uniform-s assumption misleads
+    when the corpus is bimodal).  Complements dedup_lsh_quality_report,
+    which measures the one deployed config after the fact.
+
+    Shape: the exact pair list is computed once and unioned across 4
+    config projections (pure arithmetic per config — no re-scan: the
+    pair plan is plan-keyed-persisted); per-pair probabilities are
+    micro-quantized before the exact integer mean.  At 100 TB the
+    exact ≥0.5 pair enumeration runs on a deterministic corpus SAMPLE
+    (sample_deterministic's h60 gate) — the s-distribution, not the
+    pair census, is what the curve needs."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = D._persist_once(
+        D.jaccard_pairs(docs, threshold=0.5).select("jaccard")
+    )
+    outs = []
+    for b, r in _LSH_TUNING_CONFIGS:
+        p_detect = F.lit(1.0) - (
+            F.lit(1.0) - F.pow(F.col("jaccard"), F.lit(float(r)))
+        ) ** F.lit(float(b))
+        term = F.round(p_detect * F.lit(1e6)).cast("long")
+        outs.append(
+            pairs.agg(
+                F.lit(b).cast("long").alias("bands"),
+                F.lit(r).cast("long").alias("rows_per_band"),
+                F.count("*").alias("n_pairs_scored"),
+                (
+                    (F.sum(term).cast("double") / F.count("*").cast("double"))
+                    / F.lit(1e6)
+                ).alias("expected_recall"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out.orderBy("bands")
+
+
+def _lsh_tuning_sql() -> str:
+    # reuse the exact-jaccard pair derivation at threshold 0.5
+    num, den = D._rational_threshold(0.5)
+    per_config = "\n    UNION ALL\n    ".join(
+        f"""SELECT CAST({b} AS BIGINT) AS bands, CAST({r} AS BIGINT) AS rows_per_band,
+           COUNT(*) AS n_pairs_scored,
+           (CAST(SUM(CAST(ROUND((1.0 - POWER(1.0 - POWER(jaccard, {float(r)}), {float(b)}))
+                                * 1e6) AS BIGINT)) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE)) / 1e6 AS expected_recall
+    FROM pairs"""
+        for b, r in _LSH_TUNING_CONFIGS
+    )
+    return f"""
+    WITH {_SQL_TOK_CTE},
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+    common AS (
+      SELECT ta.doc_id AS d1, tb.doc_id AS d2, COUNT(*) AS n_common
+      FROM tok ta JOIN tok tb ON ta.token = tb.token AND ta.doc_id < tb.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT CAST(n_common AS DOUBLE)
+               / CAST(s1.n + s2.n - n_common AS DOUBLE) AS jaccard
+      FROM common c
+      JOIN sz s1 ON s1.doc_id = c.d1
+      JOIN sz s2 ON s2.doc_id = c.d2
+      WHERE {den + num} * n_common >= {num} * (s1.n + s2.n)
+    )
+    {per_config}
+    ORDER BY bands
+    """
+
+
+QUERIES["dedup_lsh_tuning_curve"] = QuerySpec(
+    dedup_lsh_tuning_curve,
+    _lsh_tuning_sql(),
+    "expected LSH recall per (bands, rows) config on the observed pair distribution",
+    ("dedup", "governance"),
+)

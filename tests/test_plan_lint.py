@@ -60,6 +60,9 @@ _SINGLE_PARTITION_ALLOW = {
     # Exchange reprints inside every InMemoryTableScan description of
     # the persisted weight table (4 references, materialized once)
     "retrieval_tfidf_cosine_topk": 4,
+    # LSH tuning curve: one 1-row reduce per banding config (4), all
+    # over the single persisted pair list
+    "dedup_lsh_tuning_curve": 4,
     # integer PageRank: the 1-row n_nodes aggregate is re-instantiated
     # once per rank round by plan depth (3 rounds + init, each 1-row)
     "graph_pagerank_dupgraph": 4,
