@@ -2270,3 +2270,117 @@ QUERIES["lateral_join_topk"] = QuerySpec(
     "correlated LATERAL top-2 orders per customer (SQL dialect parity)",
     ("join", "sql"),
 )
+
+
+def customers_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration report: customer deciles by total order
+    value with per-decile and cumulative revenue shares, plus the Gini
+    coefficient — the "does 10% of the base drive 60% of revenue?"
+    Pareto answer every commercial dashboard leads with.
+
+    Global ascending revenue rank assembled distributed (range
+    repartition + broadcast offsets — the window_ntile_percent shape);
+    with ascending exact-cents x_i the Gini is the closed form
+    G = 2·Σ i·x_i / (n·Σx) − (n+1)/n over exact integer sums (Σ i·x_i
+    needs DECIMAL(38) past ~10^9 customers at 10^9-cent totals); the
+    decile rollup is a ≤10-row aggregation with a bounded cumsum.
+    """
+    orders = t(spark, sf_dir, "orders")
+    rev = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.sum(F.round(F.col("o_totalprice") * F.lit(100.0)).cast("long")).alias("x")
+    )
+    part = rev.repartitionByRange("x", "k").withColumn("_pid", F.spark_partition_id())
+    w_local = W.partitionBy("_pid").orderBy("x", "k")
+    local = part.withColumn("_lrn", F.row_number().over(w_local).cast("long"))
+    counts = local.groupBy("_pid").agg(F.count("*").alias("_n"))
+    w_off = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).cast("long").alias("_off")
+    )
+    tot = rev.agg(
+        F.count("*").alias("_n"),
+        F.sum("x").alias("_tot"),
+    )
+    # plan-keyed persist: both the gini reduce and the decile rollup
+    # consume the ranked table — uncached, the rank assembly would run
+    # twice
+    from columnar_analytics_engine_spark.operators.dedup import _persist_once
+
+    ranked = _persist_once(
+        local.join(F.broadcast(offsets), "_pid")
+        .join(F.broadcast(tot))
+        .withColumn("_rn", F.col("_off") + F.col("_lrn"))
+    )
+    gini_num = ranked.agg(
+        F.sum(F.col("_rn") * F.col("x")).alias("_ix"),
+        F.first("_n").alias("_n"),
+        F.first("_tot").alias("_tot"),
+    ).select(
+        (
+            F.lit(2.0) * F.col("_ix").cast("double")
+            / (F.col("_n").cast("double") * F.col("_tot").cast("double"))
+            - (F.col("_n") + 1).cast("double") / F.col("_n").cast("double")
+        ).alias("gini")
+    )
+    decile = F.ceil(F.col("_rn") * 10 / F.col("_n")).cast("long")
+    per_dec = (
+        ranked.groupBy(decile.alias("decile"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("x").alias("_dx"),
+            F.first("_tot").alias("_tot"),
+        )
+        .withColumn(
+            "revenue_share",
+            F.col("_dx").cast("double") / F.col("_tot").cast("double"),
+        )
+    )
+    w_cum = W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        per_dec.withColumn(
+            "cum_share",
+            F.sum("_dx").over(w_cum).cast("double") / F.col("_tot").cast("double"),
+        )
+        .join(F.broadcast(gini_num))
+        .select(
+            "decile", "n_customers", "revenue_share", "cum_share", "gini"
+        )
+        .orderBy("decile")
+    )
+
+
+QUERIES["customers_revenue_pareto"] = QuerySpec(
+    customers_revenue_pareto,
+    """
+    WITH rev AS (
+      SELECT o_custkey AS k,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    ),
+    ranked AS (
+      SELECT k, x, ROW_NUMBER() OVER (ORDER BY x, k) AS rn FROM rev
+    ),
+    tt AS (SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS tot FROM rev),
+    g AS (
+      SELECT 2.0 * CAST(SUM(rn * x) AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE))
+             - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE) AS gini
+      FROM ranked, tt GROUP BY n, tot
+    ),
+    dec AS (
+      SELECT CAST(CEIL(rn * 10.0 / n) AS BIGINT) AS decile,
+             COUNT(*) AS n_customers,
+             CAST(SUM(x) AS BIGINT) AS dx,
+             CAST(MIN(tot) AS BIGINT) AS tot
+      FROM ranked, tt GROUP BY 1
+    )
+    SELECT decile, n_customers,
+           CAST(dx AS DOUBLE) / CAST(tot AS DOUBLE) AS revenue_share,
+           CAST(SUM(dx) OVER (ORDER BY decile) AS DOUBLE) / CAST(tot AS DOUBLE)
+             AS cum_share,
+           gini
+    FROM dec, g ORDER BY decile
+    """,
+    "customer revenue deciles + cumulative share + Gini (distributed rank)",
+    ("analytics", "stats"),
+)

@@ -63,6 +63,10 @@ _SINGLE_PARTITION_ALLOW = {
     # LSH tuning curve: one 1-row reduce per banding config (4), all
     # over the single persisted pair list
     "dedup_lsh_tuning_curve": 4,
+    # Pareto/Gini: offsets cumsum + totals + gini 1-row reduce + the
+    # <=10-row decile cumsum, with the persisted rank subtree
+    # reprinting its bounded exchanges in both branch descriptions
+    "customers_revenue_pareto": 6,
     # integer PageRank: the 1-row n_nodes aggregate is re-instantiated
     # once per rank round by plan depth (3 rounds + init, each 1-row)
     "graph_pagerank_dupgraph": 4,
