@@ -736,3 +736,55 @@ def test_streaming_ohlc_matches_batch(spark, sf_small):
     assert _sorted_rows(out, "day", "event_type") == _sorted_rows(
         batch, "day", "event_type"
     )
+
+
+def test_snapshot_sink_publishes_one_version_per_batch(spark, tmp_path):
+    """foreachBatch + versioned tables: each micro-batch becomes one
+    immutable committed version; a replayed batch_id is a no-op; the
+    latest version is the last batch."""
+    import os
+
+    from columnar_analytics_engine_spark import versioned as V
+    from columnar_analytics_engine_spark.streaming.versioned_sink import snapshot_sink
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    batches = [[(0, "a"), (1, "b")], [(2, "c")], [(3, "d"), (4, "e")]]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "k long, v string").coalesce(1).write.parquet(
+            f"{src}/b{i}.parquet"
+        )
+    stream = (
+        spark.readStream.schema("k long, v string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/b*.parquet")
+    )
+    tp = str(tmp_path / "table")
+    q = snapshot_sink(stream, tp, str(tmp_path / "ckpt")).trigger(
+        availableNow=True
+    ).start()
+    q.awaitTermination(120)
+
+    assert V.list_versions(tp) == [0, 1, 2]
+    per_version = {
+        v: {r["k"] for r in V.read_version(spark, tp, v).collect()}
+        for v in V.list_versions(tp)
+    }
+    # each version holds exactly one source file's rows; the union is total
+    assert sorted(map(tuple, map(sorted, per_version.values()))) == [
+        (0, 1), (2,), (3, 4)
+    ]
+    # replaying a committed batch is a no-op (exactly-once): Spark
+    # re-invokes the foreachBatch function with the SAME batch_id after
+    # a failure — drive that path directly with different data
+    from columnar_analytics_engine_spark.streaming.versioned_sink import publish_batch
+
+    before = [tuple(r) for r in V.table_history(spark, tp).collect()]
+    replay = spark.createDataFrame([(99, "z")], "k long, v string")
+    publish_batch(tp)(replay, 1)
+    assert [tuple(r) for r in V.table_history(spark, tp).collect()] == before
+    assert {r["k"] for r in V.read_version(spark, tp, 1).collect()} == {2}
+    # a NEW batch_id from the replayed writer still publishes
+    publish_batch(tp)(replay, 3)
+    assert V.list_versions(tp) == [0, 1, 2, 3]
+    assert {r["k"] for r in V.read_version(spark, tp, 3).collect()} == {99}
