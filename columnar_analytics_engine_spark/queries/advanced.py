@@ -2301,16 +2301,16 @@ def customers_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("_n"),
         F.sum("x").alias("_tot"),
     )
-    # plan-keyed persist: both the gini reduce and the decile rollup
-    # consume the ranked table — uncached, the rank assembly would run
-    # twice
-    from columnar_analytics_engine_spark.operators.dedup import _persist_once
-
-    ranked = _persist_once(
+    # eager localCheckpoint: both the gini reduce and the decile rollup
+    # consume the ranked table — uncheckpointed, the rank assembly would
+    # run twice, and a persist's InMemoryTableScan would reprint the
+    # offsets/totals exchanges per branch in the plan text (brittle for
+    # plan-shape linting)
+    ranked = (
         local.join(F.broadcast(offsets), "_pid")
         .join(F.broadcast(tot))
         .withColumn("_rn", F.col("_off") + F.col("_lrn"))
-    )
+    ).localCheckpoint()
     gini_num = ranked.agg(
         F.sum(F.col("_rn") * F.col("x")).alias("_ix"),
         F.first("_n").alias("_n"),

@@ -1137,7 +1137,13 @@ def retrieval_tfidf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n_docs))
         .select("doc_id", "token", (F.col("tf") * idf_q).alias("w"))
     )
-    wtab = _persist_once(wtab)
+    # eager localCheckpoint, not persist: the weight table feeds three
+    # branches (norms, query side, candidate side); checkpointing both
+    # guarantees one build AND truncates the lineage, so downstream
+    # plans don't re-embed the build's 1-row n_docs exchange (a
+    # persist's InMemoryTableScan reprints it per reference, which made
+    # plan-shape linting depend on cache materialization order)
+    wtab = wtab.localCheckpoint()
     norms = wtab.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("nn"))
     q = wtab.filter(F.col("doc_id") < 3).select(
         F.col("doc_id").alias("query_id"), "token", F.col("w").alias("wq")

@@ -56,17 +56,12 @@ _SINGLE_PARTITION_ALLOW = {
     # Mann-Whitney U: offsets cumsum + 1-row totals broadcast + final
     # 1-row rank-sum reduce (same distributed-CDF shape as stats_ks_test)
     "stats_mann_whitney_u": 3,
-    # sparse TF-IDF cosine: ONE cached 1-row n_docs aggregate whose
-    # Exchange reprints inside every InMemoryTableScan description of
-    # the persisted weight table (4 references, materialized once)
-    "retrieval_tfidf_cosine_topk": 4,
     # LSH tuning curve: one 1-row reduce per banding config (4), all
     # over the single persisted pair list
     "dedup_lsh_tuning_curve": 4,
-    # Pareto/Gini: offsets cumsum + totals + gini 1-row reduce + the
-    # <=10-row decile cumsum, with the persisted rank subtree
-    # reprinting its bounded exchanges in both branch descriptions
-    "customers_revenue_pareto": 6,
+    # Pareto/Gini: the gini 1-row reduce + the <=10-row decile cumsum
+    # (rank assembly is behind an eager localCheckpoint)
+    "customers_revenue_pareto": 2,
     # integer PageRank: the 1-row n_nodes aggregate is re-instantiated
     # once per rank round by plan depth (3 rounds + init, each 1-row)
     "graph_pagerank_dupgraph": 4,
