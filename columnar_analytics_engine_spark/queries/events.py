@@ -800,3 +800,77 @@ QUERIES["events_ohlc_daily"] = QuerySpec(
     "daily OHLC bars per type (deterministic open/close via struct min/max)",
     ("timeseries", "agg"),
 )
+
+
+def events_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-burst days per event type: days whose event COUNT exceeds
+    the type's mean by 2σ (population) — the paging alarm for traffic
+    spikes/incidents, complementing events_anomaly_zscore (which scores
+    VALUES, not volumes).
+
+    The 2σ gate is INTEGER-EXACT, no floats in the decision: with d
+    days, per-day count n, Σn and Σn², the condition
+    n > mean + 2σ  ⇔  x > 0 ∧ x² > 4·(d·Σn² − (Σn)²)  where
+    x = n·d − Σn — all int64 (safe past 10⁹ events/day·10³ days).  The
+    reported z-score is micro-rounded for display only.  Two keyed
+    aggregations + one broadcast-able per-type join; no windows.
+    """
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").cast("string").alias("day"),
+    ).agg(F.count("*").alias("n"))
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").alias("d"),
+        F.sum("n").alias("s"),
+        F.sum(F.col("n") * F.col("n")).alias("q"),
+    )
+    j = daily.join(F.broadcast(stats), "event_type")
+    x = F.col("n") * F.col("d") - F.col("s")
+    var_term = F.col("d") * F.col("q") - F.col("s") * F.col("s")  # d²·σ²
+    is_burst = (x > 0) & (x * x > 4 * var_term)
+    z = F.when(
+        var_term > 0,
+        F.round(
+            x.cast("double") / F.sqrt(var_term.cast("double")) * F.lit(1e6)
+        ).cast("long").cast("double")
+        / F.lit(1e6),
+    )
+    return (
+        j.select("event_type", "day", "n", is_burst.alias("is_burst"), z.alias("z_score"))
+        .filter(F.col("is_burst"))
+        .orderBy("event_type", "day")
+    )
+
+
+QUERIES["events_burst_detection"] = QuerySpec(
+    events_burst_detection,
+    """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT event_type, COUNT(*) AS d,
+             CAST(SUM(n) AS BIGINT) AS s,
+             CAST(SUM(n * n) AS BIGINT) AS q
+      FROM daily GROUP BY 1
+    )
+    SELECT d1.event_type, d1.day, d1.n,
+           TRUE AS is_burst,
+           CASE WHEN st.d * st.q - st.s * st.s > 0 THEN
+             CAST(CAST(ROUND(CAST(d1.n * st.d - st.s AS DOUBLE)
+                  / SQRT(CAST(st.d * st.q - st.s * st.s AS DOUBLE)) * 1e6)
+                  AS BIGINT) AS DOUBLE) / 1e6
+           END AS z_score
+    FROM daily d1 JOIN st USING (event_type)
+    WHERE d1.n * st.d - st.s > 0
+      AND (d1.n * st.d - st.s) * (d1.n * st.d - st.s)
+            > 4 * (st.d * st.q - st.s * st.s)
+    ORDER BY d1.event_type, d1.day
+    """,
+    "2-sigma volume-burst days per type (integer-exact gate, no windows)",
+    ("timeseries", "quality"),
+)
