@@ -2384,3 +2384,75 @@ QUERIES["customers_revenue_pareto"] = QuerySpec(
     "customer revenue deciles + cumulative share + Gini (distributed rank)",
     ("analytics", "stats"),
 )
+
+
+def customers_order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-order time gaps per market segment: how many days pass
+    between a customer's consecutive orders — the purchase-cadence
+    input behind churn prediction and replenishment-campaign timing.
+
+    Per-customer gaps come from a PARTITIONED lag window over
+    (order date, key) — integer day arithmetic (datediff), no global
+    window; the per-segment rollup reports count, exact integer mean,
+    and interpolated median/p90 (the percentile_exact cross-engine
+    pairing: Spark `percentile` ≡ DuckDB `quantile_cont` on the same
+    integer gaps)."""
+    orders = t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("od"),
+    )
+    w = W.partitionBy("o_custkey").orderBy("od", "o_orderkey")
+    gaps = (
+        orders.withColumn("prev", F.lag("od").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(
+            "o_custkey",
+            F.datediff(F.col("od"), F.col("prev")).cast("long").alias("gap_days"),
+        )
+    )
+    cust = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    return (
+        gaps.join(cust, "o_custkey")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            (
+                F.sum("gap_days").cast("double") / F.count("*").cast("double")
+            ).alias("mean_gap_days"),
+            F.expr("percentile(gap_days, 0.5)").alias("median_gap_days"),
+            F.expr("percentile(gap_days, 0.9)").alias("p90_gap_days"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+QUERIES["customers_order_gap_stats"] = QuerySpec(
+    customers_order_gap_stats,
+    """
+    WITH o AS (
+      SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS od
+      FROM orders
+    ),
+    gaps AS (
+      SELECT o_custkey,
+             CAST(od - LAG(od) OVER (PARTITION BY o_custkey
+                                     ORDER BY od, o_orderkey) AS BIGINT)
+               AS gap_days
+      FROM o
+    ),
+    g AS (SELECT * FROM gaps WHERE gap_days IS NOT NULL)
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_gaps,
+           CAST(SUM(g.gap_days) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS mean_gap_days,
+           quantile_cont(g.gap_days, 0.5) AS median_gap_days,
+           quantile_cont(g.gap_days, 0.9) AS p90_gap_days
+    FROM g JOIN customer c ON c.c_custkey = g.o_custkey
+    GROUP BY 1 ORDER BY 1
+    """,
+    "inter-order gap cadence per segment (lag gaps + exact mean + quantiles)",
+    ("timeseries", "analytics", "window"),
+)
