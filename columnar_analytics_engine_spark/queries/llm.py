@@ -1828,3 +1828,83 @@ QUERIES["dedup_lsh_tuning_curve"] = QuerySpec(
     "expected LSH recall per (bands, rows) config on the observed pair distribution",
     ("dedup", "governance"),
 )
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator calibration
+# ---------------------------------------------------------------------------
+
+def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration of the MinHash Jaccard ESTIMATOR against exact
+    Jaccard on the verified near-dup pairs: per pair the signature
+    agreement fraction (matching components / k) is the sketch's
+    similarity estimate; this reports its mean absolute error and bias
+    in micro units plus the worst single-pair deviation — the
+    sketch-health number that says whether k=32 components are enough
+    for THIS corpus before anyone trusts the LSH pipeline's scores.
+
+    Shape: the verified pair list (same plan as dedup_minhash_lsh)
+    joined twice against the signature table (doc-keyed broadcasts at
+    report scale, shuffle joins at 100 TB); the per-pair error is exact
+    integer arithmetic (agreement·10⁶/k and micro-quantized exact
+    jaccard), so the aggregate is order-independent."""
+    docs = t(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(docs)
+    pairs = D.minhash_near_duplicates(docs, threshold=0.8)
+    k = D.MINHASH_K
+    a = sigs.select(F.col("doc_id").alias("d1"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(k)])
+    b = sigs.select(F.col("doc_id").alias("d2"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(k)])
+    j = pairs.join(a, "d1").join(b, "d2")
+    agree = None
+    for i in range(k):
+        c = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        agree = c if agree is None else agree + c
+    est_micro = (agree.cast("long") * F.lit(1_000_000)) / F.lit(k)
+    exact_micro = F.round(F.col("jaccard") * F.lit(1e6)).cast("long")
+    err = est_micro.cast("long") - exact_micro
+    return j.select(err.alias("e")).agg(
+        F.count("*").alias("n_pairs"),
+        (F.sum(F.abs(F.col("e"))).cast("double") / F.count("*").cast("double") / F.lit(1e6)).alias("mean_abs_error"),
+        (F.sum(F.col("e")).cast("double") / F.count("*").cast("double") / F.lit(1e6)).alias("mean_bias"),
+        (F.max(F.abs(F.col("e"))).cast("double") / F.lit(1e6)).alias("max_abs_error"),
+    )
+
+
+def _minhash_calibration_sql() -> str:
+    k = D.MINHASH_K
+    fam = sql_affine_hash("token", k)
+    mins = ",\n         ".join(f"MIN({fam[i]}) AS h{i}" for i in range(k))
+    agree = " + ".join(f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(k))
+    return f"""
+    WITH pr AS ({_minhash_lsh_sql(0.8, D.MINHASH_K, D.LSH_BANDS, D.LSH_ROWS_PER_BAND)}),
+    tok2 AS (
+      SELECT doc_id, unnest(list_distinct({_SQL_TOKENS})) AS token
+      FROM documents
+    ),
+    sig2 AS (
+      SELECT doc_id,
+         {mins}
+      FROM tok2 GROUP BY doc_id
+    ),
+    e AS (
+      SELECT (CAST(({agree}) AS BIGINT) * 1000000) / {k}
+             - CAST(ROUND(pr.jaccard * 1e6) AS BIGINT) AS e
+      FROM pr
+      JOIN sig2 sa ON sa.doc_id = pr.d1
+      JOIN sig2 sb ON sb.doc_id = pr.d2
+    )
+    SELECT COUNT(*) AS n_pairs,
+           CAST(SUM(ABS(e)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1e6
+             AS mean_abs_error,
+           CAST(SUM(e) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1e6 AS mean_bias,
+           CAST(MAX(ABS(e)) AS DOUBLE) / 1e6 AS max_abs_error
+    FROM e
+    """
+
+
+QUERIES["dedup_minhash_calibration"] = QuerySpec(
+    dedup_minhash_calibration,
+    _minhash_calibration_sql(),
+    "MinHash estimator vs exact Jaccard: MAE/bias/worst-case on verified pairs",
+    ("dedup", "governance", "quality"),
+)
