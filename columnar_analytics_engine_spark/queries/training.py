@@ -1933,3 +1933,52 @@ QUERIES["text_zipf_fit"] = QuerySpec(
     "Zipf-law OLS fit over the vocabulary (distributed global rank; slope≈-1 healthy)",
     ("text", "stats", "quality"),
 )
+
+
+def text_stopword_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-adaptive stopword discovery: tokens appearing in ≥ 40% of
+    documents, ranked by document frequency — the data-derived list a
+    multilingual curation pipeline uses instead of hand-curated
+    English-only stopwords (feeds quality scoring and index pruning;
+    CCNet-style).  One explode + distinct + groupBy (doc-frequency
+    table), one lazy 1-row total broadcast, exact integer ratio."""
+    docs = t(spark, sf_dir, "documents")
+    dfreq = (
+        docs.select("doc_id", F.explode(F.array_distinct(X.tokens(F.col("text")))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("doc_freq"))
+    )
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    return (
+        dfreq.join(F.broadcast(n_docs))
+        .filter(F.col("doc_freq") * 5 >= F.col("n_docs") * 2)  # df/N >= 0.4 exact
+        .select(
+            "token",
+            "doc_freq",
+            (F.col("doc_freq").cast("double") / F.col("n_docs").cast("double")).alias(
+                "doc_frac"
+            ),
+        )
+        .orderBy(F.col("doc_freq").desc(), "token")
+    )
+
+
+QUERIES["text_stopword_discovery"] = QuerySpec(
+    text_stopword_discovery,
+    f"""
+    WITH dfreq AS (
+      SELECT token, COUNT(*) AS doc_freq
+      FROM (SELECT doc_id, unnest(list_distinct({_SQL_TOKENS})) AS token
+            FROM documents) u
+      GROUP BY 1
+    ),
+    nd AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT token, doc_freq,
+           CAST(doc_freq AS DOUBLE) / CAST(n_docs AS DOUBLE) AS doc_frac
+    FROM dfreq, nd
+    WHERE doc_freq * 5 >= n_docs * 2
+    ORDER BY doc_freq DESC, token
+    """,
+    "corpus-adaptive stopwords: tokens in >=40% of docs (exact integer gate)",
+    ("text", "training"),
+)
