@@ -52,6 +52,32 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
+def _dtype_mismatch(s: pd.Series, o: pd.Series) -> str | None:
+    """Driver-parity numeric type strictness.
+
+    The driver's value hash is type-strict: a Spark int64 column hashed
+    against a DuckDB HUGEINT rendered as float64 mismatches even when
+    every value is numerically equal (the round-6 failure class).  The
+    in-repo gate therefore fails whenever one side is integral and the
+    other floating, independent of the values.  Kinds outside the
+    numeric family keep the lenient per-value comparison (pandas
+    renders dates/strings through ``object`` inconsistently across
+    versions, and the driver normalizes those).
+    """
+    ks, ko = s.dtype.kind, o.dtype.kind
+    ks = "i" if ks == "u" else ks
+    ko = "i" if ko == "u" else ko
+    if {ks, ko} == {"i", "f"}:
+        return (
+            f"numeric dtype mismatch: spark={s.dtype} oracle={o.dtype} "
+            "(driver hash is type-strict; CAST the oracle column, e.g. "
+            "HUGEINT window-sums need CAST(... AS BIGINT))"
+        )
+    if {ks, ko} == {"i", "b"} or {ks, ko} == {"f", "b"}:
+        return f"numeric/bool dtype mismatch: spark={s.dtype} oracle={o.dtype}"
+    return None
+
+
 def _values_equal(a: object, b: object) -> bool:
     if a is None and b is None:
         return True
@@ -85,6 +111,13 @@ def compare(name: str, spark_df: DataFrame, sql: str, con) -> CompareResult:
 
     s = _normalize(spark_pdf)
     o = _normalize(oracle_pdf)
+    for col in s.columns:
+        issue = _dtype_mismatch(s[col], o[col])
+        if issue:
+            res.ok = False
+            res.issues.append(f"col={col}: {issue}")
+    if not res.ok:
+        return res
     n_bad = 0
     for col in s.columns:
         sv, ov = s[col].tolist(), o[col].tolist()

@@ -78,8 +78,9 @@ def pagerank_round_sql(prev: str, cur: str, edges: str = "edges", scale: int = P
     return f"""
 {cur} AS (
   SELECT d.node, d.degree, d.n_nodes,
-         {teleport} // d.n_nodes
-           + COALESCE(SUM((r.rank * {PR_DAMP_NUM} // {PR_DAMP_DEN}) // r.degree), 0) AS rank
+         CAST({teleport} // d.n_nodes
+           + COALESCE(SUM((r.rank * {PR_DAMP_NUM} // {PR_DAMP_DEN}) // r.degree), 0)
+           AS BIGINT) AS rank
   FROM {prev} d
   LEFT JOIN {edges} e ON e.dst = d.node
   LEFT JOIN {prev} r ON r.node = e.src

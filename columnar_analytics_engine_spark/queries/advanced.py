@@ -974,7 +974,8 @@ QUERIES["orders_backlog_over_time"] = QuerySpec(
     )
     SELECT month, open_orders FROM (
       SELECT month,
-             SUM(net) OVER (ORDER BY month ROWS UNBOUNDED PRECEDING) AS open_orders
+             CAST(SUM(net) OVER (ORDER BY month ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS open_orders
       FROM deltas
     ) y WHERE open_orders > 0
     ORDER BY month

@@ -547,8 +547,8 @@ QUERIES["events_user_growth"] = QuerySpec(
     ),
     daily AS (SELECT day, COUNT(*) AS new_users FROM firsts GROUP BY 1)
     SELECT day, new_users,
-           SUM(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
-             AS cumulative_users
+           CAST(SUM(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cumulative_users
     FROM daily ORDER BY day
     """,
     "daily new + cumulative distinct users (first-seen-day reduction)",
