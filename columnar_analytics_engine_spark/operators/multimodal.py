@@ -58,15 +58,52 @@ def attach_payload(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
 
 def decode_image_batch(payloads: pd.Series) -> pd.Series:
-    """Stub for real image decode (PIL/libvips not in this container).
+    """Real image decode when Pillow is importable, honest stub when not.
 
-    Cite: this is the extension point a real deployment fills; the
-    engine's contract is only the mapInPandas batch shape around it.
+    With PIL present each payload decodes to an RGB pixel array (a
+    ``pd.Series`` of ``np.ndarray`` HxWx3 uint8; None for null/broken
+    payloads — bad blobs must not kill a 100 TB job).  Without it the
+    NotImplementedError documents the extension point a real deployment
+    fills; the engine's contract is only the mapInPandas batch shape
+    around it (exercised by ``fake_feature_extract``).
     """
-    raise NotImplementedError(
-        "media decoding requires an image library; inject a decoder via "
-        "extract_features(decoder=...) or use fake_feature_extract"
+    try:
+        import io as _io
+
+        from PIL import Image
+    except ImportError:
+        raise NotImplementedError(
+            "media decoding requires an image library (pip install pillow); "
+            "inject a decoder via extract_features(decoder=...) or use "
+            "fake_feature_extract"
+        ) from None
+
+    def _decode(payload: bytes | None):
+        if payload is None:
+            return None
+        try:
+            with Image.open(_io.BytesIO(payload)) as im:
+                return np.asarray(im.convert("RGB"))
+        except Exception:
+            return None
+
+    return payloads.map(_decode)
+
+
+def pil_feature_extract(payload: bytes | None) -> list[float]:
+    """Decoder for :func:`extract_features` backed by a real decode:
+    FEATURE_DIM-bin luminance histogram of the decoded pixels,
+    L1-normalized.  Raises NotImplementedError when Pillow is absent
+    (same contract as :func:`decode_image_batch`)."""
+    decoded = decode_image_batch(pd.Series([payload]))[0]
+    if decoded is None:
+        return [0.0] * FEATURE_DIM
+    lum = (
+        0.299 * decoded[..., 0] + 0.587 * decoded[..., 1] + 0.114 * decoded[..., 2]
     )
+    hist, _ = np.histogram(lum, bins=FEATURE_DIM, range=(0, 256))
+    total = float(hist.sum()) or 1.0
+    return [float(h) / total for h in hist]
 
 
 def fake_feature_extract(payload: bytes | None) -> list[float]:
@@ -648,14 +685,21 @@ def video_metadata(media: DataFrame, payload_col: str = "payload") -> DataFrame:
     mf = _mp4_fields(p)
     ts = mf.getField("ts")
     dur = mf.getField("dur")
-    duration_ms = F.when(
-        is_mp4 & ts.isNotNull() & (ts > 0) & dur.isNotNull(),
-        (dur * F.lit(1000) / ts).cast("long"),
-    )
+    # integer arithmetic (div, not / with a truncating cast): a double
+    # division loses precision once dur*1000 exceeds 2^53
     return (
         media.withColumn("video_brand", brand)
         .withColumn("video_timescale", F.when(is_mp4, ts))
-        .withColumn("video_duration_ms", duration_ms)
+        .withColumn("_dur1000", (dur * F.lit(1000)).cast("long"))
+        .withColumn("_ts", ts.cast("long"))
+        .withColumn(
+            "video_duration_ms",
+            F.when(
+                is_mp4 & ts.isNotNull() & (ts > 0) & dur.isNotNull(),
+                F.expr("_dur1000 div _ts"),
+            ),
+        )
+        .drop("_dur1000", "_ts")
         .withColumn("video_width", F.when(is_mp4, mf.getField("w")))
         .withColumn("video_height", F.when(is_mp4, mf.getField("h")))
     )

@@ -92,7 +92,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     single exact IEEE division — ln() is transcendental and libm
     implementations may differ in the last bit across engines.
     """
-    from columnar_analytics_engine_spark.operators.dedup import _persist_once
+    from columnar_analytics_engine_spark.functions.caching import persist_once as _persist_once
 
     docs = t(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("token"))

@@ -99,7 +99,7 @@ def retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-row df table and the 1-row corpus stats, then a TakeOrdered
     top-k — no global sort, no driver loop.
     """
-    from columnar_analytics_engine_spark.operators.dedup import _persist_once
+    from columnar_analytics_engine_spark.functions.caching import persist_once as _persist_once
 
     docs = t(spark, sf_dir, "documents")
     tok = _tok(docs)
@@ -176,7 +176,7 @@ def text_unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     products stay below 2^53 up to ~10^15 corpus tokens per the
     decimal-switch note in queries/_util.py.
     """
-    from columnar_analytics_engine_spark.operators.dedup import _persist_once
+    from columnar_analytics_engine_spark.functions.caching import persist_once as _persist_once
 
     docs = t(spark, sf_dir, "documents")
     # One explode into the word-count-scale (doc, token, tf) table,
@@ -1121,7 +1121,7 @@ def retrieval_tfidf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     past ~10^5-term documents); the cosine is one double division
     rounded to 4 places, both engines identical.
     """
-    from columnar_analytics_engine_spark.operators.dedup import _persist_once
+    from columnar_analytics_engine_spark.functions.caching import persist_once as _persist_once
 
     docs = t(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("token"))

@@ -14,6 +14,14 @@ the streaming producer side of the snapshot/diff pipeline.
 At scale each snapshot is a full partitioned dataset; for hourly/daily
 cadence that is the standard "publish immutable partitions" pattern,
 with `vacuum(keep_last=k)` bounding storage.
+
+Exactly-once REQUIRES a replayable source (file/record-archive/Kafka):
+the idempotent skip of an already-committed batch_id assumes the replay
+carries the same rows as the original attempt.  A non-replayable source
+(socket, rate with wall-clock payloads) can re-deliver batch N with
+different data, which the skip silently discards — at-most-once for
+that batch.  Also inherits the versioned layer's driver-visible-POSIX
+``table_path`` constraint (see ``versioned`` module docstring).
 """
 
 from __future__ import annotations

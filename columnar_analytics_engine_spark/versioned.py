@@ -17,6 +17,16 @@ At 100 TB this is the nightly-snapshot pattern: each version is a
 complete partitioned dataset, ``diff_versions`` (one full-outer key
 join, bucketed storage makes it shuffle-free) feeds incremental
 downstream rebuilds, and ``vacuum(keep_last=k)`` bounds storage.
+
+Deployment constraint: the version-directory bookkeeping
+(``list_versions`` / ``vacuum`` / ``table_history``) walks the table
+path with driver-local ``os``/``shutil``, so ``table_path`` must be a
+POSIX filesystem visible from the driver (local disk, NFS, or an
+object store mounted via FUSE/NFS gateway).  For a native object-store
+deployment (s3a/abfss/gs), route these directory ops through the
+Hadoop ``FileSystem`` API (``spark._jvm.org.apache.hadoop.fs``) —
+the data reads/writes themselves already go through Spark and work on
+any supported filesystem.
 """
 
 from __future__ import annotations
@@ -113,9 +123,20 @@ def vacuum(table_path: str, keep_last: int = 1) -> list[int]:
 
 
 def _row_digest(df: DataFrame, key: str):
-    """Deterministic digest of every non-key column (schema-ordered
-    JSON encoding → md5); NULL-safe and engine-stable for same schema."""
-    cols = [c for c in df.columns if c != key]
+    """Deterministic digest of every non-key column (NAME-ordered JSON
+    encoding → md5); NULL-safe and engine-stable for same column SET,
+    so a cross-version column reorder does not mark every row changed.
+    Map-typed columns are unsupported in ``diff_versions``: ``to_json``
+    serializes map entries in engine-internal order, so equal maps can
+    digest differently."""
+    cols = sorted(c for c in df.columns if c != key)
+    for f in df.schema.fields:
+        if f.name in cols and f.dataType.typeName() == "map":
+            raise ValueError(
+                f"diff_versions does not support map-typed column {f.name!r} "
+                "(to_json map entry order is engine-internal); cast to "
+                "array_sort(map_entries(...)) first"
+            )
     return F.md5(F.to_json(F.struct(*[F.col(c) for c in cols])))
 
 

@@ -58,8 +58,39 @@ def test_chunking_covers_payload(media):
 def test_real_decoder_is_stubbed():
     import pandas as pd
 
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("Pillow present: decode is real, not a stub")
+    except ImportError:
+        pass
     with pytest.raises(NotImplementedError):
         decode_image_batch(pd.Series([b"xx"]))
+
+
+def test_real_decoder_with_pillow():
+    """Runs only where Pillow exists: decode a tiny real PNG, broken
+    payloads and None degrade to None instead of failing the batch."""
+    import pandas as pd
+
+    Image = pytest.importorskip("PIL.Image")
+    import io as _io
+
+    import numpy as np
+
+    from columnar_analytics_engine_spark.operators.multimodal import (
+        pil_feature_extract,
+    )
+
+    buf = _io.BytesIO()
+    Image.new("RGB", (4, 2), (255, 0, 0)).save(buf, format="PNG")
+    png = buf.getvalue()
+    out = decode_image_batch(pd.Series([png, b"not an image", None]))
+    assert out[0].shape == (2, 4, 3) and out[0].dtype == np.uint8
+    assert (out[0][..., 0] == 255).all() and (out[0][..., 1:] == 0).all()
+    assert out[1] is None and out[2] is None
+    feats = pil_feature_extract(png)
+    assert len(feats) == FEATURE_DIM and abs(sum(feats) - 1.0) < 1e-9
 
 
 def test_fake_decoder_handles_null():
