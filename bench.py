@@ -54,13 +54,12 @@ BENCH_QUERIES: dict[str, bool] = {
     "events_funnel_windowed": False,  # single-shuffle windowed funnel
     "sketch_heavy_hitters": False,  # count-min sketch build + probe
     # round-6 additions (BASELINE.md "Round-6 headline measurements").
-    # dedup_containment_lsh is deliberately NOT here: at sf0.1 the
-    # adversarial corpus yields 7.6M LSH candidates (2.9M true near-dup
-    # pairs among 5k docs), so its verify costs ~12 s — real work at
-    # ~600k pair-verifies/s, but the dense-dedup cost class is already
-    # represented by dedup_minhash_lsh; details in BASELINE.md.
     "approx_quantile_by_group": False,  # mergeable grouped quantile sketch
     "retrieval_hybrid_rrf": False,  # BM25 + vector rank fusion
+    # round-7: back in the headline after the single-pass verify
+    # rewrite (12.7 s -> ~5 s; the sf0.1 corpus still yields 7.6M LSH
+    # candidates to verify — details in BASELINE.md "Round-7")
+    "dedup_containment_lsh": False,  # LSH-candidate containment verify
     # round-6 second-session additions (new cost classes; BASELINE.md)
     "classifier_nb_confusion": False,  # trained NB classifier: vocab join + argmax
     "dedup_passage_removal": False,  # keep-one-copy text rewrite
