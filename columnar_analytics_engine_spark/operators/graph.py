@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from columnar_analytics_engine_spark.functions.caching import persist_once
+
 PR_SCALE = 10**12
 PR_DAMP_NUM = 85   # damping 0.85 as an exact rational
 PR_DAMP_DEN = 100
@@ -41,7 +43,10 @@ def pagerank(edges: DataFrame, iterations: int = 3, scale: int = PR_SCALE) -> Da
     adj = edges.select("src", "dst")
     deg = adj.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("degree"))
     n1 = deg.agg(F.count("*").alias("n_nodes"))
-    nodes = deg.crossJoin(F.broadcast(n1))
+    # node-sized and referenced by the init AND every round's rebuild:
+    # persisted, or each of the iterations+1 consumers re-runs the
+    # degree aggregation + cross join (duplicate_join_subtrees class)
+    nodes = persist_once(deg.crossJoin(F.broadcast(n1)))
     teleport = (scale * (PR_DAMP_DEN - PR_DAMP_NUM)) // PR_DAMP_DEN
     r = nodes.withColumn("rank", F.expr(f"{scale} div n_nodes"))
     for _ in range(iterations):

@@ -16,9 +16,24 @@ from pyspark.sql import functions as F
 
 def merge_upsert(target: DataFrame, source: DataFrame, key: str) -> DataFrame:
     """Upsert ``source`` rows into ``target`` by ``key`` (source wins on
-    conflict).  Schemas must match."""
-    untouched = target.join(source.select(key), key, "left_anti")
-    return untouched.unionByName(source)
+    conflict).  Schemas must match; each side is key-unique.
+
+    Single pass over each input: union with a source-priority tag, one
+    key-partitioned window keeps the winning row.  The anti-join
+    formulation (``target ⟍ source.select(key)`` ∪ ``source``) consumes
+    ``source`` twice, re-executing its whole derivation per branch
+    (duplicate_join_subtrees class); the window costs the same one
+    key shuffle and reads both sides once.
+    """
+    tagged = target.withColumn("_src_pri", F.lit(0)).unionByName(
+        source.withColumn("_src_pri", F.lit(1))
+    )
+    w = W.partitionBy(key).orderBy(F.col("_src_pri").desc())
+    return (
+        tagged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_src_pri")
+    )
 
 
 def scd2_apply(

@@ -17,11 +17,67 @@ never something a cluster can absorb.
 
 from __future__ import annotations
 
+import re
+from collections import Counter
+
 from pyspark.sql import DataFrame
 
 
 def physical_plan(df: DataFrame) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
+
+
+_ID_RE = re.compile(r"#\d+L?|plan_id=\d+|\[id=#?\d+\]|exprId=\d+")
+
+
+def _normalize_subtree(node) -> str:
+    """Subtree string with expression/plan ids stripped, so two builds
+    of the same logical subtree compare equal."""
+    return _ID_RE.sub("#x", node.toString())
+
+
+def duplicate_join_subtrees(df: DataFrame) -> list[str]:
+    """Join subtrees that appear (normalized-)identically more than
+    once in the plan — each duplicate EXECUTES separately.
+
+    This is the union-of-filters recompute class: branching a DataFrame
+    (``direction_a.union(direction_b)``) recomputes every unpersisted
+    ancestor per branch, silently doubling the most expensive stage
+    (the containment verify shipped 2× slower this way).
+
+    Detection runs on ``withCachedData`` — the analyzed plan AFTER
+    cache substitution but BEFORE the optimizer: cached shared subtrees
+    already render as ``InMemoryRelation`` leaves (not flagged; the
+    cache is the fix), while filter/column pushdown has not yet rewritten
+    the branches into superficially-different physical subtrees (which
+    hides exactly the duplicates this hunts — pushdown specializes each
+    branch's copy without stopping the recompute).  Spark's own reuse
+    machinery (``ReusedExchange``) only deduplicates shuffle/broadcast
+    exchanges within one stage graph, not whole logical subtrees.
+    Fix for a true positive: compute once and stack the branches with
+    ``inline``/``explode``, or persist the shared frame.
+    """
+    root = df._jdf.queryExecution().withCachedData()
+    counts: Counter[str] = Counter()
+    names: dict[str, str] = {}
+    stack = [root]
+    while stack:
+        node = stack.pop()
+        name = node.nodeName()
+        if "Join" in name:
+            key = _normalize_subtree(node)
+            counts[key] += 1
+            names[key] = name
+        ch = node.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+        # InMemoryRelation is a leaf here: its cached physical plan
+        # hangs off innerChildren, which we deliberately do not enter
+    return [
+        f"{names[k]} subtree executed {c}x"
+        for k, c in counts.items()
+        if c > 1
+    ]
 
 
 def lint_plan(

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from columnar_analytics_engine_spark.functions.caching import persist_once
 from columnar_analytics_engine_spark.functions.hashing import h60, sql_h60
 from columnar_analytics_engine_spark.queries._util import (
     QuerySpec,
@@ -931,13 +932,23 @@ def orders_backlog_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("close_m"),
         )
     )
+    # +1/−1 deltas stacked with inline() in ONE pass over spans — a
+    # union of two selects would re-execute the orders⋈closes join per
+    # branch (the recompute class duplicate_join_subtrees flags)
     deltas = (
-        spans.select(F.col("open_m").alias("month"), F.lit(1).alias("d"))
-        .unionByName(
-            spans.select(
-                F.add_months(F.to_date(F.col("close_m"), "yyyy-MM"), 1).alias("_m"),
-                F.lit(-1).alias("d"),
-            ).select(F.date_format("_m", "yyyy-MM").alias("month"), "d")
+        spans.select(
+            F.inline(
+                F.array(
+                    F.struct(F.col("open_m").alias("month"), F.lit(1).alias("d")),
+                    F.struct(
+                        F.date_format(
+                            F.add_months(F.to_date(F.col("close_m"), "yyyy-MM"), 1),
+                            "yyyy-MM",
+                        ).alias("month"),
+                        F.lit(-1).alias("d"),
+                    ),
+                )
+            )
         )
         .groupBy("month")
         .agg(F.sum("d").alias("net"))
@@ -1002,11 +1013,16 @@ def customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_sum("o_totalprice", "monetary"),
     )
     anchor = orders.agg(F.max("o_orderdate").alias("corpus_max"))
-    base = per_cust.join(F.broadcast(anchor)).select(
-        "o_custkey",
-        F.datediff("corpus_max", "last_order").cast("long").alias("recency_days"),
-        "frequency",
-        "monetary",
+    # persisted: base feeds both the quintile cutoffs and the scoring
+    # join — unpersisted, each branch re-runs the per-customer reduce
+    # over orders (duplicate_join_subtrees class)
+    base = persist_once(
+        per_cust.join(F.broadcast(anchor)).select(
+            "o_custkey",
+            F.datediff("corpus_max", "last_order").cast("long").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
     )
     qs = [0.2, 0.4, 0.6, 0.8]
     cuts = base.agg(

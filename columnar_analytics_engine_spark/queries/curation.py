@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from columnar_analytics_engine_spark.functions import text as X
+from columnar_analytics_engine_spark.functions.caching import persist_once
 from columnar_analytics_engine_spark.functions.hashing import (
     gram_hash_array,
     h60,
@@ -485,25 +486,36 @@ def pipeline_attrition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents")
     w_fp = W.partitionBy("fp").orderBy("doc_id")
-    s1 = (
+    s1 = persist_once(
         docs.withColumn("fp", X.fingerprint(F.col("text")))
         .withColumn("_rn", F.row_number().over(w_fp))
         .filter(F.col("_rn") == 1)
         .drop("fp", "_rn")
     )
     pairs = D.minhash_near_duplicates(s1, threshold=0.8)
-    s2 = s1.join(
-        pairs.select(F.col("d2").alias("doc_id")).distinct(), "doc_id", "left_anti"
+    # one-pass funnel: chaining s2 = s1 ⟍ drops, s3 = filter(s2) and
+    # counting each stage separately re-executes every upstream stage
+    # (incl. the whole near-dup pipeline) once per downstream count
+    # (duplicate_join_subtrees class).  Instead each s1 doc gets stage
+    # survival FLAGS and one reduce emits all counts: the near-dup
+    # pipeline runs once, the corpus is scanned once past the window.
+    drops = pairs.select(F.col("d2").alias("doc_id")).distinct()
+    flags = (
+        s1.join(drops.withColumn("_nd", F.lit(1)), "doc_id", "left")
+        .select(
+            F.col("_nd").isNull().alias("k2"),
+            (
+                F.col("_nd").isNull()
+                & (X.token_count(F.col("text")) >= 10)
+            ).alias("k3"),
+        )
     )
-    s3 = s2.filter(X.token_count(F.col("text")) >= 10)
-
-    counts = [
-        df.agg(F.count("*").alias(f"c{i}"))
-        for i, df in enumerate((docs, s1, s2, s3))
-    ]
-    row = counts[0]
-    for c in counts[1:]:
-        row = row.join(F.broadcast(c))
+    stage_counts = flags.agg(
+        F.count("*").alias("c1"),
+        F.sum(F.when(F.col("k2"), 1).otherwise(0)).cast("long").alias("c2"),
+        F.sum(F.when(F.col("k3"), 1).otherwise(0)).cast("long").alias("c3"),
+    )
+    row = docs.agg(F.count("*").alias("c0")).join(F.broadcast(stage_counts))
 
     names = ["input", "exact_dedup", "near_dup", "quality_gate"]
 
@@ -1005,9 +1017,13 @@ def corpus_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(X.tokens(F.col("text"))).alias("token"),
         )
     )
-    counts = tok.groupBy("token").agg(
-        F.sum(F.when(F.col("first_half"), 1).otherwise(0)).alias("c_p"),
-        F.sum(F.when(F.col("first_half"), 0).otherwise(1)).alias("c_q"),
+    # vocabulary-sized reduce persisted: it feeds both its own totals
+    # and the KL join — unpersisted, each branch re-tokenizes the corpus
+    counts = persist_once(
+        tok.groupBy("token").agg(
+            F.sum(F.when(F.col("first_half"), 1).otherwise(0)).alias("c_p"),
+            F.sum(F.when(F.col("first_half"), 0).otherwise(1)).alias("c_q"),
+        )
     )
     totals = counts.agg(
         F.sum("c_p").alias("n_p"),
@@ -1213,17 +1229,20 @@ def dedup_passage_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda s: s.getField("token"),
             ),
             " ",
-        ).alias("clean_text")
+        ).alias("clean_text"),
+        F.count("*").cast("long").alias("n_kept"),
     )
-    rem = covered.groupBy("doc_id").agg(F.count("*").alias("n_removed"))
+    # n_removed derives from the SAME aggregation as clean_text
+    # (n_tokens − n_kept): a separate covered.groupBy would re-execute
+    # the spans⋈stats join a second time (duplicate_join_subtrees class)
     return (
         toks.select("doc_id", F.size("l").cast("long").alias("n_tokens"))
-        .join(rem, "doc_id", "left")
         .join(clean, "doc_id", "left")
         .select(
             "doc_id",
             "n_tokens",
-            F.coalesce(F.col("n_removed"), F.lit(0)).alias("n_removed"),
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .alias("n_removed"),
             F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
         )
         .orderBy("doc_id")
@@ -1312,7 +1331,10 @@ def training_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals join.
     """
     docs = t(spark, sf_dir, "documents")
-    per_src = (
+    # persist the tiny per-source reduce: it feeds both its own total
+    # and the join, and unpersisted each consumer re-scans + re-tokenizes
+    # the whole corpus (duplicate_join_subtrees class); same below for j2
+    per_src = persist_once(
         docs.select("source", X.token_count(F.col("text")).alias("n_tok"))
         .groupBy("source")
         .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
@@ -1321,8 +1343,10 @@ def training_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = per_src.join(F.broadcast(totals))
     p = F.col("n_tokens").cast("double") / F.col("_total_tokens").cast("double")
     pow_micro = F.round(F.pow(p, F.lit(_TEMP_ALPHA)) * F.lit(1e6)).cast("long")
-    j2 = j.select("source", "n_docs", "n_tokens", p.alias("natural_share"),
-                  pow_micro.alias("_pm"))
+    j2 = persist_once(
+        j.select("source", "n_docs", "n_tokens", p.alias("natural_share"),
+                 pow_micro.alias("_pm"))
+    )
     norm = j2.agg(F.sum("_pm").alias("_pm_sum"))
     out = j2.join(F.broadcast(norm))
     temp_share = F.col("_pm").cast("double") / F.col("_pm_sum").cast("double")

@@ -1040,8 +1040,13 @@ def dedup_lsh_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the two pipelines' own bounded shuffles.
     """
     docs = t(spark, sf_dir, "documents")
-    lsh = D.minhash_near_duplicates(docs, threshold=0.8).select("d1", "d2")
-    exact = D.jaccard_pairs(docs, threshold=0.8).select("d1", "d2")
+    # both pair lists persisted: each feeds its own count AND the
+    # intersection count — unpersisted, each pipeline executes twice
+    # (duplicate_join_subtrees class)
+    lsh = D._persist_once(
+        D.minhash_near_duplicates(docs, threshold=0.8).select("d1", "d2")
+    )
+    exact = D._persist_once(D.jaccard_pairs(docs, threshold=0.8).select("d1", "d2"))
     n_lsh = lsh.agg(F.count("*").alias("n_lsh"))
     n_exact = exact.agg(F.count("*").alias("n_exact"))
     n_common = lsh.join(exact, ["d1", "d2"]).agg(F.count("*").alias("n_common"))

@@ -10,9 +10,10 @@ the relational shapes the simpler queries don't reach.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from columnar_analytics_engine_spark.functions.caching import persist_once
 from columnar_analytics_engine_spark.queries._util import (
     QuerySpec,
     exact_sum,
@@ -574,12 +575,16 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
     ps_r = ps.join(F.broadcast(sreg), F.col("suppkey") == F.col("s_suppkey"))
-    min_cost = ps_r.groupBy("partkey").agg(F.min("supply_cost").alias("min_cost"))
     part = t(spark, sf_dir, "part").filter(
         (F.col("p_size").between(10, 20)) & (F.col("p_type") == "STANDARD")
     )
+    # correlated minimum as a partkey window over ONE pass of the
+    # supply relation: the aggregate-then-self-join form re-runs the
+    # lineitem reduce per branch (duplicate_join_subtrees class); the
+    # window costs the same single partkey shuffle
+    w_min = W.partitionBy("partkey")
     return (
-        ps_r.join(F.broadcast(min_cost), "partkey")
+        ps_r.withColumn("min_cost", F.min("supply_cost").over(w_min))
         .filter(F.col("supply_cost") == F.col("min_cost"))
         .join(F.broadcast(part), F.col("partkey") == F.col("p_partkey"))
         .select(
@@ -635,9 +640,12 @@ def tpch_q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qcents = F.round(F.col("l_quantity") * F.lit(100.0)).cast("long")
     sp = li_red.groupBy("l_suppkey", "l_partkey").agg(F.sum(qcents).alias("sq"))
-    tot = li_red.groupBy(F.col("l_partkey").alias("tk")).agg(F.sum(qcents).alias("tq"))
+    # the part total is a partkey-window sum over sp — ONE pass; a
+    # second groupBy over li_red would re-run the lineitem semi-join
+    # per branch (duplicate_join_subtrees class).  Integer sums are
+    # associative, so the window total equals the separate reduce.
     excess = (
-        sp.join(tot, sp.l_partkey == F.col("tk"))
+        sp.withColumn("tq", F.sum("sq").over(W.partitionBy("l_partkey")))
         .filter(F.col("sq") * 10 > F.col("tq") * 3)
         .select("l_suppkey")
         .distinct()
@@ -811,8 +819,11 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s_suppkey")
     liv = li.join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey, "left_semi")
     cents = F.round(F.col("l_extendedprice") * F.lit(100.0)).cast("long")
-    per_part = liv.groupBy("l_partkey").agg(F.sum(cents).alias("vc"))
-    total = liv.agg(F.sum(cents).alias("tc"))
+    # parts-sized reduce persisted; the global total re-aggregates IT
+    # (associative integer sum) — a second pass over liv would re-run
+    # the lineitem semi-join per branch (duplicate_join_subtrees class)
+    per_part = persist_once(liv.groupBy("l_partkey").agg(F.sum(cents).alias("vc")))
+    total = per_part.agg(F.sum("vc").alias("tc"))
     return (
         per_part.join(F.broadcast(total))
         .filter(F.col("vc") * 1000 > F.col("tc"))

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from columnar_analytics_engine_spark.functions import text as X
+from columnar_analytics_engine_spark.functions.caching import persist_once as _persist_once
 from columnar_analytics_engine_spark.functions.hashing import (
     gram_hash_array,
     h60,
@@ -548,8 +549,13 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = t(spark, sf_dir, "embeddings")
     asn = _km_final_assignment(_km_exploded(emb)).select("vec_id", "cluster_id")
-    n = asn.join(
-        with_norms(emb, "embedding").select("vec_id", "v", "sq_norm"), "vec_id"
+    # persisted: n feeds BOTH sides of the cluster self-join — without
+    # it the whole k-means assignment pipeline executes once per side
+    # (duplicate_join_subtrees class)
+    n = _persist_once(
+        asn.join(
+            with_norms(emb, "embedding").select("vec_id", "v", "sq_norm"), "vec_id"
+        )
     )
     a = n.select(
         F.col("vec_id").alias("d1"),
@@ -784,7 +790,10 @@ def _pq_codebook(e: DataFrame) -> DataFrame:
     cents = e.filter(F.col("vec_id") < _PQ_K).select(
         F.col("vec_id").alias("code"), "dim", F.col("vq").alias("cq")
     )
-    return (
+    # persisted (K*dims rows): every caller feeds the codebook to BOTH
+    # the encoder and the LUT/probe build — unpersisted, the training
+    # round executes once per consumer (duplicate_join_subtrees class)
+    return _persist_once(
         _pq_assign(e, cents)
         .join(e, ["vec_id", "subspace"])
         .groupBy("code", "dim")
@@ -872,7 +881,10 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("list_id"), "dim", F.col("vq").alias("sq")
     )
     sdiff = F.col("vq") - F.col("sq")
-    cell_dists = (
+    # persisted ((N x lists)-row reduce): feeds BOTH the corpus cell
+    # assignment and the query probe ranking — unpersisted, the full
+    # exploded-table join runs per consumer (duplicate_join_subtrees)
+    cell_dists = _persist_once(
         e.join(F.broadcast(seeds), "dim")
         .groupBy("vec_id", "list_id")
         .agg(F.sum(sdiff * sdiff).alias("d"))
@@ -1007,7 +1019,10 @@ def build_ivfpq_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
         F.col("vec_id").alias("list_id"), "dim", F.col("vq").alias("sq")
     )
     sdiff = F.col("vq") - F.col("sq")
-    cell_dists = (
+    # persisted ((N x lists)-row reduce): feeds BOTH the corpus cell
+    # assignment and the query probe ranking — unpersisted, the full
+    # exploded-table join runs per consumer (duplicate_join_subtrees)
+    cell_dists = _persist_once(
         e.join(F.broadcast(seeds), "dim")
         .groupBy("vec_id", "list_id")
         .agg(F.sum(sdiff * sdiff).alias("d"))

@@ -82,6 +82,43 @@ def test_no_plan_antipatterns(spark, sf_small, name):
     assert findings == [], f"{name}: {findings}"
 
 
+@pytest.mark.parametrize("name", sorted(all_queries()))
+def test_no_duplicate_join_subtrees(spark, sf_small, name):
+    """No registered plan executes the same join subtree twice (the
+    union-of-filters recompute class that made the containment verify
+    2x slower — see plans/lint.duplicate_join_subtrees)."""
+    from columnar_analytics_engine_spark.plans.lint import duplicate_join_subtrees
+
+    spec = all_queries()[name]
+    dups = duplicate_join_subtrees(spec.fn(spark, sf_small))
+    assert dups == [], f"{name}: {dups}"
+
+
+def test_duplicate_join_subtree_detection(spark):
+    """The detector catches a branched unpersisted join and stays quiet
+    on single-execution and cached plans."""
+    from columnar_analytics_engine_spark.plans.lint import duplicate_join_subtrees
+    from pyspark.sql import functions as F
+
+    a = spark.range(100).withColumn("k", F.col("id") % 10)
+    b = spark.range(10).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+    joined = a.join(b, "k")
+    # two filters unioned over the same unpersisted join: executes twice
+    branched = joined.filter("id % 2 = 0").union(joined.filter("id % 2 = 1"))
+    assert duplicate_join_subtrees(branched), "branched join not flagged"
+    # single execution: clean
+    assert duplicate_join_subtrees(joined.filter("id % 2 = 0")) == []
+    # persisted shared subtree: branches read the cache, clean
+    cached = joined.persist()
+    try:
+        branched_cached = cached.filter("id % 2 = 0").union(
+            cached.filter("id % 2 = 1")
+        )
+        assert duplicate_join_subtrees(branched_cached) == []
+    finally:
+        cached.unpersist()
+
+
 def test_lint_plan_flags_known_antipatterns(spark):
     """The lint API itself must catch each anti-pattern class."""
     from columnar_analytics_engine_spark.plans.lint import lint_plan
