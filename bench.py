@@ -69,6 +69,44 @@ N_TIMED_RUNS = 3  # warm steady-state: best of 3 (reference methodology
                   # times a warm single run; min-of-3 removes scheduler jitter)
 
 
+def _loadavg() -> float | None:
+    try:
+        return round(os.getloadavg()[0], 2)
+    except OSError:
+        return None
+
+
+def _wait_until_quiet(
+    threshold: float = 1.0, timeout_sec: float = 600, poll_sec: float = 10
+) -> tuple[float | None, bool]:
+    """Block until the 1-min load average drops below ``threshold`` (an
+    idle box — bench deltas of ±30% on sub-second queries are pure
+    ambient load otherwise) or ``timeout_sec`` elapses.  Returns (final
+    loadavg, reached_quiet) so the artifact records WHICH state the
+    numbers were taken in instead of leaving it to forensics."""
+    deadline = time.time() + timeout_sec
+    la = _loadavg()
+    while la is not None and la >= threshold and time.time() < deadline:
+        time.sleep(poll_sec)
+        la = _loadavg()
+    return la, (la is not None and la < threshold)
+
+
+def _bench_conditions(extra: dict | None = None) -> dict:
+    """Measurement-condition block embedded in every bench JSON line:
+    a regression must be distinguishable from a busy box without
+    re-running (VERDICT r7 item 3)."""
+    cond = {
+        "loadavg_start": _loadavg(),
+        "runs": N_TIMED_RUNS,
+        "warmup": True,
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    }
+    if extra:
+        cond.update(extra)
+    return cond
+
+
 def _set_low_latency(spark, on: bool) -> None:
     spark.conf.set("spark.sql.adaptive.enabled", "false" if on else "true")
     spark.conf.set("spark.sql.shuffle.partitions", "1" if on else "32")
@@ -113,6 +151,9 @@ def reference_parity_bench(num_rows: int = 1_000_000, seed: int = 42) -> None:
     from columnar_analytics_engine_spark.sources.synthetic import bench_table
     from columnar_analytics_engine_spark.io import write_table
 
+    quiet: tuple[float | None, bool] | None = None
+    if "--until-quiet" in sys.argv:
+        quiet = _wait_until_quiet()
     spark = get_spark(app_name="cae-bench-ref")
     with tempfile.TemporaryDirectory() as tmp:
         path = f"{tmp}/bench.parquet"
@@ -149,6 +190,9 @@ def reference_parity_bench(num_rows: int = 1_000_000, seed: int = 42) -> None:
                 best = min(best, time.perf_counter() - start)
             timings[name] = round(best, 4)
         _set_low_latency(spark, False)
+        cond = _bench_conditions({"runs": 5, "loadavg_end": _loadavg()})
+        if quiet is not None:
+            cond["until_quiet"] = {"loadavg": quiet[0], "reached_quiet": quiet[1]}
         print(
             json.dumps(
                 {
@@ -158,6 +202,7 @@ def reference_parity_bench(num_rows: int = 1_000_000, seed: int = 42) -> None:
                     "queries": timings,
                     "rows": num_rows,
                     "seed": seed,
+                    "conditions": cond,
                 }
             )
         )
@@ -357,6 +402,10 @@ def main() -> None:
         return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    quiet: tuple[float | None, bool] | None = None
+    if "--until-quiet" in sys.argv:
+        quiet = _wait_until_quiet()
+    cond = _bench_conditions()
     spark = get_spark(app_name="cae-bench")
     qs = all_queries()
 
@@ -371,6 +420,9 @@ def main() -> None:
     _set_low_latency(spark, False)
 
     total = round(sum(timings.values()), 4)
+    cond["loadavg_end"] = _loadavg()
+    if quiet is not None:
+        cond["until_quiet"] = {"loadavg": quiet[0], "reached_quiet": quiet[1]}
     print(
         json.dumps(
             {
@@ -379,6 +431,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "conditions": cond,
             }
         )
     )

@@ -686,11 +686,15 @@ def video_metadata(media: DataFrame, payload_col: str = "payload") -> DataFrame:
     ts = mf.getField("ts")
     dur = mf.getField("dur")
     # integer arithmetic (div, not / with a truncating cast): a double
-    # division loses precision once dur*1000 exceeds 2^53
+    # division loses precision once dur*1000 exceeds 2^53.  Range-guard
+    # the multiply: an mvhd v1 u64 duration above 2^63/1000 would wrap
+    # silently under non-ANSI long arithmetic — degrade to NULL instead
+    # of a negative/garbage duration.
+    dur_safe = F.when(dur <= F.lit((1 << 63) // 1000 - 1), dur)
     return (
         media.withColumn("video_brand", brand)
         .withColumn("video_timescale", F.when(is_mp4, ts))
-        .withColumn("_dur1000", (dur * F.lit(1000)).cast("long"))
+        .withColumn("_dur1000", (dur_safe * F.lit(1000)).cast("long"))
         .withColumn("_ts", ts.cast("long"))
         .withColumn(
             "video_duration_ms",

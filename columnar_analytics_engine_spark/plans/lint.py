@@ -27,6 +27,39 @@ def physical_plan(df: DataFrame) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _iter_physical_nodes(root):
+    """Yield every node of a physical plan that would EXECUTE, exactly
+    once, independent of cache materialization state.
+
+    Three traversal rules make warm and cold plans walk identically:
+
+    * ``AdaptiveSparkPlanExec`` is a leaf wrapper — descend into its
+      current plan (``executedPlan``; equals the initial plan for a
+      never-executed frame, which is the only state the lint sweep sees).
+    * ``*QueryStageExec`` wrappers (present only after AQE has started
+      executing) are unwrapped to the plan they run.
+    * ``InMemoryTableScan`` is yielded but NOT entered: its stored build
+      plan hangs off ``innerChildren``, which ``children()`` already
+      excludes — the cache is read, not recomputed.  This is the bug the
+      old string-based count had: ``toString`` renders innerChildren, so
+      a materialized cache double-counted its build plan's exchanges.
+    """
+    stack = [root]
+    while stack:
+        node = stack.pop()
+        cls = node.getClass().getSimpleName()
+        if cls.startswith("AdaptiveSparkPlan"):
+            stack.append(node.executedPlan())
+            continue
+        if cls.endswith("QueryStageExec"):
+            stack.append(node.plan())
+            continue
+        yield node
+        ch = node.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+
+
 _ID_RE = re.compile(r"#\d+L?|plan_id=\d+|\[id=#?\d+\]|exprId=\d+")
 
 
@@ -51,33 +84,55 @@ def duplicate_join_subtrees(df: DataFrame) -> list[str]:
     cache is the fix), while filter/column pushdown has not yet rewritten
     the branches into superficially-different physical subtrees (which
     hides exactly the duplicates this hunts — pushdown specializes each
-    branch's copy without stopping the recompute).  Spark's own reuse
-    machinery (``ReusedExchange``) only deduplicates shuffle/broadcast
-    exchanges within one stage graph, not whole logical subtrees.
-    Fix for a true positive: compute once and stack the branches with
-    ``inline``/``explode``, or persist the shared frame.
+    branch's copy without stopping the recompute).
+
+    ADVISORY severity: Spark's ``ReuseExchange`` rule deduplicates
+    identical shuffle/broadcast exchanges across the whole physical
+    plan, so the shuffles BELOW a duplicated join are typically computed
+    once and only the join operator (and any map-side work above the
+    reused exchanges) re-runs.  A finding means "this plan re-executes
+    join work it could share", not "total cost doubles" — still worth
+    fixing (the containment verify's join re-run alone made it ~2×
+    slower), but judge accordingly.  Fix for a true positive: compute
+    once and stack the branches with ``inline``/``explode``, or persist
+    the shared frame.
+
+    Only MAXIMAL duplicated join subtrees are reported: a duplicated
+    outer join necessarily duplicates every join nested inside it, and
+    reporting those too would inflate one duplicate into N findings.
     """
     root = df._jdf.queryExecution().withCachedData()
     counts: Counter[str] = Counter()
-    names: dict[str, str] = {}
     stack = [root]
     while stack:
         node = stack.pop()
-        name = node.nodeName()
-        if "Join" in name:
-            key = _normalize_subtree(node)
-            counts[key] += 1
-            names[key] = name
+        if "Join" in node.nodeName():
+            counts[_normalize_subtree(node)] += 1
         ch = node.children()
         for i in range(ch.size()):
             stack.append(ch.apply(i))
         # InMemoryRelation is a leaf here: its cached physical plan
         # hangs off innerChildren, which we deliberately do not enter
-    return [
-        f"{names[k]} subtree executed {c}x"
-        for k, c in counts.items()
-        if c > 1
-    ]
+    # second pass: report a duplicated join, then skip its descendants
+    # so nested joins inside an already-reported duplicate stay silent
+    findings: list[str] = []
+    seen: set[str] = set()
+    stack = [root]
+    while stack:
+        node = stack.pop()
+        if "Join" in node.nodeName():
+            key = _normalize_subtree(node)
+            if counts[key] > 1:
+                if key not in seen:
+                    seen.add(key)
+                    findings.append(
+                        f"{node.nodeName()} subtree executed {counts[key]}x"
+                    )
+                continue  # maximal: don't descend into a duplicate
+        ch = node.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+    return findings
 
 
 def lint_plan(
@@ -98,18 +153,32 @@ def lint_plan(
       stages — every such exchange funnels the stream through one task;
       one is normal (a 1-row global aggregate), repeats usually mean an
       unpartitioned window or sort over data-sized input.
+
+    Counting walks the physical-plan TREE (``_iter_physical_nodes``),
+    never the string render: the render embeds cached
+    ``InMemoryRelation`` build plans, so string counts depended on
+    whether a ``persist_once`` frame had materialized yet.  Tree counts
+    are identical cold and warm (tests/test_plan_lint.py regression).
     """
-    plan = physical_plan(df)
+    root = df._jdf.queryExecution().executedPlan()
     findings: list[str] = []
-    if "CartesianProduct" in plan:
+    n_cartesian = n_python = n_single = 0
+    for node in _iter_physical_nodes(root):
+        name = node.nodeName()
+        if "CartesianProduct" in name:
+            n_cartesian += 1
+        elif "BatchEvalPython" in name:
+            n_python += 1
+        elif name == "Exchange" and "SinglePartition" in node.simpleString(10):
+            n_single += 1
+    if n_cartesian:
         findings.append(
             "CartesianProduct: pairwise join blowup — add a join/band key"
         )
-    if forbid_python_udf and "BatchEvalPython" in plan:
+    if forbid_python_udf and n_python:
         findings.append(
             "BatchEvalPython: row-at-a-time Python UDF — use built-ins or a pandas UDF"
         )
-    n_single = plan.count("Exchange SinglePartition")
     if n_single > max_single_partition:
         findings.append(
             f"{n_single} single-partition exchanges (allow {max_single_partition}): "

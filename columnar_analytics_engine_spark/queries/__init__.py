@@ -111,10 +111,24 @@ def all_queries() -> dict[str, QuerySpec]:
             merged[name] = spec
     verified = _driver_verified()
     order = list(merged)
-    # never-verified first (insertion order), then by staleness of the
-    # last driver verification (oldest round first, insertion order ties)
-    ranked = sorted(
-        order,
-        key=lambda n: (verified.get(n, 0), order.index(n)),
-    )
+    # Three tiers, then insertion order within a tier:
+    #   0: never driver-verified
+    #   1: CHURNED — implementation changed since the last green round
+    #      (fingerprint vs the QUERY_HASHES.json snapshot of that round;
+    #      see queries/churn.py) — a green row on rewritten code is
+    #      weaker evidence than a stale row on unchanged code
+    #   2: verified on current code, stalest round first
+    from columnar_analytics_engine_spark.queries.churn import is_churned
+
+    def rank(n: str):
+        last = verified.get(n, 0)
+        if last == 0:
+            tier = 0
+        elif is_churned(n, merged[n], last):
+            tier = 1
+        else:
+            tier = 2
+        return (tier, last, order.index(n))
+
+    ranked = sorted(order, key=rank)
     return {n: merged[n] for n in ranked}

@@ -122,20 +122,35 @@ def vacuum(table_path: str, keep_last: int = 1) -> list[int]:
     return doomed
 
 
+def _contains_map(dt) -> bool:
+    """True if ``dt`` is or transitively contains a MapType — maps can
+    hide inside struct fields and array/map element types, and a nested
+    map breaks the digest exactly like a top-level one."""
+    name = dt.typeName()
+    if name == "map":
+        return True
+    if name == "struct":
+        return any(_contains_map(f.dataType) for f in dt.fields)
+    if name == "array":
+        return _contains_map(dt.elementType)
+    return False
+
+
 def _row_digest(df: DataFrame, key: str):
     """Deterministic digest of every non-key column (NAME-ordered JSON
     encoding → md5); NULL-safe and engine-stable for same column SET,
     so a cross-version column reorder does not mark every row changed.
-    Map-typed columns are unsupported in ``diff_versions``: ``to_json``
-    serializes map entries in engine-internal order, so equal maps can
-    digest differently."""
+    Columns containing a map type ANYWHERE in their schema (top-level,
+    inside a struct, inside an array) are unsupported in
+    ``diff_versions``: ``to_json`` serializes map entries in
+    engine-internal order, so equal maps can digest differently."""
     cols = sorted(c for c in df.columns if c != key)
     for f in df.schema.fields:
-        if f.name in cols and f.dataType.typeName() == "map":
+        if f.name in cols and _contains_map(f.dataType):
             raise ValueError(
-                f"diff_versions does not support map-typed column {f.name!r} "
-                "(to_json map entry order is engine-internal); cast to "
-                "array_sort(map_entries(...)) first"
+                f"diff_versions does not support map-typed (or map-nested) "
+                f"column {f.name!r} (to_json map entry order is "
+                "engine-internal); cast to array_sort(map_entries(...)) first"
             )
     return F.md5(F.to_json(F.struct(*[F.col(c) for c in cols])))
 

@@ -93,6 +93,35 @@ def test_persist_once_is_idempotent(spark, docs):
     cached.unpersist()
 
 
+def test_cache_scope_unpersists_only_inner_frames(spark, docs):
+    """cache_scope releases exactly what persist_once cached inside the
+    block — outer caches (e.g. a shared train-once index) survive, so a
+    long-lived session doesn't accumulate per-query cache entries."""
+    from pyspark import StorageLevel
+
+    from columnar_analytics_engine_spark.functions.caching import (
+        cache_scope,
+        persist_once,
+    )
+
+    outer = persist_once(spark.range(50).selectExpr("id", "id * 2 AS v"))
+    try:
+        with cache_scope():
+            inner = persist_once(spark.range(9).selectExpr("id AS x"))
+            assert inner.storageLevel != StorageLevel.NONE
+            assert inner.count() == 9
+        assert inner.storageLevel == StorageLevel.NONE  # released at exit
+        assert outer.storageLevel != StorageLevel.NONE  # outer untouched
+        # already-cached frames re-entered inside a scope are NOT
+        # re-registered, so the scope doesn't steal the outer cache
+        with cache_scope():
+            again = persist_once(spark.range(50).selectExpr("id", "id * 2 AS v"))
+            assert again.count() == 50
+        assert outer.storageLevel != StorageLevel.NONE
+    finally:
+        outer.unpersist()
+
+
 def test_lsh_hot_bucket_cap_bounds_candidates(spark):
     """A degenerate corpus (many identical docs) creates one huge LSH
     bucket; the cap must drop it (bounded work) while distinct docs'

@@ -345,6 +345,30 @@ def test_video_metadata_mp4_box_walk_byte_exact(spark):
     assert out[4]["video_width"] == 320 and out[4]["video_height"] == 240
 
 
+def test_video_duration_overflow_degrades_to_null(spark):
+    """An mvhd v1 u64 duration above 2^63/1000 would wrap silently in
+    non-ANSI long multiply — the range guard must yield NULL, never a
+    negative/garbage duration."""
+    from columnar_analytics_engine_spark.operators.multimodal import video_metadata
+
+    huge = (1 << 63) // 1000 + 7  # dur*1000 would overflow a long
+    big_ok = (1 << 62) // 1000    # in range: survives the guard
+    rows = spark.createDataFrame(
+        [
+            (1, bytearray(_mp4_bytes(timescale=1000, duration=huge, mvhd_version=1,
+                                     tkhd_version=1))),
+            (2, bytearray(_mp4_bytes(timescale=1000, duration=big_ok, mvhd_version=1,
+                                     tkhd_version=1))),
+        ],
+        "doc_id long, payload binary",
+    )
+    out = {r.doc_id: r.asDict() for r in video_metadata(rows).collect()}
+    assert out[1]["video_duration_ms"] is None
+    assert out[1]["video_timescale"] == 1000  # the rest of the row survives
+    assert out[2]["video_duration_ms"] == big_ok * 1000 // 1000
+    assert out[2]["video_duration_ms"] > 0
+
+
 def test_video_metadata_non_mp4_truncated_and_null(spark):
     from columnar_analytics_engine_spark.operators.multimodal import video_metadata
 

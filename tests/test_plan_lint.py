@@ -17,24 +17,22 @@ from columnar_analytics_engine_spark.queries import all_queries
 
 # name -> max tolerated "Exchange SinglePartition" occurrences, with the
 # reason.  Everything else gets at most ONE (a global 1-row aggregate).
+# Calibrated round 8 against the tree-walking lint (plans/lint.py
+# _iter_physical_nodes), whose counts are cache-state-independent and
+# exclude subquery renders — exact observed counts, no slack.
 _SINGLE_PARTITION_ALLOW = {
     # distributed global rank: the only unpartitioned window runs over
     # the #partitions-row offsets table + the 1-row total
     "window_ntile_percent": 2,
     # ANALYZE-style profile: a union of per-column 1-row summaries
     "table_profile": 4,
-    # per-stage funnel accounting: one 1-row count per pipeline stage
-    "pipeline_attrition_report": 4,
-    # top-20 report: rank window over the ≤20 surviving rows + the
-    # 1-row total — bounded by the report size, not the data
-    "skew_key_report": 3,
-    # precision/recall meta-report: three 1-row pair counts joined
-    "dedup_lsh_quality_report": 4,
-    # drift report: median split + token totals + final KL reduce —
-    # every single-partition stage is a 1-row aggregate
-    "corpus_drift_report": 4,
-    # RFM: anchor date + quintile cutoffs — 1-row aggregates broadcast
-    "customers_rfm_segments": 3,
+    # per-stage funnel accounting: 1-row counts per pipeline stage
+    "pipeline_attrition_report": 2,
+    # precision/recall meta-report: 1-row pair counts joined
+    "dedup_lsh_quality_report": 3,
+    # drift report: token totals + final KL reduce — every
+    # single-partition stage is a 1-row aggregate
+    "corpus_drift_report": 2,
     # DQ report: one 1-row aggregate per validated table (orders,
     # lineitem), combined by broadcast join
     "dq_validation_report": 2,
@@ -62,13 +60,6 @@ _SINGLE_PARTITION_ALLOW = {
     # Pareto/Gini: the gini 1-row reduce + the <=10-row decile cumsum
     # (rank assembly is behind an eager localCheckpoint)
     "customers_revenue_pareto": 2,
-    # integer PageRank: the 1-row n_nodes aggregate is re-instantiated
-    # once per rank round by plan depth (3 rounds + init, each 1-row)
-    "graph_pagerank_dupgraph": 4,
-    # temperature mixture: two chained 1-row totals (token total feeds
-    # the pow terms, whose micro-sum normalizes) — the first is
-    # re-instantiated under the second by plan depth
-    "training_mixture_temperature": 3,
 }
 
 
@@ -117,6 +108,45 @@ def test_duplicate_join_subtree_detection(spark):
         assert duplicate_join_subtrees(branched_cached) == []
     finally:
         cached.unpersist()
+
+
+def test_lint_counts_are_cache_state_independent(spark, sf_small):
+    """Round-7 regression: the string-based single-partition count
+    included the cached InMemoryRelation's stored build plan once a
+    persist_once frame materialized, so the same query linted clean
+    cold and dirty warm.  The tree-walking lint must return identical
+    findings before and after cache materialization — checked on a
+    synthetic persist_once plan and on the query that exposed the bug."""
+    from columnar_analytics_engine_spark.functions.caching import persist_once
+    from columnar_analytics_engine_spark.plans.lint import lint_plan
+    from columnar_analytics_engine_spark.queries import all_queries
+    from pyspark.sql import Window, functions as F
+
+    # synthetic: a persisted frame whose BUILD plan contains a
+    # single-partition window — must not be re-counted once cached
+    base = spark.range(1000).withColumn(
+        "rn", F.row_number().over(Window.orderBy("id"))
+    )
+    cached = persist_once(base)
+    try:
+        q = cached.groupBy((F.col("rn") % 7).alias("k")).count()
+        cold = lint_plan(q, max_single_partition=0)
+        cached.count()  # materialize
+        warm = lint_plan(
+            cached.groupBy((F.col("rn") % 7).alias("k")).count(),
+            max_single_partition=0,
+        )
+        assert cold == warm, f"cold={cold} warm={warm}"
+    finally:
+        cached.unpersist()
+
+    # the real query that exposed the bug in round 7
+    spec = all_queries()["customers_rfm_segments"]
+    df = spec.fn(spark, sf_small)
+    cold = lint_plan(df, max_single_partition=0)
+    df.count()
+    warm = lint_plan(spec.fn(spark, sf_small), max_single_partition=0)
+    assert cold == warm, f"cold={cold} warm={warm}"
 
 
 def test_lint_plan_flags_known_antipatterns(spark):

@@ -72,6 +72,35 @@ def test_diff_versions_classifies_delta(spark, tmp_path):
     assert out == {1: "removed", 2: "changed", 4: "added"}  # 3 unchanged: absent
 
 
+def test_diff_digest_rejects_nested_maps(spark):
+    """Maps break the JSON digest whether top-level or nested: to_json
+    serializes map entries in engine-internal order, so equal rows can
+    digest differently.  The guard must walk struct fields and
+    array/map element types, not just top-level dataTypes."""
+    import pytest
+
+    from columnar_analytics_engine_spark.versioned import _contains_map, _row_digest
+    from pyspark.sql.types import (
+        ArrayType, IntegerType, MapType, StringType, StructField, StructType,
+    )
+
+    m = MapType(StringType(), IntegerType())
+    assert _contains_map(m)
+    assert _contains_map(StructType([StructField("inner", m)]))
+    assert _contains_map(ArrayType(m))
+    assert _contains_map(ArrayType(StructType([StructField("deep", ArrayType(m))])))
+    assert not _contains_map(StructType([StructField("s", StringType())]))
+    assert not _contains_map(ArrayType(IntegerType()))
+
+    nested = spark.sql(
+        "SELECT 1 AS k, named_struct('tags', map('a', 1)) AS payload"
+    )
+    with pytest.raises(ValueError, match="payload"):
+        _row_digest(nested, "k")
+    flat = spark.sql("SELECT 1 AS k, named_struct('s', 'x') AS payload")
+    _row_digest(flat, "k")  # map-free nesting is fine
+
+
 def test_diff_digest_is_null_safe(spark, tmp_path):
     from columnar_analytics_engine_spark import versioned as V
 
