@@ -6,12 +6,14 @@ pipelines (payload stays opaque to SQL; metadata is filterable).  The
 decode/feature steps run as Arrow-batched ``mapInPandas`` so each Python
 worker sees columnar batches, never rows.
 
-The actual media decoding is STUBBED: the container has no image/audio
-libraries, so ``decode_image_batch`` raises ``NotImplementedError``
-unless a decoder is injected, and ``fake_feature_extract`` provides a
-deterministic stand-in (byte-histogram features) that keeps the
-Spark-side plumbing — schema, partitioning, UDF signature, batch shape —
-real and testable.
+Media decoding has three tiers: Pillow when importable (full format
+coverage), a dependency-free pure-NumPy decoder for uncompressed 24-bit
+BMP payloads (so the decode path executes even in minimal containers —
+this is what CI exercises), and an honest ``NotImplementedError`` for
+formats neither tier can read.  ``fake_feature_extract`` additionally
+provides a deterministic stand-in (byte-histogram features) that keeps
+the Spark-side plumbing — schema, partitioning, UDF signature, batch
+shape — real and testable independent of any decoder.
 """
 
 from __future__ import annotations
@@ -57,35 +59,72 @@ def attach_payload(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
-def decode_image_batch(payloads: pd.Series) -> pd.Series:
-    """Real image decode when Pillow is importable, honest stub when not.
+def _decode_bmp24(payload: bytes | None):
+    """Pure-NumPy decode of an uncompressed 24-bit BITMAPINFOHEADER BMP
+    to an HxWx3 uint8 RGB array; None for anything else (wrong magic,
+    compressed, truncated, paletted).  Exists so the decode path runs —
+    and is byte-exactly tested — without any image library."""
+    import struct
 
-    With PIL present each payload decodes to an RGB pixel array (a
-    ``pd.Series`` of ``np.ndarray`` HxWx3 uint8; None for null/broken
-    payloads — bad blobs must not kill a 100 TB job).  Without it the
-    NotImplementedError documents the extension point a real deployment
-    fills; the engine's contract is only the mapInPandas batch shape
-    around it (exercised by ``fake_feature_extract``).
+    if payload is None or len(payload) < 54 or bytes(payload[:2]) != b"BM":
+        return None
+    payload = bytes(payload)
+    (pix_off,) = struct.unpack_from("<I", payload, 10)
+    (hdr_size,) = struct.unpack_from("<I", payload, 14)
+    if hdr_size < 40:
+        return None
+    width, height = struct.unpack_from("<ii", payload, 18)
+    _planes, bpp = struct.unpack_from("<HH", payload, 26)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or compression != 0 or width <= 0 or height == 0:
+        return None
+    bottom_up = height > 0
+    height = abs(height)
+    stride = (width * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    if len(payload) < pix_off + stride * height:
+        return None
+    arr = np.frombuffer(payload, dtype=np.uint8, offset=pix_off, count=stride * height)
+    arr = arr.reshape(height, stride)[:, : width * 3].reshape(height, width, 3)
+    if bottom_up:
+        arr = arr[::-1]
+    return arr[..., ::-1].copy()  # BGR storage order -> RGB
+
+
+def decode_image_batch(payloads: pd.Series) -> pd.Series:
+    """Decode payloads to RGB pixel arrays (``pd.Series`` of
+    ``np.ndarray`` HxWx3 uint8; None for null/broken payloads — bad
+    blobs must not kill a 100 TB job).
+
+    Pillow handles every format it knows when importable; without it,
+    uncompressed 24-bit BMPs decode through the built-in pure-NumPy
+    reader (corrupt BMPs degrade to None, same as the PIL path), and
+    any other format raises NotImplementedError — the extension point a
+    real deployment fills with its media stack.  The engine's contract
+    is the mapInPandas batch shape around the decoder.
     """
     try:
         import io as _io
 
         from PIL import Image
     except ImportError:
-        raise NotImplementedError(
-            "media decoding requires an image library (pip install pillow); "
-            "inject a decoder via extract_features(decoder=...) or use "
-            "fake_feature_extract"
-        ) from None
+        Image = None
 
     def _decode(payload: bytes | None):
         if payload is None:
             return None
-        try:
-            with Image.open(_io.BytesIO(payload)) as im:
-                return np.asarray(im.convert("RGB"))
-        except Exception:
-            return None
+        if Image is not None:
+            try:
+                with Image.open(_io.BytesIO(payload)) as im:
+                    return np.asarray(im.convert("RGB"))
+            except Exception:
+                return None
+        if bytes(payload[:2]) == b"BM":
+            return _decode_bmp24(payload)  # None on corrupt: degrade
+        raise NotImplementedError(
+            "decoding non-BMP media requires an image library (pip install "
+            "pillow); inject a decoder via extract_features(decoder=...) or "
+            "use fake_feature_extract"
+        )
 
     return payloads.map(_decode)
 
@@ -93,8 +132,8 @@ def decode_image_batch(payloads: pd.Series) -> pd.Series:
 def pil_feature_extract(payload: bytes | None) -> list[float]:
     """Decoder for :func:`extract_features` backed by a real decode:
     FEATURE_DIM-bin luminance histogram of the decoded pixels,
-    L1-normalized.  Raises NotImplementedError when Pillow is absent
-    (same contract as :func:`decode_image_batch`)."""
+    L1-normalized.  Same decoder tiers as :func:`decode_image_batch`
+    (Pillow > built-in BMP > NotImplementedError)."""
     decoded = decode_image_batch(pd.Series([payload]))[0]
     if decoded is None:
         return [0.0] * FEATURE_DIM

@@ -56,6 +56,8 @@ def test_chunking_covers_payload(media):
 
 
 def test_real_decoder_is_stubbed():
+    """Without Pillow, non-BMP formats raise the documented extension
+    point (BMPs decode natively — see the tests below)."""
     import pandas as pd
 
     try:
@@ -66,6 +68,67 @@ def test_real_decoder_is_stubbed():
         pass
     with pytest.raises(NotImplementedError):
         decode_image_batch(pd.Series([b"xx"]))
+
+
+def _bmp24_bytes(rows_rgb, bottom_up=True):
+    """Byte-exact uncompressed 24-bit BMP: ``rows_rgb`` is a list of
+    rows (top to bottom), each a list of (r, g, b) tuples."""
+    import struct
+
+    h = len(rows_rgb)
+    w = len(rows_rgb[0])
+    stride = (w * 3 + 3) & ~3
+    stored = rows_rgb[::-1] if bottom_up else rows_rgb
+    pix = b"".join(
+        b"".join(bytes((b, g, r)) for (r, g, b) in row) + b"\x00" * (stride - w * 3)
+        for row in stored
+    )
+    pix_off = 14 + 40
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", pix_off + len(pix), 0, 0, pix_off)
+        + struct.pack(
+            "<IiiHHIIiiII",
+            40, w, h if bottom_up else -h, 1, 24, 0, len(pix), 2835, 2835, 0, 0,
+        )
+    )
+    return header + pix
+
+
+def test_bmp_decode_is_dependency_free():
+    """The pure-NumPy BMP tier decodes byte-exactly with no image
+    library: padding stripped, BGR->RGB swapped, bottom-up and top-down
+    row orders both honored, corrupt payloads degrade to None."""
+    import numpy as np
+    import pandas as pd
+
+    rows = [
+        [(255, 0, 0), (0, 255, 0), (0, 0, 255)],   # top row
+        [(10, 20, 30), (40, 50, 60), (70, 80, 90)],
+    ]
+    for bottom_up in (True, False):
+        payload = _bmp24_bytes(rows, bottom_up=bottom_up)
+        out = decode_image_batch(pd.Series([payload]))[0]
+        assert out.shape == (2, 3, 3) and out.dtype == np.uint8
+        assert out.tolist() == [[list(p) for p in r] for r in rows]
+    # corrupt: right magic, truncated pixels -> None, not an exception
+    truncated = _bmp24_bytes(rows)[:-8]
+    series = decode_image_batch(pd.Series([truncated, None]))
+    assert series[0] is None and series[1] is None
+
+
+def test_feature_extract_over_bmp_without_pillow():
+    """pil_feature_extract works through the BMP tier: a solid-white
+    image lands all mass in the top luminance bin."""
+    from columnar_analytics_engine_spark.operators.multimodal import (
+        pil_feature_extract,
+    )
+
+    white = _bmp24_bytes([[(255, 255, 255)] * 4] * 2)
+    feats = pil_feature_extract(white)
+    assert len(feats) == FEATURE_DIM
+    assert abs(sum(feats) - 1.0) < 1e-9
+    assert feats[-1] == 1.0
 
 
 def test_real_decoder_with_pillow():
