@@ -176,21 +176,27 @@ def reference_parity_bench(num_rows: int = 1_000_000, seed: int = 42) -> None:
             .collect(),
         }
         _set_low_latency(spark, True)
-        for _ in range(3):  # warm-up: plan cache + C2 JIT steady state
+        # 8 warm-up rounds: C2 keeps re-tiering these sub-100ms plans
+        # well past the 3rd execution (measured round 8: 3 warm-ups
+        # floor at ~0.40 s total, 8 warm-ups at ~0.31 s on identical
+        # code — the delta is JIT state, not query cost)
+        for _ in range(8):
             for fn in bench_queries.values():
                 fn()
-        # sub-second queries under a noisy box need more samples for a
-        # stable minimum; they're cheap, so take best-of-5
+        # sub-second queries under a noisy box need many samples for a
+        # stable minimum; they're cheap, so take best-of-10
         timings = {}
         for name, fn in bench_queries.items():
             best = float("inf")
-            for _ in range(5):
+            for _ in range(10):
                 start = time.perf_counter()
                 fn()
                 best = min(best, time.perf_counter() - start)
             timings[name] = round(best, 4)
         _set_low_latency(spark, False)
-        cond = _bench_conditions({"runs": 5, "loadavg_end": _loadavg()})
+        cond = _bench_conditions(
+            {"runs": 10, "warmup_rounds": 8, "loadavg_end": _loadavg()}
+        )
         if quiet is not None:
             cond["until_quiet"] = {"loadavg": quiet[0], "reached_quiet": quiet[1]}
         print(
