@@ -22,6 +22,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from columnar_analytics_engine_spark.functions.caching import cache_scope  # noqa: E402
 from columnar_analytics_engine_spark.session import get_spark  # noqa: E402
 from columnar_analytics_engine_spark.queries import all_queries  # noqa: E402
 
@@ -415,15 +416,30 @@ def main() -> None:
     spark = get_spark(app_name="cae-bench")
     qs = all_queries()
 
-    # warm-up: JVM, code cache, parquet footers (untimed)
-    for name in BENCH_QUERIES:
-        qs[name].fn(spark, sf_dir).count()
+    # Global warm pass (JVM code cache, codegen, parquet footers) with
+    # its persist_once entries released afterwards: JIT warmth is
+    # global state we WANT shared; cache entries are per-query state we
+    # don't (see below).
+    with cache_scope():
+        for name in BENCH_QUERIES:
+            qs[name].fn(spark, sf_dir).count()
 
+    # Per-query cache scope: each query warms its own persist_once
+    # entries untimed, runs best-of-N timed, then releases them.  This
+    # keeps timed numbers ORDER-INDEPENDENT (no query freeloads on a
+    # predecessor's cache during timed runs — round 7's 3.2 s
+    # containment number was really "containment with signatures
+    # pre-cached by the minhash entry that ran earlier") and bounds
+    # executor storage memory to one query's working set instead of 26
+    # accumulated cache entries pressuring the tail of the suite.
     timings: dict[str, float] = {}
     for name, low_latency in BENCH_QUERIES.items():
         _set_low_latency(spark, low_latency)
-        timings[name] = round(run_query(qs[name], spark, sf_dir), 4)
+        with cache_scope():
+            qs[name].fn(spark, sf_dir).count()  # warm-up (untimed)
+            timings[name] = round(run_query(qs[name], spark, sf_dir), 4)
     _set_low_latency(spark, False)
+    cond["cache_isolated"] = True
 
     total = round(sum(timings.values()), 4)
     cond["loadavg_end"] = _loadavg()

@@ -51,6 +51,9 @@ FORCE_REVERIFY_PRE_SNAPSHOT = frozenset({
     "similarity_pq_codes",
     "similarity_pq_adc_topk",
     "similarity_ivfpq_topk",
+    # round 8: signature persist added to the query plan after its r07
+    # green row (bench cache-isolation work)
+    "dedup_containment_lsh",
 })
 
 

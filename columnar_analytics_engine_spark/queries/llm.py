@@ -964,7 +964,13 @@ def dedup_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify stage is unchanged.)
     """
     docs = t(spark, sf_dir, "documents")
-    sigs = D.minhash_signatures(docs)
+    # plan-keyed persist, same as minhash_near_duplicates' internal
+    # pattern (operators/dedup.py): the signature table feeds both
+    # sides of the band self-join and repeated invocations — without
+    # it every run recomputes tokenize+16 hashes over the corpus
+    # (measured 44 s vs 3 s warm at sf0.1 when this query ran outside
+    # the suite that happened to have cached sigs already)
+    sigs = D._persist_once(D.minhash_signatures(docs))
     cand = D.lsh_candidates(sigs)
     return D.containment_pairs(docs, threshold=0.7, candidates=cand)
 
