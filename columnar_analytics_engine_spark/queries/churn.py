@@ -54,6 +54,8 @@ FORCE_REVERIFY_PRE_SNAPSHOT = frozenset({
     # round 8: signature persist added to the query plan after its r07
     # green row (bench cache-isolation work)
     "dedup_containment_lsh",
+    # round 8: survivor-frame persist added after its r04 green row
+    "pipeline_clean_corpus",
 })
 
 

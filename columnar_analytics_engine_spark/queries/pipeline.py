@@ -44,9 +44,15 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     txt = F.col("text")
 
-    # 1. exact dedup by canonical fingerprint
+    # 1. exact dedup by canonical fingerprint.  The survivor frame
+    # feeds BOTH the near-dup signature build and the anti-join's left
+    # side, so it is plan-keyed persisted: unpersisted, the
+    # fingerprint+window pass over the whole corpus re-executes per
+    # consumer (and per repeated invocation)
+    from columnar_analytics_engine_spark.functions.caching import persist_once
+
     w_fp = W.partitionBy("fp").orderBy("doc_id")
-    s1 = (
+    s1 = persist_once(
         docs.withColumn("fp", X.fingerprint(txt))
         .withColumn("_rn", F.row_number().over(w_fp))
         .filter(F.col("_rn") == 1)
