@@ -135,6 +135,56 @@ def duplicate_join_subtrees(df: DataFrame) -> list[str]:
     return findings
 
 
+_EXPENSIVE_NODES = ("Join", "Window", "Aggregate", "Sort")
+
+
+def duplicate_expensive_subtrees(df: DataFrame) -> list[str]:
+    """ADVISORY generalization of :func:`duplicate_join_subtrees` to
+    every shuffle-bearing node class (Join, Window, Aggregate, Sort):
+    maximal subtrees that appear normalized-identically more than once
+    in the analyzed plan, each executing separately.
+
+    This catches the class the join-only gate misses — e.g. an exact
+    dedup window feeding both a signature build and an anti-join
+    (pipeline_clean_corpus before round 8), or a (token, label) count
+    table consumed by three model stages (the NB classifier).  It is
+    NOT a test gate: duplicated 1-row aggregates over tiny inputs
+    (lazy totals, per-class constants) are common and benign — a
+    finding is worth acting on when the duplicated subtree scans
+    data-sized input, which the caller must judge.  Fix for a true
+    positive: ``persist_once`` the shared frame, or restructure so one
+    pass feeds all consumers.
+    """
+    root = df._jdf.queryExecution().withCachedData()
+    counts: Counter[str] = Counter()
+    stack = [root]
+    while stack:
+        node = stack.pop()
+        if any(k in node.nodeName() for k in _EXPENSIVE_NODES):
+            counts[_normalize_subtree(node)] += 1
+        ch = node.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+    findings: list[str] = []
+    seen: set[str] = set()
+    stack = [root]
+    while stack:
+        node = stack.pop()
+        if any(k in node.nodeName() for k in _EXPENSIVE_NODES):
+            key = _normalize_subtree(node)
+            if counts[key] > 1:
+                if key not in seen:
+                    seen.add(key)
+                    findings.append(
+                        f"{node.nodeName()} subtree executed {counts[key]}x"
+                    )
+                continue  # maximal: don't descend into a duplicate
+        ch = node.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+    return findings
+
+
 def lint_plan(
     df: DataFrame,
     max_single_partition: int = 1,

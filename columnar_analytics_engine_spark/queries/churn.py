@@ -56,6 +56,9 @@ FORCE_REVERIFY_PRE_SNAPSHOT = frozenset({
     "dedup_containment_lsh",
     # round 8: survivor-frame persist added after its r04 green row
     "pipeline_clean_corpus",
+    # round 8: train-count + test-token persists added after its r07
+    # green row (the three-consumer train pass now runs once)
+    "classifier_nb_confusion",
 })
 
 

@@ -48,6 +48,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from columnar_analytics_engine_spark.functions import text as X
+from columnar_analytics_engine_spark.functions.caching import persist_once
 from columnar_analytics_engine_spark.queries._util import QuerySpec, t
 
 _MICRO = 1e6  # micro-nat grid for ln() terms
@@ -69,7 +70,10 @@ def _nb_predictions(docs: DataFrame) -> DataFrame:
     tr_tok = train.select(
         "doc_id", "lang", F.explode_outer(X.tokens(F.col("text"))).alias("token")
     )
-    c = (
+    # the (token, lang) count table feeds THREE consumers (class totals
+    # n_l, log-weights w, vocabulary) — plan-keyed persisted so the
+    # train explode+shuffle runs once per invocation, not three times
+    c = persist_once(
         tr_tok.filter(F.col("token").isNotNull())
         .groupBy("token", "lang")
         .agg(F.count("*").alias("c"))
@@ -97,8 +101,11 @@ def _nb_predictions(docs: DataFrame) -> DataFrame:
     w = c.select("token", "lang", _micro_ln(F.col("c") + 1).alias("w"))
     vocab = c.select("token").distinct().withColumn("in_vocab", F.lit(1))
 
-    # explode_outer keeps null-text docs: they score on the prior alone
-    te_cnt = (
+    # explode_outer keeps null-text docs: they score on the prior alone.
+    # Persisted: consumed by both the known-token totals and the
+    # per-class contributions — unpersisted, the test explode+shuffle
+    # would execute once per consumer
+    te_cnt = persist_once(
         test.select(
             "doc_id", "actual", F.explode_outer(X.tokens(F.col("text"))).alias("token")
         )

@@ -110,6 +110,32 @@ def test_duplicate_join_subtree_detection(spark):
         cached.unpersist()
 
 
+def test_duplicate_expensive_subtree_detection(spark):
+    """The advisory generalized detector flags a branched unpersisted
+    window/aggregate and stays quiet once the shared frame is cached."""
+    from columnar_analytics_engine_spark.plans.lint import (
+        duplicate_expensive_subtrees,
+    )
+    from pyspark.sql import Window, functions as F
+
+    base = spark.range(1000).withColumn(
+        "rn", F.row_number().over(Window.partitionBy(F.col("id") % 10).orderBy("id"))
+    )
+    branched = base.filter("rn = 1").union(base.filter("rn = 2"))
+    found = duplicate_expensive_subtrees(branched)
+    assert any("Window" in f for f in found), found
+    # single consumer: clean
+    assert duplicate_expensive_subtrees(base.filter("rn = 1")) == []
+    # persisted shared frame: branches read the cache, clean
+    cached = base.persist()
+    try:
+        assert duplicate_expensive_subtrees(
+            cached.filter("rn = 1").union(cached.filter("rn = 2"))
+        ) == []
+    finally:
+        cached.unpersist()
+
+
 def test_lint_counts_are_cache_state_independent(spark, sf_small):
     """Round-7 regression: the string-based single-partition count
     included the cached InMemoryRelation's stored build plan once a
