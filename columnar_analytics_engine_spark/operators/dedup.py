@@ -142,7 +142,9 @@ def jaccard_pairs(
     # self-join.  Correct for any corpus, but shuffle grows with token
     # document frequency — use the LSH candidates path at scale.
     tok = _token_table(docs, id_col, text_col)
-    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
+    # per-doc sizes join the pair list TWICE (s1/s2 aliases) — persist
+    # so the token explode + count doesn't execute once per alias
+    sizes = _persist_once(tok.groupBy("doc_id").agg(F.count("*").alias("n_tokens")))
     ta = tok.alias("ta")
     tb = tok.alias("tb")
     common = (
@@ -208,7 +210,8 @@ def ngram_jaccard_pairs(
         .filter(F.size("l") >= n)
         .select("doc_id", F.explode(word_shingles(F.col("l"), n)).alias("g"))
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    # persisted: joined twice below (per-side aliases), see jaccard_pairs
+    sizes = _persist_once(sh.groupBy("doc_id").agg(F.count("*").alias("n_sh")))
     a = sh.alias("ga")
     b = sh.alias("gb")
     common = (
@@ -626,7 +629,8 @@ def containment_pairs(
         .filter(F.size("l") >= n)
         .select("doc_id", F.explode(word_shingles(F.col("l"), n)).alias("token"))
     )
-    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
+    # persisted: joined twice below (s1/s2 aliases), see jaccard_pairs
+    sizes = _persist_once(tok.groupBy("doc_id").agg(F.count("*").alias("n_tokens")))
     ta = tok.alias("ta")
     tb = tok.alias("tb")
     common = (

@@ -59,6 +59,13 @@ FORCE_REVERIFY_PRE_SNAPSHOT = frozenset({
     # round 8: train-count + test-token persists added after its r07
     # green row (the three-consumer train pass now runs once)
     "classifier_nb_confusion",
+    # round 8: duplicate-expensive-subtree sweep fixes (per-doc size /
+    # model-count tables persisted; plans changed after last green)
+    "dedup_jaccard_exact",
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    "text_unigram_lm_quality",
+    "text_bigram_lm_quality",
 })
 
 

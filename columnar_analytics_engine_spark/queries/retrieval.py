@@ -188,8 +188,12 @@ def text_unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "token")
         .agg(F.count("*").cast("long").alias("tf"))
     )
-    counts = dtf.groupBy(F.col("token").alias("ctoken")).agg(
-        F.sum("tf").cast("long").alias("c")
+    # vocabulary-sized and consumed twice (corpus totals + the per-doc
+    # join) — persisted so the dtf groupBy runs once, not per consumer
+    counts = _persist_once(
+        dtf.groupBy(F.col("token").alias("ctoken")).agg(
+            F.sum("tf").cast("long").alias("c")
+        )
     )
     # corpus totals come from the vocabulary table (tiny), never from a
     # rescan of the token stream
@@ -1015,22 +1019,32 @@ def text_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select("doc_id", X.tokens(F.col("text")).alias("l")).filter(
         F.size("l") >= 2
     )
-    pairs = toks.select(
-        "doc_id",
-        F.explode(
-            F.arrays_zip(
-                F.slice(F.col("l"), 1, F.size("l") - 1).alias("w1"),
-                F.slice(F.col("l"), 2, F.size("l") - 1).alias("w2"),
-            )
-        ).alias("bg"),
-    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
-    bg_counts = pairs.groupBy(
-        F.col("w1").alias("b1"), F.col("w2").alias("b2")
-    ).agg(F.count("*").alias("cb"))
+    from columnar_analytics_engine_spark.functions.caching import persist_once as _persist_once
+
+    # the bigram-instance table feeds model counts AND per-doc scoring;
+    # the model tables each feed two consumers — all plan-keyed
+    # persisted so each explode/groupBy executes once, not per consumer
+    # (same memoization pattern as text_unigram_lm_quality's dtf)
+    pairs = _persist_once(
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("l"), 1, F.size("l") - 1).alias("w1"),
+                    F.slice(F.col("l"), 2, F.size("l") - 1).alias("w2"),
+                )
+            ).alias("bg"),
+        ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    bg_counts = _persist_once(
+        pairs.groupBy(F.col("w1").alias("b1"), F.col("w2").alias("b2")).agg(
+            F.count("*").alias("cb")
+        )
+    )
     ctx = bg_counts.groupBy(F.col("b1").alias("cw")).agg(
         F.sum("cb").alias("cctx")
     )
-    uni = (
+    uni = _persist_once(
         docs.select(F.explode(X.tokens(F.col("text"))).alias("u"))
         .groupBy("u")
         .agg(F.count("*").alias("cu"))
