@@ -69,18 +69,11 @@ FORCE_REVERIFY_PRE_SNAPSHOT = frozenset({
 })
 
 
-def source_fingerprint(fn, sql: str | None) -> str:
-    """Stable 16-hex digest of a query's implementation closure.
-
-    Walks from ``fn`` through every callable it references that lives in
-    this package (module-global references via ``__code__.co_names``,
-    function-local ``from pkg.x import y`` imports via source regex) and
-    hashes the concatenated sources plus the oracle SQL.  Renames,
-    reformatting, and helper-function edits all change the digest; a
-    testdata or artifact change does not.
-    """
+def _closure_sources(fn) -> list[str]:
+    """Source text of ``fn`` and every package callable it transitively
+    references — the material ``source_fingerprint`` hashes."""
     seen: set[int] = set()
-    parts: list[str] = [sql or ""]
+    parts: list[str] = []
 
     def visit(obj) -> None:
         if id(obj) in seen:
@@ -94,10 +87,24 @@ def source_fingerprint(fn, sql: str | None) -> str:
         code = getattr(obj, "__code__", None)
         g = getattr(obj, "__globals__", {})
         if code is not None:
+            import types
+
             for name in code.co_names:
                 ref = g.get(name)
                 if callable(ref) and (getattr(ref, "__module__", "") or "").startswith(_PKG):
                     visit(ref)
+                elif isinstance(ref, types.ModuleType) and ref.__name__.startswith(_PKG):
+                    # module-attribute calls (``D.jaccard_pairs(...)``):
+                    # co_names holds both the module alias and the
+                    # attribute names, so probe every co_name against
+                    # the module — over-approximate but deterministic,
+                    # and a superset only strengthens the fingerprint
+                    for attr in code.co_names:
+                        sub = getattr(ref, attr, None)
+                        if callable(sub) and (
+                            getattr(sub, "__module__", "") or ""
+                        ).startswith(_PKG):
+                            visit(sub)
         for m in _LOCAL_IMPORT_RE.finditer(src):
             try:
                 import importlib
@@ -111,7 +118,21 @@ def source_fingerprint(fn, sql: str | None) -> str:
                     visit(ref)
 
     visit(fn)
-    return hashlib.sha256("\n".join(parts).encode()).hexdigest()[:16]
+    return parts
+
+
+def source_fingerprint(fn, sql: str | None) -> str:
+    """Stable 16-hex digest of a query's implementation closure.
+
+    Walks from ``fn`` through every callable it references that lives in
+    this package (module-global references and module-attribute calls
+    via ``__code__.co_names``, function-local ``from pkg.x import y``
+    imports via source regex) and hashes the concatenated sources plus
+    the oracle SQL.  Renames, reformatting, and helper-function edits
+    all change the digest; a testdata or artifact change does not.
+    """
+    material = [sql or ""] + _closure_sources(fn)
+    return hashlib.sha256("\n".join(material).encode()).hexdigest()[:16]
 
 
 def _repo_root() -> str:

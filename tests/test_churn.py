@@ -47,6 +47,18 @@ def test_fingerprint_covers_local_import_helpers():
     assert helper_src  # sanity: helper source is readable
 
 
+def test_fingerprint_covers_module_attribute_helpers():
+    """dedup_jaccard_exact calls operators through a module alias
+    (``D.jaccard_pairs``); the closure walk must reach the helper's
+    source — round-8 regression: the alias-call pattern was invisible
+    to the globals walk, so operator edits didn't churn their queries."""
+    from columnar_analytics_engine_spark.queries.churn import _closure_sources
+
+    spec = all_queries()["dedup_jaccard_exact"]
+    srcs = "\n".join(_closure_sources(spec.fn))
+    assert "def jaccard_pairs" in srcs
+
+
 def test_is_churned_uses_snapshots_and_force_list():
     qs = all_queries()
     spec = qs["scan_full_count"]
