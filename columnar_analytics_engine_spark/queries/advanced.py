@@ -1114,9 +1114,12 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross product; part frequencies broadcast back as 1-row-per-part
     dims.  Lift's divisions are single IEEE ops on exact counts.
     """
-    li = t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    ).distinct()
+    # the distinct basket table feeds four consumers (both pair-join
+    # sides, part frequencies, basket count): persist so the lineitem
+    # scan + distinct shuffle run once
+    li = persist_once(
+        t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
     a, b = li.alias("a"), li.alias("b")
     pairs = (
         a.join(
@@ -1130,7 +1133,11 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("support"))
     )
-    freq = li.groupBy("l_partkey").agg(F.count("*").alias("n_orders_with"))
+    # freq (|parts| rows) joins in twice (fa/fb): persist so the second
+    # consumer doesn't re-aggregate the full cached basket table
+    freq = persist_once(
+        li.groupBy("l_partkey").agg(F.count("*").alias("n_orders_with"))
+    )
     n_orders = li.select("l_orderkey").distinct().agg(
         F.count("*").alias("n_orders")
     )

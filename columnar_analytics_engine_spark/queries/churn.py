@@ -66,6 +66,12 @@ FORCE_REVERIFY_PRE_SNAPSHOT = frozenset({
     "dedup_containment",
     "text_unigram_lm_quality",
     "text_bigram_lm_quality",
+    # round 8 (late): multi-consumer frame persists added to the former
+    # "deferred to round 9" duplicate-subtree tier after last green
+    "market_basket_pairs",
+    "events_segment_overlap",
+    "events_seasonal_naive_eval",
+    "events_burst_detection",
 })
 
 

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from columnar_analytics_engine_spark.functions.caching import persist_once
 from columnar_analytics_engine_spark.operators.asof import asof_join
 from columnar_analytics_engine_spark.queries._util import (
     QuerySpec,
@@ -627,8 +628,15 @@ def events_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     against.
     """
     df = t(spark, sf_dir, "events")
-    tu = df.select("event_type", "user_id").distinct()
-    sizes = tu.groupBy("event_type").agg(F.count("*").alias("n_users"))
+    # (type, user) dedup is data-sized and feeds three consumers (sizes
+    # + both sides of the pair self-join): persist so the events scan +
+    # distinct shuffle run once, not three times
+    tu = persist_once(df.select("event_type", "user_id").distinct())
+    # sizes (|types| rows) joins in twice (sa/sb): persist so the
+    # second consumer doesn't re-aggregate the full cached tu
+    sizes = persist_once(
+        tu.groupBy("event_type").agg(F.count("*").alias("n_users"))
+    )
     a, b = tu.alias("a"), tu.alias("b")
     common = (
         a.join(
@@ -696,10 +704,15 @@ def events_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer mean (same cross-engine discipline as the KL/LM scores).
     """
     ev = t(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        F.col("event_type"),
-        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
-    ).agg(F.count("*").alias("n"))
+    # the daily rollup feeds both sides of the t-7d self-join: persist
+    # so the full events scan happens once (the rollup itself is only
+    # |types|x|days| rows)
+    daily = persist_once(
+        ev.groupBy(
+            F.col("event_type"),
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        ).agg(F.count("*").alias("n"))
+    )
     pred = daily.select(
         "event_type",
         F.date_add(F.col("day"), 7).alias("day"),
@@ -816,10 +829,14 @@ def events_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregations + one broadcast-able per-type join; no windows.
     """
     ev = t(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        "event_type",
-        F.date_trunc("day", F.col("ts")).cast("date").cast("string").alias("day"),
-    ).agg(F.count("*").alias("n"))
+    # daily rollup feeds the per-type stats AND the burst join: persist
+    # so the events scan runs once
+    daily = persist_once(
+        ev.groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").cast("string").alias("day"),
+        ).agg(F.count("*").alias("n"))
+    )
     stats = daily.groupBy("event_type").agg(
         F.count("*").alias("d"),
         F.sum("n").alias("s"),
