@@ -72,6 +72,11 @@ FORCE_REVERIFY_PRE_SNAPSHOT = frozenset({
     "events_segment_overlap",
     "events_seasonal_naive_eval",
     "events_burst_detection",
+    # round 8 (late): Lloyd-loop persists in _km_final_assignment
+    # (exploded table + per-round centroids) after last green
+    "kmeans_embeddings",
+    "dedup_semantic_clusters",
+    "sample_cluster_balanced",
 })
 
 

@@ -445,7 +445,18 @@ def _km_exploded(emb: DataFrame) -> DataFrame:
 
 def _km_final_assignment(e: DataFrame) -> DataFrame:
     """The k-means loop (seeds = k lowest vec_ids, _KM_ITERS Lloyd
-    rounds); returns the final (vec_id, cluster_id, d) assignment."""
+    rounds); returns the final (vec_id, cluster_id, d) assignment.
+
+    The exploded table feeds TWO consumers per Lloyd round (distance
+    join + centroid update) and every round's lineage references all
+    prior rounds, so without materialization the final plan re-derives
+    the explode+quantize ~2·iters+1 times and the cross-round chain
+    re-executes combinatorially.  Persisting ``e`` (plan-keyed, shared
+    by all three k-means queries) and each round's k×dims centroid
+    frame bounds the whole loop to ~2 cached-``e`` passes per round —
+    the canonical iterative-algorithm shape (cf. operators/clusters.py
+    pointer jumping)."""
+    e = _persist_once(e)
     cents = e.filter(F.col("vec_id") < _KM_K).select(
         F.col("vec_id").alias("cluster_id"), "dim", F.col("vq").alias("cq")
     )
@@ -462,7 +473,7 @@ def _km_final_assignment(e: DataFrame) -> DataFrame:
             .agg(F.min(F.struct("d", "cluster_id")).alias("m"))
             .select("vec_id", F.col("m.cluster_id").alias("cluster_id"), F.col("m.d").alias("d"))
         )
-        cents = (
+        cents = _persist_once(
             assigned.join(e, "vec_id")
             .groupBy("cluster_id", "dim")
             .agg(
