@@ -77,6 +77,9 @@ FORCE_REVERIFY_PRE_SNAPSHOT = frozenset({
     "kmeans_embeddings",
     "dedup_semantic_clusters",
     "sample_cluster_balanced",
+    # round 8 (late): CMS rebuilt from the per-user aggregate (one
+    # events scan, per-user hashing) after last green
+    "sketch_heavy_hitters",
 })
 
 

@@ -379,23 +379,31 @@ def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     family here is the engine's own md5-derived h60, so the ORACLE
     REBUILDS THE EXACT SKETCH and the estimates hash-match bit-for-bit.
     """
+    from columnar_analytics_engine_spark.functions.caching import persist_once
     from columnar_analytics_engine_spark.functions.hashing import h60
 
-    ev = t(spark, sf_dir, "events").select(F.col("user_id").cast("string").alias("u"))
     rows = F.array(*[F.lit(i) for i in range(_CMS_DEPTH)])
-    hashed = ev.select("u", F.explode(rows).alias("row_id")).select(
+    # Counter (row, bucket) totals are SUMS over the users hashing into
+    # the bucket, so the sketch builds exactly from the per-user
+    # aggregate: one events scan (vs two), and the d md5s are paid per
+    # DISTINCT USER, not per event — at 100 TB the hash cost tracks user
+    # cardinality while the scan stays a map-side-combined count.
+    exact = persist_once(
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("exact_n"))
+    )
+    hashed = exact.select(
+        "exact_n", F.explode(rows).alias("row_id"), F.col("user_id").cast("string").alias("u")
+    ).select(
         "row_id",
+        "exact_n",
         F.pmod(
             h60("cms", F.concat(F.col("row_id").cast("string"), F.lit(":"), F.col("u"))),
             F.lit(_CMS_WIDTH),
         ).alias("bucket"),
     )
-    counters = hashed.groupBy("row_id", "bucket").agg(F.count("*").alias("c"))
-    exact = (
-        t(spark, sf_dir, "events")
-        .groupBy("user_id")
-        .agg(F.count("*").alias("exact_n"))
-    )
+    counters = hashed.groupBy("row_id", "bucket").agg(F.sum("exact_n").alias("c"))
     top = exact.orderBy(F.col("exact_n").desc(), "user_id").limit(20)
     probes = top.select(
         "user_id",
