@@ -193,6 +193,32 @@ def ivf_topk(
     table, so the only large shuffle is the final per-query top-k.
     """
     seeds, assigned = ivf_assignments(candidates, n_lists, id_col, vec_col)
+    return ivf_probe_topk(
+        queries, seeds, assigned, k=k, n_probe=n_probe, id_col=id_col,
+        vec_col=vec_col, decimals=decimals,
+    )
+
+
+def ivf_probe_topk(
+    queries: DataFrame,
+    seeds: DataFrame,
+    assigned: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 4,
+) -> DataFrame:
+    """Probe side of the IVF index alone, for a PERSISTED index: at
+    deployment the ``(seeds, assigned)`` pair from
+    :func:`ivf_assignments` is built once and written out (``assigned``
+    bucketed by ``list_id``), and queries pay only this function —
+    Q x n_probe seed scores plus a join against the ~n_probe/n_lists
+    fraction of the corpus in the probed lists.  That separation is the
+    100 TB shape: build is one linear pass, per-query work scales with
+    list occupancy (N / n_lists), not N.  ``ivf_topk`` composes build +
+    probe in-plan for the oracle-replayable one-shot form.
+    """
     # each query probes its n_probe nearest lists
     q = with_norms(queries, vec_col).select(
         F.col(id_col).alias("query_id"), F.col("v").alias("qv"), F.col("sq_norm").alias("qn")

@@ -132,3 +132,52 @@ def docs_table(
         _pick(seed, "source", DOC_SOURCES).alias("source"),
         F.length(text).cast("long").alias("n_chars"),
     )
+
+
+def embeddings_table(
+    spark: SparkSession,
+    num_rows: int,
+    dim: int = 64,
+    n_clusters: int = 50,
+    seed: int = 42,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Synthetic embeddings table (driver-fixture schema: vec_id,
+    embedding array<float>, label) at arbitrary scale — the input for
+    scaling probes of the similarity operators beyond the fixture's
+    2k rows.
+
+    Fully distributed and deterministic: each partition generates its
+    id slice with splittable xxhash64 draws, no driver-side data.  Rows
+    cluster around ``n_clusters`` fixed centers (component offsets in
+    [-1, 1]) with small per-row noise, so approximate indexes (IVF/LSH)
+    have real locality structure to exploit at every scale: a vector's
+    true nearest neighbors are overwhelmingly its cluster-mates, and an
+    IVF probe of a few lists can actually achieve high recall — an
+    unclustered uniform cloud would make every ANN method look
+    uniformly bad.  ``label`` is the cluster id.
+    """
+    rng = (
+        spark.range(0, num_rows, numPartitions=partitions)
+        if partitions
+        else spark.range(num_rows)
+    )
+    cluster = F.pmod(F.xxhash64(F.col("id"), F.lit("c"), F.lit(seed)), F.lit(n_clusters))
+
+    def component(j):
+        center = (
+            F.pmod(F.xxhash64(cluster, j, F.lit("ctr"), F.lit(seed)), F.lit(2001))
+            - 1000
+        ) / 1000.0
+        noise = (
+            F.pmod(F.xxhash64(F.col("id"), j, F.lit("nz"), F.lit(seed)), F.lit(201))
+            - 100
+        ) / 1000.0
+        return (center + noise).cast("float")
+
+    vec = F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), component)
+    return rng.select(
+        F.col("id").cast("long").alias("vec_id"),
+        vec.alias("embedding"),
+        cluster.cast("int").alias("label"),
+    )

@@ -76,3 +76,66 @@ def test_lsh_deterministic(spark, sf_small):
     a = sorted(tuple(r) for r in lsh_topk(queries, emb, k=5).collect())
     b = sorted(tuple(r) for r in lsh_topk(queries, emb, k=5).collect())
     assert a == b
+
+
+def test_ivf_probe_topk_matches_inplan_ivf(spark, sf_small, tmp_path):
+    """Probing a PERSISTED index (ivf_assignments written out, then
+    ivf_probe_topk) must return exactly what the in-plan ivf_topk
+    composition returns — the deployment split is a pure refactor of
+    the one-shot form."""
+    from columnar_analytics_engine_spark.operators.similarity import (
+        ivf_assignments,
+        ivf_probe_topk,
+    )
+
+    emb = read_table(spark, sf_small, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    want = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in ivf_topk(queries, emb, k=5, n_lists=8, n_probe=3).collect()
+    }
+
+    seeds, assigned = ivf_assignments(emb, n_lists=8)
+    seeds.write.parquet(str(tmp_path / "seeds"))
+    assigned.write.parquet(str(tmp_path / "index"))
+    got = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in ivf_probe_topk(
+            queries,
+            spark.read.parquet(str(tmp_path / "seeds")),
+            spark.read.parquet(str(tmp_path / "index")),
+            k=5,
+            n_probe=3,
+        ).collect()
+    }
+    assert got == want
+    assert len(want) == 10 * 5
+
+
+def test_synthetic_embeddings_table(spark):
+    """Generator contract: fixture schema, deterministic values, real
+    cluster structure (a vector's nearest neighbor shares its label)."""
+    from columnar_analytics_engine_spark.sources.synthetic import embeddings_table
+
+    emb = embeddings_table(spark, 2000, dim=16, n_clusters=10)
+    assert [f.name for f in emb.schema.fields] == ["vec_id", "embedding", "label"]
+    assert emb.schema["embedding"].dataType.simpleString() == "array<float>"
+    first = emb.orderBy("vec_id").limit(3).collect()
+    again = embeddings_table(spark, 2000, dim=16, n_clusters=10).orderBy(
+        "vec_id"
+    ).limit(3).collect()
+    assert [r["embedding"] for r in first] == [r["embedding"] for r in again]
+    assert all(len(r["embedding"]) == 16 for r in first)
+
+    # locality: >90% of queries' top-1 neighbors share the query's label
+    queries = emb.filter(F.col("vec_id") < 30)
+    top1 = cosine_topk(queries, emb, k=1)
+    labels = emb.select("vec_id", "label")
+    joined = (
+        top1.join(labels.withColumnRenamed("vec_id", "query_id"), "query_id")
+        .withColumnRenamed("label", "q_label")
+        .join(labels.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+    )
+    rows = joined.collect()
+    same = sum(1 for r in rows if r["q_label"] == r["label"])
+    assert same / len(rows) > 0.9
