@@ -27,7 +27,12 @@ _AGGS = {a.name: a for a in AggFunc}
 def cmd_write(args: argparse.Namespace) -> None:
     spark = get_spark(app_name="cae-cli")
     df = cli_table(spark, args.num_rows, seed=args.seed)
-    write_table(df, args.out)
+    if getattr(args, "format", "parquet") == "col":
+        from columnar_analytics_engine_spark.io import write_colfile
+
+        write_colfile(df, args.out)
+    else:
+        write_table(df, args.out)
     print(f"wrote {args.num_rows} rows (seed {args.seed}) to {args.out}")
 
 
@@ -38,7 +43,15 @@ def cmd_scan(args: argparse.Namespace) -> None:
 
 def cmd_query(args: argparse.Namespace) -> None:
     spark = get_spark(app_name="cae-cli")
-    q = Query(spark.read.parquet(args.path))
+    from columnar_analytics_engine_spark.io import _is_colfile_path
+
+    if _is_colfile_path(args.path):
+        # native .col input: a reference user's existing files work as-is
+        from columnar_analytics_engine_spark.io import read_colfile
+
+        q = Query(read_colfile(spark, args.path))
+    else:
+        q = Query(spark.read.parquet(args.path))
     if args.select:
         q.set_projection([c.strip() for c in args.select.split(",")])
     for w in args.where or []:
@@ -133,6 +146,10 @@ def main(argv: list[str] | None = None) -> None:
     w.add_argument("out")
     w.add_argument("num_rows", type=int)
     w.add_argument("seed", type=int, nargs="?", default=42)
+    w.add_argument(
+        "--format", choices=["parquet", "col"], default="parquet",
+        help="output format: parquet (default) or the native .col format",
+    )
     w.set_defaults(fn=cmd_write)
 
     s = sub.add_parser("scan", help="dump parquet metadata")

@@ -490,6 +490,9 @@ def describe(path: str) -> dict[str, Any]:
     """
     import pyarrow.parquet as pq
 
+    if _is_colfile_path(path):
+        return describe_col(path)
+
     def _one(file_path: str) -> dict[str, Any]:
         pf = pq.ParquetFile(file_path)
         md = pf.metadata
@@ -536,6 +539,90 @@ def describe(path: str) -> dict[str, Any]:
             "files": files,
         }
     return _one(path)
+
+
+def _is_colfile_path(path: str) -> bool:
+    if path.endswith(".col"):
+        return True
+    return os.path.isdir(path) and any(
+        f.endswith(".col") for f in os.listdir(path)
+    )
+
+
+def describe_col(path: str) -> dict[str, Any]:
+    """Metadata scan of a native ``.col`` file or shard directory —
+    same shape as :func:`describe` on parquet (schema, row groups,
+    per-chunk min/max/null stats), read from the .col footer by the
+    pure-Python reader (sources/colfile.py)."""
+    from columnar_analytics_engine_spark.sources import colfile as cf
+
+    def _one(file_path: str) -> dict[str, Any]:
+        meta = cf.ColFileReader(file_path).metadata
+        row_groups = []
+        for rg in meta.row_groups:
+            cols = []
+            for spec, cc in zip(meta.schema, rg.column_chunks):
+                ph = cc.page_headers[0]
+                cols.append(
+                    {
+                        "column": spec.name,
+                        "encodings": [cf._ENC_NAMES[ph.encoding].upper()],
+                        "compressed_size": ph.compressed_size,
+                        "uncompressed_size": ph.uncompressed_size,
+                        "num_values": ph.num_values,
+                        "min": ph.min_int,
+                        "max": ph.max_int,
+                        "null_count": ph.null_count if ph.min_int is not None else None,
+                    }
+                )
+            row_groups.append({"num_rows": rg.num_rows, "columns": cols})
+        return {
+            "file": file_path,
+            "total_rows": meta.total_rows,
+            "num_row_groups": len(meta.row_groups),
+            "schema": {s.name: cf._TYPE_NAMES[s.ctype] for s in meta.schema},
+            "row_groups": row_groups,
+        }
+
+    if os.path.isdir(path):
+        parts = sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".col") and not f.startswith(("_", "."))
+        )
+        files = [_one(p) for p in parts]
+        return {
+            "path": path,
+            "total_rows": sum(f["total_rows"] for f in files),
+            "num_files": len(files),
+            "schema": files[0]["schema"] if files else {},
+            "files": files,
+        }
+    return _one(path)
+
+
+def read_colfile(spark: SparkSession, path: str, where: str | None = None) -> DataFrame:
+    """Read native ``.col`` file(s) as a DataFrame (one scan partition
+    per row group; optional ``where`` does footer-stats zone-map
+    pruning — sources/colfile.py)."""
+    from columnar_analytics_engine_spark.sources.colfile import read_col_spark
+
+    return read_col_spark(spark, path, where=where)
+
+
+def write_colfile(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    encodings: dict[str, str] | None = None,
+) -> None:
+    """Write a DataFrame as a directory of native ``.col`` shards (one
+    per task).  Columns must be int/long/string — the format's whole
+    type system; ``encodings`` maps column → plain|rle|delta|dictionary
+    (per-column control, parity with ``include/format.h:49-61``)."""
+    from columnar_analytics_engine_spark.sources.colfile import write_col_spark
+
+    write_col_spark(df, path, mode=mode, encodings=encodings)
 
 
 def write_with_metrics(

@@ -149,7 +149,60 @@ def group_by_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def colfile_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``.col`` format round-trip: write ``orders`` key columns
+    to the reference engine's own file format with the distributed
+    colfile sink (one shard per task; DELTA keys, DICTIONARY status —
+    per-column encoding control, include/format.h:49-61), read it back
+    through the colfile DataSource (one scan partition per row group),
+    and aggregate.  The oracle runs the same aggregate on the parquet
+    source table, so a hash match proves the format encode→decode cycle
+    is lossless end-to-end under Spark — the migration guarantee a
+    reference user needs (their existing .col files are first-class
+    inputs here; byte-level cross-validation against a compiled
+    reference binary lives in tests/test_colfile.py)."""
+    import hashlib
+    import tempfile
+
+    from columnar_analytics_engine_spark.io import read_colfile, write_colfile
+
+    src = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = f"{tempfile.gettempdir()}/cae_colfile_q_{tag}"
+    write_colfile(
+        src, path,
+        encodings={"o_orderkey": "delta", "o_custkey": "plain",
+                   "o_orderstatus": "dictionary"},
+    )
+    return (
+        read_colfile(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("o_orderkey").alias("sum_orderkey"),
+            F.sum("o_custkey").alias("sum_custkey"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "colfile_roundtrip_agg": QuerySpec(
+        colfile_roundtrip_agg,
+        """
+        SELECT o_orderstatus,
+               COUNT(*) AS n_orders,
+               CAST(SUM(o_orderkey) AS BIGINT) AS sum_orderkey,
+               CAST(SUM(o_custkey) AS BIGINT) AS sum_custkey
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+        """,
+        "native .col format write+read round-trip (oracle on the parquet source)",
+        ("parity", "format", "source", "sink"),
+    ),
     "scan_full_count": QuerySpec(
         scan_full_count,
         "SELECT COUNT(*) AS n_rows FROM lineitem",
