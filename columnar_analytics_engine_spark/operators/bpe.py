@@ -123,3 +123,30 @@ def bpe_merges_df(words: DataFrame, n_merges: int = 12) -> DataFrame:
     return words.sparkSession.createDataFrame(
         rules, "merge_rank long, left string, right string, pair_count long"
     )
+
+
+def bpe_encode_words(words: DataFrame, rules: list[tuple]) -> DataFrame:
+    """Segment each distinct word with a learned merge table — the
+    tokenizer *apply* step (Sennrich et al. §3: merges are replayed on
+    new text in the order they were learned, each applied greedily
+    left-to-right).
+
+    Input: any DataFrame with a ``word`` string column (extra columns
+    pass through).  Output adds ``subwords array<string>`` and
+    ``n_subwords int``.
+
+    Scale shape: the merge table is tiny (k rules, driver-resident), so
+    the plan is k chained pure-JVM ``aggregate`` folds over the symbol
+    array — one narrow projection, NO shuffle, NO Python UDF, and the
+    caller applies it to the DISTINCT-word table (Zipf: |vocab| ≪
+    corpus tokens), not the token stream.  Encoding a 100 TB corpus is
+    therefore one vocabulary-sized projection plus one word-key join
+    back to the token stream — exactly how production tokenizers batch-
+    encode (word-level memoization).
+    """
+    syms = F.expr("filter(split(word, ''), s -> s != '')")
+    for _, left, right, *_ in rules:
+        syms = _merge_pair_fold(syms, F.lit(left), F.lit(right))
+    return words.withColumn("subwords", syms).withColumn(
+        "n_subwords", F.size("subwords")
+    )

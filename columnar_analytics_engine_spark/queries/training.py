@@ -1850,6 +1850,74 @@ QUERIES["training_bpe_merges"] = QuerySpec(
 )
 
 
+def training_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY: learn 12 BPE merges, segment the corpus with
+    them, and report per-document subword statistics — the fertility
+    report (subwords per word) a tokenizer rollout produces before
+    committing a vocabulary.
+
+    Two-stage shape (the production batch-encode pattern):
+
+    1. merges are learned on the word-frequency table
+       (:func:`operators.bpe.learn_bpe_merges` — vocabulary-bounded
+       driver loop, corpus touched once) and then APPLIED to the
+       DISTINCT-word table as k chained JVM folds
+       (:func:`operators.bpe.bpe_encode_words` — no shuffle, no UDF);
+    2. the segmented vocabulary joins back to the (doc, word) token
+       stream on the word key, and a doc-key aggregation emits
+       n_tokens / n_subwords / n_chars / fertility.
+
+    The corpus is never re-scanned per merge rule, and the expensive
+    join is word-key (Zipf-skewed but AQE-handled; the vocab side is
+    vastly smaller than the token stream at any scale).
+
+    Verification: the learn loop is iterative (rows-only in the
+    driver); the full learn+encode chain is replayed from scratch in
+    pure Python in tests/test_bpe.py, and segmentation invariants
+    (concat(subwords) == word, n_subwords bounds) are property-checked.
+    """
+    from columnar_analytics_engine_spark.operators.bpe import (
+        bpe_encode_words,
+        learn_bpe_merges,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    tok_stream = _persist_once(
+        docs.select(
+            "doc_id", F.explode(X.tokens(F.col("text"))).alias("word")
+        )
+    )
+    words = tok_stream.groupBy("word").agg(F.count("*").alias("n"))
+    rules = learn_bpe_merges(words, n_merges=12)
+    seg = bpe_encode_words(words.select("word"), rules)
+    per_doc = (
+        tok_stream.join(seg, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("n_subwords").cast("long").alias("n_subwords"),
+            F.sum(F.length("word")).cast("long").alias("n_chars"),
+        )
+    )
+    fert = F.col("n_subwords").cast("double") / F.col("n_tokens").cast("double")
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_subwords",
+        "n_chars",
+        fert.alias("fertility"),
+    ).orderBy("doc_id")
+
+
+QUERIES["training_bpe_encode"] = QuerySpec(
+    training_bpe_encode,
+    None,  # merge table is data-dependent (iterative learn): pure-Python
+    # cross-check of the full learn+encode chain in test_bpe.py
+    "per-doc subword fertility after encoding with 12 learned BPE merges",
+    ("text", "training"),
+)
+
+
 # ---------------------------------------------------------------------------
 # Zipf-law fit over the vocabulary
 # ---------------------------------------------------------------------------

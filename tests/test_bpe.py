@@ -64,6 +64,70 @@ def test_bpe_merges_match_python_reference(spark, sf_small):
     assert all(g[3] > 0 for g in got)
 
 
+def _reference_encode(word: str, rules: list[tuple]) -> list[str]:
+    syms = list(word)
+    for _, bl, br, *_ in rules:
+        out, carry = [], None
+        for s in syms:
+            if carry is None:
+                carry = s
+            elif carry == bl and s == br:
+                out.append(carry + s)
+                carry = None
+            else:
+                out.append(carry)
+                carry = s
+        if carry is not None:
+            out.append(carry)
+        syms = out
+    return syms
+
+
+def test_bpe_encode_matches_python_reference_and_invariants(spark, sf_small):
+    from columnar_analytics_engine_spark.functions import text as X
+    from columnar_analytics_engine_spark.operators.bpe import (
+        bpe_encode_words,
+        learn_bpe_merges,
+    )
+    from columnar_analytics_engine_spark.queries._util import t
+
+    docs = t(spark, sf_small, "documents")
+    words = (
+        docs.select(F.explode(X.tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    rules = learn_bpe_merges(words, n_merges=12)
+    got = {
+        r["word"]: list(r["subwords"])
+        for r in bpe_encode_words(words.select("word"), rules).collect()
+    }
+    for w, subs in got.items():
+        assert "".join(subs) == w  # segmentation tiles the word exactly
+        assert 1 <= len(subs) <= len(w)
+        assert subs == _reference_encode(w, rules)
+
+
+def test_training_bpe_encode_fertility_accounting(spark, sf_small):
+    from columnar_analytics_engine_spark.functions import text as X
+    from columnar_analytics_engine_spark.queries._util import t
+    from columnar_analytics_engine_spark.queries.training import (
+        training_bpe_encode,
+    )
+
+    rows = training_bpe_encode(spark, sf_small).collect()
+    docs = t(spark, sf_small, "documents")
+    n_tok = docs.select(
+        F.sum(F.size(X.tokens(F.col("text")))).alias("n")
+    ).collect()[0]["n"]
+    assert sum(r["n_tokens"] for r in rows) == n_tok
+    for r in rows:
+        # fertility ∈ [1/max_word_len, 1]⁻¹-ish: at least one subword
+        # per token, at most one per character
+        assert r["n_tokens"] <= r["n_subwords"] <= r["n_chars"]
+        assert abs(r["fertility"] - r["n_subwords"] / r["n_tokens"]) < 1e-12
+
+
 def test_bpe_greedy_merge_is_left_to_right_non_overlapping(spark):
     from columnar_analytics_engine_spark.operators.bpe import learn_bpe_merges
 
