@@ -120,6 +120,37 @@ def cmd_run(args: argparse.Namespace) -> None:
             print(f"... ({len(rows)} rows total)")
 
 
+def cmd_sql(args: argparse.Namespace) -> None:
+    """Ad-hoc Spark SQL over a scale-factor directory: every table of
+    the data model (io.TABLE_NAMES) is registered as a temp view
+    through ``read_table`` (timestamp normalization included), then the
+    statement runs as-is — the free-form companion to the flag-based
+    ``query`` subcommand, and the fastest way for a reference user to
+    port an existing ad-hoc query.  Catalyst plans the statement like
+    any DataFrame query (pushdown, AQE, broadcast), so the CLI adds no
+    execution penalty over the registered-query path."""
+    from columnar_analytics_engine_spark.io import TABLE_NAMES, read_table
+
+    spark = get_spark(app_name="cae-sql")
+    for name in TABLE_NAMES:
+        read_table(spark, args.sf_dir, name).createOrReplaceTempView(name)
+    df = spark.sql(args.statement)
+    if args.explain:
+        df.explain("formatted")
+        return
+    if args.out:
+        write_table(df, args.out)
+        n = spark.read.parquet(args.out).count()
+        print(f"wrote {n} rows to {args.out}")
+        return
+    rows = df.limit(args.limit + 1).collect()
+    print("\t".join(df.columns))
+    for row in rows[: args.limit]:
+        print("\t".join(str(v) for v in row))
+    if len(rows) > args.limit:
+        print(f"... (more than {args.limit} rows; use --out to keep all)")
+
+
 def cmd_explain(args: argparse.Namespace) -> None:
     """Print the physical plan of a registered query — the operator's
     view of what the cluster will actually run (pushdown, broadcast,
@@ -168,6 +199,14 @@ def main(argv: list[str] | None = None) -> None:
     e.add_argument("name")
     e.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.001")
     e.set_defaults(fn=cmd_explain)
+
+    sq = sub.add_parser("sql", help="run an ad-hoc SQL statement over the data model")
+    sq.add_argument("statement")
+    sq.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.001")
+    sq.add_argument("--out", help="write full result as parquet instead of printing")
+    sq.add_argument("--limit", type=int, default=20, help="print at most N rows")
+    sq.add_argument("--explain", action="store_true", help="print the physical plan only")
+    sq.set_defaults(fn=cmd_sql)
 
     r = sub.add_parser("run", help="run a registered query (print or --out parquet)")
     r.add_argument("name")

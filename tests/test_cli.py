@@ -102,3 +102,45 @@ def test_cli_run_unknown_query_lists_registry(capsys):
     with _pytest.raises(SystemExit):
         main(["run", "nope_not_a_query"])
     assert "choose from" in capsys.readouterr().out
+
+
+def test_cli_sql_prints_writes_and_explains(tmp_path, capsys):
+    from columnar_analytics_engine_spark.cli import main
+
+    main([
+        "sql",
+        "SELECT r_name, COUNT(*) AS n FROM region GROUP BY r_name ORDER BY r_name",
+        "/root/testdata/sf0.001",
+    ])
+    out = capsys.readouterr().out
+    assert out.splitlines()[0] == "r_name\tn"
+    assert len(out.splitlines()) == 6  # header + 5 regions
+
+    # joins across registered views work and --out writes parquet
+    dest = str(tmp_path / "sqlout.parquet")
+    main([
+        "sql",
+        "SELECT n.n_name, r.r_name FROM nation n JOIN region r"
+        " ON n.n_regionkey = r.r_regionkey",
+        "/root/testdata/sf0.001",
+        "--out", dest,
+    ])
+    out = capsys.readouterr().out
+    assert "wrote 25 rows" in out
+
+    main(["sql", "SELECT 1 AS one", "/root/testdata/sf0.001", "--explain"])
+    assert "Physical Plan" in capsys.readouterr().out
+
+
+def test_cli_sql_limit_marks_truncation(capsys):
+    from columnar_analytics_engine_spark.cli import main
+
+    main([
+        "sql",
+        "SELECT o_orderkey FROM orders ORDER BY o_orderkey",
+        "/root/testdata/sf0.001",
+        "--limit", "3",
+    ])
+    out = capsys.readouterr().out
+    assert len([l for l in out.splitlines() if l.isdigit()]) == 3
+    assert "more than 3 rows" in out
