@@ -93,6 +93,24 @@ def _wait_until_quiet(
     return la, (la is not None and la < threshold)
 
 
+def _cpu_probe_ms() -> float:
+    """Single-thread CPU speed self-calibration: wall ms for a fixed
+    2M-iteration Python arithmetic loop, best of 3.  The shared host's
+    effective single-core speed swings 1.5-3x between rounds (steal /
+    oversubscription), which dwarfs any real plan regression on
+    sub-second queries — embedding the probe makes every bench artifact
+    machine-normalizable (divide query timings by probe ratio) without
+    access to the box."""
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        s = 0
+        for i in range(2_000_000):
+            s += i * i
+        best = min(best, time.perf_counter() - t0)
+    return round(best * 1000, 1)
+
+
 def _bench_conditions(extra: dict | None = None) -> dict:
     """Measurement-condition block embedded in every bench JSON line:
     a regression must be distinguishable from a busy box without
@@ -102,6 +120,7 @@ def _bench_conditions(extra: dict | None = None) -> dict:
         "runs": N_TIMED_RUNS,
         "warmup": True,
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+        "cpu_probe_ms": _cpu_probe_ms(),
     }
     if extra:
         cond.update(extra)
