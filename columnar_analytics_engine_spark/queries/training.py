@@ -1858,18 +1858,20 @@ def training_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Two-stage shape (the production batch-encode pattern):
 
-    1. merges are learned on the word-frequency table
+    1. ONE corpus pass aggregates the token stream to (doc, word,
+       count) — every later stage works on this memoized table, never
+       the raw stream;
+    2. merges are learned on the word-frequency table derived from it
        (:func:`operators.bpe.learn_bpe_merges` — vocabulary-bounded
-       driver loop, corpus touched once) and then APPLIED to the
-       DISTINCT-word table as k chained JVM folds
-       (:func:`operators.bpe.bpe_encode_words` — no shuffle, no UDF);
-    2. the segmented vocabulary joins back to the (doc, word) token
-       stream on the word key, and a doc-key aggregation emits
+       driver loop) and APPLIED to the distinct-word table as k
+       chained JVM folds (:func:`operators.bpe.bpe_encode_words` — no
+       shuffle, no UDF);
+    3. the segmented vocabulary joins back on the word key at
+       (doc, word) granularity — join input is DISTINCT doc-word
+       pairs, not token instances (a "the"-heavy 100 TB corpus ships
+       one row per document through the join, not millions) — and a
+       doc-key aggregation weights by count to emit
        n_tokens / n_subwords / n_chars / fertility.
-
-    The corpus is never re-scanned per merge rule, and the expensive
-    join is word-key (Zipf-skewed but AQE-handled; the vocab side is
-    vastly smaller than the token stream at any scale).
 
     Verification: the learn loop is iterative (rows-only in the
     driver); the full learn+encode chain is replayed from scratch in
@@ -1882,21 +1884,23 @@ def training_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = t(spark, sf_dir, "documents")
-    tok_stream = _persist_once(
+    doc_words = _persist_once(
         docs.select(
             "doc_id", F.explode(X.tokens(F.col("text"))).alias("word")
         )
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("c"))
     )
-    words = tok_stream.groupBy("word").agg(F.count("*").alias("n"))
+    words = doc_words.groupBy("word").agg(F.sum("c").alias("n"))
     rules = learn_bpe_merges(words, n_merges=12)
     seg = bpe_encode_words(words.select("word"), rules)
     per_doc = (
-        tok_stream.join(seg, "word")
+        doc_words.join(seg, "word")
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_tokens"),
-            F.sum("n_subwords").cast("long").alias("n_subwords"),
-            F.sum(F.length("word")).cast("long").alias("n_chars"),
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.sum(F.col("c") * F.col("n_subwords")).cast("long").alias("n_subwords"),
+            F.sum(F.col("c") * F.length("word")).cast("long").alias("n_chars"),
         )
     )
     fert = F.col("n_subwords").cast("double") / F.col("n_tokens").cast("double")
