@@ -81,10 +81,16 @@ def learn_bpe_merges(words: DataFrame, n_merges: int = 12) -> list[tuple]:
     Stops early when no adjacent pair remains (fully merged vocabulary).
     """
     spark = words.sparkSession
+    # lazy checkpoints throughout the loop: each round's argmax collect
+    # is the first action over the current vocab frame and materializes
+    # its checkpoint as a side effect — eager=True would spend a second
+    # job per round (2x the fixed overhead, 2x the passes at scale).
+    # Plan truncation (the reason for checkpointing: the fold nests one
+    # level per round) happens at wrap time regardless of eagerness.
     vocab = words.select(
         F.expr("filter(split(word, ''), s -> s != '')").alias("syms"),
         F.col("n").cast("long").alias("n"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     rules: list[tuple] = []
     for r in range(1, n_merges + 1):
         pairs = (
@@ -112,7 +118,7 @@ def learn_bpe_merges(words: DataFrame, n_merges: int = 12) -> list[tuple]:
         vocab = vocab.select(
             _merge_pair_fold(F.col("syms"), F.lit(bl), F.lit(br)).alias("syms"),
             "n",
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     return rules
 
 

@@ -84,7 +84,10 @@ def connected_components(
                 F.col("x.old").alias("old"),
                 F.col("lm").alias("cluster_id"),
             )
-            .localCheckpoint()
+            # lazy: the `changed` count right below is this frame's
+            # first action and materializes the checkpoint — eager=True
+            # would spend one extra job per round on the same work
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_labels.filter(F.col("cluster_id") != F.col("old")).limit(1).count()
