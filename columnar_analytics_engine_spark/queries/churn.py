@@ -80,6 +80,12 @@ FORCE_REVERIFY_PRE_SNAPSHOT = frozenset({
     # round 8 (late): CMS rebuilt from the per-user aggregate (one
     # events scan, per-user hashing) after last green
     "sketch_heavy_hitters",
+    # round 9: connected_components' per-round checkpoint went lazy
+    # (eager=False; the convergence count materializes it) after these
+    # queries' last green rounds, which predate fingerprint snapshots
+    "dedup_clusters",
+    "dedup_cluster_size_histogram",
+    "training_leakage_safe_split",
 })
 
 
