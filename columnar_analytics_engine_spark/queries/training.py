@@ -1888,6 +1888,9 @@ def training_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(
             "doc_id", F.explode(X.tokens(F.col("text"))).alias("word")
         )
+        # split('') yields one empty token: an empty/whitespace doc
+        # would otherwise count 1 token segmenting to 0 subwords
+        .filter(F.col("word") != "")
         .groupBy("doc_id", "word")
         .agg(F.count("*").alias("c"))
     )
