@@ -698,7 +698,7 @@ def _make_datasource_classes():
     never requires a SparkSession (the codec half is plain Python)."""
     from pyspark.sql.datasource import (
         DataSource, DataSourceArrowWriter, DataSourceReader, InputPartition,
-        WriterCommitMessage,
+        SimpleDataSourceStreamReader, WriterCommitMessage,
     )
 
     class _RowGroupPartition(InputPartition):
@@ -754,6 +754,71 @@ def _make_datasource_classes():
                 [pa.array(cols[s.name], type=pa_types[s.ctype]) for s in specs],
                 names,
             )
+
+    class ColFileStreamReader(SimpleDataSourceStreamReader):
+        """Streaming side: continuous ingestion of an append-only
+        directory of ``.col`` shards — the same live-drop shape as the
+        record-archive stream (sources/record_archive.py), for the
+        native format.  File-granularity offsets are EXACT because both
+        writers publish shards atomically (``ColFileWriterDS.write``
+        stages to a dotfile and ``os.replace``s; ``_list`` skips
+        dot/underscore names), so a visible file is complete.
+
+        Offset model ``{"seen": [filename, ...]}``: ``read`` decodes
+        every row group of not-yet-seen files and advances;
+        ``readBetweenOffsets`` replays a committed range from the
+        file-list diff (failure recovery).  The stream's schema is the
+        first visible shard's footer schema (via
+        ``ColFileDataSource.schema``), so the source directory must
+        hold at least one shard when the stream starts.
+        """
+
+        def __init__(self, options):
+            self.path = options.get("path")
+            if not self.path:
+                raise ValueError("colfile stream reader requires a path")
+
+        def _dir(self) -> str:
+            return self.path if os.path.isdir(self.path) else os.path.dirname(self.path)
+
+        def _list(self) -> list:
+            if os.path.isdir(self.path):
+                return sorted(
+                    f for f in os.listdir(self.path)
+                    if f.endswith(".col") and not f.startswith((".", "_"))
+                )
+            return [os.path.basename(self.path)]
+
+        def initialOffset(self) -> dict:
+            return {"seen": []}
+
+        def _rows_for(self, names) -> list:
+            # a LIST, not a generator: the simple-stream API pickles
+            # the returned rows into the offset log for replay
+            rows = []
+            for name in names:
+                reader = ColFileReader(os.path.join(self._dir(), name))
+                specs = reader.metadata.schema
+                for rg_idx in range(len(reader.metadata.row_groups)):
+                    cols = reader.read_row_group(rg_idx)
+                    pycols = [
+                        cols[s.name].tolist()
+                        if s.ctype != TYPE_STRING
+                        else cols[s.name]
+                        for s in specs
+                    ]
+                    rows.extend(zip(*pycols))
+            return rows
+
+        def read(self, start: dict):
+            seen = set(start.get("seen", []))
+            new = [n for n in self._list() if n not in seen]
+            end = {"seen": sorted(seen | set(new))}
+            return iter(self._rows_for(new)), end
+
+        def readBetweenOffsets(self, start: dict, end: dict):
+            replay = sorted(set(end.get("seen", [])) - set(start.get("seen", [])))
+            return iter(self._rows_for(replay))
 
     class _ColCommit(WriterCommitMessage):
         def __init__(self, file_path: str):
@@ -846,6 +911,9 @@ def _make_datasource_classes():
 
         def reader(self, schema):
             return ColFileReaderDS(self.options)
+
+        def simpleStreamReader(self, schema):
+            return ColFileStreamReader(self.options)
 
         def writer(self, schema, overwrite: bool):
             return ColFileWriterDS(self.options, schema, overwrite)

@@ -382,3 +382,47 @@ def test_reference_binary_reads_spark_written_shards(ref_cli, tmp_path, spark):
         vsum += int(re.search(r"sum: (-?\d+)", scan.stdout).group(1))
     assert total == 6000
     assert vsum == sum(i * 3 for i in range(6000))
+
+
+def test_colfile_streaming_reader_exactly_once(spark, tmp_path):
+    """readStream over an append-only .col shard directory: restart from
+    the checkpoint ingests only shards that appeared since — the same
+    exactly-once contract as the record-archive stream, on the native
+    format (shards publish atomically via dotfile + os.replace)."""
+    import numpy as np
+
+    from columnar_analytics_engine_spark.sources import colfile as cf
+
+    cf.register_colfile(spark)
+    src = str(tmp_path / "drops")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    cf.write_col(f"{src}/a.col", {"id": np.arange(3, dtype=np.int64),
+                                  "tag": ["x", "y", "z"]})
+    cf.write_col(f"{src}/b.col", {"id": np.arange(3, 5, dtype=np.int64),
+                                  "tag": ["p", "q"]})
+
+    def drain():
+        q = (
+            spark.readStream.format("colfile")
+            .load(src)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    first = {(r.id, r.tag) for r in spark.read.parquet(out).collect()}
+    assert first == {(0, "x"), (1, "y"), (2, "z"), (3, "p"), (4, "q")}
+
+    # a new shard lands; resuming from the checkpoint ingests ONLY it
+    cf.write_col(f"{src}/c.col", {"id": np.array([9], dtype=np.int64),
+                                  "tag": ["w"]})
+    drain()
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 6  # no re-ingestion of a/b on restart
+    assert (9, "w") in {(r.id, r.tag) for r in rows}
