@@ -26,6 +26,16 @@ _DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # AQE coalescing merges post-shuffle partitions below this floor even
+    # in parallelism-first mode.  The 1 MB default serializes CPU-dense
+    # small-BYTES stages: a distinct-vocabulary exchange of a few MB
+    # coalesces to 1-2 tasks, and the md5/affine k-family result
+    # projection that Catalyst collapses into the aggregate then runs
+    # single-threaded (reproduced: one 200 s task, 31 idle cores, in the
+    # minhash vocabulary stage).  64 KB keeps tiny-bytes/heavy-CPU stages
+    # wide at test scale; at 100 TB the advisory size (64 MB) governs
+    # long before this floor matters.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "65536",
     # Zone-map style data skipping (the reference's Predicate::canSkipPage,
     # src/execution.cpp:48-71) is parquet row-group pruning here.
     "spark.sql.parquet.filterPushdown": "true",
