@@ -451,14 +451,25 @@ def main() -> None:
     # pre-cached by the minhash entry that ran earlier") and bounds
     # executor storage memory to one query's working set instead of 26
     # accumulated cache entries pressuring the tail of the suite.
+    # TWO interleaved suite passes, per-query min across passes: the
+    # shared host exhibits multi-minute single-core slowdown windows
+    # (reproduced round 9: a trivial query recording 17 s because all
+    # of its consecutive best-of-3 samples landed inside one window;
+    # the same query times 0.2 s minutes later).  Consecutive samples
+    # cannot dodge a window longer than the query; a second full pass
+    # minutes later almost never hits the same query inside a window,
+    # so min-across-passes recovers the plan-cost floor.
     timings: dict[str, float] = {}
-    for name, low_latency in BENCH_QUERIES.items():
-        _set_low_latency(spark, low_latency)
-        with cache_scope():
-            qs[name].fn(spark, sf_dir).count()  # warm-up (untimed)
-            timings[name] = round(run_query(qs[name], spark, sf_dir), 4)
+    for _pass in range(2):
+        for name, low_latency in BENCH_QUERIES.items():
+            _set_low_latency(spark, low_latency)
+            with cache_scope():
+                qs[name].fn(spark, sf_dir).count()  # warm-up (untimed)
+                t = round(run_query(qs[name], spark, sf_dir), 4)
+            timings[name] = min(timings.get(name, t), t)
     _set_low_latency(spark, False)
     cond["cache_isolated"] = True
+    cond["passes"] = 2
 
     total = round(sum(timings.values()), 4)
     cond["loadavg_end"] = _loadavg()
