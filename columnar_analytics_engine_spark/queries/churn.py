@@ -86,6 +86,15 @@ FORCE_REVERIFY_PRE_SNAPSHOT = frozenset({
     "dedup_clusters",
     "dedup_cluster_size_histogram",
     "training_leakage_safe_split",
+    # round 9 (late): MinHash k-family evaluated as one array expression
+    # (affine_hash_array) — every query whose closure reaches
+    # minhash_signatures changed after its last snapshotted green round
+    # (closure-scan list; all re-swept green at sf0.01 in-session)
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_keeper_assignment",
+    "dedup_cross_source_matrix",
+    "dedup_minhash_calibration",
 })
 
 
