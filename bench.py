@@ -204,18 +204,22 @@ def reference_parity_bench(num_rows: int = 1_000_000, seed: int = 42) -> None:
             for fn in bench_queries.values():
                 fn()
         # sub-second queries under a noisy box need many samples for a
-        # stable minimum; they're cheap, so take best-of-10
-        timings = {}
-        for name, fn in bench_queries.items():
-            best = float("inf")
-            for _ in range(10):
-                start = time.perf_counter()
-                fn()
-                best = min(best, time.perf_counter() - start)
-            timings[name] = round(best, 4)
+        # stable minimum; they're cheap, so take best-of-10 — in TWO
+        # interleaved passes: the host's multi-minute slowdown windows
+        # (see BASELINE.md round-9 record) cover 10 consecutive samples
+        # of one query, but rarely the same query in both passes
+        timings: dict[str, float] = {}
+        for _pass in range(2):
+            for name, fn in bench_queries.items():
+                best = timings.get(name, float("inf"))
+                for _ in range(5):
+                    start = time.perf_counter()
+                    fn()
+                    best = min(best, time.perf_counter() - start)
+                timings[name] = round(best, 4)
         _set_low_latency(spark, False)
         cond = _bench_conditions(
-            {"runs": 10, "warmup_rounds": 8, "loadavg_end": _loadavg()}
+            {"runs": 10, "warmup_rounds": 8, "passes": 2, "loadavg_end": _loadavg()}
         )
         if quiet is not None:
             cond["until_quiet"] = {"loadavg": quiet[0], "reached_quiet": quiet[1]}
