@@ -42,6 +42,7 @@ BENCH_QUERIES: dict[str, bool] = {
     "window_topk_per_group": False,  # window
     "sort_limit_topk": True,       # top-k
     "dedup_minhash_lsh": False,    # LLM pipeline: MinHash+LSH dedup
+    "dedup_minhash_probe": False,  # batch vs persisted band index (warm-up builds it)
     "similarity_topk": False,      # LLM pipeline: brute-force ANN
     "events_sessionization": False,  # time-series window
     "pipeline_clean_corpus": False,  # composed end-to-end cleaning pass
@@ -68,6 +69,20 @@ BENCH_QUERIES: dict[str, bool] = {
 
 N_TIMED_RUNS = 3  # warm steady-state: best of 3 (reference methodology
                   # times a warm single run; min-of-3 removes scheduler jitter)
+
+# Healthy single-thread cpu_probe_ms on this host class (observed
+# 120-160 ms idle across rounds; see BASELINE.md "Normalization").
+# value_normalized = value * HEALTHY_PROBE_MS / cpu_probe_ms rescales a
+# degraded-host artifact to healthy-host terms so a kernel-time-storm
+# round is machine-readably discounted instead of reading as a 2x plan
+# regression (VERDICT r9 item 2).
+HEALTHY_PROBE_MS = 130.0
+
+# A query whose min sample differs >3x between the two interleaved
+# suite passes was inside a host slowdown window for one whole pass;
+# its min is still reported, but the name lands in storm_flags so a
+# reader knows that single number was storm-adjacent.
+STORM_RATIO = 3.0
 
 
 def _loadavg() -> float | None:
@@ -209,26 +224,39 @@ def reference_parity_bench(num_rows: int = 1_000_000, seed: int = 42) -> None:
         # (see BASELINE.md round-9 record) cover 10 consecutive samples
         # of one query, but rarely the same query in both passes
         timings: dict[str, float] = {}
+        pass_best: list[dict[str, float]] = [{}, {}]
         for _pass in range(2):
             for name, fn in bench_queries.items():
-                best = timings.get(name, float("inf"))
+                best = float("inf")
                 for _ in range(5):
                     start = time.perf_counter()
                     fn()
                     best = min(best, time.perf_counter() - start)
-                timings[name] = round(best, 4)
+                pass_best[_pass][name] = round(best, 4)
+                timings[name] = round(min(timings.get(name, best), best), 4)
         _set_low_latency(spark, False)
         cond = _bench_conditions(
             {"runs": 10, "warmup_rounds": 8, "passes": 2, "loadavg_end": _loadavg()}
         )
+        cond["cpu_probe_ms_end"] = _cpu_probe_ms()
         if quiet is not None:
             cond["until_quiet"] = {"loadavg": quiet[0], "reached_quiet": quiet[1]}
+        total = round(sum(timings.values()), 4)
+        probe = min(cond["cpu_probe_ms"], cond["cpu_probe_ms_end"])
+        storm_flags = sorted(
+            n for n in timings
+            if min(pass_best[0][n], pass_best[1][n]) > 0
+            and max(pass_best[0][n], pass_best[1][n])
+            / min(pass_best[0][n], pass_best[1][n]) > STORM_RATIO
+        )
         print(
             json.dumps(
                 {
                     "metric": "reference_parity_total_sec",
-                    "value": round(sum(timings.values()), 4),
+                    "value": total,
                     "unit": "sec",
+                    "value_normalized": round(total * HEALTHY_PROBE_MS / probe, 4),
+                    "storm_flags": storm_flags,
                     "queries": timings,
                     "rows": num_rows,
                     "seed": seed,
@@ -464,12 +492,14 @@ def main() -> None:
     # minutes later almost never hits the same query inside a window,
     # so min-across-passes recovers the plan-cost floor.
     timings: dict[str, float] = {}
+    per_pass: list[dict[str, float]] = [{}, {}]
     for _pass in range(2):
         for name, low_latency in BENCH_QUERIES.items():
             _set_low_latency(spark, low_latency)
             with cache_scope():
                 qs[name].fn(spark, sf_dir).count()  # warm-up (untimed)
                 t = round(run_query(qs[name], spark, sf_dir), 4)
+            per_pass[_pass][name] = t
             timings[name] = min(timings.get(name, t), t)
     _set_low_latency(spark, False)
     cond["cache_isolated"] = True
@@ -477,14 +507,28 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     cond["loadavg_end"] = _loadavg()
+    cond["cpu_probe_ms_end"] = _cpu_probe_ms()
     if quiet is not None:
         cond["until_quiet"] = {"loadavg": quiet[0], "reached_quiet": quiet[1]}
+    # pass-1-vs-pass-2 divergence > STORM_RATIO marks a query whose min
+    # came from a single healthy pass on a degraded host
+    storm_flags = sorted(
+        n for n in timings
+        if min(per_pass[0][n], per_pass[1][n]) > 0
+        and max(per_pass[0][n], per_pass[1][n])
+        / min(per_pass[0][n], per_pass[1][n]) > STORM_RATIO
+    )
+    probe = min(cond["cpu_probe_ms"], cond["cpu_probe_ms_end"])
     print(
         json.dumps(
             {
                 "metric": "total_headline_sec",
                 "value": total,
                 "unit": "sec",
+                # host-speed-rescaled total (see HEALTHY_PROBE_MS):
+                # comparable across rounds regardless of box state
+                "value_normalized": round(total * HEALTHY_PROBE_MS / probe, 4),
+                "storm_flags": storm_flags,
                 "queries": timings,
                 "sf": sf,
                 "conditions": cond,

@@ -82,13 +82,15 @@ def cmd_query(args: argparse.Namespace) -> None:
     if args.groupby:
         q.set_group_by(*[c.strip() for c in args.groupby.split(",")])
     result = q.execute()
-    rows = result.collect()
+    # display cap mirrors the reference (src/cli.cpp:276-279: print ≤20);
+    # limit(21) bounds driver memory — the full result never leaves the
+    # executors just to print a 20-row preview
+    rows = result.limit(21).collect()
     print("\t".join(result.columns))
-    # display cap mirrors the reference (src/cli.cpp:276-279: print ≤20)
     for row in rows[:20]:
         print("\t".join(str(v) for v in row))
     if len(rows) > 20:
-        print(f"... ({len(rows)} rows total)")
+        print("... (more than 20 rows; add --agg/--where to narrow)")
 
 
 
@@ -112,12 +114,15 @@ def cmd_run(args: argparse.Namespace) -> None:
         n = spark.read.parquet(args.out).count()
         print(f"wrote {n} rows to {args.out}")
     else:
-        rows = df.collect()
+        # limit(21): preview without materializing the full result on
+        # the driver (dedup_minhash_lsh at scale yields millions of
+        # pairs; the cluster-side result stays cluster-side)
+        rows = df.limit(21).collect()
         print("\t".join(df.columns))
         for row in rows[:20]:
             print("\t".join(str(v) for v in row))
         if len(rows) > 20:
-            print(f"... ({len(rows)} rows total)")
+            print("... (more than 20 rows; use --out to keep all)")
 
 
 def cmd_sql(args: argparse.Namespace) -> None:

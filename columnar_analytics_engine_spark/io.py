@@ -544,8 +544,12 @@ def describe(path: str) -> dict[str, Any]:
 def _is_colfile_path(path: str) -> bool:
     if path.endswith(".col"):
         return True
+    # mirror _list_col_files' visibility rule: dot/underscore-prefixed
+    # shards (temp/staged files) must not route a directory to the
+    # colfile reader that would then find no readable shards
     return os.path.isdir(path) and any(
-        f.endswith(".col") for f in os.listdir(path)
+        f.endswith(".col") and not f.startswith((".", "_"))
+        for f in os.listdir(path)
     )
 
 
@@ -604,7 +608,9 @@ def describe_col(path: str) -> dict[str, Any]:
 def read_colfile(spark: SparkSession, path: str, where: str | None = None) -> DataFrame:
     """Read native ``.col`` file(s) as a DataFrame (one scan partition
     per row group; optional ``where`` does footer-stats zone-map
-    pruning — sources/colfile.py)."""
+    pruning — sources/colfile.py).  ``path`` must be a local or shared
+    (NFS-style) filesystem path visible on driver and executors;
+    object-store/HDFS URIs are rejected up front."""
     from columnar_analytics_engine_spark.sources.colfile import read_col_spark
 
     return read_col_spark(spark, path, where=where)
@@ -619,7 +625,10 @@ def write_colfile(
     """Write a DataFrame as a directory of native ``.col`` shards (one
     per task).  Columns must be int/long/string — the format's whole
     type system; ``encodings`` maps column → plain|rle|delta|dictionary
-    (per-column control, parity with ``include/format.h:49-61``)."""
+    (per-column control, parity with ``include/format.h:49-61``).
+    ``path`` must be a local/shared filesystem path (URI schemes are
+    rejected); overwrite is transactional — prior shards survive a
+    failed job (staged-rename commit, sources/colfile.py)."""
     from columnar_analytics_engine_spark.sources.colfile import write_col_spark
 
     write_col_spark(df, path, mode=mode, encodings=encodings)

@@ -336,6 +336,110 @@ def lsh_candidates(
     )
 
 
+def hashed_token_sets(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, toks) with the h60-encoded distinct-token array per doc
+    — the compact verify-side representation ``jaccard_pairs`` uses for
+    candidate scoring, factored out so a persisted dedup index can
+    store it once instead of re-deriving it from text at every probe."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(
+            distinct_tokens(F.col(text_col)), lambda x: h60("j:", x)
+        ).alias("toks"),
+    )
+
+
+def minhash_index_frames(
+    history: DataFrame,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """The two frames a persistent MinHash/LSH dedup index stores:
+    ``(bands, sets)`` — (doc_id, band_id, band_key) LSH band rows and
+    (doc_id, toks) hashed token sets for the verify step.
+
+    Build-once/probe-many split (mirrors the IVF-PQ persisted index,
+    queries/training.py, and the STREAMING band index,
+    streaming/neardup.py, in batch form): signature computation over
+    history runs once at index-build time; every later batch LSH-joins
+    against the stored band table (:func:`minhash_probe`) without
+    touching history text again.  At 100 TB the band table is written
+    bucketed by ``band_key`` (io.write_bucketed) so probe joins
+    co-locate without shuffling the index side.
+    """
+    # persist: band_table fans the signature frame into ``bands``
+    # union branches — unpersisted, the whole sig build (explode +
+    # vocab join + k-min agg) executes once per band
+    sigs = _persist_once(
+        minhash_signatures(history, k=k, id_col=id_col, text_col=text_col)
+    )
+    bands_df = band_table(sigs, bands=bands, rows_per_band=k // bands)
+    sets_df = hashed_token_sets(history, id_col=id_col, text_col=text_col)
+    return bands_df, sets_df
+
+
+def minhash_probe(
+    new_docs: DataFrame,
+    index_bands: DataFrame,
+    index_sets: DataFrame,
+    threshold: float = 0.8,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs (new_id, hist_id, jaccard) between a NEW batch and
+    a persisted MinHash index — signatures are computed for the batch
+    only; history signatures come from ``index_bands`` as stored.
+
+    Scale shape: the batch band table (batch_size × bands rows) is the
+    small side of every join — it broadcasts against the bucketed index
+    bands (no shuffle on the index side), the candidate list is bounded
+    by true band collisions (never a cross join), and the verify joins
+    candidates against ``index_sets`` on hist_id (key-equi shuffle
+    bounded by candidates) with the batch's own sets broadcast.  The
+    exact integer threshold predicate matches :func:`jaccard_pairs`
+    bit-for-bit, so probing an index built from the same corpus half
+    reproduces the full-batch LSH pairs exactly (oracle-verified).
+    """
+    num, den = _rational_threshold(threshold)
+    # persist: the batch sig build would otherwise run once per band
+    # branch of band_table (8x) — same rule as minhash_index_frames
+    sigs = _persist_once(
+        minhash_signatures(new_docs, k=k, id_col=id_col, text_col=text_col)
+    )
+    new_bands = band_table(sigs, bands=bands, rows_per_band=k // bands)
+    cand = (
+        F.broadcast(new_bands.alias("n"))
+        .join(index_bands.alias("h"), ["band_id", "band_key"])
+        .filter(F.col("n.doc_id") != F.col("h.doc_id"))
+        .select(
+            F.col("n.doc_id").alias("new_id"),
+            F.col("h.doc_id").alias("hist_id"),
+        )
+        .distinct()
+    )
+    new_sets = hashed_token_sets(new_docs, id_col=id_col, text_col=text_col)
+    a = new_sets.alias("sa")
+    b = index_sets.alias("sb")
+    t1, t2 = F.col("sa.toks"), F.col("sb.toks")
+    n1, n2 = F.size(t1).cast("long"), F.size(t2).cast("long")
+    n_common = F.size(F.array_intersect(t1, t2)).cast("long")
+    size_ok = F.lit(den + num) * F.least(n1, n2) >= F.lit(num) * (n1 + n2)
+    hit = size_ok & (F.lit(den + num) * n_common >= F.lit(num) * (n1 + n2))
+    jac = n_common.cast("double") / (n1 + n2 - n_common).cast("double")
+    return (
+        cand.join(F.broadcast(a), F.col("new_id") == F.col("sa.doc_id"))
+        .join(b, F.col("hist_id") == F.col("sb.doc_id"))
+        .filter(hit)
+        .select("new_id", "hist_id", jac.alias("jaccard"))
+    )
+
+
 def minhash_near_duplicates(
     docs: DataFrame,
     threshold: float = 0.8,

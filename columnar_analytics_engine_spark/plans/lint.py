@@ -185,6 +185,50 @@ def duplicate_expensive_subtrees(df: DataFrame) -> list[str]:
     return findings
 
 
+def global_windows(df: DataFrame) -> list[dict]:
+    """Every unpartitioned Window in the executed plan, with the
+    machine-extracted evidence that it is bounded: the smallest LIMIT
+    (GlobalLimit / TakeOrderedAndProject) in its child subtree, or
+    ``None`` when no limit bounds it.
+
+    An unpartitioned window funnels its whole input through one task —
+    fatal on data-sized input, harmless on a ≤k-row top-k frame.  The
+    distinction is decidable from the plan: a ``.limit(k)`` ancestor
+    compiles to a limit node BELOW the window, so ``bound=k`` proves
+    the single task sees ≤k rows no matter the corpus size
+    (finding type ``bounded-global-window``).  Windows bounded by
+    cluster topology instead (#partitions-row offset tables in the
+    distributed-rank/CDF queries) carry no plan-level limit and need a
+    documented allowance (tests/test_plan_lint.py) — VERDICT r9 item 8.
+    """
+    out: list[dict] = []
+    root = df._jdf.queryExecution().executedPlan()
+    for node in _iter_physical_nodes(root):
+        if node.nodeName() != "Window":
+            continue
+        try:
+            if not node.partitionSpec().isEmpty():
+                continue
+        except Exception:
+            continue  # non-WindowExec lookalike without partitionSpec
+        bound = None
+        ch = node.children()
+        for i in range(ch.size()):
+            for sub in _iter_physical_nodes(ch.apply(i)):
+                nm = sub.nodeName()
+                if "Limit" in nm or nm.startswith("TakeOrdered"):
+                    try:
+                        k = int(sub.limit())
+                    except Exception:
+                        continue
+                    bound = k if bound is None else min(bound, k)
+        out.append({
+            "node": _ID_RE.sub("#x", node.simpleString(10)),
+            "bound": bound,
+        })
+    return out
+
+
 def lint_plan(
     df: DataFrame,
     max_single_partition: int = 1,

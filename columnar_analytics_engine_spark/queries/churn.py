@@ -36,66 +36,13 @@ _LOCAL_IMPORT_RE = re.compile(
 
 # Queries whose implementation changed after their last driver-green
 # round but BEFORE fingerprint snapshots existed (no QUERY_HASHES.json
-# entry for those rounds, so churn can't be computed) — the commit
-# fb08c85 plan rewrites plus this round's merge_upsert tiebreaker
-# (VERDICT r7 "What's missing" item 1).  Drop entries as they re-green
-# in a snapshotted round.
-FORCE_REVERIFY_PRE_SNAPSHOT = frozenset({
-    "tpch_q2_min_cost_supplier",
-    "tpch_q11_important_stock",
-    "tpch_q20_excess_suppliers",
-    "events_merge_upsert",
-    "pipeline_attrition_report",
-    "customers_rfm_segments",
-    "dedup_lsh_quality_report",
-    "similarity_pq_codes",
-    "similarity_pq_adc_topk",
-    "similarity_ivfpq_topk",
-    # round 8: signature persist added to the query plan after its r07
-    # green row (bench cache-isolation work)
-    "dedup_containment_lsh",
-    # round 8: survivor-frame persist added after its r04 green row
-    "pipeline_clean_corpus",
-    # round 8: train-count + test-token persists added after its r07
-    # green row (the three-consumer train pass now runs once)
-    "classifier_nb_confusion",
-    # round 8: duplicate-expensive-subtree sweep fixes (per-doc size /
-    # model-count tables persisted; plans changed after last green)
-    "dedup_jaccard_exact",
-    "dedup_ngram_jaccard",
-    "dedup_containment",
-    "text_unigram_lm_quality",
-    "text_bigram_lm_quality",
-    # round 8 (late): multi-consumer frame persists added to the former
-    # "deferred to round 9" duplicate-subtree tier after last green
-    "market_basket_pairs",
-    "events_segment_overlap",
-    "events_seasonal_naive_eval",
-    "events_burst_detection",
-    # round 8 (late): Lloyd-loop persists in _km_final_assignment
-    # (exploded table + per-round centroids) after last green
-    "kmeans_embeddings",
-    "dedup_semantic_clusters",
-    "sample_cluster_balanced",
-    # round 8 (late): CMS rebuilt from the per-user aggregate (one
-    # events scan, per-user hashing) after last green
-    "sketch_heavy_hitters",
-    # round 9: connected_components' per-round checkpoint went lazy
-    # (eager=False; the convergence count materializes it) after these
-    # queries' last green rounds, which predate fingerprint snapshots
-    "dedup_clusters",
-    "dedup_cluster_size_histogram",
-    "training_leakage_safe_split",
-    # round 9 (late): MinHash k-family evaluated as one array expression
-    # (affine_hash_array) — every query whose closure reaches
-    # minhash_signatures changed after its last snapshotted green round
-    # (closure-scan list; all re-swept green at sf0.01 in-session)
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_keeper_assignment",
-    "dedup_cross_source_matrix",
-    "dedup_minhash_calibration",
-})
+# entry for those rounds, so churn can't be computed).  Round-10
+# status: EMPTY — every previous entry re-greened in the snapshotted
+# round 9 (CORRECTNESS_r09 + QUERY_HASHES.json rounds.9), so churn is
+# now computed from fingerprints for all of them.  Add names here only
+# when a query's last green round again predates its newest rewrite
+# AND that round has no snapshot.
+FORCE_REVERIFY_PRE_SNAPSHOT: frozenset[str] = frozenset()
 
 
 def _closure_sources(fn) -> list[str]:

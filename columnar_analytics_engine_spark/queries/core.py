@@ -162,6 +162,7 @@ def colfile_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     inputs here; byte-level cross-validation against a compiled
     reference binary lives in tests/test_colfile.py)."""
     import hashlib
+    import os
     import tempfile
 
     from columnar_analytics_engine_spark.io import read_colfile, write_colfile
@@ -169,7 +170,10 @@ def colfile_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus"
     )
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    # tag includes the pid so concurrent processes (bench + pytest on
+    # the same sf_dir) never overwrite each other's shards mid-read;
+    # within one process the rewrite is idempotent byte-for-byte
+    tag = hashlib.md5(f"{sf_dir}:{os.getpid()}".encode()).hexdigest()[:12]
     path = f"{tempfile.gettempdir()}/cae_colfile_q_{tag}"
     write_colfile(
         src, path,

@@ -144,6 +144,139 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_near_duplicates(t(spark, sf_dir, "documents"), threshold=0.8)
 
 
+# -- persistent MinHash index: build-once / probe-many ------------------------
+#
+# ``dedup_minhash_lsh`` rebuilds signatures for the whole corpus every
+# invocation — correct for a one-shot pass, wasteful for the production
+# deployment where an append-only corpus deduplicates each incoming
+# batch against everything already ingested.  The persistent index
+# (same artifact pattern as the IVF-PQ index, queries/training.py, and
+# the batch twin of the STREAMING band index, streaming/neardup.py):
+#
+#   {index_dir}/bands.parquet  (doc_id, band_id, band_key) — LSH bands
+#   {index_dir}/sets.parquet   (doc_id, toks array<long>)  — h60 token
+#                              sets for the verify join
+#
+# built over the "history" docs (doc_id % 4 != 0); the probe batch is
+# doc_id % 4 == 0.  Keyed by corpus identity so a regenerated corpus
+# rebuilds automatically.  At deployment scale the band table is
+# written bucketed by band_key (io.write_bucketed; shuffle-free probe
+# join asserted in tests/test_scale_ops.py) and appended per ingested
+# batch — exactly what streaming/neardup.py does with foreachBatch.
+
+_MH_INDEX_VERSION = "v1"
+_MH_PROBE_MOD = 4  # history: doc_id % 4 != 0; probe batch: == 0
+
+
+def _minhash_index_dir(sf_dir: str) -> str:
+    import hashlib
+    import os
+
+    p = os.path.abspath(os.path.join(sf_dir, "documents.parquet"))
+    st = os.stat(p)
+    key = hashlib.md5(
+        f"{p}:{st.st_mtime_ns}:{st.st_size}:{_MH_INDEX_VERSION}".encode()
+    ).hexdigest()[:16]
+    root = os.environ.get(
+        "SPARK_GRAFT_INDEX_DIR",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+            ".cache",
+        ),
+    )
+    return os.path.join(root, f"minhash_{key}")
+
+
+def ensure_minhash_index(spark: SparkSession, sf_dir: str) -> str:
+    """Path of the (built-if-absent) MinHash band index over the
+    history half of the corpus."""
+    import os
+
+    from columnar_analytics_engine_spark.io import write_table
+
+    index_dir = _minhash_index_dir(sf_dir)
+    if not os.path.exists(os.path.join(index_dir, "_INDEX_OK")):
+        os.makedirs(index_dir, exist_ok=True)
+        history = t(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % _MH_PROBE_MOD != 0
+        )
+        bands_df, sets_df = D.minhash_index_frames(history)
+        write_table(bands_df, f"{index_dir}/bands.parquet")
+        write_table(sets_df, f"{index_dir}/sets.parquet")
+        with open(os.path.join(index_dir, "_INDEX_OK"), "w") as fh:
+            fh.write(_MH_INDEX_VERSION)
+    return index_dir
+
+
+def dedup_minhash_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs between the incoming batch (doc_id % 4 == 0) and
+    the PERSISTED MinHash index over history (doc_id % 4 != 0) — the
+    build-once/probe-many production shape: only batch signatures are
+    computed; history bands and token sets are read as stored.
+
+    The oracle replays signature construction for BOTH halves from the
+    documents table — probing a correctly built index must reproduce
+    the from-scratch cross-half LSH pairs exactly (signatures are
+    deterministic md5-affine values, operators/dedup.py).
+    """
+    index_dir = ensure_minhash_index(spark, sf_dir)
+    batch = t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % _MH_PROBE_MOD == 0
+    )
+    index_bands = spark.read.schema(
+        "doc_id long, band_id int, band_key string"
+    ).parquet(f"{index_dir}/bands.parquet")
+    index_sets = spark.read.schema("doc_id long, toks array<bigint>").parquet(
+        f"{index_dir}/sets.parquet"
+    )
+    return D.minhash_probe(batch, index_bands, index_sets, threshold=0.8)
+
+
+def _minhash_probe_sql(threshold: float, k: int, bands: int, rows: int, mod: int) -> str:
+    """From-scratch SQL replay of :func:`dedup_minhash_probe`: both
+    halves' signatures recomputed, candidates restricted to
+    (batch, history) pairs."""
+    num, den = D._rational_threshold(threshold)
+    fam = sql_affine_hash("token", k)
+    mins = ",\n         ".join(f"MIN({fam[i]}) AS h{i}" for i in range(k))
+    band_selects = "\n      UNION ALL\n      ".join(
+        "SELECT doc_id, {j} AS band_id, md5(CONCAT_WS(',', {cols})) AS band_key FROM sig".format(
+            j=j,
+            cols=", ".join(f"CAST(h{j * rows + r} AS VARCHAR)" for r in range(rows)),
+        )
+        for j in range(bands)
+    )
+    return f"""
+    WITH {_SQL_TOK_CTE},
+    sig AS (
+      SELECT doc_id,
+         {mins}
+      FROM tok GROUP BY doc_id
+    ),
+    bands AS (
+      {band_selects}
+    ),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS new_id, h.doc_id AS hist_id
+      FROM bands n JOIN bands h
+        ON n.band_id = h.band_id AND n.band_key = h.band_key
+      WHERE n.doc_id % {mod} = 0 AND h.doc_id % {mod} != 0
+    ),
+    sets AS (
+      SELECT doc_id, list_distinct({_SQL_TOKENS}) AS toks FROM documents
+    )
+    SELECT c.new_id, c.hist_id,
+           CAST(len(list_intersect(sa.toks, sb.toks)) AS DOUBLE)
+             / CAST(len(sa.toks) + len(sb.toks)
+                    - len(list_intersect(sa.toks, sb.toks)) AS DOUBLE) AS jaccard
+    FROM cand c
+    JOIN sets sa ON sa.doc_id = c.new_id
+    JOIN sets sb ON sb.doc_id = c.hist_id
+    WHERE {den + num} * len(list_intersect(sa.toks, sb.toks))
+            >= {num} * (len(sa.toks) + len(sb.toks))
+    """
+
+
 def dedup_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_pairs(t(spark, sf_dir, "documents"), threshold=0.8)
 
@@ -376,6 +509,14 @@ QUERIES: dict[str, QuerySpec] = {
         _minhash_lsh_sql(0.8, D.MINHASH_K, D.LSH_BANDS, D.LSH_ROWS_PER_BAND),
         "MinHash(32) + LSH(8×4) + exact-Jaccard verify, threshold 0.8",
         ("dedup",),
+    ),
+    "dedup_minhash_probe": QuerySpec(
+        dedup_minhash_probe,
+        _minhash_probe_sql(
+            0.8, D.MINHASH_K, D.LSH_BANDS, D.LSH_ROWS_PER_BAND, _MH_PROBE_MOD
+        ),
+        "incoming batch probed against the persisted MinHash band index",
+        ("dedup", "index"),
     ),
     "dedup_jaccard_exact": QuerySpec(
         dedup_jaccard_exact,

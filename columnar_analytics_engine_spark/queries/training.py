@@ -1842,9 +1842,80 @@ def training_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merges_df(words, n_merges=12)
 
 
+def _bpe_learn_ctes(n_merges: int, words_cte: str) -> str:
+    """Unrolled ``n_merges``-round SQL replay of the iterative
+    ``learn_bpe_merges`` loop (operators/bpe.py) — the same
+    full-pipeline-replay evaluation the IVF/LSH ANN oracles use for
+    data-dependent intermediates: each round r has pair counts
+    ``p{{r}}``, the argmax rule ``b{{r}}`` (count desc, (l, r)
+    lexicographic tie-break), and the merged vocabulary ``v{{r}}``.
+    The greedy left-to-right non-overlapping merge is a
+    ``list_reduce`` fold whose accumulator carries the pending symbol
+    as a trailing ``''``-sentinel element — byte-for-byte the
+    ``_merge_pair_fold`` carry semantics."""
+    fold = """list_filter(
+            list_reduce(list_transform(syms, s -> [s]),
+              (acc, x) -> CASE
+                WHEN acc[-1] = '' THEN list_concat(acc[1:len(acc)-1], x)
+                WHEN acc[-1] = bl AND x[1] = br
+                  THEN list_concat(acc[1:len(acc)-1], [bl || br, ''])
+                ELSE list_concat(acc, x) END),
+            s -> s != '')"""
+    # AS MATERIALIZED on every v{r}: DuckDB inlines single-reference
+    # CTEs, and each v{r-1} feeds BOTH p{r} and v{r} — inlined, the
+    # plan doubles per round (2^n_merges blowup); materialized, each
+    # round evaluates once, like the Spark loop's localCheckpoint.
+    parts = [f"""
+    {words_cte},
+    v0 AS MATERIALIZED (
+      SELECT word, list_filter(str_split(word, ''), s -> s != '') AS syms, n
+      FROM wq
+    )"""]
+    for r in range(1, n_merges + 1):
+        parts.append(f""",
+    p{r} AS (
+      SELECT x.p.lf AS l, x.p.rt AS r, CAST(SUM(x.n) AS BIGINT) AS c
+      FROM (SELECT n, unnest(list_transform(range(1, len(syms)),
+                    i -> {{'lf': syms[i], 'rt': syms[i + 1]}})) AS p
+            FROM v{r - 1} WHERE len(syms) >= 2) x
+      GROUP BY 1, 2
+    ),
+    b{r} AS (SELECT l AS bl, r AS br, c FROM p{r} ORDER BY c DESC, l, r LIMIT 1),
+    v{r} AS MATERIALIZED (
+      SELECT word,
+             CASE WHEN bl IS NULL OR len(syms) < 2 THEN syms
+                  ELSE {fold} END AS syms,
+             n
+      FROM v{r - 1} LEFT JOIN b{r} ON TRUE
+    )""")
+    return "".join(parts)
+
+
+_BPE_WORDS_CTE = """wq AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+            FROM documents)
+      GROUP BY word
+    )"""
+
+
+def _bpe_merges_sql(n_merges: int) -> str:
+    rounds = "\n      UNION ALL\n      ".join(
+        f'SELECT CAST({r} AS BIGINT) AS merge_rank, bl AS "left", '
+        f"br AS \"right\", c AS pair_count FROM b{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return f"""
+    WITH {_bpe_learn_ctes(n_merges, _BPE_WORDS_CTE)}
+    SELECT * FROM (
+      {rounds}
+    ) ORDER BY merge_rank
+    """
+
+
 QUERIES["training_bpe_merges"] = QuerySpec(
     training_bpe_merges,
-    None,  # iterative argmax/merge loop: Python-reference-verified (test_bpe.py)
+    _bpe_merges_sql(12),
     "first 12 BPE merge rules from the corpus word-frequency table",
     ("text", "training"),
 )
@@ -1916,10 +1987,38 @@ def training_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_BPE_ENCODE_WORDS_CTE = """dw AS (
+      SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+            FROM documents)
+      WHERE word != ''
+      GROUP BY 1, 2
+    ),
+    wq AS (SELECT word, CAST(SUM(c) AS BIGINT) AS n FROM dw GROUP BY word)"""
+
+
+def _bpe_encode_sql(n_merges: int) -> str:
+    return f"""
+    WITH {_bpe_learn_ctes(n_merges, _BPE_ENCODE_WORDS_CTE)},
+    seg AS (SELECT word, len(syms) AS n_subwords FROM v{n_merges}),
+    per AS (
+      SELECT dw.doc_id,
+             CAST(SUM(dw.c) AS BIGINT) AS n_tokens,
+             CAST(SUM(dw.c * seg.n_subwords) AS BIGINT) AS n_subwords,
+             CAST(SUM(dw.c * len(dw.word)) AS BIGINT) AS n_chars
+      FROM dw JOIN seg USING (word)
+      GROUP BY 1
+    )
+    SELECT doc_id, n_tokens, n_subwords, n_chars,
+           CAST(n_subwords AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS fertility
+    FROM per ORDER BY doc_id
+    """
+
+
 QUERIES["training_bpe_encode"] = QuerySpec(
     training_bpe_encode,
-    None,  # merge table is data-dependent (iterative learn): pure-Python
-    # cross-check of the full learn+encode chain in test_bpe.py
+    _bpe_encode_sql(12),
     "per-doc subword fertility after encoding with 12 learned BPE merges",
     ("text", "training"),
 )

@@ -94,6 +94,24 @@ def test_cli_run_prints_and_writes(tmp_path, capsys):
     assert "wrote" in out and dest in out
 
 
+def test_cli_run_preview_is_driver_bounded(capsys):
+    """``run`` without --out previews via limit(21) — the full result
+    (millions of pairs for dedup_minhash_lsh at scale) never lands on
+    the driver; output is capped at 20 rows + a truncation marker."""
+    from columnar_analytics_engine_spark.cli import main
+
+    main(["run", "scan_projection", "/root/testdata/sf0.001"])
+    out = capsys.readouterr().out
+    lines = out.strip().splitlines()
+    assert len(lines) <= 22  # header + 20 rows + marker
+    assert "more than 20 rows" in out
+
+    # the verdict's concrete scenario: a pair-producing dedup query
+    main(["run", "dedup_minhash_lsh", "/root/testdata/sf0.001"])
+    out = capsys.readouterr().out
+    assert len(out.strip().splitlines()) <= 22
+
+
 def test_cli_run_unknown_query_lists_registry(capsys):
     import pytest as _pytest
 

@@ -240,6 +240,43 @@ def test_spark_writer_rejects_nulls_and_bad_types(spark, tmp_path):
         cf.write_col_spark(df2, str(tmp_path / "badtype"))
 
 
+def test_failed_overwrite_preserves_existing_shards(spark, tmp_path):
+    """Commit protocol: mode=overwrite must not touch prior shards until
+    every task succeeds — a job that fails (NULLs hit the writer on an
+    executor) aborts, and the old dataset stays readable and intact."""
+    from pyspark.sql import functions as F
+
+    def visible(d):
+        return sorted(
+            f for f in os.listdir(d)
+            if f.endswith(".col") and not f.startswith((".", "_"))
+        )
+
+    out = str(tmp_path / "ds")
+    cf.write_col_spark(spark.range(100).select(F.col("id")), out)
+    before = visible(out)
+    assert before
+    bad = spark.range(10).select(
+        F.when(F.col("id") < 5, F.col("id")).alias("id")
+    )
+    with pytest.raises(Exception, match="NULL"):
+        cf.write_col_spark(bad, out)  # overwrite attempt fails mid-job
+    assert visible(out) == before
+    assert cf.read_col_spark(spark, out).count() == 100
+    # a SUCCESSFUL overwrite replaces them and garbage-collects the
+    # failed run's stranded staged/tmp files
+    cf.write_col_spark(spark.range(7).select(F.col("id")), out)
+    assert cf.read_col_spark(spark, out).count() == 7
+    assert visible(out) == sorted(os.listdir(out))  # no invisible leftovers
+
+
+def test_uri_scheme_paths_rejected(spark):
+    with pytest.raises(ValueError, match="local/shared-filesystem"):
+        cf.read_col_spark(spark, "s3://bucket/data")
+    with pytest.raises(ValueError, match="local/shared-filesystem"):
+        cf.write_col_spark(spark.range(1), "hdfs://nn/data")
+
+
 def test_spark_read_empty_directory_file(spark, tmp_path):
     # a zero-row .col file (valid: header + empty metadata + footer)
     path = str(tmp_path / "empty.col")
