@@ -391,6 +391,7 @@ def minhash_probe(
     bands: int = LSH_BANDS,
     id_col: str = "doc_id",
     text_col: str = "text",
+    broadcast_sets: bool = True,
 ) -> DataFrame:
     """Near-dup pairs (new_id, hist_id, jaccard) between a NEW batch and
     a persisted MinHash index — signatures are computed for the batch
@@ -398,13 +399,19 @@ def minhash_probe(
 
     Scale shape: the batch band table (batch_size × bands rows) is the
     small side of every join — it broadcasts against the bucketed index
-    bands (no shuffle on the index side), the candidate list is bounded
-    by true band collisions (never a cross join), and the verify joins
-    candidates against ``index_sets`` on hist_id (key-equi shuffle
-    bounded by candidates) with the batch's own sets broadcast.  The
-    exact integer threshold predicate matches :func:`jaccard_pairs`
-    bit-for-bit, so probing an index built from the same corpus half
-    reproduces the full-batch LSH pairs exactly (oracle-verified).
+    bands (no shuffle on the index side), and the candidate list is
+    bounded by true band collisions (never a cross join).  The verify
+    stage broadcasts BOTH set tables (the batch's and the index's) so
+    the candidate list — the quadratic-ish, by-far-largest frame —
+    never shuffles, the same trade :func:`jaccard_pairs` documents
+    (measured here: a shuffle join of 2M+ wide candidate rows against
+    the 75k-row index sets cost more than the entire full-corpus LSH
+    pass).  ``broadcast_sets=False`` falls back to shuffle joins for
+    corpora whose per-doc set table exceeds executor memory; the exact
+    integer threshold predicate matches :func:`jaccard_pairs`
+    bit-for-bit either way, so probing an index built from the same
+    corpus half reproduces the cross-half LSH pairs exactly
+    (oracle-verified).
     """
     num, den = _rational_threshold(threshold)
     # persist: the batch sig build would otherwise run once per band
@@ -424,6 +431,9 @@ def minhash_probe(
         .distinct()
     )
     new_sets = hashed_token_sets(new_docs, id_col=id_col, text_col=text_col)
+    if broadcast_sets:
+        new_sets = F.broadcast(new_sets)
+        index_sets = F.broadcast(index_sets)
     a = new_sets.alias("sa")
     b = index_sets.alias("sb")
     t1, t2 = F.col("sa.toks"), F.col("sb.toks")
@@ -433,7 +443,7 @@ def minhash_probe(
     hit = size_ok & (F.lit(den + num) * n_common >= F.lit(num) * (n1 + n2))
     jac = n_common.cast("double") / (n1 + n2 - n_common).cast("double")
     return (
-        cand.join(F.broadcast(a), F.col("new_id") == F.col("sa.doc_id"))
+        cand.join(a, F.col("new_id") == F.col("sa.doc_id"))
         .join(b, F.col("hist_id") == F.col("sb.doc_id"))
         .filter(hit)
         .select("new_id", "hist_id", jac.alias("jaccard"))
