@@ -660,3 +660,52 @@ def write_with_metrics(
     ]
     df.observe(obs, *exprs).write.mode(mode).parquet(path)
     return dict(obs.get)
+
+
+def atomic_build_dir(final_dir: str, build, ok_name: str = "_INDEX_OK", token: str = "v1") -> str:
+    """Race- and crash-safe publish of a build-once artifact directory
+    (persisted dedup/ANN indexes keyed by corpus identity).
+
+    Two concurrent processes (bench + pytest over the same corpus) can
+    both observe the keyed directory missing and build simultaneously;
+    writing into the keyed path directly lets their output interleave
+    into a mixed directory that every later run then trusts, because
+    the cache key (corpus path+mtime+size) never changes.  Here each
+    builder writes into a private pid+uuid-suffixed sibling and
+    publishes with ONE ``os.rename`` — atomic on POSIX — so the loser's
+    rename fails against the existing destination and its staging tree
+    is discarded.  A crash mid-build leaves only an unreferenced
+    ``.build-*`` sibling, never a half-valid index; the completeness
+    marker ``ok_name`` is written LAST inside the staging dir, so a
+    directory carrying it is always a whole publish.
+
+    ``build(staging_dir)`` must write the artifact's files under the
+    given staging directory (not ``final_dir``).
+    """
+    import shutil
+    import uuid
+
+    ok_path = os.path.join(final_dir, ok_name)
+    if os.path.exists(ok_path):
+        return final_dir
+    os.makedirs(os.path.dirname(final_dir) or ".", exist_ok=True)
+    staging = f"{final_dir}.build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    os.makedirs(staging)
+    try:
+        build(staging)
+        with open(os.path.join(staging, ok_name), "w") as fh:
+            fh.write(token)
+        if os.path.isdir(final_dir) and not os.path.exists(ok_path):
+            # pre-atomic stale partial (no marker): clear the slot so
+            # this complete build can land
+            shutil.rmtree(final_dir, ignore_errors=True)
+        try:
+            os.rename(staging, final_dir)
+        except OSError:
+            if not os.path.exists(ok_path):
+                raise  # destination is neither complete nor claimable
+            # lost the race to another COMPLETE build — use theirs
+    finally:
+        if os.path.exists(staging):
+            shutil.rmtree(staging, ignore_errors=True)
+    return final_dir

@@ -392,26 +392,35 @@ def minhash_probe(
     id_col: str = "doc_id",
     text_col: str = "text",
     broadcast_sets: bool = True,
+    broadcast_bands: bool = True,
 ) -> DataFrame:
     """Near-dup pairs (new_id, hist_id, jaccard) between a NEW batch and
     a persisted MinHash index — signatures are computed for the batch
     only; history signatures come from ``index_bands`` as stored.
 
     Scale shape: the batch band table (batch_size × bands rows) is the
-    small side of every join — it broadcasts against the bucketed index
-    bands (no shuffle on the index side), and the candidate list is
-    bounded by true band collisions (never a cross join).  The verify
-    stage broadcasts BOTH set tables (the batch's and the index's) so
-    the candidate list — the quadratic-ish, by-far-largest frame —
-    never shuffles, the same trade :func:`jaccard_pairs` documents
-    (measured here: a shuffle join of 2M+ wide candidate rows against
-    the 75k-row index sets cost more than the entire full-corpus LSH
-    pass).  ``broadcast_sets=False`` falls back to shuffle joins for
-    corpora whose per-doc set table exceeds executor memory; the exact
-    integer threshold predicate matches :func:`jaccard_pairs`
-    bit-for-bit either way, so probing an index built from the same
-    corpus half reproduces the cross-half LSH pairs exactly
-    (oracle-verified).
+    small side of the candidate join — it broadcasts against the
+    bucketed index bands (no shuffle on the index side).  The candidate
+    list is bounded by true band collisions (never a cross join), and
+    — crucially for a long-lived index — the verify stage is bounded by
+    CANDIDATES, not history: ``index_sets`` is semi-joined down to the
+    distinct candidate ``hist_id``s before its broadcast, so the
+    broadcast grows with the batch's collision count while the index
+    itself can grow without bound.  Both (pruned) set tables then
+    broadcast so the candidate list — the by-far-largest frame — never
+    shuffles, the same trade :func:`jaccard_pairs` documents (measured:
+    a shuffle join of 2M+ wide candidate rows against the index sets
+    cost more than the entire full-corpus LSH pass).
+
+    Escape hatches for the extremes: ``broadcast_sets=False`` shuffles
+    the verify joins (still candidate-pruned) when even the
+    candidate-bounded set tables exceed executor memory;
+    ``broadcast_bands=False`` shuffles the candidate join for probe
+    BATCHES too large to broadcast (ADVICE r10 — previously the batch
+    band table broadcast unconditionally).  The exact integer threshold
+    predicate matches :func:`jaccard_pairs` bit-for-bit on every path,
+    so probing an index built from the same corpus half reproduces the
+    cross-half LSH pairs exactly (oracle-verified).
     """
     num, den = _rational_threshold(threshold)
     # persist: the batch sig build would otherwise run once per band
@@ -420,9 +429,14 @@ def minhash_probe(
         minhash_signatures(new_docs, k=k, id_col=id_col, text_col=text_col)
     )
     new_bands = band_table(sigs, bands=bands, rows_per_band=k // bands)
-    cand = (
-        F.broadcast(new_bands.alias("n"))
-        .join(index_bands.alias("h"), ["band_id", "band_key"])
+    n = new_bands.alias("n")
+    if broadcast_bands:
+        n = F.broadcast(n)
+    # persist: cand feeds BOTH the hist_id semi-join prune and the
+    # verify join — unpersisted, the band join would execute twice
+    # (duplicate_join_subtrees lint)
+    cand = _persist_once(
+        n.join(index_bands.alias("h"), ["band_id", "band_key"])
         .filter(F.col("n.doc_id") != F.col("h.doc_id"))
         .select(
             F.col("n.doc_id").alias("new_id"),
@@ -431,9 +445,16 @@ def minhash_probe(
         .distinct()
     )
     new_sets = hashed_token_sets(new_docs, id_col=id_col, text_col=text_col)
+    # candidate-bounded verify: only index docs that actually collided
+    # participate — the semi-join's small side is candidate-distinct
+    hit_hist = cand.select(F.col("hist_id").alias("doc_id")).distinct()
     if broadcast_sets:
+        index_sets = F.broadcast(
+            index_sets.join(F.broadcast(hit_hist), "doc_id", "left_semi")
+        )
         new_sets = F.broadcast(new_sets)
-        index_sets = F.broadcast(index_sets)
+    else:
+        index_sets = index_sets.join(hit_hist, "doc_id", "left_semi")
     a = new_sets.alias("sa")
     b = index_sets.alias("sb")
     t1, t2 = F.col("sa.toks"), F.col("sb.toks")

@@ -158,17 +158,134 @@ def ivf_assignments(
             F.col("cn").alias("seed_n"),
         )
     )
-    # assign every candidate to its nearest seed (broadcast join)
+    return seeds, _assign_to_seeds(cands_n, seeds)
+
+
+def _assign_to_seeds(cands_n: DataFrame, seeds: DataFrame) -> DataFrame:
+    """Nearest-seed assignment of normalized candidate rows
+    ``(neighbor_id, cv, cn)`` against a seed/centroid table — one
+    broadcast join + per-candidate top-1, linear in the candidates.
+    Shared by the full index build (:func:`ivf_assignments`) and the
+    incremental append path (:func:`ivf_append`)."""
     sim_to_seed = cosine(F.col("cv"), F.col("seed_v"), F.col("cn"), F.col("seed_n"), 6)
     w_assign = W.partitionBy("neighbor_id").orderBy(F.col("_s").desc(), F.col("list_id"))
-    assigned = (
+    return (
         cands_n.join(F.broadcast(seeds))
         .select("neighbor_id", "cv", "cn", "list_id", sim_to_seed.alias("_s"))
         .withColumn("_r", F.row_number().over(w_assign))
         .filter(F.col("_r") == 1)
         .select("neighbor_id", "cv", "cn", "list_id")
     )
-    return seeds, assigned
+
+
+def ivf_append(
+    new_vecs: DataFrame,
+    seeds: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental IVF index maintenance: assign ONLY the new vectors
+    to the EXISTING centroids, returning rows in the stored ``assigned``
+    schema ``(neighbor_id, cv, cn, list_id)`` ready to publish as the
+    index's next snapshot (``versioned.write_version``) or to append
+    into its ``list_id``-bucketed entry table.
+
+    This is the production append path a growing corpus needs (VERDICT
+    r10): cost is one broadcast join linear in the BATCH
+    (batch × n_lists scores) — the stored entries are never rescanned,
+    so appending a batch is ~corpus/batch cheaper than a rebuild
+    (measured in scripts/probe_ivf_append.py).  The trade: centroids
+    are frozen at build time, so list balance and assignment quality
+    drift as the corpus distribution moves — :func:`ivf_drift_report`
+    measures exactly that, per list, to decide when a re-train
+    (:func:`ivf_assignments` from scratch) pays for itself.
+    """
+    new_n = with_norms(new_vecs, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("sq_norm").alias("cn"),
+    )
+    return _assign_to_seeds(new_n, seeds)
+
+
+def ivf_drift_report(
+    assigned_base: DataFrame,
+    assigned_new: DataFrame,
+    seeds: DataFrame,
+) -> DataFrame:
+    """Per-list index-health report after appends: how full each list
+    is, how much of it arrived after build time, and whether the frozen
+    centroids still describe the appended vectors as well as the
+    build-time ones — the re-train trigger for :func:`ivf_append`.
+
+    Output (one row per list, list_id-sorted):
+      ``n_base`` / ``n_new``    — entries from build vs appended since
+      ``share_new``             — n_new / (n_base + n_new), exact division
+      ``mean_sim_base/new``     — mean member→centroid cosine (micro-
+                                  rounded to 6 decimals before the mean,
+                                  so the oracle reproduces it exactly)
+      ``drift``                 — mean_sim_base − mean_sim_new: positive
+                                  = appended members sit farther from
+                                  their centroid than build-time ones
+
+    All arithmetic is exact-integer-scaled (same recipe as
+    embedding_centroids), so the report is hash-oracle-comparable.
+    Scale shape: two member→seed broadcast joins + one per-list groupBy
+    — linear in the entry table, no shuffle beyond the |lists|-row agg.
+    """
+    sim_micro = F.round(
+        cosine(F.col("cv"), F.col("seed_v"), F.col("cn"), F.col("seed_n"), 6)
+        * F.lit(1000000.0)
+    ).cast("long")
+
+    def per_list(assigned: DataFrame, tag: str) -> DataFrame:
+        return (
+            assigned.join(F.broadcast(seeds), "list_id")
+            .select("list_id", sim_micro.alias("_sm"))
+            .groupBy("list_id")
+            .agg(
+                F.count("*").alias(f"n_{tag}"),
+                F.sum("_sm").alias(f"_sum_{tag}"),
+            )
+        )
+
+    # start from the seed table so DEAD lists (zero members — a retrain
+    # signal in themselves) still get a report row
+    base = per_list(assigned_base, "base")
+    new = per_list(assigned_new, "new")
+    joined = (
+        seeds.select("list_id").join(base, "list_id", "left").join(new, "list_id", "left")
+    ).select(
+        "list_id",
+        F.coalesce(F.col("n_base"), F.lit(0)).alias("n_base"),
+        F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new"),
+        F.coalesce(F.col("_sum_base"), F.lit(0)).alias("_sb"),
+        F.coalesce(F.col("_sum_new"), F.lit(0)).alias("_sn"),
+    )
+    mean_base = F.when(
+        F.col("n_base") > 0,
+        (F.col("_sb").cast("double") / F.col("n_base").cast("double")) / F.lit(1000000.0),
+    )
+    mean_new = F.when(
+        F.col("n_new") > 0,
+        (F.col("_sn").cast("double") / F.col("n_new").cast("double")) / F.lit(1000000.0),
+    )
+    return (
+        joined.select(
+            "list_id",
+            "n_base",
+            "n_new",
+            F.when(
+                (F.col("n_base") + F.col("n_new")) > 0,
+                F.col("n_new").cast("double")
+                / (F.col("n_base") + F.col("n_new")).cast("double"),
+            ).alias("share_new"),
+            mean_base.alias("mean_sim_base"),
+            mean_new.alias("mean_sim_new"),
+            (mean_base - mean_new).alias("drift"),
+        )
+        .orderBy("list_id")
+    )
 
 
 def ivf_topk(

@@ -185,11 +185,61 @@ def duplicate_expensive_subtrees(df: DataFrame) -> list[str]:
     return findings
 
 
+# Physical nodes through which a downstream limit does NOT bound the
+# rows reaching an ancestor: joins can multiply (a LIMIT on one input
+# says nothing about the output), Union adds the other branches,
+# Generate (explode/posexplode/inline) fans each row out, Expand
+# (grouping sets / count-distinct rewrites) replicates rows.
+_ROW_MULTIPLIERS = ("Join", "CartesianProduct", "Union", "Generate", "Expand")
+
+# Limit nodes that bound TOTAL row count: GlobalLimit / CollectLimit /
+# TakeOrderedAndProject.  LocalLimit is per-PARTITION (k x #partitions
+# rows) and WindowGroupLimit per-GROUP — neither proves a global
+# window's single task sees <= k rows, so neither counts (ADVICE r10).
+_GLOBAL_LIMIT_PREFIXES = ("GlobalLimit", "CollectLimit", "TakeOrdered")
+
+
+def _min_direct_limit(root) -> int | None:
+    """Smallest total-row-bounding limit on the DIRECT input path below
+    ``root``: descent stops at any row-multiplying node, because a
+    limit beyond a join/union/generate does not bound the rows flowing
+    above it."""
+    best = None
+    stack = [root]
+    while stack:
+        node = stack.pop()
+        cls = node.getClass().getSimpleName()
+        if cls.startswith("AdaptiveSparkPlan"):
+            stack.append(node.executedPlan())
+            continue
+        if cls.endswith("QueryStageExec"):
+            stack.append(node.plan())
+            continue
+        nm = node.nodeName()
+        if nm.startswith(_GLOBAL_LIMIT_PREFIXES):
+            try:
+                k = int(node.limit())
+            except Exception:
+                k = None
+            if k is not None:
+                best = k if best is None else min(best, k)
+                continue  # everything below is already bounded by k
+        if any(m in nm for m in _ROW_MULTIPLIERS):
+            continue
+        ch = node.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+    return best
+
+
 def global_windows(df: DataFrame) -> list[dict]:
     """Every unpartitioned Window in the executed plan, with the
-    machine-extracted evidence that it is bounded: the smallest LIMIT
-    (GlobalLimit / TakeOrderedAndProject) in its child subtree, or
-    ``None`` when no limit bounds it.
+    machine-extracted evidence that it is bounded: the smallest
+    total-row-bounding LIMIT (GlobalLimit / CollectLimit /
+    TakeOrderedAndProject — never the per-partition LocalLimit or
+    per-group WindowGroupLimit) on the window's DIRECT input path
+    (descent stops at joins/unions/generates, which can re-multiply
+    rows above a limit), or ``None`` when no limit bounds it.
 
     An unpartitioned window funnels its whole input through one task —
     fatal on data-sized input, harmless on a ≤k-row top-k frame.  The
@@ -214,14 +264,9 @@ def global_windows(df: DataFrame) -> list[dict]:
         bound = None
         ch = node.children()
         for i in range(ch.size()):
-            for sub in _iter_physical_nodes(ch.apply(i)):
-                nm = sub.nodeName()
-                if "Limit" in nm or nm.startswith("TakeOrdered"):
-                    try:
-                        k = int(sub.limit())
-                    except Exception:
-                        continue
-                    bound = k if bound is None else min(bound, k)
+            b = _min_direct_limit(ch.apply(i))
+            if b is not None:
+                bound = b if bound is None else min(bound, b)
         out.append({
             "node": _ID_RE.sub("#x", node.simpleString(10)),
             "bound": bound,

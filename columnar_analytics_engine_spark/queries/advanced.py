@@ -730,9 +730,12 @@ def skew_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = counts.agg(F.sum("n_rows").alias("_total"))
     top = counts.orderBy(F.desc("n_rows"), "key").limit(20)
     w = W.orderBy(F.desc("n_rows"), "key")
+    # rank BEFORE the total join: the window then sits directly above
+    # its TakeOrderedAndProject bound (plan-provably <=20 rows for the
+    # global_windows lint) instead of above the 1-row-broadcast join
+    ranked = top.withColumn("rank", F.row_number().over(w).cast("long"))
     return (
-        top.join(F.broadcast(total))
-        .withColumn("rank", F.row_number().over(w).cast("long"))
+        ranked.join(F.broadcast(total))
         .select(
             "key",
             "n_rows",

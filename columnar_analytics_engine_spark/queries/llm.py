@@ -189,23 +189,71 @@ def _minhash_index_dir(sf_dir: str) -> str:
 
 def ensure_minhash_index(spark: SparkSession, sf_dir: str) -> str:
     """Path of the (built-if-absent) MinHash band index over the
-    history half of the corpus."""
-    import os
+    history half of the corpus.  Built through ``io.atomic_build_dir``:
+    a private staging dir + one atomic rename, so two concurrent
+    builders (bench and pytest on the same corpus — the pair that
+    races in practice) can never interleave writes into the keyed
+    path; the loser discards its build and reads the winner's."""
+    from columnar_analytics_engine_spark.io import atomic_build_dir, write_table
 
-    from columnar_analytics_engine_spark.io import write_table
-
-    index_dir = _minhash_index_dir(sf_dir)
-    if not os.path.exists(os.path.join(index_dir, "_INDEX_OK")):
-        os.makedirs(index_dir, exist_ok=True)
+    def _build(staging: str) -> None:
         history = t(spark, sf_dir, "documents").filter(
             F.col("doc_id") % _MH_PROBE_MOD != 0
         )
         bands_df, sets_df = D.minhash_index_frames(history)
-        write_table(bands_df, f"{index_dir}/bands.parquet")
-        write_table(sets_df, f"{index_dir}/sets.parquet")
-        with open(os.path.join(index_dir, "_INDEX_OK"), "w") as fh:
-            fh.write(_MH_INDEX_VERSION)
-    return index_dir
+        write_table(bands_df, f"{staging}/bands.parquet")
+        write_table(sets_df, f"{staging}/sets.parquet")
+
+    return atomic_build_dir(
+        _minhash_index_dir(sf_dir), _build, token=_MH_INDEX_VERSION
+    )
+
+
+def compact_minhash_index(
+    spark: SparkSession,
+    index_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Small-file compaction for the persisted MinHash index (VERDICT
+    r10 item 7 — the batch twin of streaming/maintenance.py's state
+    compaction): production appends add one file set to
+    ``bands.parquet``/``sets.parquet`` per ingested batch, and after
+    enough batches every probe pays a task + footer read per small
+    file.  Each table is rewritten to ~``target_file_bytes`` files via
+    ``io.compact_files`` and swapped in with two directory renames
+    (never half-rewritten in place; ``.old`` removed last — the same
+    crash contract as ``compact_batch_partitions``).  Run it from the
+    maintenance owner between ingests, like ``versioned.vacuum``.
+
+    Returns {table: {"files_before": n, "files_after": n}}.
+    """
+    import os
+    import shutil
+
+    from columnar_analytics_engine_spark.io import compact_files
+
+    def _count_files(path: str) -> int:
+        return sum(
+            1
+            for _root, _d, files in os.walk(path)
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    out: dict = {}
+    for table in ("bands.parquet", "sets.parquet"):
+        src = os.path.join(index_dir, table)
+        before = _count_files(src)
+        tmp = f"{src}.compacting"
+        old = f"{src}.old"
+        compact_files(spark, src, tmp, target_file_bytes=target_file_bytes)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.rename(src, old)
+        os.rename(tmp, src)
+        shutil.rmtree(old)
+        out[table] = {"files_before": before, "files_after": _count_files(src)}
+    return out
 
 
 def dedup_minhash_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2059,4 +2107,165 @@ QUERIES["dedup_minhash_calibration"] = QuerySpec(
     _minhash_calibration_sql(),
     "MinHash estimator vs exact Jaccard: MAE/bias/worst-case on verified pairs",
     ("dedup", "governance", "quality"),
+)
+
+
+# ---------------------------------------------------------------------------
+# IVF index maintenance: incremental append + drift report (VERDICT r10)
+# ---------------------------------------------------------------------------
+
+_IVF_APPEND_MOD = 8  # index built from vec_id % 8 != 7; appended batch == 7
+_IVF_APPEND_LISTS = 16
+_IVF_APPEND_PROBE = 4
+
+
+def _ivf_append_frames(spark: SparkSession, sf_dir: str):
+    """(seeds, assigned_base, appended): the IVF index trained on the
+    base corpus (vec_id % 8 != 7) plus the later batch (== 7) assigned
+    to the FROZEN base centroids via operators/similarity.ivf_append —
+    the maintenance path of a growing corpus.  Shared by the append
+    probe and the drift report."""
+    emb = t(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % _IVF_APPEND_MOD != _IVF_APPEND_MOD - 1)
+    batch = emb.filter(F.col("vec_id") % _IVF_APPEND_MOD == _IVF_APPEND_MOD - 1)
+    seeds, assigned_base = S.ivf_assignments(base, n_lists=_IVF_APPEND_LISTS)
+    appended = S.ivf_append(batch, seeds)
+    return seeds, assigned_base, appended
+
+
+def similarity_ivf_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k served from an IVF index maintained by INCREMENTAL APPENDS:
+    centroids trained on the base corpus only; the appended batch was
+    assigned by :func:`operators.similarity.ivf_append` (one broadcast
+    join linear in the batch — stored entries never rescanned; the
+    rebuild-vs-append wall-clock gap is measured in
+    scripts/probe_ivf_append.py, the snapshot/vacuum lifecycle in
+    tests/test_similarity.py).  The oracle replays a FROM-SCRATCH
+    assignment of the whole corpus against the same base-trained seeds
+    — append-then-probe must reproduce it exactly, which is the
+    correctness contract of incremental maintenance."""
+    seeds, assigned_base, appended = _ivf_append_frames(spark, sf_dir)
+    entries = assigned_base.unionByName(appended)
+    queries = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 5)
+    return S.ivf_probe_topk(
+        queries, seeds, entries, k=10, n_probe=_IVF_APPEND_PROBE
+    )
+
+
+def similarity_ivf_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-list health of the appended IVF index: fill counts, appended
+    share, and mean member-to-centroid similarity for build-time vs
+    appended members (micro-exact arithmetic) — the measurement that
+    decides when frozen centroids have drifted enough to re-train.  See
+    operators/similarity.ivf_drift_report."""
+    seeds, assigned_base, appended = _ivf_append_frames(spark, sf_dir)
+    return S.ivf_drift_report(assigned_base, appended, seeds)
+
+
+_SQL_IVF_APPEND_SEEDS = f"""
+    seeds AS (
+      SELECT vec_id AS list_id, v AS seed_v, sq_norm AS seed_n
+      FROM n WHERE (vec_id % {_IVF_APPEND_MOD}) != {_IVF_APPEND_MOD - 1}
+      ORDER BY vec_id LIMIT {_IVF_APPEND_LISTS}
+    )
+"""
+
+QUERIES["similarity_ivf_append_probe"] = QuerySpec(
+    similarity_ivf_append_probe,
+    f"""
+    WITH {_SQL_EMB_NORM},
+    {_SQL_IVF_APPEND_SEEDS},
+    assigned AS (
+      SELECT neighbor_id, cv, cn, list_id FROM (
+        SELECT c.vec_id AS neighbor_id, c.v AS cv, c.sq_norm AS cn,
+               s.list_id,
+               ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+                 ROUND(list_dot_product(c.v, s.seed_v)
+                       / (SQRT(c.sq_norm) * SQRT(s.seed_n)), 6) DESC,
+                 s.list_id) AS r
+        FROM n c CROSS JOIN seeds s) sub
+      WHERE r = 1
+    ),
+    probes AS (
+      SELECT query_id, qv, qn, list_id FROM (
+        SELECT q.vec_id AS query_id, q.v AS qv, q.sq_norm AS qn,
+               s.list_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                 ROUND(list_dot_product(q.v, s.seed_v)
+                       / (SQRT(q.sq_norm) * SQRT(s.seed_n)), 6) DESC,
+                 s.list_id) AS r
+        FROM n q CROSS JOIN seeds s
+        WHERE q.vec_id < 5) sub
+      WHERE r <= {_IVF_APPEND_PROBE}
+    ),
+    scored AS (
+      SELECT p.query_id, a.neighbor_id,
+             ROUND(list_dot_product(p.qv, a.cv)
+                   / (SQRT(p.qn) * SQRT(a.cn)), 4) AS cos_sim
+      FROM probes p JOIN assigned a USING (list_id)
+      WHERE p.query_id != a.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, "rank" FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS "rank"
+      FROM scored) sub
+    WHERE "rank" <= 10
+    """,
+    "top-k from an append-maintained IVF index ≡ from-scratch assignment replay",
+    ("similarity", "index"),
+)
+
+QUERIES["similarity_ivf_drift_report"] = QuerySpec(
+    similarity_ivf_drift_report,
+    f"""
+    WITH {_SQL_EMB_NORM},
+    {_SQL_IVF_APPEND_SEEDS},
+    assigned AS (
+      SELECT list_id, sm, is_new FROM (
+        SELECT s.list_id,
+               CAST(ROUND(ROUND(list_dot_product(c.v, s.seed_v)
+                     / (SQRT(c.sq_norm) * SQRT(s.seed_n)), 6)
+                     * 1000000.0) AS BIGINT) AS sm,
+               (c.vec_id % {_IVF_APPEND_MOD}) = {_IVF_APPEND_MOD - 1} AS is_new,
+               ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+                 ROUND(list_dot_product(c.v, s.seed_v)
+                       / (SQRT(c.sq_norm) * SQRT(s.seed_n)), 6) DESC,
+                 s.list_id) AS r
+        FROM n c CROSS JOIN seeds s) sub
+      WHERE r = 1
+    ),
+    agg AS (
+      SELECT list_id,
+             CAST(COUNT(*) FILTER (WHERE NOT is_new) AS BIGINT) AS n_base,
+             CAST(COUNT(*) FILTER (WHERE is_new) AS BIGINT) AS n_new,
+             CAST(COALESCE(SUM(sm) FILTER (WHERE NOT is_new), 0) AS BIGINT) AS sb,
+             CAST(COALESCE(SUM(sm) FILTER (WHERE is_new), 0) AS BIGINT) AS sn
+      FROM assigned GROUP BY list_id
+    ),
+    j AS (
+      SELECT s.list_id,
+             COALESCE(a.n_base, 0) AS n_base, COALESCE(a.n_new, 0) AS n_new,
+             COALESCE(a.sb, 0) AS sb, COALESCE(a.sn, 0) AS sn
+      FROM seeds s LEFT JOIN agg a USING (list_id)
+    )
+    SELECT list_id, n_base, n_new,
+           CASE WHEN n_base + n_new > 0 THEN
+             CAST(n_new AS DOUBLE) / CAST(n_base + n_new AS DOUBLE) END
+             AS share_new,
+           CASE WHEN n_base > 0 THEN
+             (CAST(sb AS DOUBLE) / CAST(n_base AS DOUBLE)) / 1000000.0 END
+             AS mean_sim_base,
+           CASE WHEN n_new > 0 THEN
+             (CAST(sn AS DOUBLE) / CAST(n_new AS DOUBLE)) / 1000000.0 END
+             AS mean_sim_new,
+           (CASE WHEN n_base > 0 THEN
+             (CAST(sb AS DOUBLE) / CAST(n_base AS DOUBLE)) / 1000000.0 END)
+           - (CASE WHEN n_new > 0 THEN
+             (CAST(sn AS DOUBLE) / CAST(n_new AS DOUBLE)) / 1000000.0 END)
+             AS drift
+    FROM j ORDER BY list_id
+    """,
+    "per-list fill + centroid-fit drift of the append-maintained IVF index",
+    ("similarity", "index", "governance"),
 )

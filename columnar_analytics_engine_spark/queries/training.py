@@ -1049,17 +1049,19 @@ def build_ivfpq_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
     write_table(cents1, f"{index_dir}/codebook.parquet")
     write_table(seeds, f"{index_dir}/seeds.parquet")
     write_table(entries, f"{index_dir}/codes.parquet", partition_by=["list_id"])
-    with open(os.path.join(index_dir, "_INDEX_OK"), "w") as fh:
-        fh.write(_INDEX_VERSION)
 
 
 def ensure_ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
-    """Path of the (built-if-absent) IVF-PQ index for a corpus."""
-    index_dir = _ivfpq_index_dir(sf_dir)
-    if not os.path.exists(os.path.join(index_dir, "_INDEX_OK")):
-        os.makedirs(index_dir, exist_ok=True)
-        build_ivfpq_index(spark, sf_dir, index_dir)
-    return index_dir
+    """Path of the (built-if-absent) IVF-PQ index for a corpus —
+    race-safe via ``io.atomic_build_dir`` (staging dir + atomic rename;
+    the ``_INDEX_OK`` marker is written by the publisher, last)."""
+    from columnar_analytics_engine_spark.io import atomic_build_dir
+
+    return atomic_build_dir(
+        _ivfpq_index_dir(sf_dir),
+        lambda staging: build_ivfpq_index(spark, sf_dir, staging),
+        token=_INDEX_VERSION,
+    )
 
 
 def _quantized_queries(emb: DataFrame) -> DataFrame:
@@ -1828,9 +1830,11 @@ def training_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     (text_bpe_token_stats).  One corpus-scale word-frequency
     aggregation, then vocabulary-bounded merge rounds (see
     operators/bpe.py for the scale argument and the greedy-fold merge
-    semantics).  Iterative and not SQL-expressible — verified by the
-    pure-Python reference cross-check in tests/test_bpe.py (the same
-    shape as the NB classifier and k-means entries)."""
+    semantics).  Verified two ways: the driver hash-oracle replays the
+    iteration as 12 unrolled MATERIALIZED CTE rounds in DuckDB
+    (``_bpe_merges_sql``, registered on this QuerySpec since r10), and
+    tests/test_bpe.py cross-checks against a pure-Python reference
+    implementation."""
     from columnar_analytics_engine_spark.operators.bpe import bpe_merges_df
 
     docs = t(spark, sf_dir, "documents")

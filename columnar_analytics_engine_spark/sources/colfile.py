@@ -928,6 +928,19 @@ def _make_datasource_classes():
             # invisible staged/tmp files; overwrite commit garbage-
             # collects strandings from other runs, which it may do
             # because overwrite claims the entire directory.)
+            # Validate every staged shard BEFORE the destructive
+            # overwrite GC below: a vanished staged file (e.g. a
+            # concurrent overwrite's commit GC'd this run's files)
+            # must fail the job loudly — and with the OLD data still
+            # intact — not silently publish a dataset with missing
+            # partitions.
+            for m in messages:
+                if m is not None and not os.path.exists(m.file_path):
+                    raise IOError(
+                        f"staged .col shard missing at commit: {m.file_path} "
+                        "— aborting publish (another writer may have "
+                        "claimed this directory)"
+                    )
             if self.overwrite:
                 for f in os.listdir(self.path):
                     full = os.path.join(self.path, f)
@@ -941,12 +954,13 @@ def _make_datasource_classes():
                         os.remove(full)
             prefix = f"_staged-{self.run_id}-"
             for m in messages:
-                if m is not None and os.path.exists(m.file_path):
-                    name = os.path.basename(m.file_path)
-                    os.replace(
-                        m.file_path,
-                        os.path.join(self.path, name.removeprefix(prefix)),
-                    )
+                if m is None:
+                    continue
+                name = os.path.basename(m.file_path)
+                os.replace(
+                    m.file_path,
+                    os.path.join(self.path, name.removeprefix(prefix)),
+                )
 
         def abort(self, messages):
             for m in messages:

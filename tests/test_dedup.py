@@ -275,3 +275,37 @@ def test_lsh_quality_report_invariants(spark, sf_small):
     assert r["precision"] == 1.0
     assert r["n_common"] == r["n_lsh"] <= r["n_exact"]
     assert 0.0 < r["recall"] <= 1.0
+
+
+def test_minhash_index_compaction_preserves_probe(spark, sf_small, tmp_path, monkeypatch):
+    """Index maintenance (VERDICT r10 item 7): per-batch appends pile
+    small files onto the persisted band/set tables; compaction must cut
+    the file count and leave every probe result bit-identical."""
+    from pyspark.sql import functions as F
+
+    from columnar_analytics_engine_spark.queries import llm as L
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path))
+    index_dir = L.ensure_minhash_index(spark, sf_small)
+    before = sorted(map(tuple, L.dedup_minhash_probe(spark, sf_small).collect()))
+
+    # simulate many tiny per-batch appends: rewrite both tables into
+    # 16 shards each (append mode adds files alongside the originals
+    # in production; a repartition rewrite models the end state)
+    for table in ("bands.parquet", "sets.parquet"):
+        p = f"{index_dir}/{table}"
+        df = spark.read.parquet(p)
+        df.repartition(16).write.mode("overwrite").parquet(f"{p}.tmp")
+        import shutil
+
+        shutil.rmtree(p)
+        import os
+
+        os.rename(f"{p}.tmp", p)
+
+    stats = L.compact_minhash_index(spark, index_dir)
+    for table, s in stats.items():
+        assert s["files_after"] < s["files_before"], (table, s)
+        assert s["files_after"] >= 1
+    after = sorted(map(tuple, L.dedup_minhash_probe(spark, sf_small).collect()))
+    assert after == before and len(after) > 0

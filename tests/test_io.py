@@ -271,3 +271,89 @@ def test_write_with_metrics_single_pass_audit(spark, tmp_path):
     assert metrics["n_null_name"] == 2
     # the write really happened and matches the audited count
     assert spark.read.parquet(out).count() == metrics["n_rows"]
+
+
+# ---------------------------------------------------------------------------
+# atomic_build_dir: race- and crash-safe build-once artifact publish
+# (ADVICE r10: two concurrent index builders must never interleave
+# writes into the same keyed directory)
+# ---------------------------------------------------------------------------
+
+def test_atomic_build_dir_publishes_and_skips_rebuild(tmp_path):
+    from columnar_analytics_engine_spark.io import atomic_build_dir
+
+    final = str(tmp_path / "idx")
+
+    def build(staging):
+        with open(os.path.join(staging, "data.txt"), "w") as fh:
+            fh.write("payload")
+
+    assert atomic_build_dir(final, build, token="v9") == final
+    assert open(os.path.join(final, "data.txt")).read() == "payload"
+    assert open(os.path.join(final, "_INDEX_OK")).read() == "v9"
+
+    def boom(staging):
+        raise AssertionError("rebuilt a complete index")
+
+    assert atomic_build_dir(final, boom) == final  # marker short-circuits
+
+
+def test_atomic_build_dir_loser_discards_and_keeps_winner(tmp_path):
+    """Simulated race: another process publishes a COMPLETE index while
+    this build is in flight.  The loser's rename must fail silently,
+    its staging tree must be discarded, and the winner's content must
+    survive untouched."""
+    from columnar_analytics_engine_spark.io import atomic_build_dir
+
+    final = str(tmp_path / "idx")
+
+    def racing_build(staging):
+        # the "other process" wins mid-build
+        os.makedirs(final)
+        with open(os.path.join(final, "data.txt"), "w") as fh:
+            fh.write("winner")
+        with open(os.path.join(final, "_INDEX_OK"), "w") as fh:
+            fh.write("v1")
+        with open(os.path.join(staging, "data.txt"), "w") as fh:
+            fh.write("loser")
+
+    assert atomic_build_dir(final, racing_build) == final
+    assert open(os.path.join(final, "data.txt")).read() == "winner"
+    leftovers = [d for d in os.listdir(tmp_path) if ".build-" in d]
+    assert leftovers == []
+
+
+def test_atomic_build_dir_replaces_markerless_partial(tmp_path):
+    """A directory WITHOUT the completeness marker is a crashed
+    pre-atomic build: a new complete build claims the slot."""
+    from columnar_analytics_engine_spark.io import atomic_build_dir
+
+    final = str(tmp_path / "idx")
+    os.makedirs(final)
+    with open(os.path.join(final, "stale.txt"), "w") as fh:
+        fh.write("torn")
+
+    def build(staging):
+        with open(os.path.join(staging, "data.txt"), "w") as fh:
+            fh.write("fresh")
+
+    atomic_build_dir(final, build)
+    assert sorted(os.listdir(final)) == ["_INDEX_OK", "data.txt"]
+
+
+def test_atomic_build_dir_crash_leaves_no_half_index(tmp_path):
+    """A builder that dies mid-build leaves NO final directory and no
+    staging litter — the next caller simply rebuilds."""
+    from columnar_analytics_engine_spark.io import atomic_build_dir
+
+    final = str(tmp_path / "idx")
+
+    def crash(staging):
+        with open(os.path.join(staging, "data.txt"), "w") as fh:
+            fh.write("partial")
+        raise RuntimeError("executor lost")
+
+    with pytest.raises(RuntimeError):
+        atomic_build_dir(final, crash)
+    assert not os.path.exists(final)
+    assert [d for d in os.listdir(tmp_path) if ".build-" in d] == []

@@ -242,3 +242,29 @@ def test_lint_plan_flags_known_antipatterns(spark):
     assert any("single-partition" in f for f in lint_plan(global_window, max_single_partition=0))
 
     assert lint_plan(a.groupBy((F.col("id") % 2).alias("k")).count()) == []
+
+
+def test_global_window_limit_proof_direct_path_only(spark):
+    """The boundedness proof accepts a total-row limit directly below
+    the window, and REJECTS a limit sitting under a row-multiplying
+    join (k rows joined against m rows is k*m, not k) — ADVICE r10."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from columnar_analytics_engine_spark.plans.lint import global_windows
+
+    w = W.orderBy("id")
+    direct = spark.range(1000).limit(7).withColumn(
+        "r", F.row_number().over(w)
+    )
+    wins = global_windows(direct)
+    assert wins and wins[0]["bound"] == 7
+
+    multiplied = (
+        spark.range(1000)
+        .limit(7)
+        .join(spark.range(50).withColumnRenamed("id", "j"))
+        .withColumn("r", F.row_number().over(w))
+    )
+    wins = global_windows(multiplied)
+    assert wins and wins[0]["bound"] is None  # 7x50 rows, not 7

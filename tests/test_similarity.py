@@ -139,3 +139,48 @@ def test_synthetic_embeddings_table(spark):
     rows = joined.collect()
     same = sum(1 for r in rows if r["q_label"] == r["label"])
     assert same / len(rows) > 0.9
+
+
+def test_ivf_append_versioned_lifecycle(spark, sf_small, tmp_path):
+    """Index maintenance loop (VERDICT r10): build -> snapshot v0 ->
+    append a batch assigned to the FROZEN centroids -> snapshot v1 ->
+    probe from the latest snapshot.  The appended index must serve
+    exactly what a from-scratch assignment of the grown corpus against
+    the same centroids serves, history must show both snapshots, and
+    vacuum must retire v0 without touching the head."""
+    from columnar_analytics_engine_spark import versioned
+    from columnar_analytics_engine_spark.operators.similarity import (
+        _assign_to_seeds, ivf_append, ivf_assignments, ivf_probe_topk,
+    )
+    from columnar_analytics_engine_spark.functions.similarity import with_norms
+
+    emb = read_table(spark, sf_small, "embeddings")
+    base = emb.filter(F.col("vec_id") % 8 != 7)
+    batch = emb.filter(F.col("vec_id") % 8 == 7)
+    tbl = str(tmp_path / "ivf_entries")
+
+    seeds, assigned_base = ivf_assignments(base, n_lists=8)
+    assert versioned.write_version(assigned_base, tbl) == 0
+    appended = ivf_append(batch, seeds)
+    v1 = versioned.read_version(spark, tbl, 0).unionByName(appended)
+    assert versioned.write_version(v1, tbl) == 1
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    served = sorted(map(tuple, ivf_probe_topk(
+        queries, seeds, versioned.read_version(spark, tbl), k=10, n_probe=4
+    ).collect()))
+    # ground truth: assign the WHOLE grown corpus to the same centroids
+    all_n = with_norms(emb, "embedding").select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("sq_norm").alias("cn"),
+    )
+    scratch = sorted(map(tuple, ivf_probe_topk(
+        queries, seeds, _assign_to_seeds(all_n, seeds), k=10, n_probe=4
+    ).collect()))
+    assert served == scratch and len(served) > 0
+
+    hist = {r.version: r for r in versioned.table_history(spark, tbl).collect()}
+    assert set(hist) == {0, 1} and hist[1].n_bytes > 0
+    assert versioned.vacuum(tbl, keep_last=1) == [0]
+    assert versioned.read_version(spark, tbl).count() == emb.count()
