@@ -192,7 +192,68 @@ def colfile_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def skipping_index_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level stats-skipping scan (manifest pruning): write
+    ``orders`` range-sorted by ``o_custkey``, build the per-file stats
+    index (distributed footer scan, ``skipping.build_stats_index``),
+    prune the file manifest with a custkey-range predicate against the
+    index, and aggregate ONLY the surviving files.  The oracle runs the
+    same filter + aggregate over the source table, so a hash match
+    proves pruning is a pure superset optimization — files are skipped,
+    rows never are.  This is the reference's zone-map skip (SURVEY
+    §2.2, ``src/execution.cpp`` ``Predicate::canSkipPage``) lifted one
+    level up, to where it matters at 100 TB: the pruned files are never
+    listed into tasks or footer-opened at scan time, the planning cost
+    is one tiny index read, and the index itself maintains
+    incrementally as the corpus appends (``update_stats_index``)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from columnar_analytics_engine_spark.io import write_sorted
+    from columnar_analytics_engine_spark.skipping import (
+        build_stats_index,
+        read_skipping,
+    )
+
+    src = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    tag = hashlib.md5(f"{sf_dir}:{os.getpid()}".encode()).hexdigest()[:12]
+    data = f"{tempfile.gettempdir()}/cae_skip_data_{tag}"
+    index = f"{tempfile.gettempdir()}/cae_skip_idx_{tag}"
+    write_sorted(src, data, ["o_custkey"], n_files=16)
+    build_stats_index(spark, data, index)
+    return (
+        read_skipping(
+            spark, data, index, "o_custkey ge 10 and o_custkey le 60"
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("o_orderkey").alias("sum_orderkey"),
+            exact_sum("o_totalprice", "sum_price"),
+            F.min("o_custkey").alias("min_cust"),
+            F.max("o_custkey").alias("max_cust"),
+        )
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "skipping_index_scan": QuerySpec(
+        skipping_index_scan,
+        f"""
+        SELECT COUNT(*) AS n_orders,
+               CAST(SUM(o_orderkey) AS BIGINT) AS sum_orderkey,
+               {sql_exact_sum('o_totalprice', 'sum_price')},
+               MIN(o_custkey) AS min_cust,
+               MAX(o_custkey) AS max_cust
+        FROM orders
+        WHERE o_custkey >= 10 AND o_custkey <= 60
+        """,
+        "file-level stats index: manifest pruning + exact residual filter "
+        "(oracle on the unpruned source)",
+        ("scale", "scan", "index", "format"),
+    ),
     "colfile_roundtrip_agg": QuerySpec(
         colfile_roundtrip_agg,
         """

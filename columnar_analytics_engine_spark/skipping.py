@@ -1,0 +1,424 @@
+"""File-level stats-skipping index for Parquet datasets (manifest pruning).
+
+Spark's Parquet reader prunes ROW GROUPS from footer statistics — but
+only after listing every file and opening every footer, and it still
+schedules a task per file split.  At 100 TB a dataset is ~10^6 files;
+per-query footer opens and task scheduling for files the predicate
+provably excludes dominate short queries.  Table formats solve this
+with per-file statistics kept OUTSIDE the data files (Delta's per-file
+stats in the transaction log, Iceberg's manifest files — the layer the
+reference approximates with its in-footer zone maps, SURVEY §2.2 /
+``src/execution.cpp`` ``Predicate::canSkipPage``, which still requires
+opening the file).  This module is that layer for plain Parquet
+directories:
+
+* :func:`build_stats_index` — one small Parquet table, one row per
+  (file, column) with min/max/null_count read from footers.  The
+  footer reads run IN EXECUTORS (``mapInPandas`` over the file list),
+  so the build is a parallel metadata scan, not a driver loop.
+* :func:`update_stats_index` — incremental: only footers of files not
+  yet indexed are read (an appending corpus never re-reads old
+  footers), and rows for vanished files are dropped.
+* :func:`plan_skipping` / :func:`read_skipping` — evaluate a
+  conjunctive predicate against the index (interval logic per clause,
+  conservative wherever stats are missing), collect the SURVIVING file
+  list (driver memory bounded by the file list — the same planning
+  shape as Iceberg manifest pruning), and read only those files.  The
+  predicate is still applied exactly on top of the pruned scan, so
+  skipping is a pure superset optimization: it can never change
+  results, only skip I/O.
+
+Soundness of the interval tests rests on Parquet stats being BOUNDS,
+not exact extrema: writers may truncate binary min/max, but truncation
+keeps min a lower bound and max an upper bound, so every prune rule
+below remains conservative.  Rows where any row group lacks statistics
+are recorded with ``has_stats = false`` and never prune.  NULLs
+satisfy no comparison predicate, so an all-null file prunes under any
+clause on that column and a mixed file prunes on its non-null bounds.
+
+Predicate grammar (:func:`parse_predicate`) is a typed superset of the
+reference CLI's conjunctive six-op grammar (``src/cli.cpp:177-184``,
+integer literals only): ``col (eq|ne|lt|le|gt|ge|=|==|!=|<|<=|>|>=)
+literal`` joined by ``and``, with integer, float, and single-quoted
+string literals.  Columns whose type the index does not carry bounds
+for (timestamps, nested) are indexed as kind ``other`` and are simply
+never pruned — correct, just not accelerated.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+INDEX_SCHEMA = (
+    "file string, column string, kind string, "
+    "min_int long, max_int long, min_num double, max_num double, "
+    "min_str string, max_str string, "
+    "null_count long, file_rows long, has_stats boolean"
+)
+
+_OPS = {
+    "eq": "eq", "=": "eq", "==": "eq",
+    "ne": "ne", "!=": "ne",
+    "lt": "lt", "<": "lt",
+    "le": "le", "<=": "le",
+    "gt": "gt", ">": "gt",
+    "ge": "ge", ">=": "ge",
+}
+
+_CLAUSE_RE = re.compile(
+    r"\s*([A-Za-z_][A-Za-z0-9_]*)\s*"
+    r"(eq|ne|lt|le|gt|ge|==|=|!=|<=|>=|<|>)\s*"
+    r"(?:'((?:[^']|'')*)'|(-?\d+\.\d+(?:[eE][-+]?\d+)?)|(-?\d+))\s*",
+)
+
+
+def parse_predicate(expr: str) -> list[tuple[str, str, Any]]:
+    """Parse an AND-conjoined comparison predicate into
+    (column, op, literal) clauses; literals are int, float, or str
+    (single-quoted, ``''`` escapes a quote)."""
+    clauses: list[tuple[str, str, Any]] = []
+    for part in re.split(r"(?i)\s+and\s+", expr.strip()):
+        if not part:
+            continue
+        m = _CLAUSE_RE.fullmatch(part)
+        if not m:
+            raise ValueError(
+                f"skipping predicate: cannot parse clause {part!r} "
+                "(grammar: col [eq|ne|lt|le|gt|ge|=|==|!=|<|<=|>|>=] "
+                "(int|float|'string'), joined with AND)"
+            )
+        col, op, s_lit, f_lit, i_lit = m.groups()
+        val: Any
+        if s_lit is not None:
+            val = s_lit.replace("''", "'")
+        elif f_lit is not None:
+            val = float(f_lit)
+        else:
+            val = int(i_lit)
+        clauses.append((col, _OPS[op.lower()], val))
+    return clauses
+
+
+def list_parquet_files(data_path: str) -> list[str]:
+    """Visible ``.parquet`` files under ``data_path`` (recursive),
+    sorted — the dataset manifest this index stands in for."""
+    if os.path.isfile(data_path):
+        return [data_path]
+    out: list[str] = []
+    for root, dirs, files in os.walk(data_path):
+        dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+        for f in files:
+            if f.endswith(".parquet") and not f.startswith((".", "_")):
+                out.append(os.path.join(root, f))
+    return sorted(out)
+
+
+def _make_footer_scanner(columns: list[str] | None):
+    """Build the per-(file, column) footer-stats generator.
+
+    Defined as a FACTORY so the returned function is a closure and
+    cloudpickle ships it to executors BY VALUE: a module-level function
+    would pickle by reference and force workers to import this package,
+    which fails under the driver contract (the runner ``sys.path``-
+    injects the repo into its own process only).  The closure therefore
+    references nothing but stdlib + pyarrow, both present on every
+    worker.  Footer reads are pure metadata — no data pages."""
+
+    def _footer_stats_rows(files: list[str]) -> Iterator[dict]:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        for file_path in files:
+            pf = pq.ParquetFile(file_path)
+            md = pf.metadata
+            arrow_schema = pf.schema_arrow
+            names = [arrow_schema.field(i).name for i in range(len(arrow_schema))]
+            wanted = [n for n in names if columns is None or n in columns]
+            # column index in the flat parquet schema == arrow index only
+            # for flat schemas; map by path name to stay correct for any
+            # file that carries nested columns we skip
+            paths = {
+                md.row_group(0).column(i).path_in_schema: i
+                for i in range(md.row_group(0).num_columns)
+            } if md.num_row_groups else {}
+            for name in wanted:
+                field = arrow_schema.field(name)
+                typ = field.type
+                if pa.types.is_integer(typ):
+                    kind = "int"
+                elif pa.types.is_floating(typ):
+                    kind = "num"
+                elif pa.types.is_string(typ) or pa.types.is_large_string(typ):
+                    kind = "str"
+                else:
+                    kind = "other"  # timestamps/nested: indexed, never prunes
+                row = {
+                    "file": file_path, "column": name, "kind": kind,
+                    "min_int": None, "max_int": None,
+                    "min_num": None, "max_num": None,
+                    "min_str": None, "max_str": None,
+                    "null_count": 0, "file_rows": md.num_rows,
+                    "has_stats": kind != "other" and name in paths,
+                }
+                mins: list[Any] = []
+                maxs: list[Any] = []
+                if row["has_stats"]:
+                    for rg_idx in range(md.num_row_groups):
+                        col = md.row_group(rg_idx).column(paths[name])
+                        st = col.statistics
+                        if st is None or st.null_count is None:
+                            row["has_stats"] = False
+                            break
+                        row["null_count"] += st.null_count
+                        if st.num_values:  # non-null values present
+                            if not st.has_min_max:
+                                row["has_stats"] = False
+                                break
+                            mins.append(st.min)
+                            maxs.append(st.max)
+                if row["has_stats"] and mins:
+                    lo, hi = min(mins), max(maxs)
+                    if kind == "int":
+                        row["min_int"], row["max_int"] = int(lo), int(hi)
+                    elif kind == "num":
+                        row["min_num"], row["max_num"] = float(lo), float(hi)
+                    else:
+                        row["min_str"], row["max_str"] = str(lo), str(hi)
+                yield row
+
+    return _footer_stats_rows
+
+
+def _stats_df(
+    spark: SparkSession, files: list[str], columns: list[str] | None
+) -> DataFrame:
+    """Distributed footer scan → index rows (one Spark task per slice
+    of the file list; each task reads only footers)."""
+    import pandas as pd
+
+    cols = list(columns) if columns is not None else None
+    n_slices = max(1, min(len(files), spark.sparkContext.defaultParallelism))
+    files_df = spark.createDataFrame(
+        [(f,) for f in files], schema="file string"
+    ).repartition(n_slices)
+
+    field_order = [
+        "file", "column", "kind", "min_int", "max_int", "min_num",
+        "max_num", "min_str", "max_str", "null_count", "file_rows",
+        "has_stats",
+    ]
+
+    footer_stats_rows = _make_footer_scanner(cols)
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = list(footer_stats_rows(list(b["file"])))
+            yield pd.DataFrame(
+                {k: [r[k] for r in rows] for k in field_order}
+                if rows
+                else {k: [] for k in field_order}
+            )
+
+    return files_df.mapInPandas(scan, schema=INDEX_SCHEMA)
+
+
+def build_stats_index(
+    spark: SparkSession,
+    data_path: str,
+    index_path: str,
+    columns: list[str] | None = None,
+    mode: str = "overwrite",
+) -> int:
+    """Build the per-file stats index for ``data_path`` at
+    ``index_path``; returns the number of files indexed.  The index is
+    tiny relative to the data (rows = files × columns), so it is
+    written as a single file — one footer to open at plan time."""
+    files = list_parquet_files(data_path)
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {data_path}")
+    _stats_df(spark, files, columns).coalesce(1).write.mode(mode).parquet(index_path)
+    return len(files)
+
+
+def update_stats_index(
+    spark: SparkSession, data_path: str, index_path: str
+) -> dict[str, int]:
+    """Incremental index maintenance: footer-scan only files missing
+    from the index, drop rows for files that vanished (compaction /
+    retention deletes).  Returns ``{"added": n, "removed": m}``.  Cost
+    is bounded by the CHANGE, not the corpus — the property that makes
+    a stats index viable on an appending 100 TB dataset."""
+    current = set(list_parquet_files(data_path))
+    idx = spark.read.parquet(index_path)
+    indexed = {r["file"] for r in idx.select("file").distinct().collect()}
+    added = sorted(current - indexed)
+    removed = sorted(indexed - current)
+    if not added and not removed:
+        return {"added": 0, "removed": 0}
+    # indexed columns = whatever the existing index carries
+    columns = sorted(
+        {r["column"] for r in idx.select("column").distinct().collect()}
+    )
+    if removed:
+        removed_df = spark.createDataFrame([(f,) for f in removed], "file string")
+        kept = idx.join(F.broadcast(removed_df), "file", "left_anti")
+    else:
+        kept = idx
+    out = kept.unionByName(_stats_df(spark, added, columns)) if added else kept
+    # rewrite via a staging path: the new index must not clobber the
+    # input of its own plan mid-read
+    staging = index_path.rstrip("/") + "._staging"
+    out.coalesce(1).write.mode("overwrite").parquet(staging)
+    final = spark.read.parquet(staging)
+    final.coalesce(1).write.mode("overwrite").parquet(index_path)
+    import shutil
+
+    shutil.rmtree(staging, ignore_errors=True)
+    return {"added": len(added), "removed": len(removed)}
+
+
+_TWO53 = 1 << 53  # |int| bounds exact in IEEE double up to here
+_I64_MIN, _I64_MAX = -(1 << 63), (1 << 63) - 1
+
+
+def _interval_excludes(op: str, lo: F.Column, hi: F.Column, lit: F.Column) -> F.Column:
+    """TRUE iff [lo, hi] provably contains no value satisfying
+    ``x op lit`` — the zone-map rule, per file instead of per page
+    (reference: ``src/execution.cpp`` ``Predicate::canSkipPage``)."""
+    return {
+        "eq": (lit < lo) | (lit > hi),
+        "ne": (lo == hi) & (lo == lit),
+        "lt": lo >= lit,
+        "le": lo > lit,
+        "gt": hi <= lit,
+        "ge": hi < lit,
+    }[op]
+
+
+def _prune_condition(op: str, val: Any) -> F.Column:
+    """Column expression over index rows: TRUE iff the file provably
+    contains no matching row for ``col op val``.
+
+    Soundness at the type seams: integer bounds are compared as LONG
+    when the literal is an int (exact), and as double only when both
+    bounds sit within ±2^53 (where the cast is exact); double bounds
+    are compared with an int literal only when that literal is itself
+    exact in double.  Every guard failure yields "keep", never a wrong
+    prune.  NULLs satisfy no comparison, so an all-null file prunes
+    under every op.
+    """
+    if isinstance(val, str):
+        cond = (F.col("kind") == "str") & _interval_excludes(
+            op, F.col("min_str"), F.col("max_str"), F.lit(val)
+        )
+    else:
+        branches = []
+        if isinstance(val, int):
+            if _I64_MIN <= val <= _I64_MAX:
+                branches.append(
+                    (F.col("kind") == "int")
+                    & _interval_excludes(
+                        op, F.col("min_int"), F.col("max_int"),
+                        F.lit(val).cast("long"),
+                    )
+                )
+            if abs(val) <= _TWO53:
+                branches.append(
+                    (F.col("kind") == "num")
+                    & _interval_excludes(
+                        op, F.col("min_num"), F.col("max_num"), F.lit(float(val))
+                    )
+                )
+        else:
+            exact_in_double = (F.abs(F.col("min_int")) <= F.lit(_TWO53)) & (
+                F.abs(F.col("max_int")) <= F.lit(_TWO53)
+            )
+            branches.append(
+                (F.col("kind") == "int")
+                & exact_in_double
+                & _interval_excludes(
+                    op,
+                    F.col("min_int").cast("double"),
+                    F.col("max_int").cast("double"),
+                    F.lit(val),
+                )
+            )
+            branches.append(
+                (F.col("kind") == "num")
+                & _interval_excludes(
+                    op, F.col("min_num"), F.col("max_num"), F.lit(val)
+                )
+            )
+        if not branches:
+            return F.lit(False)
+        cond = branches[0]
+        for b in branches[1:]:
+            cond = cond | b
+    all_null = F.col("null_count") >= F.col("file_rows")
+    return F.col("has_stats") & ((F.col("kind") != "other") & all_null | cond)
+
+
+def _clause_column(col: str, op: str, val: Any) -> F.Column:
+    c = F.col(col)
+    return {
+        "eq": c == F.lit(val), "ne": c != F.lit(val),
+        "lt": c < F.lit(val), "le": c <= F.lit(val),
+        "gt": c > F.lit(val), "ge": c >= F.lit(val),
+    }[op]
+
+
+def plan_skipping(
+    spark: SparkSession, index_path: str, predicate: str
+) -> dict[str, Any]:
+    """Prune the file manifest with the stats index.  Returns
+    ``{"files": [...kept...], "files_total": n, "files_pruned": m,
+    "clauses": [...]}``.  The pruning query runs ON the (tiny) index
+    in Spark; only the surviving file LIST is collected — driver
+    memory is bounded by the manifest, exactly like Iceberg planning.
+    """
+    clauses = parse_predicate(predicate)
+    idx = spark.read.parquet(index_path)
+    all_files = [r["file"] for r in idx.select("file").distinct().collect()]
+    pruned = None
+    for col, op, val in clauses:
+        p = (
+            idx.filter(F.col("column") == col)
+            .filter(_prune_condition(op, val))
+            .select("file")
+        )
+        pruned = p if pruned is None else pruned.unionByName(p)
+    pruned_files = (
+        {r["file"] for r in pruned.distinct().collect()} if pruned is not None else set()
+    )
+    kept = [f for f in all_files if f not in pruned_files]
+    return {
+        "files": kept,
+        "files_total": len(all_files),
+        "files_pruned": len(pruned_files),
+        "clauses": clauses,
+    }
+
+
+def read_skipping(
+    spark: SparkSession, data_path: str, index_path: str, predicate: str
+) -> DataFrame:
+    """Read ``data_path`` under ``predicate`` touching only files the
+    stats index cannot exclude.  The exact predicate is re-applied on
+    the pruned scan (and pushes down into it), so the result is
+    IDENTICAL to filtering the full dataset — the index only removes
+    file opens and tasks."""
+    plan = plan_skipping(spark, index_path, predicate)
+    cond = None
+    for col, op, val in plan["clauses"]:
+        c = _clause_column(col, op, val)
+        cond = c if cond is None else (cond & c)
+    if not plan["files"]:
+        # schema-only read: no row groups are materialized under lit(false)
+        return spark.read.parquet(data_path).where(F.lit(False))
+    df = spark.read.parquet(*plan["files"])
+    return df.where(cond) if cond is not None else df

@@ -1,0 +1,183 @@
+"""File-level stats-skipping index: pruning soundness + exactness.
+
+The invariant under test everywhere: ``read_skipping`` over the pruned
+manifest returns EXACTLY what the full scan + filter returns — pruning
+may only remove file I/O, never rows.  (Reference analog: the per-page
+zone-map skip, ``src/execution.cpp`` ``Predicate::canSkipPage``, which
+the reference's own corruption/parity tests hold to the same
+never-changes-results bar.)
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from columnar_analytics_engine_spark.io import read_table, write_sorted
+from columnar_analytics_engine_spark.skipping import (
+    build_stats_index,
+    list_parquet_files,
+    parse_predicate,
+    plan_skipping,
+    read_skipping,
+    update_stats_index,
+)
+
+
+def _rows(df, *order_cols):
+    return [tuple(r) for r in df.orderBy(*order_cols).collect()]
+
+
+@pytest.fixture(scope="module")
+def sorted_orders(spark, sf_small, tmp_path_factory):
+    """orders written range-sorted by o_custkey into 8 files, with the
+    stats index built alongside."""
+    base = tmp_path_factory.mktemp("skipping")
+    data = str(base / "orders_sorted")
+    index = str(base / "orders_index")
+    df = read_table(spark, sf_small, "orders")
+    write_sorted(df, data, ["o_custkey"], n_files=8)
+    n = build_stats_index(spark, data, index)
+    assert n == len(list_parquet_files(data)) > 1
+    return data, index
+
+
+def test_parse_predicate_literals():
+    assert parse_predicate("a ge 3 and b lt -2.5 and c eq 'x''y'") == [
+        ("a", "ge", 3),
+        ("b", "lt", -2.5),
+        ("c", "eq", "x'y"),
+    ]
+    assert parse_predicate("a == 7")[0] == ("a", "eq", 7)
+    with pytest.raises(ValueError):
+        parse_predicate("a between 1 and 2")
+
+
+def test_range_predicate_prunes_and_matches_full_scan(spark, sorted_orders):
+    data, index = sorted_orders
+    src = spark.read.parquet(data)
+    lo, hi = src.agg(F.min("o_custkey"), F.max("o_custkey")).first()
+    mid = (lo + hi) // 2
+    pred = f"o_custkey ge {mid} and o_custkey le {mid + max(1, (hi - lo) // 20)}"
+    plan = plan_skipping(spark, index, pred)
+    assert plan["files_pruned"] > 0, "range-sorted layout must prune"
+    got = read_skipping(spark, data, index, pred)
+    want = src.where(
+        (F.col("o_custkey") >= mid)
+        & (F.col("o_custkey") <= mid + max(1, (hi - lo) // 20))
+    )
+    assert _rows(got, "o_orderkey") == _rows(want, "o_orderkey")
+
+
+def test_float_predicate_prunes(spark, sf_small, tmp_path):
+    data = str(tmp_path / "by_price")
+    index = str(tmp_path / "idx")
+    df = read_table(spark, sf_small, "orders")
+    write_sorted(df, data, ["o_totalprice"], n_files=8)
+    build_stats_index(spark, data, index)
+    cut = float(df.approxQuantile("o_totalprice", [0.1], 0.01)[0])
+    pred = f"o_totalprice lt {cut}"
+    plan = plan_skipping(spark, index, pred)
+    assert plan["files_pruned"] > 0
+    got = read_skipping(spark, data, index, pred)
+    want = spark.read.parquet(data).where(F.col("o_totalprice") < cut)
+    assert _rows(got, "o_orderkey") == _rows(want, "o_orderkey")
+
+
+def test_string_predicate_prunes(spark, sf_small, tmp_path):
+    data = str(tmp_path / "by_status")
+    index = str(tmp_path / "idx")
+    df = read_table(spark, sf_small, "orders")
+    write_sorted(df, data, ["o_orderstatus", "o_orderkey"], n_files=6)
+    build_stats_index(spark, data, index)
+    pred = "o_orderstatus eq 'F'"
+    plan = plan_skipping(spark, index, pred)
+    assert plan["files_pruned"] > 0, "status-clustered files must prune"
+    got = read_skipping(spark, data, index, pred)
+    want = spark.read.parquet(data).where(F.col("o_orderstatus") == "F")
+    assert _rows(got, "o_orderkey") == _rows(want, "o_orderkey")
+
+
+def test_unindexed_kind_never_prunes(spark, sorted_orders):
+    """Timestamp columns are kind 'other': a clause on one keeps every
+    file (correct, just not accelerated); a kind-mismatched literal on
+    an indexed column likewise keeps every file."""
+    data, index = sorted_orders
+    idx = spark.read.parquet(index)
+    assert idx.filter(
+        (F.col("column") == "o_orderdate") & (F.col("kind") == "other")
+    ).count() > 0
+    plan = plan_skipping(spark, index, "o_totalprice eq 'not_a_number'")
+    assert plan["files_pruned"] == 0
+
+
+def test_all_null_file_prunes(spark, tmp_path):
+    data = str(tmp_path / "nulls")
+    index = str(tmp_path / "idx")
+    spark.range(10).select(F.col("id").alias("k"), F.col("id").alias("v")).coalesce(
+        1
+    ).write.parquet(data)
+    spark.range(5).select(
+        F.col("id").alias("k"), F.lit(None).cast("long").alias("v")
+    ).coalesce(1).write.mode("append").parquet(data)
+    build_stats_index(spark, data, index)
+    plan = plan_skipping(spark, index, "v ge 0")
+    assert plan["files_pruned"] == 1, "the all-null file satisfies no comparison"
+    got = read_skipping(spark, data, index, "v ge 0")
+    assert got.count() == 10
+
+
+def test_empty_manifest_returns_empty_with_schema(spark, sorted_orders):
+    data, index = sorted_orders
+    src = spark.read.parquet(data)
+    hi = src.agg(F.max("o_custkey")).first()[0]
+    pred = f"o_custkey gt {hi + 1000}"
+    plan = plan_skipping(spark, index, pred)
+    assert plan["files_pruned"] == plan["files_total"]
+    got = read_skipping(spark, data, index, pred)
+    assert got.count() == 0
+    assert got.schema == src.schema
+
+
+def test_update_stats_index_is_incremental(spark, sf_small, tmp_path):
+    import os
+
+    data = str(tmp_path / "grow")
+    index = str(tmp_path / "idx")
+    df = read_table(spark, sf_small, "orders").select("o_orderkey", "o_custkey")
+    df.where(F.col("o_orderkey") % 2 == 0).coalesce(1).write.parquet(data)
+    build_stats_index(spark, data, index)
+    # append: only the new file's footer is scanned
+    df.where(F.col("o_orderkey") % 2 == 1).coalesce(1).write.mode("append").parquet(
+        data
+    )
+    delta = update_stats_index(spark, data, index)
+    assert delta == {"added": 1, "removed": 0}
+    got = read_skipping(spark, data, index, "o_orderkey ge 0")
+    assert got.count() == df.count()
+    # retention delete: the vanished file's rows leave the index
+    victim = list_parquet_files(data)[0]
+    os.remove(victim)
+    delta = update_stats_index(spark, data, index)
+    assert delta["removed"] == 1
+    idx_files = {
+        r["file"]
+        for r in spark.read.parquet(index).select("file").distinct().collect()
+    }
+    assert victim not in idx_files
+    assert update_stats_index(spark, data, index) == {"added": 0, "removed": 0}
+
+
+def test_ne_prunes_constant_file_only(spark, tmp_path):
+    data = str(tmp_path / "const")
+    index = str(tmp_path / "idx")
+    spark.range(10).select(F.lit(7).cast("long").alias("v")).coalesce(1).write.parquet(
+        data
+    )
+    spark.range(10).select((F.col("id") + 100).alias("v")).coalesce(1).write.mode(
+        "append"
+    ).parquet(data)
+    build_stats_index(spark, data, index)
+    plan = plan_skipping(spark, index, "v ne 7")
+    assert plan["files_pruned"] == 1
+    assert read_skipping(spark, data, index, "v ne 7").count() == 10
