@@ -3,7 +3,9 @@
   write <out_dir> <num_rows> [seed]   synthetic data gen (src/cli.cpp:29-118)
   scan  <path>                        metadata dump       (src/cli.cpp:120-170)
   query <path> [--select a,b] [--where col,op,val]... [--agg func,col]
-        [--groupby col]               SQL-ish query flags (src/cli.cpp:209-298)
+        [--groupby col] [--index idx] SQL-ish query flags (src/cli.cpp:209-298)
+  index (build|update|plan) <data> <idx> [--columns a,b] [--predicate "..."]
+                                      file-level stats-skipping index
 
 Usage:  python -m columnar_analytics_engine_spark.cli query data.parquet \\
             --select id,region --where value,GT,5000 --groupby region --agg sum,value
@@ -22,6 +24,23 @@ from columnar_analytics_engine_spark.sources.synthetic import cli_table
 
 _OPS = {o.name: o for o in CompareOp}
 _AGGS = {a.name: a for a in AggFunc}
+
+
+def _predicate_literal(s: str) -> str:
+    """Render a --where value in the skipping predicate grammar: int
+    as-is, float in guaranteed dot+exponent form (round-trips the
+    double exactly), anything else single-quoted."""
+    try:
+        return str(int(s))
+    except ValueError:
+        pass
+    try:
+        v = float(s)
+        if v == v and v not in (float("inf"), float("-inf")):
+            return f"{v:.17e}"
+    except ValueError:
+        pass
+    return "'" + s.replace("'", "''") + "'"
 
 
 def cmd_write(args: argparse.Namespace) -> None:
@@ -50,6 +69,21 @@ def cmd_query(args: argparse.Namespace) -> None:
         from columnar_analytics_engine_spark.io import read_colfile
 
         q = Query(read_colfile(spark, args.path))
+    elif getattr(args, "index", None):
+        # stats-skipping scan: translate the --where clauses into the
+        # index predicate grammar so the manifest prunes BEFORE the
+        # scan; the same clauses are still applied exactly below
+        from columnar_analytics_engine_spark.skipping import read_skipping
+
+        clauses = []
+        for w in args.where or []:
+            parts = w.split(",")
+            if len(parts) == 3:
+                col, op, val = parts
+                clauses.append(f"{col} {op.lower()} {_predicate_literal(val)}")
+        q = Query(
+            read_skipping(spark, args.path, args.index, " and ".join(clauses))
+        )
     else:
         q = Query(spark.read.parquet(args.path))
     if args.select:
@@ -92,6 +126,42 @@ def cmd_query(args: argparse.Namespace) -> None:
     if len(rows) > 20:
         print("... (more than 20 rows; add --agg/--where to narrow)")
 
+
+
+def cmd_index(args: argparse.Namespace) -> None:
+    """File-level stats-skipping index management (skipping.py): build
+    the per-file min/max index, refresh it incrementally after
+    appends/deletes, or dry-run a predicate against it to see how much
+    of the manifest a query would skip."""
+    from columnar_analytics_engine_spark.skipping import (
+        build_stats_index,
+        plan_skipping,
+        update_stats_index,
+    )
+
+    spark = get_spark(app_name="cae-index")
+    if args.action == "build":
+        cols = (
+            [c.strip() for c in args.columns.split(",")] if args.columns else None
+        )
+        n = build_stats_index(spark, args.data, args.index, columns=cols)
+        print(json.dumps({"files_indexed": n}))
+    elif args.action == "update":
+        print(json.dumps(update_stats_index(spark, args.data, args.index)))
+    else:  # plan
+        if not args.predicate:
+            sys.exit("error: plan requires --predicate")
+        plan = plan_skipping(spark, args.index, args.predicate)
+        print(
+            json.dumps(
+                {
+                    "files_total": plan["files_total"],
+                    "files_pruned": plan["files_pruned"],
+                    "files_kept": len(plan["files"]),
+                    "kept_preview": plan["files"][:20],
+                }
+            )
+        )
 
 
 def cmd_run(args: argparse.Namespace) -> None:
@@ -198,7 +268,22 @@ def main(argv: list[str] | None = None) -> None:
     q.add_argument("--where", action="append", metavar="COL,OP,VAL")
     q.add_argument("--agg", metavar="FUNC,COL")
     q.add_argument("--groupby")
+    q.add_argument(
+        "--index",
+        help="stats-skipping index path: prune the file manifest with "
+        "the --where clauses before scanning",
+    )
     q.set_defaults(fn=cmd_query)
+
+    ix = sub.add_parser(
+        "index", help="file-level stats-skipping index: build / update / plan"
+    )
+    ix.add_argument("action", choices=["build", "update", "plan"])
+    ix.add_argument("data", help="parquet dataset directory")
+    ix.add_argument("index", help="index location")
+    ix.add_argument("--columns", help="comma list of columns to index (build)")
+    ix.add_argument("--predicate", help="conjunctive predicate to dry-run (plan)")
+    ix.set_defaults(fn=cmd_index)
 
     e = sub.add_parser("explain", help="print a registered query's physical plan")
     e.add_argument("name")

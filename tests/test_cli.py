@@ -162,3 +162,35 @@ def test_cli_sql_limit_marks_truncation(capsys):
     out = capsys.readouterr().out
     assert len([l for l in out.splitlines() if l.isdigit()]) == 3
     assert "more than 3 rows" in out
+
+
+def test_cli_index_build_plan_update_and_skipping_query(spark, tmp_path, capsys):
+    """index build → plan (dry-run pruning counts) → query --index
+    (pruned scan, same rows) → update after an append."""
+    from pyspark.sql import functions as F
+
+    data = str(tmp_path / "clustered")
+    index = str(tmp_path / "idx")
+    spark.range(1000).select(
+        F.col("id"), (F.col("id") % 4).alias("part"), (F.col("id") * 2).alias("value")
+    ).repartitionByRange(4, "id").sortWithinPartitions("id").write.parquet(data)
+
+    cli.main(["index", "build", data, index])
+    assert json.loads(capsys.readouterr().out)["files_indexed"] == 4
+
+    cli.main(["index", "plan", data, index, "--predicate", "id lt 10"])
+    plan = json.loads(capsys.readouterr().out)
+    assert plan["files_total"] == 4
+    assert plan["files_pruned"] == 3
+    assert plan["files_kept"] == 1
+
+    cli.main(["query", data, "--index", index, "--where", "id,LT,10",
+              "--agg", "count,id"])
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert lines[1].split("\t")[0] == "10"
+
+    spark.range(1000, 1100).select(
+        F.col("id"), (F.col("id") % 4).alias("part"), (F.col("id") * 2).alias("value")
+    ).coalesce(1).write.mode("append").parquet(data)
+    cli.main(["index", "update", data, index])
+    assert json.loads(capsys.readouterr().out) == {"added": 1, "removed": 0}
