@@ -118,7 +118,7 @@ def list_parquet_files(data_path: str) -> list[str]:
     return sorted(out)
 
 
-def _make_footer_scanner(columns: list[str] | None):
+def _make_footer_scanner(columns: list[str] | None, base_path: str | None = None):
     """Build the per-(file, column) footer-stats generator.
 
     Defined as a FACTORY so the returned function is a closure and
@@ -130,12 +130,52 @@ def _make_footer_scanner(columns: list[str] | None):
     worker.  Footer reads are pure metadata — no data pages."""
 
     def _footer_stats_rows(files: list[str]) -> Iterator[dict]:
+        import os as _os
+        import urllib.parse
+
         import pyarrow as pa
         import pyarrow.parquet as pq
 
         for file_path in files:
             pf = pq.ParquetFile(file_path)
             md = pf.metadata
+            # hive-style partition values live in the PATH, not the
+            # footer: index them as point intervals (min == max) so
+            # partition-column clauses prune exactly like data-column
+            # clauses; __HIVE_DEFAULT_PARTITION__ reads back as NULL,
+            # which satisfies no comparison — an all-null row
+            if base_path:
+                rel = _os.path.relpath(file_path, base_path)
+                for seg in rel.split(_os.sep)[:-1]:
+                    if "=" not in seg:
+                        continue
+                    k, _, raw = seg.partition("=")
+                    if columns is not None and k not in columns:
+                        continue
+                    v = urllib.parse.unquote(raw)
+                    row = {
+                        "file": file_path, "column": k,
+                        "min_int": None, "max_int": None,
+                        "min_num": None, "max_num": None,
+                        "min_str": None, "max_str": None,
+                        "null_count": 0, "file_rows": md.num_rows,
+                        "has_stats": True,
+                    }
+                    if v == "__HIVE_DEFAULT_PARTITION__":
+                        row["kind"] = "str"
+                        row["null_count"] = md.num_rows
+                    else:
+                        try:
+                            row["kind"] = "int"
+                            row["min_int"] = row["max_int"] = int(v)
+                        except ValueError:
+                            try:
+                                row["kind"] = "num"
+                                row["min_num"] = row["max_num"] = float(v)
+                            except ValueError:
+                                row["kind"] = "str"
+                                row["min_str"] = row["max_str"] = v
+                    yield row
             arrow_schema = pf.schema_arrow
             names = [arrow_schema.field(i).name for i in range(len(arrow_schema))]
             wanted = [n for n in names if columns is None or n in columns]
@@ -195,7 +235,10 @@ def _make_footer_scanner(columns: list[str] | None):
 
 
 def _stats_df(
-    spark: SparkSession, files: list[str], columns: list[str] | None
+    spark: SparkSession,
+    files: list[str],
+    columns: list[str] | None,
+    base_path: str | None = None,
 ) -> DataFrame:
     """Distributed footer scan → index rows (one Spark task per slice
     of the file list; each task reads only footers)."""
@@ -213,7 +256,7 @@ def _stats_df(
         "has_stats",
     ]
 
-    footer_stats_rows = _make_footer_scanner(cols)
+    footer_stats_rows = _make_footer_scanner(cols, base_path)
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -241,7 +284,9 @@ def build_stats_index(
     files = list_parquet_files(data_path)
     if not files:
         raise FileNotFoundError(f"no parquet files under {data_path}")
-    _stats_df(spark, files, columns).coalesce(1).write.mode(mode).parquet(index_path)
+    _stats_df(spark, files, columns, base_path=data_path).coalesce(1).write.mode(
+        mode
+    ).parquet(index_path)
     return len(files)
 
 
@@ -269,7 +314,11 @@ def update_stats_index(
         kept = idx.join(F.broadcast(removed_df), "file", "left_anti")
     else:
         kept = idx
-    out = kept.unionByName(_stats_df(spark, added, columns)) if added else kept
+    out = (
+        kept.unionByName(_stats_df(spark, added, columns, base_path=data_path))
+        if added
+        else kept
+    )
     # rewrite via a staging path: the new index must not clobber the
     # input of its own plan mid-read
     staging = index_path.rstrip("/") + "._staging"
@@ -420,5 +469,10 @@ def read_skipping(
     if not plan["files"]:
         # schema-only read: no row groups are materialized under lit(false)
         return spark.read.parquet(data_path).where(F.lit(False))
-    df = spark.read.parquet(*plan["files"])
+    # basePath keeps hive partition columns alive when reading an
+    # explicit leaf-file list out of a partitioned layout
+    reader = spark.read
+    if os.path.isdir(data_path):
+        reader = reader.option("basePath", data_path)
+    df = reader.parquet(*plan["files"])
     return df.where(cond) if cond is not None else df

@@ -181,3 +181,67 @@ def test_ne_prunes_constant_file_only(spark, tmp_path):
     plan = plan_skipping(spark, index, "v ne 7")
     assert plan["files_pruned"] == 1
     assert read_skipping(spark, data, index, "v ne 7").count() == 10
+
+
+def test_hive_partition_clause_prunes(spark, tmp_path):
+    """Partition values live in paths, not footers: the index carries
+    them as point intervals, so a partition clause prunes whole
+    directories and the partition column survives the leaf-file read
+    (basePath)."""
+    data = str(tmp_path / "part")
+    index = str(tmp_path / "idx")
+    spark.range(400).select(
+        F.col("id"), (F.col("id") % 4).alias("bucket")
+    ).write.partitionBy("bucket").parquet(data)
+    build_stats_index(spark, data, index)
+    plan = plan_skipping(spark, index, "bucket eq 2")
+    assert 0 < len(plan["files"]) < plan["files_total"]
+    got = read_skipping(spark, data, index, "bucket eq 2")
+    assert "bucket" in got.columns
+    assert _rows(got, "id") == _rows(
+        spark.read.parquet(data).where(F.col("bucket") == 2), "id"
+    )
+    # combined partition + data clause
+    got2 = read_skipping(spark, data, index, "bucket eq 2 and id lt 100")
+    want2 = spark.read.parquet(data).where(
+        (F.col("bucket") == 2) & (F.col("id") < 100)
+    )
+    assert _rows(got2, "id") == _rows(want2, "id")
+
+
+def test_string_partition_and_null_partition(spark, tmp_path):
+    data = str(tmp_path / "strpart")
+    index = str(tmp_path / "idx")
+    df = spark.range(90).select(
+        F.col("id"),
+        F.when(F.col("id") % 3 == 0, "fr")
+        .when(F.col("id") % 3 == 1, "en")
+        .otherwise(None)
+        .alias("lang"),
+    )
+    df.write.partitionBy("lang").parquet(data)
+    build_stats_index(spark, data, index)
+    plan = plan_skipping(spark, index, "lang eq 'en'")
+    # fr and the null partition prune; en survives
+    assert plan["files_pruned"] >= 2
+    got = read_skipping(spark, data, index, "lang eq 'en'")
+    assert _rows(got, "id") == _rows(
+        spark.read.parquet(data).where(F.col("lang") == "en"), "id"
+    )
+
+
+def test_update_indexes_new_partition_values(spark, tmp_path):
+    data = str(tmp_path / "grow_part")
+    index = str(tmp_path / "idx")
+    spark.range(100).select(F.col("id"), F.lit(1).alias("day")).write.partitionBy(
+        "day"
+    ).parquet(data)
+    build_stats_index(spark, data, index)
+    spark.range(100, 200).select(F.col("id"), F.lit(2).alias("day")).write.mode(
+        "append"
+    ).partitionBy("day").parquet(data)
+    assert update_stats_index(spark, data, index)["added"] >= 1
+    plan = plan_skipping(spark, index, "day eq 2")
+    assert plan["files_pruned"] >= 1
+    got = read_skipping(spark, data, index, "day eq 2")
+    assert got.count() == 100
