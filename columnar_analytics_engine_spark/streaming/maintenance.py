@@ -75,3 +75,44 @@ def compact_batch_partitions(
         "files_after": n_files_after,
         "batch_id": max_bid,
     }
+
+
+def stats_indexed_sink(spark: SparkSession, data_path: str, index_path: str):
+    """``foreachBatch`` processor: append micro-batches to a Parquet
+    dataset and keep its file-level stats-skipping index
+    (``skipping.py``) current after every commit.
+
+    Exactly-once by the repo's standard construction: each batch lands
+    in its own ``batch_id=<n>`` partition via dynamic partition
+    OVERWRITE, so a foreachBatch retry replaces its own partition
+    instead of duplicating it.  The index update then RECONCILES the
+    manifest against the index (``update_stats_index``): files replaced
+    by a retry drop out, new files come in — the update is idempotent
+    under any replay.
+
+    Consistency model (Delta-log style): ``read_skipping`` plans from
+    the INDEX's file list and never lists the data directory, so
+    readers see the dataset as of the last completed index update — a
+    consistent snapshot; a batch becomes visible atomically when its
+    update lands.  At 100 TB this also removes the per-query object-
+    store listing, which is usually the dominant planning cost.
+    """
+    from columnar_analytics_engine_spark.skipping import (
+        build_stats_index,
+        update_stats_index,
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(data_path)
+        )
+        if os.path.exists(index_path):
+            update_stats_index(spark, data_path, index_path)
+        else:
+            build_stats_index(spark, data_path, index_path)
+
+    return process

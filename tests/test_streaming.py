@@ -788,3 +788,53 @@ def test_snapshot_sink_publishes_one_version_per_batch(spark, tmp_path):
     publish_batch(tp)(replay, 3)
     assert V.list_versions(tp) == [0, 1, 2, 3]
     assert {r["k"] for r in V.read_version(spark, tp, 3).collect()} == {99}
+
+
+def test_stats_indexed_sink_maintains_manifest_per_batch(spark, tmp_path):
+    """foreachBatch + stats-skipping index: each micro-batch lands in
+    its own batch_id partition and becomes visible to read_skipping
+    only through the index (the index IS the manifest); a replayed
+    batch reconciles instead of duplicating."""
+    import os
+
+    from columnar_analytics_engine_spark.skipping import (
+        plan_skipping,
+        read_skipping,
+    )
+    from columnar_analytics_engine_spark.streaming.maintenance import (
+        stats_indexed_sink,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i, rows in enumerate([[(0, 10), (1, 11)], [(2, 20)], [(3, 30), (4, 31)]]):
+        spark.createDataFrame(rows, "k long, v long").coalesce(1).write.parquet(
+            f"{src}/b{i}.parquet"
+        )
+    stream = (
+        spark.readStream.schema("k long, v long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/b*.parquet")
+    )
+    data = str(tmp_path / "table")
+    index = str(tmp_path / "index")
+    process = stats_indexed_sink(spark, data, index)
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # all rows visible through the index-planned read
+    got = read_skipping(spark, data, index, "k ge 0")
+    assert {r["k"] for r in got.collect()} == {0, 1, 2, 3, 4}
+    # batch_id is a partition column in the index: a clause on it prunes
+    plan = plan_skipping(spark, index, "batch_id eq 1")
+    assert 0 < len(plan["files"]) < plan["files_total"]
+    # replaying a batch reconciles the index instead of duplicating rows
+    one_batch = spark.createDataFrame([(2, 20)], "k long, v long")
+    process(one_batch, 1)
+    got2 = read_skipping(spark, data, index, "k ge 0")
+    assert sorted(r["k"] for r in got2.collect()) == [0, 1, 2, 3, 4]
