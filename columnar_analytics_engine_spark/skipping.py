@@ -476,3 +476,173 @@ def read_skipping(
         reader = reader.option("basePath", data_path)
     df = reader.parquet(*plan["files"])
     return df.where(cond) if cond is not None else df
+
+
+# ---------------------------------------------------------------------------
+# Dynamic file pruning for joins (Delta/Databricks "DFP", Iceberg
+# runtime filtering): prune the FACT side's file manifest from the
+# DIM side's join keys before the join runs.  At 100 TB the fact table
+# is the I/O bill; when the dim side is filtered ("orders from one
+# week"), most fact files provably contain none of the surviving join
+# keys — their key intervals miss every key — and never need to be
+# listed into tasks.  Spark's own DPP only fires on hive-PARTITION
+# columns; this works on any clustered data column via the stats index.
+# ---------------------------------------------------------------------------
+
+_KIND_BOUNDS = {
+    "int": ("min_int", "max_int"),
+    "num": ("min_num", "max_num"),
+    "str": ("min_str", "max_str"),
+}
+
+
+def _key_kind(dtype: str) -> str | None:
+    base = dtype.lower()
+    if base in ("tinyint", "smallint", "int", "integer", "bigint", "long"):
+        return "int"
+    if base in ("float", "double"):
+        return "num"
+    if base == "string":
+        return "str"
+    return None
+
+
+def plan_skipping_join(
+    spark: SparkSession,
+    index_path: str,
+    column: str,
+    keys: DataFrame,
+    max_keys: int = 100_000,
+) -> dict[str, Any]:
+    """Prune the manifest to files whose ``column`` interval can contain
+    at least one value of ``keys`` (a one-column DataFrame of join
+    keys, e.g. the filtered dim side's key column).
+
+    Two tiers, both sound:
+
+    * ``keys`` has ≤ ``max_keys`` distinct non-null values → exact
+      membership: a file survives iff SOME key lands inside its
+      [min, max] (a broadcast ``left_semi`` of index rows against the
+      key set — the pruning query is index-sized, the key set is the
+      filtered-dim side that a broadcast join was going to ship
+      anyway).
+    * more keys → interval envelope: a file survives iff its interval
+      intersects [min(keys), max(keys)] (two 1-row aggregates; key
+      count never collects).
+
+    Conservative everywhere it must be: files with no stats row for
+    ``column``, ``has_stats = false``, non-comparable kinds, or an
+    index kind different from the key column's type are always KEPT;
+    NULL keys never join, so they are dropped from the key set, and an
+    all-null file (null bounds) prunes — it cannot produce a match.
+
+    The caller must consume the pruned read through an INNER or
+    LEFT SEMI join on ``column`` = key (see
+    :func:`read_skipping_for_join`): those are exactly the shapes where
+    dropping provably-keyless fact files cannot change the result.
+    """
+    if len(keys.columns) != 1:
+        raise ValueError("keys must be a one-column DataFrame of join keys")
+    kind = _key_kind(dict(keys.dtypes)[keys.columns[0]])
+    idx = spark.read.parquet(index_path)
+    all_files = [r["file"] for r in idx.select("file").distinct().collect()]
+    if kind is None:
+        # non-comparable key type: nothing prunable, keep everything
+        return {
+            "files": all_files, "files_total": len(all_files),
+            "files_pruned": 0, "mode": "none", "n_keys": None,
+        }
+    k = keys.select(F.col(keys.columns[0]).alias("_k")).where(
+        F.col("_k").isNotNull()
+    ).distinct()
+    rows = idx.filter(F.col("column") == column)
+    lo_c, hi_c = _KIND_BOUNDS[kind]
+    # rows this key type can prune: matching kind with usable stats
+    prunable = rows.filter(
+        F.col("has_stats") & (F.col("kind") == F.lit(kind))
+    )
+    n_keys = k.limit(max_keys + 1).count()
+    if n_keys == 0:
+        # inner/semi join against an empty dim matches nothing
+        survivors: set[str] = set()
+        mode = "empty"
+    elif n_keys <= max_keys:
+        hit = prunable.join(
+            F.broadcast(k),
+            F.col("_k").between(F.col(lo_c), F.col(hi_c)),
+            "left_semi",
+        )
+        survivors = {r["file"] for r in hit.select("file").collect()}
+        mode = "keys"
+    else:
+        b = k.agg(F.min("_k").alias("lo"), F.max("_k").alias("hi")).first()
+        excluded = prunable.filter(
+            _interval_excludes("ge", F.col(lo_c), F.col(hi_c), F.lit(b["lo"]))
+            | _interval_excludes("le", F.col(lo_c), F.col(hi_c), F.lit(b["hi"]))
+        )
+        dropped = {r["file"] for r in excluded.select("file").collect()}
+        survivors = {
+            r["file"] for r in prunable.select("file").collect()
+        } - dropped
+        mode = "interval"
+    # files with no prunable stats row for the column are always kept
+    covered = {r["file"] for r in prunable.select("file").distinct().collect()}
+    kept = [f for f in all_files if f not in covered or f in survivors]
+    return {
+        "files": kept,
+        "files_total": len(all_files),
+        "files_pruned": len(all_files) - len(kept),
+        "mode": mode,
+        "n_keys": n_keys if n_keys <= max_keys else None,
+    }
+
+
+def read_skipping_for_join(
+    spark: SparkSession,
+    data_path: str,
+    index_path: str,
+    column: str,
+    keys: DataFrame,
+    max_keys: int = 100_000,
+) -> DataFrame:
+    """Read ``data_path`` keeping only files that can contain a join
+    key from ``keys`` — the scan half of dynamic file pruning.  The
+    result is a SUPERSET of the matching rows (file granularity); it is
+    only correct to consume it through an inner or left-semi join on
+    ``column`` against those same keys."""
+    plan = plan_skipping_join(spark, index_path, column, keys, max_keys)
+    if not plan["files"]:
+        return spark.read.parquet(data_path).where(F.lit(False))
+    reader = spark.read
+    if os.path.isdir(data_path):
+        reader = reader.option("basePath", data_path)
+    return reader.parquet(*plan["files"])
+
+
+def broadcast_join_skipping(
+    spark: SparkSession,
+    data_path: str,
+    index_path: str,
+    fact_key: str,
+    dim: DataFrame,
+    dim_key: str,
+    how: str = "inner",
+    max_keys: int = 100_000,
+) -> DataFrame:
+    """File-pruned fact ⋈ broadcast dim: prune the fact manifest from
+    the dim side's keys, then broadcast-join the surviving files.
+    ``how`` is restricted to the join shapes under which file pruning
+    is semantics-preserving on the fact side (``inner``/``left_semi``
+    — a left/full outer join must keep keyless fact rows, which live
+    in pruned files)."""
+    if how not in ("inner", "left_semi", "semi", "leftsemi"):
+        raise ValueError(
+            "file-pruned join supports inner/left_semi only: outer joins "
+            "need fact rows that pruning removes"
+        )
+    fact = read_skipping_for_join(
+        spark, data_path, index_path, fact_key, dim.select(dim_key), max_keys
+    )
+    return fact.join(
+        F.broadcast(dim), fact[fact_key] == dim[dim_key], how
+    )

@@ -245,3 +245,108 @@ def test_update_indexes_new_partition_values(spark, tmp_path):
     assert plan["files_pruned"] >= 1
     got = read_skipping(spark, data, index, "day eq 2")
     assert got.count() == 100
+
+
+# ---------------------------------------------------------------------------
+# Dynamic file pruning for joins
+# ---------------------------------------------------------------------------
+
+from columnar_analytics_engine_spark.skipping import (  # noqa: E402
+    broadcast_join_skipping,
+    plan_skipping_join,
+    read_skipping_for_join,
+)
+
+
+def _join_rows(fact, dim, fact_key, dim_key):
+    return sorted(
+        tuple(r)
+        for r in fact.join(dim, fact[fact_key] == dim[dim_key], "inner")
+        .select(fact_key, "o_totalprice")
+        .collect()
+    )
+
+
+def test_join_pruning_keys_mode_matches_full_join(spark, sorted_orders):
+    data, index = sorted_orders
+    src = spark.read.parquet(data)
+    lo, hi = src.agg(F.min("o_custkey"), F.max("o_custkey")).first()
+    # dim keys = a narrow custkey slice near the low end
+    dim = (
+        src.filter(F.col("o_custkey") <= lo + (hi - lo) // 8)
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    plan = plan_skipping_join(spark, index, "o_custkey", dim)
+    assert plan["mode"] == "keys"
+    assert plan["files_pruned"] > 0
+    assert plan["files_pruned"] + len(plan["files"]) == plan["files_total"]
+    pruned_fact = read_skipping_for_join(spark, data, index, "o_custkey", dim)
+    assert _join_rows(pruned_fact, dim, "o_custkey", "c_custkey") == _join_rows(
+        src, dim, "o_custkey", "c_custkey"
+    )
+
+
+def test_join_pruning_interval_mode_matches_full_join(spark, sorted_orders):
+    data, index = sorted_orders
+    src = spark.read.parquet(data)
+    lo, hi = src.agg(F.min("o_custkey"), F.max("o_custkey")).first()
+    dim = (
+        src.filter(F.col("o_custkey") >= hi - (hi - lo) // 8)
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    plan = plan_skipping_join(spark, index, "o_custkey", dim, max_keys=1)
+    assert plan["mode"] == "interval"
+    assert plan["files_pruned"] > 0
+    pruned_fact = read_skipping_for_join(
+        spark, data, index, "o_custkey", dim, max_keys=1
+    )
+    assert _join_rows(pruned_fact, dim, "o_custkey", "c_custkey") == _join_rows(
+        src, dim, "o_custkey", "c_custkey"
+    )
+
+
+def test_join_pruning_keys_mode_beats_interval_on_scattered_keys(
+    spark, sorted_orders
+):
+    """Two keys at the extremes: the interval envelope keeps every
+    file, exact membership keeps only the two files holding them."""
+    data, index = sorted_orders
+    src = spark.read.parquet(data)
+    lo, hi = src.agg(F.min("o_custkey"), F.max("o_custkey")).first()
+    dim = spark.createDataFrame([(int(lo),), (int(hi),)], "c_custkey long")
+    interval = plan_skipping_join(
+        spark, index, "o_custkey", dim, max_keys=1
+    )
+    keys = plan_skipping_join(spark, index, "o_custkey", dim)
+    assert interval["files_pruned"] == 0  # envelope spans everything
+    assert keys["files_pruned"] > 0
+    pruned_fact = read_skipping_for_join(spark, data, index, "o_custkey", dim)
+    assert _join_rows(pruned_fact, dim, "o_custkey", "c_custkey") == _join_rows(
+        src, dim, "o_custkey", "c_custkey"
+    )
+
+
+def test_join_pruning_empty_and_null_keys(spark, sorted_orders):
+    data, index = sorted_orders
+    dim = spark.createDataFrame([(None,)], "c_custkey long")
+    plan = plan_skipping_join(spark, index, "o_custkey", dim)
+    assert plan["mode"] == "empty" and plan["files"] == []
+    pruned = read_skipping_for_join(spark, data, index, "o_custkey", dim)
+    assert pruned.count() == 0
+    assert pruned.schema == spark.read.parquet(data).schema
+
+
+def test_broadcast_join_skipping_rejects_outer(spark, sorted_orders):
+    data, index = sorted_orders
+    dim = spark.createDataFrame([(1,)], "c_custkey long")
+    with pytest.raises(ValueError, match="inner/left_semi"):
+        broadcast_join_skipping(
+            spark, data, index, "o_custkey", dim, "c_custkey", how="left"
+        )
+    out = broadcast_join_skipping(
+        spark, data, index, "o_custkey", dim, "c_custkey", how="inner"
+    )
+    src = spark.read.parquet(data)
+    assert out.count() == src.filter(F.col("o_custkey") == 1).count()
