@@ -342,6 +342,8 @@ def write_zorder(
     """
     from pyspark.sql import functions as F
 
+    from columnar_analytics_engine_spark.layout import morton_expr, scaled_bin
+
     if bits * len(cols) > 62:
         raise ValueError("bits * len(cols) must be <= 62")
     stats = df.agg(
@@ -349,30 +351,14 @@ def write_zorder(
         *[F.max(c).cast("double").alias(f"_mx_{c}") for c in cols],
     )
     j = df.join(F.broadcast(stats))
-    scale = float((1 << bits) - 1)
-    binned = {
-        c: F.least(
-            F.lit((1 << bits) - 1),
-            F.greatest(
-                F.lit(0),
-                F.floor(
-                    (F.col(c).cast("double") - F.col(f"_mn_{c}"))
-                    / (F.greatest(F.col(f"_mx_{c}") - F.col(f"_mn_{c}"), F.lit(1e-300)))
-                    * F.lit(scale)
-                ).cast("long"),
-            ),
+    bins = [
+        scaled_bin(
+            F.col(c), F.col(f"_mn_{c}"), F.col(f"_mx_{c}"), (1 << bits) - 1
         )
         for c in cols
-    }
-    z = F.lit(0).cast("long")
-    for bit in range(bits):
-        for i, c in enumerate(cols):
-            z = z + F.shiftleft(
-                F.shiftright(binned[c], bit).bitwiseAND(F.lit(1)),
-                bit * len(cols) + i,
-            )
+    ]
     out = (
-        j.withColumn("_z", z)
+        j.withColumn("_z", morton_expr(bins, bits))
         .drop(*[f"_mn_{c}" for c in cols], *[f"_mx_{c}" for c in cols])
         .repartitionByRange(n_files, F.col("_z"))
         .sortWithinPartitions("_z")

@@ -1,0 +1,206 @@
+"""Data-layout quality: deterministic clustering buckets + clustering depth.
+
+File skipping (``skipping.py``), Parquet row-group pruning, and the
+reference's zone maps (SURVEY §2.2, ``src/execution.cpp``
+``Predicate::canSkipPage``) all prune IFF each file/page covers a
+NARROW value range — which is a property of the data LAYOUT, not of
+the index.  At 100 TB layout is the whole game: the same stats index
+prunes 99% of files over a well-clustered table and 0% over a
+randomly-written one.  This module makes layout measurable and
+plannable:
+
+* :func:`with_linear_bucket` / :func:`with_zorder_bucket` —
+  DETERMINISTIC bucket assignment (single-column range bins, or
+  Morton/Z-order bit interleaving across several columns).  Unlike
+  ``repartitionByRange`` (whose boundaries come from sampling),
+  bucket ids here are pure expressions of the row's values and the
+  table's exact min/max — reproducible across engines, which is what
+  lets the clustering metrics below be hash-verified against DuckDB.
+* :func:`bucket_extents` / :func:`clustering_depth` — the layout
+  quality metric: per bucket (or per written file, via
+  :func:`index_extents`) min/max extents of a probe column, and from
+  them the OVERLAP DEPTH — for each bucket, how many buckets' ranges
+  overlap its own, averaged (the number Snowflake publishes as
+  "clustering depth"; avg_depth == 1.0 is perfect clustering: a point
+  query on the probe column touches exactly one bucket/file).
+* Z-order's value proposition, measurable: clustering on ONE column
+  gives depth ~1 on that column and depth ~n on every other; Z-order
+  over k columns gives intermediate depth on ALL k — multi-column
+  pruning from a single layout.  ``queries/layout.py`` registers the
+  comparison as a hash-verified query.
+
+All arithmetic is JVM column expressions (whole-stage codegen); the
+only aggregates are the 1-row exact min/max (broadcast in-plan) and
+bucket-count-sized groupBys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def scaled_bin(c: Column, mn: Column, mx: Column, levels: int) -> Column:
+    """Range-bin ``c`` into ``0..levels`` (inclusive) given exact
+    [``mn``, ``mx``] bounds: ``floor((c - mn) / (mx - mn) * levels)``,
+    clamped.  Every operation is a single IEEE-754 double op, so the
+    result is bit-identical across engines (the determinism the SQL
+    oracles rely on)."""
+    frac = (c.cast("double") - mn) / F.greatest(mx - mn, F.lit(1e-300))
+    return F.least(
+        F.lit(levels),
+        F.greatest(F.lit(0), F.floor(frac * F.lit(float(levels))).cast("long")),
+    )
+
+
+def morton_expr(bins: list[Column], bits: int) -> Column:
+    """Interleave the low ``bits`` bits of each bin (column i owns
+    output bit positions ``bit*len(bins) + i``) into one Z-order /
+    Morton value — pure shift/mask JVM expressions."""
+    z = F.lit(0).cast("long")
+    for bit in range(bits):
+        for i, b in enumerate(bins):
+            z = z + F.shiftleft(
+                F.shiftright(b, bit).bitwiseAND(F.lit(1)),
+                bit * len(bins) + i,
+            )
+    return z
+
+
+def _with_minmax(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Join the exact per-column min/max (as double) alongside every
+    row: one 1-row aggregate, broadcast in-plan — no driver collect."""
+    stats = df.agg(
+        *[F.min(c).cast("double").alias(f"_mn_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"_mx_{c}") for c in cols],
+    )
+    return df.join(F.broadcast(stats))
+
+
+def with_linear_bucket(df: DataFrame, col: str, n_buckets: int) -> DataFrame:
+    """``_bucket`` = deterministic range bin of ``col`` into
+    ``n_buckets`` buckets (the model of a single-column clustered
+    write, e.g. ``io.write_sorted``)."""
+    j = _with_minmax(df, [col])
+    return j.withColumn(
+        "_bucket",
+        scaled_bin(F.col(col), F.col(f"_mn_{col}"), F.col(f"_mx_{col}"), n_buckets - 1),
+    ).drop(f"_mn_{col}", f"_mx_{col}")
+
+
+def with_zorder_bucket(
+    df: DataFrame, cols: list[str], n_buckets: int, bits: int = 8
+) -> DataFrame:
+    """``_bucket`` = top ``log2(n_buckets)`` bits of the Morton value
+    over ``cols`` (each range-binned to ``bits`` bits) — the model of a
+    Z-order clustered write (``io.write_zorder``).  ``n_buckets`` must
+    be a power of two no larger than the Morton key space."""
+    k = n_buckets.bit_length() - 1
+    if 1 << k != n_buckets:
+        raise ValueError("n_buckets must be a power of two")
+    width = bits * len(cols)
+    if k > width:
+        raise ValueError("n_buckets exceeds the Morton key space")
+    if width > 62:
+        raise ValueError("bits * len(cols) must be <= 62")
+    j = _with_minmax(df, cols)
+    bins = [
+        scaled_bin(
+            F.col(c), F.col(f"_mn_{c}"), F.col(f"_mx_{c}"), (1 << bits) - 1
+        )
+        for c in cols
+    ]
+    return j.withColumn(
+        "_bucket", F.shiftright(morton_expr(bins, bits), width - k)
+    ).drop(*[f"_mn_{c}" for c in cols], *[f"_mx_{c}" for c in cols])
+
+
+def bucket_extents(
+    df_bucketed: DataFrame, probe_cols: list[str], layout: str
+) -> DataFrame:
+    """Long-form per-bucket extents: one row per (bucket, probe column)
+    with the bucket's min/max of that column — the inputs to
+    :func:`clustering_depth`.  Probe values are compared as double
+    (exact for integers up to 2^53).  One explode + one groupBy; the
+    shuffle is bucket-count-sized."""
+    pairs: list[Column] = []
+    for c in probe_cols:
+        pairs.extend([F.lit(c), F.col(c).cast("double")])
+    long = df_bucketed.select(
+        F.lit(layout).alias("layout"),
+        F.col("_bucket").cast("string").alias("bucket"),
+        F.explode(F.create_map(*pairs)).alias("probe_col", "val"),
+    )
+    return long.groupBy("layout", "probe_col", "bucket").agg(
+        F.min("val").alias("mn"), F.max("val").alias("mx")
+    )
+
+
+def index_extents(
+    spark: SparkSession, index_path: str, probe_cols: list[str],
+    layout: str = "files",
+) -> DataFrame:
+    """Per-FILE extents from a stats-skipping index
+    (``skipping.build_stats_index``) in the same long form as
+    :func:`bucket_extents` — the metric over what was actually
+    written, file granularity.  Only int/num columns carry comparable
+    bounds; files without stats contribute no row (they would read as
+    depth-unknown, not as well-clustered)."""
+    idx = spark.read.parquet(index_path)
+    cols_df = spark.createDataFrame(
+        [(c,) for c in probe_cols], "probe_col string"
+    )
+    return (
+        idx.join(
+            F.broadcast(cols_df), idx["column"] == cols_df["probe_col"]
+        )
+        .filter(F.col("has_stats") & F.col("kind").isin("int", "num"))
+        .select(
+            F.lit(layout).alias("layout"),
+            F.col("file").alias("bucket"),
+            "probe_col",
+            F.coalesce(F.col("min_int").cast("double"), F.col("min_num")).alias("mn"),
+            F.coalesce(F.col("max_int").cast("double"), F.col("max_num")).alias("mx"),
+        )
+    )
+
+
+def clustering_depth(extents: DataFrame) -> DataFrame:
+    """Overlap-depth metrics from a long-form extents frame
+    (``layout, probe_col, bucket, mn, mx``):
+
+    * ``n_buckets`` — buckets with non-null extents,
+    * ``overlap_pairs`` — unordered bucket pairs whose [mn, mx] ranges
+      intersect,
+    * ``avg_depth`` — mean over buckets of how many buckets overlap it
+      (self included); 1.0 = perfectly disjoint ranges, ``n_buckets``
+      = every file overlaps every other (nothing prunes).
+
+    The self-join runs over the bucket-count-sized extents frame (a
+    broadcast nested-loop over ≤ file-count rows — planning-scale, not
+    data-scale), and the final aggregate is a keyed groupBy, not a
+    global reduce."""
+    from columnar_analytics_engine_spark.functions.caching import persist_once
+
+    e = persist_once(
+        extents.filter(F.col("mn").isNotNull() & F.col("mx").isNotNull())
+    )
+    a, b = e.alias("a"), F.broadcast(e.alias("b"))
+    j = a.join(
+        b,
+        (F.col("a.layout") == F.col("b.layout"))
+        & (F.col("a.probe_col") == F.col("b.probe_col"))
+        & (F.col("a.mn") <= F.col("b.mx"))
+        & (F.col("b.mn") <= F.col("a.mx")),
+    )
+    n = F.countDistinct(F.col("a.bucket"))
+    total = F.count(F.lit(1))
+    return (
+        j.groupBy(F.col("a.layout").alias("layout"), F.col("a.probe_col").alias("probe_col"))
+        .agg(
+            n.alias("n_buckets"),
+            ((total - n) / F.lit(2)).cast("long").alias("overlap_pairs"),
+            (total.cast("double") / n).alias("avg_depth"),
+        )
+        .orderBy("layout", "probe_col")
+    )

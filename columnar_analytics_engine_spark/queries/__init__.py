@@ -17,6 +17,7 @@ from columnar_analytics_engine_spark.queries import (
     core,
     curation,
     events,
+    layout,
     llm,
     pipeline,
     relational,
@@ -115,7 +116,7 @@ def all_queries() -> dict[str, QuerySpec]:
     # 50-query correctness window; anything that overflows rotates into
     # the window in a later round (and is oracle-tested in-repo meanwhile).
     merged: dict[str, QuerySpec] = {}
-    for mod in (llm, events, retrieval, tpch_more, advanced, pipeline, training, curation, classify, core, relational):
+    for mod in (llm, events, layout, retrieval, tpch_more, advanced, pipeline, training, curation, classify, core, relational):
         for name, spec in mod.QUERIES.items():
             if name in merged:
                 raise ValueError(f"duplicate query name: {name}")

@@ -1,0 +1,263 @@
+"""Layout-quality and file-pruning queries: measurable clustering.
+
+The scale thesis of ``layout.py`` and ``skipping.py``, registered as
+hash-verified queries: (1) clustering DEPTH — the number that predicts
+how much a stats index can prune — computed for a single-column layout
+vs a Z-order layout over the same table, replayed exactly in DuckDB
+(the deterministic bucket assignment makes the bit-interleaving
+SQL-expressible); (2) Z-order + stats-index scan, oracle-checked
+against the unpruned source (pruning is I/O-only); (3) dynamic file
+pruning for a fact⋈dim join, oracle-checked against the plain join.
+
+Reference parity anchor: the reference prunes per PAGE from in-footer
+zone maps (``src/execution.cpp`` ``Predicate::canSkipPage``,
+``tests/test_query.cpp`` skip-stat assertions); these queries carry the
+same invariant one level up (files instead of pages, an external index
+instead of footers) where it pays at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from columnar_analytics_engine_spark.queries._util import (
+    QuerySpec,
+    exact_sum,
+    sql_exact_sum,
+    t,
+)
+
+_BITS = 8  # per-column Morton bits
+_NB = 16  # buckets per layout (2^4)
+
+
+def layout_clustering_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering depth (avg overlapping buckets per bucket — the
+    Snowflake "clustering depth" number) of two deterministic layouts
+    of ``orders``: 16 range buckets on ``o_custkey`` alone vs 16
+    Z-order buckets over (``o_custkey``, ``o_orderkey``).  Probed on
+    both columns: the single-column layout is perfect on its key and
+    worthless on the other (depth = n_buckets); Z-order is good on
+    BOTH — the measurement that justifies ``io.write_zorder`` before a
+    100 TB rewrite.  Bucket ids are pure expressions of row values and
+    exact table min/max, so DuckDB replays the full computation —
+    including the bit interleave — and the driver hash-verifies it."""
+    from columnar_analytics_engine_spark.layout import (
+        bucket_extents,
+        clustering_depth,
+        with_linear_bucket,
+        with_zorder_bucket,
+    )
+
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    probes = ["o_custkey", "o_orderkey"]
+    lin = bucket_extents(
+        with_linear_bucket(orders, "o_custkey", _NB), probes, "linear_custkey"
+    )
+    zo = bucket_extents(
+        with_zorder_bucket(orders, ["o_custkey", "o_orderkey"], _NB, bits=_BITS),
+        probes,
+        "zorder_custkey_orderkey",
+    )
+    return clustering_depth(lin.unionByName(zo))
+
+
+def _bin_sql(col: str, mn: str, mx: str, levels: int) -> str:
+    """DuckDB twin of ``layout.scaled_bin`` (same IEEE ops, same
+    order)."""
+    return (
+        f"LEAST({levels}, GREATEST(0, CAST(FLOOR((CAST({col} AS DOUBLE) - {mn})"
+        f" / GREATEST({mx} - {mn}, 1e-300) * {float(levels)!r}) AS BIGINT)))"
+    )
+
+
+def _morton_sql(bins: list[str], bits: int) -> str:
+    """DuckDB twin of ``layout.morton_expr``."""
+    terms = [
+        f"((({b} >> {bit}) & 1) << {bit * len(bins) + i})"
+        for bit in range(bits)
+        for i, b in enumerate(bins)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _clustering_depth_sql() -> str:
+    lvl = (1 << _BITS) - 1
+    k = _NB.bit_length() - 1
+    shift = _BITS * 2 - k
+    ext_parts = []
+    for layout, bucket in (
+        ("linear_custkey", "lb"),
+        ("zorder_custkey_orderkey", "zb"),
+    ):
+        for probe in ("o_custkey", "o_orderkey"):
+            ext_parts.append(
+                f"SELECT '{layout}' AS layout, '{probe}' AS probe_col,"
+                f" CAST({bucket} AS VARCHAR) AS bucket,"
+                f" MIN(CAST({probe} AS DOUBLE)) AS mn,"
+                f" MAX(CAST({probe} AS DOUBLE)) AS mx"
+                f" FROM bk GROUP BY {bucket}"
+            )
+    ext = " UNION ALL ".join(ext_parts)
+    return f"""
+    WITH s AS (
+      SELECT CAST(MIN(o_custkey) AS DOUBLE) AS mn0, CAST(MAX(o_custkey) AS DOUBLE) AS mx0,
+             CAST(MIN(o_orderkey) AS DOUBLE) AS mn1, CAST(MAX(o_orderkey) AS DOUBLE) AS mx1
+      FROM orders
+    ),
+    bins AS (
+      SELECT o_custkey, o_orderkey,
+             {_bin_sql('o_custkey', 'mn0', 'mx0', lvl)} AS bin0,
+             {_bin_sql('o_orderkey', 'mn1', 'mx1', lvl)} AS bin1,
+             {_bin_sql('o_custkey', 'mn0', 'mx0', _NB - 1)} AS lb
+      FROM orders, s
+    ),
+    bk AS (
+      SELECT o_custkey, o_orderkey, lb,
+             ({_morton_sql(['bin0', 'bin1'], _BITS)} >> {shift}) AS zb
+      FROM bins
+    ),
+    ext AS ({ext}),
+    j AS (
+      SELECT a.layout, a.probe_col, a.bucket
+      FROM ext a JOIN ext b
+        ON a.layout = b.layout AND a.probe_col = b.probe_col
+       AND a.mn <= b.mx AND b.mn <= a.mx
+    )
+    SELECT layout, probe_col,
+           COUNT(DISTINCT bucket) AS n_buckets,
+           CAST((COUNT(*) - COUNT(DISTINCT bucket)) / 2 AS BIGINT) AS overlap_pairs,
+           CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT bucket) AS avg_depth
+    FROM j
+    GROUP BY layout, probe_col
+    ORDER BY layout, probe_col
+    """
+
+
+def skipping_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order write + stats-index pruned scan under a TWO-column
+    predicate: ``io.write_zorder`` clusters ``orders`` on
+    (``o_custkey``, ``o_orderkey``), the file-level stats index prunes
+    the manifest on BOTH clauses, and the aggregate over the surviving
+    files hash-matches the oracle's full-table filter — multi-column
+    skipping with zero result drift (the single-column version is
+    ``skipping_index_scan``)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from columnar_analytics_engine_spark.io import write_zorder
+    from columnar_analytics_engine_spark.skipping import (
+        build_stats_index,
+        read_skipping,
+    )
+
+    src = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    tag = hashlib.md5(f"{sf_dir}:{os.getpid()}".encode()).hexdigest()[:12]
+    data = f"{tempfile.gettempdir()}/cae_zskip_data_{tag}"
+    index = f"{tempfile.gettempdir()}/cae_zskip_idx_{tag}"
+    write_zorder(src, data, ["o_custkey", "o_orderkey"], n_files=16)
+    build_stats_index(spark, data, index)
+    return read_skipping(
+        spark,
+        data,
+        index,
+        "o_custkey ge 10 and o_custkey le 60 and o_orderkey ge 1 and o_orderkey le 2000",
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.sum("o_orderkey").alias("sum_orderkey"),
+        exact_sum("o_totalprice", "sum_price"),
+        F.min("o_custkey").alias("min_cust"),
+        F.max("o_orderkey").alias("max_order"),
+    )
+
+
+def skipping_dynamic_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic file pruning for a fact⋈dim join: ``lineitem`` written
+    key-clustered, its manifest pruned by the FILTERED dim side's
+    order keys (``skipping.broadcast_join_skipping`` — exact key
+    membership against per-file intervals), then broadcast-joined.
+    Hash-oracled against the plain SQL join: file pruning on the probe
+    side of an inner join never changes the result, only the I/O.
+    This is the runtime-filtering layer Spark's own DPP applies only to
+    hive-partition columns, generalized to any clustered data column
+    via the stats index."""
+    import hashlib
+    import os
+    import tempfile
+
+    from columnar_analytics_engine_spark.io import write_sorted
+    from columnar_analytics_engine_spark.skipping import (
+        broadcast_join_skipping,
+        build_stats_index,
+    )
+
+    fact = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    tag = hashlib.md5(f"{sf_dir}:{os.getpid()}".encode()).hexdigest()[:12]
+    data = f"{tempfile.gettempdir()}/cae_dfp_data_{tag}"
+    index = f"{tempfile.gettempdir()}/cae_dfp_idx_{tag}"
+    write_sorted(fact, data, ["l_orderkey"], n_files=16)
+    build_stats_index(spark, data, index)
+    dim = (
+        t(spark, sf_dir, "orders")
+        .filter((F.col("o_orderkey") <= 600) & (F.col("o_orderstatus") == "F"))
+        .select("o_orderkey", "o_orderstatus")
+    )
+    return (
+        broadcast_join_skipping(
+            spark, data, index, "l_orderkey", dim, "o_orderkey"
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("l_orderkey").alias("sum_orderkey"),
+            exact_sum("l_quantity", "sum_qty"),
+            exact_sum("l_extendedprice", "sum_price"),
+        )
+    )
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "layout_clustering_depth": QuerySpec(
+        layout_clustering_depth,
+        _clustering_depth_sql(),
+        "clustering depth of linear vs Z-order layouts, bit-interleave "
+        "replayed in SQL",
+        ("scale", "layout", "index"),
+    ),
+    "skipping_zorder_scan": QuerySpec(
+        skipping_zorder_scan,
+        f"""
+        SELECT COUNT(*) AS n_orders,
+               CAST(SUM(o_orderkey) AS BIGINT) AS sum_orderkey,
+               {sql_exact_sum('o_totalprice', 'sum_price')},
+               MIN(o_custkey) AS min_cust,
+               MAX(o_orderkey) AS max_order
+        FROM orders
+        WHERE o_custkey >= 10 AND o_custkey <= 60
+          AND o_orderkey >= 1 AND o_orderkey <= 2000
+        """,
+        "Z-order write + two-column stats-index pruning (oracle on the "
+        "unpruned source)",
+        ("scale", "layout", "scan", "index"),
+    ),
+    "skipping_dynamic_join": QuerySpec(
+        skipping_dynamic_join,
+        f"""
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(l_orderkey) AS BIGINT) AS sum_orderkey,
+               {sql_exact_sum('l_quantity', 'sum_qty')},
+               {sql_exact_sum('l_extendedprice', 'sum_price')}
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderkey <= 600 AND o_orderstatus = 'F'
+        """,
+        "dynamic file pruning: fact manifest pruned by the dim side's "
+        "join keys (oracle on the plain join)",
+        ("scale", "join", "index"),
+    ),
+}

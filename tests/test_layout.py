@@ -1,0 +1,140 @@
+"""Layout quality: deterministic buckets + clustering-depth metrics.
+
+Invariants: bucket assignment is a pure function of (row values, exact
+table min/max) — same input, same buckets, every run and engine; the
+depth metric computed from a written dataset's stats index equals the
+metric computed from the model buckets (files faithfully materialize
+the assignment); Z-order trades a little single-column depth for
+multi-column depth.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from columnar_analytics_engine_spark.io import read_table
+from columnar_analytics_engine_spark.layout import (
+    bucket_extents,
+    clustering_depth,
+    index_extents,
+    with_linear_bucket,
+    with_zorder_bucket,
+)
+from columnar_analytics_engine_spark.skipping import build_stats_index
+
+
+def _depth(df):
+    return {
+        (r["layout"], r["probe_col"]): (
+            r["n_buckets"], r["overlap_pairs"], r["avg_depth"]
+        )
+        for r in df.collect()
+    }
+
+
+def test_linear_bucket_deterministic_and_bounded(spark, sf_small):
+    orders = read_table(spark, sf_small, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    b1 = with_linear_bucket(orders, "o_custkey", 8)
+    lo, hi = b1.agg(F.min("_bucket"), F.max("_bucket")).first()
+    assert lo == 0 and hi == 7
+    # pure function of the data: identical assignment across runs
+    a = {r["o_orderkey"]: r["_bucket"] for r in b1.collect()}
+    b = {
+        r["o_orderkey"]: r["_bucket"]
+        for r in with_linear_bucket(orders, "o_custkey", 8).collect()
+    }
+    assert a == b
+    # monotone in the bucketed column
+    rows = sorted(
+        b1.select("o_custkey", "_bucket").collect(), key=lambda r: r[0]
+    )
+    assert all(x["_bucket"] <= y["_bucket"] for x, y in zip(rows, rows[1:]))
+
+
+def test_zorder_bucket_validation(spark, sf_small):
+    orders = read_table(spark, sf_small, "orders")
+    with pytest.raises(ValueError, match="power of two"):
+        with_zorder_bucket(orders, ["o_custkey", "o_orderkey"], 12)
+    with pytest.raises(ValueError, match="key space"):
+        with_zorder_bucket(orders, ["o_custkey"], 16, bits=2)
+
+
+def test_clustering_depth_hand_computed(spark):
+    # extents [0,1] [2,3] [3,4]: one overlapping pair (shared point 3),
+    # depths are 1, 2, 2 -> avg 5/3
+    e = spark.createDataFrame(
+        [
+            ("l", "c", "b0", 0.0, 1.0),
+            ("l", "c", "b1", 2.0, 3.0),
+            ("l", "c", "b2", 3.0, 4.0),
+        ],
+        "layout string, probe_col string, bucket string, mn double, mx double",
+    )
+    d = _depth(clustering_depth(e))
+    assert d[("l", "c")] == (3, 1, pytest.approx(5 / 3))
+
+
+def test_zorder_beats_single_column_layout_on_the_other_column(spark):
+    # a uniform 64x64 integer grid: linear layout on x is perfect on x
+    # and worthless on y; z-order is good (far better than n_buckets)
+    # on BOTH
+    grid = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    lin = bucket_extents(with_linear_bucket(grid, "x", 16), ["x", "y"], "lin")
+    zo = bucket_extents(
+        with_zorder_bucket(grid, ["x", "y"], 16, bits=6), ["x", "y"], "zo"
+    )
+    d = _depth(clustering_depth(lin.unionByName(zo)))
+    assert d[("lin", "x")][2] <= 2.0  # near-perfect on the sort column
+    assert d[("lin", "y")][2] == 16.0  # every bucket spans all of y
+    for probe in ("x", "y"):
+        assert d[("zo", probe)][2] < d[("lin", "y")][2] / 2
+    # z-order buckets tile the plane: ranges on each axis stay narrow
+    assert d[("zo", "x")][2] <= 8.0 and d[("zo", "y")][2] <= 8.0
+
+
+def test_index_extents_match_model_buckets(spark, sf_small, tmp_path):
+    """Write one file per model bucket (hive partition), index it, and
+    check the file-level metric equals the model-level metric."""
+    orders = read_table(spark, sf_small, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    bucketed = with_zorder_bucket(
+        orders, ["o_custkey", "o_orderkey"], 8, bits=6
+    )
+    model = _depth(
+        clustering_depth(
+            bucket_extents(bucketed, ["o_custkey", "o_orderkey"], "L")
+        )
+    )
+    data = str(tmp_path / "zorders")
+    index = str(tmp_path / "zindex")
+    # hive dirs starting with "_" are invisible to the manifest walk;
+    # surface the bucket under a plain name
+    bucketed.withColumnRenamed("_bucket", "zbucket").repartition(
+        8, "zbucket"
+    ).write.partitionBy("zbucket").parquet(data)
+    build_stats_index(spark, data, index)
+    filed = _depth(
+        clustering_depth(
+            index_extents(spark, index, ["o_custkey", "o_orderkey"], "L")
+        )
+    )
+    assert filed == model
+
+
+def test_index_extents_skip_stringy_and_statless_columns(spark, sf_small, tmp_path):
+    orders = read_table(spark, sf_small, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    data = str(tmp_path / "plain")
+    index = str(tmp_path / "pidx")
+    orders.repartition(4).write.parquet(data)
+    build_stats_index(spark, data, index)
+    e = index_extents(spark, index, ["o_orderstatus", "o_orderkey"])
+    assert e.filter(F.col("probe_col") == "o_orderstatus").count() == 0
+    assert e.filter(F.col("probe_col") == "o_orderkey").count() == 4
