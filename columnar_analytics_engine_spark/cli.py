@@ -164,6 +164,60 @@ def cmd_index(args: argparse.Namespace) -> None:
         )
 
 
+def cmd_optimize(args: argparse.Namespace) -> None:
+    """Rewrite a parquet dataset clustered for stats-based pruning:
+    single-column range clustering (``--sort``, ``io.write_sorted``)
+    or multi-column Z-order (``--zorder``, ``io.write_zorder``), with
+    an optional stats index built over the result in the same run."""
+    from columnar_analytics_engine_spark.io import write_sorted, write_zorder
+    from columnar_analytics_engine_spark.skipping import build_stats_index
+
+    if bool(args.sort) == bool(args.zorder):
+        sys.exit("error: exactly one of --sort or --zorder is required")
+    spark = get_spark(app_name="cae-optimize")
+    df = spark.read.parquet(args.data)
+    out: dict = {"out": args.out, "files": args.files}
+    if args.sort:
+        write_sorted(df, args.out, [args.sort], n_files=args.files)
+        out["layout"] = {"sort": args.sort}
+    else:
+        cols = [c.strip() for c in args.zorder.split(",")]
+        write_zorder(df, args.out, cols, n_files=args.files, bits=args.bits)
+        out["layout"] = {"zorder": cols, "bits": args.bits}
+    if args.index:
+        out["files_indexed"] = build_stats_index(spark, args.out, args.index)
+        out["index"] = args.index
+    print(json.dumps(out))
+
+
+def cmd_cluster_report(args: argparse.Namespace) -> None:
+    """Clustering-depth report from a stats index (layout.py): per
+    probe column, how many files overlap each file's value range on
+    average — 1.0 means a point query touches one file; ~file-count
+    means the layout gives the index nothing to prune."""
+    from columnar_analytics_engine_spark.layout import (
+        clustering_depth,
+        index_extents,
+    )
+
+    spark = get_spark(app_name="cae-cluster-report")
+    cols = [c.strip() for c in args.columns.split(",")]
+    rows = clustering_depth(index_extents(spark, args.index, cols)).collect()
+    print(
+        json.dumps(
+            [
+                {
+                    "probe_col": r["probe_col"],
+                    "n_files": r["n_buckets"],
+                    "overlap_pairs": r["overlap_pairs"],
+                    "avg_depth": round(r["avg_depth"], 3),
+                }
+                for r in rows
+            ]
+        )
+    )
+
+
 def cmd_run(args: argparse.Namespace) -> None:
     """Run any registered query against a scale-factor directory; print
     up to 20 rows, or write the full result as Parquet with --out — the
@@ -284,6 +338,25 @@ def main(argv: list[str] | None = None) -> None:
     ix.add_argument("--columns", help="comma list of columns to index (build)")
     ix.add_argument("--predicate", help="conjunctive predicate to dry-run (plan)")
     ix.set_defaults(fn=cmd_index)
+
+    op = sub.add_parser(
+        "optimize", help="rewrite a dataset clustered (--sort col | --zorder c1,c2)"
+    )
+    op.add_argument("data", help="parquet dataset directory")
+    op.add_argument("out", help="destination directory")
+    op.add_argument("--sort", help="single-column range clustering")
+    op.add_argument("--zorder", help="comma list of Z-order columns")
+    op.add_argument("--files", type=int, default=32)
+    op.add_argument("--bits", type=int, default=16)
+    op.add_argument("--index", help="also build a stats index here")
+    op.set_defaults(fn=cmd_optimize)
+
+    cr = sub.add_parser(
+        "cluster-report", help="clustering depth per probe column from a stats index"
+    )
+    cr.add_argument("index", help="stats index location")
+    cr.add_argument("--columns", required=True, help="comma list of probe columns")
+    cr.set_defaults(fn=cmd_cluster_report)
 
     e = sub.add_parser("explain", help="print a registered query's physical plan")
     e.add_argument("name")

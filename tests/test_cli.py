@@ -194,3 +194,45 @@ def test_cli_index_build_plan_update_and_skipping_query(spark, tmp_path, capsys)
     ).coalesce(1).write.mode("append").parquet(data)
     cli.main(["index", "update", data, index])
     assert json.loads(capsys.readouterr().out) == {"added": 1, "removed": 0}
+
+
+def test_cli_optimize_and_cluster_report(spark, tmp_path, capsys):
+    raw = str(tmp_path / "raw.parquet")
+    cli.main(["write", raw, "2000", "3"])
+    capsys.readouterr()
+    zo = str(tmp_path / "zo")
+    zidx = str(tmp_path / "zidx")
+    cli.main(
+        ["optimize", raw, zo, "--zorder", "id,value", "--files", "8",
+         "--index", zidx]
+    )
+    out = json.loads(capsys.readouterr().out)
+    assert out["layout"] == {"zorder": ["id", "value"], "bits": 16}
+    assert out["files_indexed"] >= 1
+
+    cli.main(["cluster-report", zidx, "--columns", "id,value"])
+    rows = json.loads(capsys.readouterr().out)
+    by_col = {r["probe_col"]: r for r in rows}
+    assert set(by_col) == {"id", "value"}
+    for r in rows:
+        assert 1.0 <= r["avg_depth"] <= r["n_files"]
+
+    # clustered output returns the same data
+    src = spark.read.parquet(raw)
+    dst = spark.read.parquet(zo)
+    assert dst.count() == src.count() == 2000
+    assert sorted(tuple(r) for r in dst.collect()) == sorted(
+        tuple(r) for r in src.collect()
+    )
+
+
+def test_cli_optimize_requires_exactly_one_layout(tmp_path, capsys):
+    import pytest
+
+    with pytest.raises(SystemExit):
+        cli.main(["optimize", str(tmp_path), str(tmp_path / "o")])
+    with pytest.raises(SystemExit):
+        cli.main(
+            ["optimize", str(tmp_path), str(tmp_path / "o"),
+             "--sort", "a", "--zorder", "a,b"]
+        )
