@@ -65,6 +65,11 @@ BENCH_QUERIES: dict[str, bool] = {
     # round-6 second-session additions (new cost classes; BASELINE.md)
     "classifier_nb_confusion": False,  # trained NB classifier: vocab join + argmax
     "dedup_passage_removal": False,  # keep-one-copy text rewrite
+    # round-11 additions (layout/skipping tier; BASELINE.md "Layout ×
+    # skip-rate probe") — both time the WHOLE operation including the
+    # clustered write + index build, the honest cost of the layer
+    "layout_clustering_depth": False,  # linear-vs-zorder depth metric
+    "skipping_dynamic_join": False,  # clustered write + index + file-pruned join
 }
 
 N_TIMED_RUNS = 3  # warm steady-state: best of 3 (reference methodology

@@ -190,6 +190,25 @@ def cmd_optimize(args: argparse.Namespace) -> None:
     print(json.dumps(out))
 
 
+def cmd_compact(args: argparse.Namespace) -> None:
+    """Index-driven incremental re-clustering (layout.cluster_compact):
+    rewrite only the overlap-heaviest files, swap the index manifest,
+    optionally vacuum unindexed strays afterwards."""
+    from columnar_analytics_engine_spark.layout import (
+        cluster_compact,
+        vacuum_unindexed,
+    )
+
+    spark = get_spark(app_name="cae-compact")
+    cols = [c.strip() for c in args.cols.split(",")]
+    out = cluster_compact(
+        spark, args.data, args.index, cols, max_files=args.max_files
+    )
+    if args.vacuum:
+        out["vacuumed"] = len(vacuum_unindexed(spark, args.data, args.index))
+    print(json.dumps(out))
+
+
 def cmd_cluster_report(args: argparse.Namespace) -> None:
     """Clustering-depth report from a stats index (layout.py): per
     probe column, how many files overlap each file's value range on
@@ -350,6 +369,16 @@ def main(argv: list[str] | None = None) -> None:
     op.add_argument("--bits", type=int, default=16)
     op.add_argument("--index", help="also build a stats index here")
     op.set_defaults(fn=cmd_optimize)
+
+    cp = sub.add_parser(
+        "compact", help="incremental re-clustering of the overlap-heaviest files"
+    )
+    cp.add_argument("data", help="parquet dataset directory")
+    cp.add_argument("index", help="stats index location")
+    cp.add_argument("--cols", required=True, help="comma list of cluster columns")
+    cp.add_argument("--max-files", type=int, default=64)
+    cp.add_argument("--vacuum", action="store_true", help="GC unindexed strays after")
+    cp.set_defaults(fn=cmd_compact)
 
     cr = sub.add_parser(
         "cluster-report", help="clustering depth per probe column from a stats index"

@@ -204,3 +204,177 @@ def clustering_depth(extents: DataFrame) -> DataFrame:
         )
         .orderBy("layout", "probe_col")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental clustering maintenance: at 100 TB the table is never
+# rewritten whole.  Appends land as new files whose value ranges
+# overlap the clustered ones and the depth metric degrades exactly
+# there; compaction selects the overlap-heaviest files FROM THE INDEX
+# (a planning-scale decision — no data is read to decide), rewrites
+# only those clustered, and swaps the index manifest.  Readers that
+# plan from the index (skipping.read_skipping / plan_skipping collect
+# the file list from the index, and the streaming sink keeps the same
+# contract — streaming/maintenance.py) see the old files until the
+# swap and only the new ones after; a crash strands at worst an
+# unreferenced rewrite directory, which vacuum_unindexed garbage-
+# collects.  This is the OPTIMIZE/compaction loop of the table formats
+# (Delta OPTIMIZE ZORDER, Iceberg rewrite_data_files), on plain
+# Parquet + the stats index.
+# ---------------------------------------------------------------------------
+
+
+def overlap_candidates(
+    spark: SparkSession,
+    index_path: str,
+    col: str,
+    max_files: int = 64,
+    min_overlaps: int = 1,
+) -> list[str]:
+    """Files whose ``col`` extent overlaps at least ``min_overlaps``
+    OTHER files' extents, worst first, capped at ``max_files`` — the
+    rewrite set.  Computed entirely on the (file-count-sized) index;
+    ties broken by file name so the selection is deterministic."""
+    e = index_extents(spark, index_path, [col])
+    a, b = e.alias("a"), F.broadcast(e.alias("b"))
+    counts = (
+        a.join(
+            b,
+            (F.col("a.probe_col") == F.col("b.probe_col"))
+            & (F.col("a.bucket") != F.col("b.bucket"))
+            & (F.col("a.mn") <= F.col("b.mx"))
+            & (F.col("b.mn") <= F.col("a.mx")),
+        )
+        .groupBy(F.col("a.bucket").alias("file"))
+        .agg(F.count(F.lit(1)).alias("n_overlaps"))
+        .filter(F.col("n_overlaps") >= min_overlaps)
+        .orderBy(F.desc("n_overlaps"), "file")
+        .limit(max_files)
+    )
+    return [r["file"] for r in counts.collect()]
+
+
+def _swap_index(
+    spark: SparkSession,
+    index_path: str,
+    drop_files: list[str],
+    add_files: list[str],
+    base_path: str,
+) -> None:
+    """Rewrite the index manifest: drop rows for ``drop_files``, add
+    footer-scanned rows for ``add_files`` (same staging-rewrite shape
+    as ``skipping.update_stats_index``)."""
+    import shutil
+
+    from columnar_analytics_engine_spark.skipping import _stats_df
+
+    idx = spark.read.parquet(index_path)
+    columns = sorted(
+        {r["column"] for r in idx.select("column").distinct().collect()}
+    )
+    kept = idx
+    if drop_files:
+        drop_df = spark.createDataFrame(
+            [(f,) for f in drop_files], "file string"
+        )
+        kept = idx.join(F.broadcast(drop_df), "file", "left_anti")
+    out = kept
+    if add_files:
+        out = kept.unionByName(
+            _stats_df(spark, sorted(add_files), columns, base_path=base_path)
+        )
+    staging = index_path.rstrip("/") + "._staging"
+    out.coalesce(1).write.mode("overwrite").parquet(staging)
+    spark.read.parquet(staging).coalesce(1).write.mode("overwrite").parquet(
+        index_path
+    )
+    shutil.rmtree(staging, ignore_errors=True)
+
+
+def cluster_compact(
+    spark: SparkSession,
+    data_path: str,
+    index_path: str,
+    cols: list[str],
+    max_files: int = 64,
+    min_overlaps: int = 1,
+    bits: int = 16,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Index-driven incremental re-clustering: rewrite only the
+    overlap-heaviest files (chosen on ``cols[0]``'s extents) Z-ordered
+    over ``cols`` (range-sorted when one column), then swap the index
+    manifest and delete the rewritten originals.
+
+    Rewriting ANY subset preserves results — the new files hold
+    exactly the rewritten rows, just re-arranged — so the cap bounds
+    each maintenance run's I/O to ``max_files`` regardless of table
+    size, and repeated runs converge the depth metric.  The rewrite is
+    staged in a SIBLING directory (a nested subdir would corrupt plain
+    directory-listing parquet reads), its part files are renamed into
+    the dataset root under unique ``rewrite-*`` names (per-file-atomic
+    on POSIX), the index manifest swaps, and only then are the
+    originals deleted — readers planning from the index never see a
+    torn state; a crash strands at worst an unreferenced staging
+    sibling or unindexed data files, both GC'd by
+    ``vacuum_unindexed``.  Run ``skipping.update_stats_index`` only
+    AFTER vacuuming — it trusts the directory listing and would
+    re-adopt stranded originals.
+    """
+    import os
+    import shutil
+    import uuid
+
+    from columnar_analytics_engine_spark.io import write_sorted, write_zorder
+    from columnar_analytics_engine_spark.skipping import list_parquet_files
+
+    cand = overlap_candidates(
+        spark, index_path, cols[0], max_files=max_files,
+        min_overlaps=min_overlaps,
+    )
+    if len(cand) < 2:
+        return {"rewritten": 0, "new_files": 0}
+    total = sum(os.path.getsize(f) for f in cand)
+    n_files = max(1, int((total + target_file_bytes - 1) // target_file_bytes))
+    df = spark.read.option("basePath", data_path).parquet(*cand)
+    tag = uuid.uuid4().hex[:12]
+    staging = data_path.rstrip("/") + f".rewrite-{tag}"
+    if len(cols) == 1:
+        write_sorted(df, staging, cols, n_files=n_files)
+    else:
+        write_zorder(df, staging, cols, n_files=n_files, bits=bits)
+    new_files = []
+    for i, src in enumerate(list_parquet_files(staging)):
+        dst = os.path.join(data_path, f"rewrite-{tag}-{i:05d}.parquet")
+        os.rename(src, dst)
+        new_files.append(dst)
+    shutil.rmtree(staging, ignore_errors=True)
+    _swap_index(spark, index_path, cand, new_files, data_path)
+    for f in cand:
+        os.remove(f)
+    return {"rewritten": len(cand), "new_files": len(new_files)}
+
+
+def vacuum_unindexed(spark: SparkSession, data_path: str, index_path: str) -> list[str]:
+    """Delete data files present on disk but absent from the index
+    manifest — the garbage a crashed ``cluster_compact`` (new files
+    written, index not swapped) or a completed one (originals deleted
+    mid-way) can strand.  Returns the deleted paths.  Safe by the
+    manifest contract: a file the index does not list is invisible to
+    index-planned readers.  Crashed-compact staging SIBLINGS
+    (``<data>.rewrite-*``) are removed too."""
+    import glob
+    import os
+    import shutil
+
+    from columnar_analytics_engine_spark.skipping import list_parquet_files
+
+    idx = spark.read.parquet(index_path)
+    indexed = {r["file"] for r in idx.select("file").distinct().collect()}
+    stranded = [f for f in list_parquet_files(data_path) if f not in indexed]
+    for f in stranded:
+        os.remove(f)
+    for d in glob.glob(data_path.rstrip("/") + ".rewrite-*"):
+        shutil.rmtree(d, ignore_errors=True)
+        stranded.append(d)
+    return stranded

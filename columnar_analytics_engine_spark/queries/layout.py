@@ -221,6 +221,50 @@ def skipping_dynamic_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def layout_cluster_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental re-clustering round-trip under the hash gate: write
+    ``orders`` deliberately shuffled (worst-case layout), compact the
+    overlap-heaviest files Z-ordered via ``layout.cluster_compact``
+    (stage → rename-in → index swap → delete originals), then answer a
+    range predicate through the post-compact index.  The oracle runs
+    the same filter + aggregate on the untouched source: maintenance
+    rewrites may only move rows between files, never change results.
+    (Table-format analog: Delta OPTIMIZE ZORDER / Iceberg
+    rewrite_data_files; reference analog: the corruption suite's
+    results-never-change bar, ``tests/test_corruption.cpp``.)"""
+    import hashlib
+    import os
+    import tempfile
+
+    from columnar_analytics_engine_spark.io import write_shuffled
+    from columnar_analytics_engine_spark.layout import cluster_compact
+    from columnar_analytics_engine_spark.skipping import (
+        build_stats_index,
+        read_skipping,
+    )
+
+    src = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    tag = hashlib.md5(f"{sf_dir}:{os.getpid()}".encode()).hexdigest()[:12]
+    data = f"{tempfile.gettempdir()}/cae_compact_data_{tag}"
+    index = f"{tempfile.gettempdir()}/cae_compact_idx_{tag}"
+    write_shuffled(src, data, "o_orderkey", n_files=16)
+    build_stats_index(spark, data, index)
+    cluster_compact(
+        spark, data, index, ["o_custkey", "o_orderkey"], max_files=64
+    )
+    return read_skipping(
+        spark, data, index, "o_custkey ge 10 and o_custkey le 60"
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.sum("o_orderkey").alias("sum_orderkey"),
+        exact_sum("o_totalprice", "sum_price"),
+        F.min("o_custkey").alias("min_cust"),
+        F.max("o_custkey").alias("max_cust"),
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "layout_clustering_depth": QuerySpec(
         layout_clustering_depth,
@@ -244,6 +288,21 @@ QUERIES: dict[str, QuerySpec] = {
         "Z-order write + two-column stats-index pruning (oracle on the "
         "unpruned source)",
         ("scale", "layout", "scan", "index"),
+    ),
+    "layout_cluster_compact": QuerySpec(
+        layout_cluster_compact,
+        f"""
+        SELECT COUNT(*) AS n_orders,
+               CAST(SUM(o_orderkey) AS BIGINT) AS sum_orderkey,
+               {sql_exact_sum('o_totalprice', 'sum_price')},
+               MIN(o_custkey) AS min_cust,
+               MAX(o_custkey) AS max_cust
+        FROM orders
+        WHERE o_custkey >= 10 AND o_custkey <= 60
+        """,
+        "index-driven incremental re-clustering round-trip (oracle on the "
+        "untouched source)",
+        ("scale", "layout", "maintenance", "index"),
     ),
     "skipping_dynamic_join": QuerySpec(
         skipping_dynamic_join,

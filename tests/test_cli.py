@@ -236,3 +236,19 @@ def test_cli_optimize_requires_exactly_one_layout(tmp_path, capsys):
             ["optimize", str(tmp_path), str(tmp_path / "o"),
              "--sort", "a", "--zorder", "a,b"]
         )
+
+
+def test_cli_compact_and_vacuum(spark, tmp_path, capsys):
+    raw = str(tmp_path / "raw")
+    cli.main(["write", raw, "2000", "5"])
+    capsys.readouterr()
+    idx = str(tmp_path / "idx")
+    cli.main(["index", "build", raw, idx])
+    capsys.readouterr()
+    cli.main(
+        ["compact", raw, idx, "--cols", "id,value", "--max-files", "64",
+         "--vacuum"]
+    )
+    out = json.loads(capsys.readouterr().out)
+    assert out["rewritten"] >= 0 and out["vacuumed"] == 0
+    assert spark.read.parquet(raw).count() == 2000

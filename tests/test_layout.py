@@ -138,3 +138,145 @@ def test_index_extents_skip_stringy_and_statless_columns(spark, sf_small, tmp_pa
     e = index_extents(spark, index, ["o_orderstatus", "o_orderkey"])
     assert e.filter(F.col("probe_col") == "o_orderstatus").count() == 0
     assert e.filter(F.col("probe_col") == "o_orderkey").count() == 4
+
+
+# ---------------------------------------------------------------------------
+# Incremental clustering maintenance
+# ---------------------------------------------------------------------------
+
+from columnar_analytics_engine_spark.layout import (  # noqa: E402
+    cluster_compact,
+    overlap_candidates,
+    vacuum_unindexed,
+)
+from columnar_analytics_engine_spark.skipping import (  # noqa: E402
+    list_parquet_files,
+    read_skipping,
+)
+
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _avg_depth(spark, index, col):
+    from columnar_analytics_engine_spark.layout import (
+        clustering_depth,
+        index_extents,
+    )
+
+    return clustering_depth(index_extents(spark, index, [col])).collect()[0][
+        "avg_depth"
+    ]
+
+
+def test_cluster_compact_rewrites_preserves_and_improves(spark, sf_small, tmp_path):
+    from columnar_analytics_engine_spark.io import write_shuffled
+
+    orders = read_table(spark, sf_small, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    data = str(tmp_path / "data")
+    index = str(tmp_path / "idx")
+    write_shuffled(orders, data, "o_orderkey", n_files=8)
+    build_stats_index(spark, data, index)
+    before_rows = _sorted_rows(spark.read.parquet(data))
+    before_depth = _avg_depth(spark, index, "o_custkey")
+    assert before_depth > 4.0  # shuffled layout: heavy overlap
+
+    out = cluster_compact(
+        spark, data, index, ["o_custkey", "o_orderkey"], max_files=8
+    )
+    assert out["rewritten"] == 8 and out["new_files"] >= 1
+
+    # data identical, originals gone, index == disk manifest
+    assert _sorted_rows(spark.read.parquet(data)) == before_rows
+    disk = set(list_parquet_files(data))
+    indexed = {
+        r["file"]
+        for r in spark.read.parquet(index).select("file").distinct().collect()
+    }
+    assert disk == indexed
+    assert _avg_depth(spark, index, "o_custkey") < before_depth
+    # pruned reads still exact
+    lo = orders.agg(F.min("o_custkey")).first()[0]
+    got = read_skipping(spark, data, index, f"o_custkey le {lo + 5}").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    assert _sorted_rows(got) == _sorted_rows(
+        orders.filter(F.col("o_custkey") <= lo + 5)
+    )
+
+
+def test_cluster_compact_bounded_by_max_files(spark, sf_small, tmp_path):
+    """An appending table: sorted base + an overlapping append; the
+    compaction cap bounds the rewrite, repeated runs converge."""
+    from columnar_analytics_engine_spark.io import write_sorted
+
+    orders = read_table(spark, sf_small, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    data = str(tmp_path / "data")
+    index = str(tmp_path / "idx")
+    write_sorted(orders, data, ["o_custkey"], n_files=8)
+    # the append overlaps every sorted file's custkey range
+    orders.limit(200).coalesce(1).write.mode("append").parquet(data)
+    build_stats_index(spark, data, index)
+    before_rows = _sorted_rows(spark.read.parquet(data))
+    n_before = len(list_parquet_files(data))
+
+    out = cluster_compact(spark, data, index, ["o_custkey"], max_files=3)
+    assert 2 <= out["rewritten"] <= 3
+    assert _sorted_rows(spark.read.parquet(data)) == before_rows
+
+    # candidates shrink as runs converge
+    remaining = overlap_candidates(spark, index, "o_custkey", max_files=64)
+    assert len(remaining) < n_before
+
+
+def test_cluster_compact_noop_when_disjoint(spark, sf_small, tmp_path):
+    from columnar_analytics_engine_spark.io import write_sorted
+
+    orders = read_table(spark, sf_small, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    data = str(tmp_path / "data")
+    index = str(tmp_path / "idx")
+    write_sorted(orders, data, ["o_orderkey"], n_files=4)
+    build_stats_index(spark, data, index)
+    out = cluster_compact(spark, data, index, ["o_orderkey"])
+    # range-sorted files can share boundary values; at most a marginal
+    # pair rewrites, and a second run must reach the fixpoint
+    out2 = cluster_compact(spark, data, index, ["o_orderkey"])
+    assert out2["rewritten"] == 0 or out["rewritten"] > out2["rewritten"]
+
+
+def test_vacuum_unindexed_gc_and_reader_isolation(spark, sf_small, tmp_path):
+    """A stranded (crashed-compact) file is invisible to index-planned
+    reads and removed by vacuum."""
+    from columnar_analytics_engine_spark.io import write_sorted
+
+    orders = read_table(spark, sf_small, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    data = str(tmp_path / "data")
+    index = str(tmp_path / "idx")
+    write_sorted(orders, data, ["o_custkey"], n_files=4)
+    build_stats_index(spark, data, index)
+    lo = orders.agg(F.min("o_custkey")).first()[0]
+    pred = f"o_custkey le {lo + 5}"
+    before = _sorted_rows(read_skipping(spark, data, index, pred))
+
+    # strand a duplicate-looking file (as a crashed rewrite would)
+    orders.limit(50).coalesce(1).write.parquet(str(tmp_path / "stray"))
+    stray_src = list_parquet_files(str(tmp_path / "stray"))[0]
+    import shutil
+
+    stray = str(tmp_path / "data" / "rewrite-deadbeef.parquet")
+    shutil.copy(stray_src, stray)
+
+    assert _sorted_rows(read_skipping(spark, data, index, pred)) == before
+    removed = vacuum_unindexed(spark, data, index)
+    assert removed == [stray]
+    assert stray not in list_parquet_files(data)
+    assert _sorted_rows(read_skipping(spark, data, index, pred)) == before
