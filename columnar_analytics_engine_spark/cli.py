@@ -134,8 +134,10 @@ def cmd_index(args: argparse.Namespace) -> None:
     appends/deletes, or dry-run a predicate against it to see how much
     of the manifest a query would skip."""
     from columnar_analytics_engine_spark.skipping import (
+        build_bloom_index,
         build_stats_index,
         plan_skipping,
+        update_bloom_index,
         update_stats_index,
     )
 
@@ -148,10 +150,22 @@ def cmd_index(args: argparse.Namespace) -> None:
         print(json.dumps({"files_indexed": n}))
     elif args.action == "update":
         print(json.dumps(update_stats_index(spark, args.data, args.index)))
+    elif args.action == "build-bloom":
+        if not args.columns:
+            sys.exit("error: build-bloom requires --columns")
+        n = build_bloom_index(
+            spark, args.data, args.index,
+            [c.strip() for c in args.columns.split(",")],
+        )
+        print(json.dumps({"bloom_rows": n}))
+    elif args.action == "update-bloom":
+        print(json.dumps(update_bloom_index(spark, args.data, args.index)))
     else:  # plan
         if not args.predicate:
             sys.exit("error: plan requires --predicate")
-        plan = plan_skipping(spark, args.index, args.predicate)
+        plan = plan_skipping(
+            spark, args.index, args.predicate, bloom_path=args.bloom
+        )
         print(
             json.dumps(
                 {
@@ -351,11 +365,15 @@ def main(argv: list[str] | None = None) -> None:
     ix = sub.add_parser(
         "index", help="file-level stats-skipping index: build / update / plan"
     )
-    ix.add_argument("action", choices=["build", "update", "plan"])
+    ix.add_argument(
+        "action",
+        choices=["build", "update", "plan", "build-bloom", "update-bloom"],
+    )
     ix.add_argument("data", help="parquet dataset directory")
-    ix.add_argument("index", help="index location")
+    ix.add_argument("index", help="index (or bloom index) location")
     ix.add_argument("--columns", help="comma list of columns to index (build)")
     ix.add_argument("--predicate", help="conjunctive predicate to dry-run (plan)")
+    ix.add_argument("--bloom", help="bloom index to consult for eq clauses (plan)")
     ix.set_defaults(fn=cmd_index)
 
     op = sub.add_parser(

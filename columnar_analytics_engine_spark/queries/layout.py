@@ -175,6 +175,45 @@ def skipping_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def skipping_bloom_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Needle-in-the-corpus point lookup through the Bloom file index:
+    ``orders`` written SHUFFLED (the layout where interval stats prune
+    nothing for a mid-domain key), a per-(file, column) Bloom index
+    built over the id column, and an eq probe answered by reading only
+    the files the bloom cannot refute — at 100 TB this is the "find
+    one document by id without a scan" path.  False positives only
+    ADD files; the exact predicate re-applies on the pruned scan, so
+    the oracle (full-table filter) hash-matches regardless of fpp."""
+    import hashlib
+    import os
+    import tempfile
+
+    from columnar_analytics_engine_spark.io import write_shuffled
+    from columnar_analytics_engine_spark.skipping import (
+        build_bloom_index,
+        build_stats_index,
+        read_skipping,
+    )
+
+    src = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    tag = hashlib.md5(f"{sf_dir}:{os.getpid()}".encode()).hexdigest()[:12]
+    data = f"{tempfile.gettempdir()}/cae_bloom_data_{tag}"
+    index = f"{tempfile.gettempdir()}/cae_bloom_idx_{tag}"
+    bloom = f"{tempfile.gettempdir()}/cae_bloom_blm_{tag}"
+    write_shuffled(src, data, "o_orderkey", n_files=16)
+    build_stats_index(spark, data, index)
+    build_bloom_index(spark, data, bloom, ["o_orderkey"])
+    return read_skipping(
+        spark, data, index, "o_orderkey eq 42", bloom_path=bloom
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.sum("o_custkey").alias("sum_custkey"),
+        exact_sum("o_totalprice", "sum_price"),
+    )
+
+
 def skipping_dynamic_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic file pruning for a fact⋈dim join: ``lineitem`` written
     key-clustered, its manifest pruned by the FILTERED dim side's
@@ -288,6 +327,19 @@ QUERIES: dict[str, QuerySpec] = {
         "Z-order write + two-column stats-index pruning (oracle on the "
         "unpruned source)",
         ("scale", "layout", "scan", "index"),
+    ),
+    "skipping_bloom_scan": QuerySpec(
+        skipping_bloom_scan,
+        f"""
+        SELECT COUNT(*) AS n_orders,
+               CAST(SUM(o_custkey) AS BIGINT) AS sum_custkey,
+               {sql_exact_sum('o_totalprice', 'sum_price')}
+        FROM orders
+        WHERE o_orderkey = 42
+        """,
+        "Bloom file index point lookup on a shuffled layout (oracle on "
+        "the full-table filter)",
+        ("scale", "index", "scan"),
     ),
     "layout_cluster_compact": QuerySpec(
         layout_cluster_compact,

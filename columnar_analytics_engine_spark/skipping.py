@@ -422,13 +422,19 @@ def _clause_column(col: str, op: str, val: Any) -> F.Column:
 
 
 def plan_skipping(
-    spark: SparkSession, index_path: str, predicate: str
+    spark: SparkSession,
+    index_path: str,
+    predicate: str,
+    bloom_path: str | None = None,
 ) -> dict[str, Any]:
     """Prune the file manifest with the stats index.  Returns
     ``{"files": [...kept...], "files_total": n, "files_pruned": m,
     "clauses": [...]}``.  The pruning query runs ON the (tiny) index
     in Spark; only the surviving file LIST is collected — driver
     memory is bounded by the manifest, exactly like Iceberg planning.
+    With ``bloom_path``, eq clauses additionally prune through the
+    Bloom index (``build_bloom_index``) — effective even on columns
+    the layout does not cluster.
     """
     clauses = parse_predicate(predicate)
     idx = spark.read.parquet(index_path)
@@ -444,6 +450,12 @@ def plan_skipping(
     pruned_files = (
         {r["file"] for r in pruned.distinct().collect()} if pruned is not None else set()
     )
+    if bloom_path is not None:
+        for col, op, val in clauses:
+            if op == "eq":
+                bp = bloom_prune(spark, bloom_path, col, val)
+                if bp:
+                    pruned_files |= bp
     kept = [f for f in all_files if f not in pruned_files]
     return {
         "files": kept,
@@ -454,14 +466,18 @@ def plan_skipping(
 
 
 def read_skipping(
-    spark: SparkSession, data_path: str, index_path: str, predicate: str
+    spark: SparkSession,
+    data_path: str,
+    index_path: str,
+    predicate: str,
+    bloom_path: str | None = None,
 ) -> DataFrame:
     """Read ``data_path`` under ``predicate`` touching only files the
     stats index cannot exclude.  The exact predicate is re-applied on
     the pruned scan (and pushes down into it), so the result is
     IDENTICAL to filtering the full dataset — the index only removes
     file opens and tasks."""
-    plan = plan_skipping(spark, index_path, predicate)
+    plan = plan_skipping(spark, index_path, predicate, bloom_path=bloom_path)
     cond = None
     for col, op, val in plan["clauses"]:
         c = _clause_column(col, op, val)
@@ -513,6 +529,7 @@ def plan_skipping_join(
     column: str,
     keys: DataFrame,
     max_keys: int = 100_000,
+    bloom_path: str | None = None,
 ) -> dict[str, Any]:
     """Prune the manifest to files whose ``column`` interval can contain
     at least one value of ``keys`` (a one-column DataFrame of join
@@ -567,13 +584,43 @@ def plan_skipping_join(
         survivors: set[str] = set()
         mode = "empty"
     elif n_keys <= max_keys:
-        hit = prunable.join(
-            F.broadcast(k),
-            F.col("_k").between(F.col(lo_c), F.col(hi_c)),
-            "left_semi",
-        )
-        survivors = {r["file"] for r in hit.select("file").collect()}
-        mode = "keys"
+        if bloom_path is not None and kind in ("int", "str"):
+            # per-(file, key) test: inside the file's interval AND not
+            # refuted by the file's bloom (missing bloom row keeps);
+            # key hashes are computed once driver-side (the key set is
+            # max_keys-bounded — the same size a broadcast ships)
+            key_rows = [
+                (r["_k"], *_bloom_hash_pair(_bloom_canon(r["_k"])))
+                for r in k.collect()
+            ]
+            k2 = spark.createDataFrame(
+                key_rows, schema=k.schema.add("_h1", "long").add("_h2", "long")
+            )
+            pairs = prunable.join(
+                F.broadcast(k2),
+                F.col("_k").between(F.col(lo_c), F.col(hi_c)),
+            ).select("file", "_h1", "_h2")
+            bl = (
+                spark.read.parquet(bloom_path)
+                .filter(
+                    (F.col("column") == column)
+                    & (F.col("kind") == F.lit(kind))
+                    & (F.col("m") > 0)
+                )
+                .select("file", "m", "k", "words")
+            )
+            hit = pairs.join(bl, "file", "left").filter(
+                F.col("m").isNull() | _bloom_member_expr("_h1", "_h2")
+            )
+            mode = "keys+bloom"
+        else:
+            hit = prunable.join(
+                F.broadcast(k),
+                F.col("_k").between(F.col(lo_c), F.col(hi_c)),
+                "left_semi",
+            )
+            mode = "keys"
+        survivors = {r["file"] for r in hit.select("file").distinct().collect()}
     else:
         b = k.agg(F.min("_k").alias("lo"), F.max("_k").alias("hi")).first()
         excluded = prunable.filter(
@@ -604,13 +651,16 @@ def read_skipping_for_join(
     column: str,
     keys: DataFrame,
     max_keys: int = 100_000,
+    bloom_path: str | None = None,
 ) -> DataFrame:
     """Read ``data_path`` keeping only files that can contain a join
     key from ``keys`` — the scan half of dynamic file pruning.  The
     result is a SUPERSET of the matching rows (file granularity); it is
     only correct to consume it through an inner or left-semi join on
     ``column`` against those same keys."""
-    plan = plan_skipping_join(spark, index_path, column, keys, max_keys)
+    plan = plan_skipping_join(
+        spark, index_path, column, keys, max_keys, bloom_path=bloom_path
+    )
     if not plan["files"]:
         return spark.read.parquet(data_path).where(F.lit(False))
     reader = spark.read
@@ -628,6 +678,7 @@ def broadcast_join_skipping(
     dim_key: str,
     how: str = "inner",
     max_keys: int = 100_000,
+    bloom_path: str | None = None,
 ) -> DataFrame:
     """File-pruned fact ⋈ broadcast dim: prune the fact manifest from
     the dim side's keys, then broadcast-join the surviving files.
@@ -641,8 +692,255 @@ def broadcast_join_skipping(
             "need fact rows that pruning removes"
         )
     fact = read_skipping_for_join(
-        spark, data_path, index_path, fact_key, dim.select(dim_key), max_keys
+        spark, data_path, index_path, fact_key, dim.select(dim_key), max_keys,
+        bloom_path=bloom_path,
     )
     return fact.join(
         F.broadcast(dim), fact[fact_key] == dim[dim_key], how
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter file index: point-lookup pruning where min/max can't.
+# Interval stats prune range predicates over CLUSTERED columns; an eq
+# probe (or a join-key set) against a column the layout does not sort
+# prunes nothing — every file's [min, max] spans the domain.  A
+# per-(file, column) Bloom filter over the column's distinct values
+# answers "can this file contain THIS value" irrespective of layout —
+# the needle-in-100 TB id lookup.  Same external-manifest design as
+# the stats index (Parquet's own optional column bloom filters sit in
+# the files and still cost a footer+filter read per file per query;
+# Delta/Iceberg keep theirs out-of-line for the same reason as here).
+# Safety: a MISSING bloom row (unindexed file/column, too many
+# distinct values, unsupported kind) always KEEPS the file, and false
+# positives only keep files — pruning stays a superset optimization.
+# Maintenance can lag safely in one direction: rows for deleted files
+# are dead weight, NEW files without rows are merely unpruned —
+# update_bloom_index catches both up incrementally.
+# ---------------------------------------------------------------------------
+
+BLOOM_SCHEMA = (
+    "file string, column string, kind string, m long, k long, "
+    "n_values long, words array<long>"
+)
+
+
+def _bloom_params(n: int, fpp: float) -> tuple[int, int]:
+    """Classic sizing: m = -n ln(fpp)/ln(2)^2 bits (rounded up to a
+    multiple of 64, floor 64), k = (m/n) ln 2 hashes (1..32)."""
+    import math
+
+    n = max(1, n)
+    m = int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2)))
+    m = max(64, ((m + 63) // 64) * 64)
+    k = max(1, min(32, round(m / n * math.log(2))))
+    return m, k
+
+
+def _bloom_hash_pair(canon: str) -> tuple[int, int]:
+    """(h1, h2) from md5 of the canonical value string; h2 forced odd.
+    Positions are ``((h1 % m) + i*(h2 % m)) % m`` for i in [0, k) —
+    written in the overflow-free form so the Spark-side probe
+    expression computes the identical sequence in 64-bit arithmetic."""
+    import hashlib
+
+    h = hashlib.md5(canon.encode("utf-8")).hexdigest()
+    return int(h[:15], 16), int(h[15:30], 16) | 1
+
+
+def _bloom_canon(value: Any) -> str | None:
+    """Canonical hash string per supported kind: ints as ``str(int)``
+    (so Python build and collected-LongType probe agree), strings
+    as-is; anything else (floats — eq on floats is a footgun anyway —
+    nested, null) is not bloom-indexable."""
+    if value is None or isinstance(value, bool):
+        return None
+    if isinstance(value, int):
+        return str(value)
+    if isinstance(value, str):
+        return value
+    return None
+
+
+def _make_bloom_scanner(columns: list[str], fpp: float, max_bits: int):
+    """Executor-side (file → bloom rows) generator factory; closure
+    ships by value (same rationale as ``_make_footer_scanner``) and
+    touches only stdlib + pyarrow + numpy."""
+
+    def _bloom_rows(files: list[str]) -> Iterator[dict]:
+        import hashlib as _hashlib
+        import math as _math
+
+        import numpy as _np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        def params(n: int) -> tuple[int, int]:
+            n = max(1, n)
+            m = int(_math.ceil(-n * _math.log(fpp) / (_math.log(2) ** 2)))
+            m = max(64, ((m + 63) // 64) * 64)
+            k = max(1, min(32, round(m / n * _math.log(2))))
+            return m, k
+
+        for file_path in files:
+            pf = pq.ParquetFile(file_path)
+            schema = pf.schema_arrow
+            present = [c for c in columns if schema.get_field_index(c) >= 0]
+            if not present:
+                continue
+            tbl = pf.read(columns=present)
+            for c in present:
+                typ = schema.field(c).type
+                if pa.types.is_integer(typ):
+                    kind = "int"
+                elif pa.types.is_string(typ) or pa.types.is_large_string(typ):
+                    kind = "str"
+                else:
+                    continue  # unsupported kind: no row => never prunes
+                vals = [
+                    v for v in tbl.column(c).unique().to_pylist() if v is not None
+                ]
+                m, k = params(len(vals))
+                if m > max_bits:
+                    continue  # too wide to index: no row => never prunes
+                words = _np.zeros(m // 64, dtype=_np.uint64)
+                for v in vals:
+                    canon = str(v) if kind == "int" else v
+                    h = _hashlib.md5(canon.encode("utf-8")).hexdigest()
+                    h1, h2 = int(h[:15], 16), int(h[15:30], 16) | 1
+                    a, b = h1 % m, h2 % m
+                    for i in range(k):
+                        p = (a + i * b) % m
+                        words[p >> 6] |= _np.uint64(1) << _np.uint64(p & 63)
+                yield {
+                    "file": file_path, "column": c, "kind": kind,
+                    "m": m, "k": k, "n_values": len(vals),
+                    "words": words.view(_np.int64).tolist(),
+                }
+
+    return _bloom_rows
+
+
+def build_bloom_index(
+    spark: SparkSession,
+    data_path: str,
+    bloom_path: str,
+    columns: list[str],
+    fpp: float = 0.01,
+    max_bits: int = 1 << 22,
+    mode: str = "overwrite",
+) -> int:
+    """Build per-(file, column) Bloom filters for ``columns`` (int and
+    string columns only).  Unlike the stats index this reads the
+    column DATA — a one-pass distributed scan of the indexed columns
+    (``mapInPandas`` over the file list), priced like any other full
+    read of those columns.  Returns the number of bloom rows written."""
+    import pandas as pd
+
+    files = list_parquet_files(data_path)
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {data_path}")
+    n_slices = max(1, min(len(files), spark.sparkContext.defaultParallelism))
+    files_df = spark.createDataFrame(
+        [(f,) for f in files], schema="file string"
+    ).repartition(n_slices)
+    bloom_rows = _make_bloom_scanner(list(columns), fpp, max_bits)
+    field_order = ["file", "column", "kind", "m", "k", "n_values", "words"]
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = list(bloom_rows(list(b["file"])))
+            yield pd.DataFrame(
+                {kk: [r[kk] for r in rows] for kk in field_order}
+                if rows
+                else {kk: [] for kk in field_order}
+            )
+
+    out = files_df.mapInPandas(scan, schema=BLOOM_SCHEMA)
+    out.coalesce(1).write.mode(mode).parquet(bloom_path)
+    return spark.read.parquet(bloom_path).count()
+
+
+def update_bloom_index(
+    spark: SparkSession, data_path: str, bloom_path: str, fpp: float = 0.01
+) -> dict[str, int]:
+    """Incremental bloom maintenance, same contract as
+    ``update_stats_index``: scan only files missing from the bloom
+    table, drop rows for vanished files; cost bounded by the change."""
+    import shutil
+
+    current = set(list_parquet_files(data_path))
+    bl = spark.read.parquet(bloom_path)
+    indexed = {r["file"] for r in bl.select("file").distinct().collect()}
+    added = sorted(current - indexed)
+    removed = sorted(indexed - current)
+    if not added and not removed:
+        return {"added": 0, "removed": 0}
+    columns = sorted(
+        {r["column"] for r in bl.select("column").distinct().collect()}
+    )
+    kept = bl
+    if removed:
+        removed_df = spark.createDataFrame([(f,) for f in removed], "file string")
+        kept = bl.join(F.broadcast(removed_df), "file", "left_anti")
+    out = kept
+    if added:
+        import pandas as pd
+
+        n_slices = max(
+            1, min(len(added), spark.sparkContext.defaultParallelism)
+        )
+        files_df = spark.createDataFrame(
+            [(f,) for f in added], schema="file string"
+        ).repartition(n_slices)
+        bloom_rows = _make_bloom_scanner(columns, fpp, 1 << 22)
+        field_order = ["file", "column", "kind", "m", "k", "n_values", "words"]
+
+        def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for b in batches:
+                rows = list(bloom_rows(list(b["file"])))
+                yield pd.DataFrame(
+                    {kk: [r[kk] for r in rows] for kk in field_order}
+                    if rows
+                    else {kk: [] for kk in field_order}
+                )
+
+        out = kept.unionByName(files_df.mapInPandas(scan, schema=BLOOM_SCHEMA))
+    staging = bloom_path.rstrip("/") + "._staging"
+    out.coalesce(1).write.mode("overwrite").parquet(staging)
+    spark.read.parquet(staging).coalesce(1).write.mode("overwrite").parquet(
+        bloom_path
+    )
+    shutil.rmtree(staging, ignore_errors=True)
+    return {"added": len(added), "removed": len(removed)}
+
+
+def _bloom_member_expr(h1_col: str, h2_col: str) -> F.Column:
+    """TRUE iff every probe position is set in ``words`` — evaluated
+    per bloom row, entirely JVM-side (higher-order functions; the
+    modular form keeps every intermediate below 2^60)."""
+    return F.expr(
+        f"forall(transform(sequence(0L, k - 1L),"
+        f" i -> pmod(pmod({h1_col}, m) + i * pmod({h2_col}, m), m)),"
+        f" p -> (shiftright(words[CAST(p DIV 64 AS INT)],"
+        f" CAST(pmod(p, 64) AS INT)) & 1) = 1)"
+    )
+
+
+def bloom_prune(
+    spark: SparkSession, bloom_path: str, column: str, value: Any
+) -> set[str] | None:
+    """Files whose bloom filter PROVES ``column`` never equals
+    ``value`` (None when the value's kind is not bloom-indexable —
+    caller keeps everything).  Files without a bloom row are never in
+    the returned set."""
+    canon = _bloom_canon(value)
+    if canon is None:
+        return None
+    kind = "int" if isinstance(value, int) else "str"
+    h1, h2 = _bloom_hash_pair(canon)
+    bl = spark.read.parquet(bloom_path).filter(
+        (F.col("column") == column) & (F.col("kind") == kind) & (F.col("m") > 0)
+    )
+    miss = bl.filter(~_bloom_member_expr(f"{h1}L", f"{h2}L")).select("file")
+    return {r["file"] for r in miss.collect()}

@@ -128,6 +128,36 @@ def main() -> None:
             }
         )
 
+    # needle lookup: a mid-domain eq probe — intervals useless on the
+    # shuffled layout, the bloom index prunes regardless of layout
+    from columnar_analytics_engine_spark.skipping import build_bloom_index
+
+    data, index = layouts["shuffled"]
+    bloom = os.path.join(base, "shuffled_bloom")
+    t0 = time.monotonic()
+    build_bloom_index(spark, data, bloom, ["o_orderkey"])
+    build_sec = round(time.monotonic() - t0, 3)
+    mid = int((klo + khi) // 2)
+    pred = f"o_orderkey eq {mid}"
+    for label, bp in (("stats_only", None), ("stats+bloom", bloom)):
+        plan = plan_skipping(spark, index, pred, bloom_path=bp)
+        t0 = time.monotonic()
+        n = read_skipping(spark, data, index, pred, bloom_path=bp).count()
+        results.append(
+            {
+                "layout": "shuffled",
+                "predicate": f"point_lookup/{label}",
+                "files_total": plan["files_total"],
+                "files_pruned": plan["files_pruned"],
+                "skip_pct": round(
+                    100.0 * plan["files_pruned"] / plan["files_total"], 1
+                ),
+                "rows": n,
+                "scan_sec": round(time.monotonic() - t0, 3),
+                "bloom_build_sec": build_sec if bp else None,
+            }
+        )
+
     for r in results:
         print(json.dumps(r))
 

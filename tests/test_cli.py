@@ -252,3 +252,22 @@ def test_cli_compact_and_vacuum(spark, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out)
     assert out["rewritten"] >= 0 and out["vacuumed"] == 0
     assert spark.read.parquet(raw).count() == 2000
+
+
+def test_cli_bloom_build_update_and_plan(spark, tmp_path, capsys):
+    raw = str(tmp_path / "raw")
+    cli.main(["write", raw, "2000", "9"])
+    capsys.readouterr()
+    idx = str(tmp_path / "idx")
+    blm = str(tmp_path / "blm")
+    cli.main(["index", "build", raw, idx])
+    capsys.readouterr()
+    cli.main(["index", "build-bloom", raw, blm, "--columns", "id"])
+    assert json.loads(capsys.readouterr().out)["bloom_rows"] >= 1
+    cli.main(
+        ["index", "plan", raw, idx, "--predicate", "id eq 7", "--bloom", blm]
+    )
+    plan = json.loads(capsys.readouterr().out)
+    assert plan["files_kept"] < plan["files_total"]
+    cli.main(["index", "update-bloom", raw, blm])
+    assert json.loads(capsys.readouterr().out) == {"added": 0, "removed": 0}

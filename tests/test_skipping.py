@@ -350,3 +350,174 @@ def test_broadcast_join_skipping_rejects_outer(spark, sorted_orders):
     )
     src = spark.read.parquet(data)
     assert out.count() == src.filter(F.col("o_custkey") == 1).count()
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter file index
+# ---------------------------------------------------------------------------
+
+from columnar_analytics_engine_spark.skipping import (  # noqa: E402
+    _bloom_canon,
+    _bloom_hash_pair,
+    _bloom_params,
+    bloom_prune,
+    build_bloom_index,
+    update_bloom_index,
+)
+
+
+@pytest.fixture(scope="module")
+def bloomed_orders(spark, sf_small, tmp_path_factory):
+    """orders shuffled into 8 files (worst layout for interval stats)
+    with both indexes built."""
+    from columnar_analytics_engine_spark.io import read_table, write_shuffled
+
+    base = tmp_path_factory.mktemp("bloom")
+    data = str(base / "orders_shuffled")
+    index = str(base / "idx")
+    bloom = str(base / "bloom")
+    df = read_table(spark, sf_small, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    write_shuffled(df, data, "o_orderkey", n_files=8)
+    build_stats_index(spark, data, index)
+    n = build_bloom_index(
+        spark, data, bloom, ["o_orderkey", "o_orderstatus"]
+    )
+    assert n == 16  # 8 files x 2 indexable columns
+    return data, index, bloom
+
+
+def test_bloom_params_sane():
+    m, k = _bloom_params(1000, 0.01)
+    assert m % 64 == 0 and m >= 9000 and 5 <= k <= 9
+    assert _bloom_params(0, 0.01)[0] == 64
+
+
+def test_bloom_eq_prunes_where_intervals_cannot(spark, bloomed_orders):
+    data, index, bloom = bloomed_orders
+    src = spark.read.parquet(data)
+    lo, hi = src.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    key = (lo + hi) // 2  # mid-domain: every shuffled file's interval spans it
+    pred = f"o_orderkey eq {key}"
+    no_bloom = plan_skipping(spark, index, pred)
+    with_bloom = plan_skipping(spark, index, pred, bloom_path=bloom)
+    assert no_bloom["files_pruned"] == 0  # shuffled: intervals useless
+    # a unique key lives in exactly one file; fpp can keep a stray file
+    assert with_bloom["files_pruned"] >= 5
+    got = read_skipping(spark, data, index, pred, bloom_path=bloom)
+    assert [
+        tuple(r) for r in got.select("o_orderkey", "o_custkey").collect()
+    ] == [
+        tuple(r)
+        for r in src.filter(F.col("o_orderkey") == key)
+        .select("o_orderkey", "o_custkey")
+        .collect()
+    ]
+
+
+def test_bloom_absent_value_prunes_everything(spark, bloomed_orders):
+    data, index, bloom = bloomed_orders
+    plan = plan_skipping(
+        spark, index, "o_orderkey eq -12345", bloom_path=bloom
+    )
+    # interval stats already exclude a negative key; bloom agrees
+    assert plan["files"] == []
+    hi = spark.read.parquet(data).agg(F.max("o_orderkey")).first()[0]
+    # inside the interval but never present: only bloom can prune this
+    missing = hi  # max key exists; probe a string column instead
+    plan2 = plan_skipping(
+        spark, index, "o_orderstatus eq 'ZZ'", bloom_path=bloom
+    )
+    assert plan2["files"] == []
+    assert read_skipping(
+        spark, data, index, "o_orderstatus eq 'ZZ'", bloom_path=bloom
+    ).count() == 0
+
+
+def test_bloom_string_and_common_value_keeps_files(spark, bloomed_orders):
+    data, index, bloom = bloomed_orders
+    src = spark.read.parquet(data)
+    status = src.select("o_orderstatus").first()[0]
+    pred = f"o_orderstatus eq '{status}'"
+    got = read_skipping(spark, data, index, pred, bloom_path=bloom)
+    assert got.count() == src.filter(F.col("o_orderstatus") == status).count()
+
+
+def test_bloom_join_pruning_matches_plain_join(spark, bloomed_orders):
+    data, index, bloom = bloomed_orders
+    src = spark.read.parquet(data)
+    keys = [r[0] for r in src.select("o_orderkey").limit(5).collect()]
+    dim = spark.createDataFrame([(int(v),) for v in keys], "c long")
+    no_bloom = plan_skipping_join(spark, index, "o_orderkey", dim)
+    with_bloom = plan_skipping_join(
+        spark, index, "o_orderkey", dim, bloom_path=bloom
+    )
+    assert no_bloom["files_pruned"] == 0
+    assert with_bloom["mode"] == "keys+bloom"
+    assert with_bloom["files_pruned"] > 0
+    pruned = read_skipping_for_join(
+        spark, data, index, "o_orderkey", dim, bloom_path=bloom
+    )
+    a = sorted(
+        tuple(r)
+        for r in pruned.join(dim, pruned["o_orderkey"] == dim["c"])
+        .select("o_orderkey", "o_custkey")
+        .collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in src.join(dim, src["o_orderkey"] == dim["c"])
+        .select("o_orderkey", "o_custkey")
+        .collect()
+    )
+    assert a == b
+
+
+def test_bloom_spark_probe_matches_python_build(spark, tmp_path):
+    """The JVM-side position sequence must equal the Python build's for
+    every value actually present — zero false NEGATIVES by construction."""
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(500)], "a long, s string"
+    )
+    data = str(tmp_path / "d")
+    df.repartition(4).write.parquet(data)
+    bloom = str(tmp_path / "b")
+    build_bloom_index(spark, data, bloom, ["a", "s"])
+    for v in (0, 17, 499):
+        assert bloom_prune(spark, bloom, "a", v) is not None
+    # every present value must survive its own file's bloom
+    from columnar_analytics_engine_spark.skipping import list_parquet_files
+
+    files = set(list_parquet_files(data))
+    for v in (0, 123, 499):
+        holders = {
+            r["file"]
+            for r in spark.read.option("basePath", data)
+            .parquet(*sorted(files))
+            .filter(F.col("a") == v)
+            .select(F.input_file_name().alias("file"))
+            .collect()
+        }
+        pruned = bloom_prune(spark, bloom, "a", v)
+        assert not (holders & {p for p in pruned})
+    # string canon: present survives, absent prunes all four files
+    assert len(bloom_prune(spark, bloom, "s", "nope")) == 4
+    assert _bloom_canon(1.5) is None and _bloom_canon(True) is None
+
+
+def test_update_bloom_index_incremental(spark, tmp_path):
+    df = spark.createDataFrame([(i,) for i in range(100)], "a long")
+    data = str(tmp_path / "d")
+    df.coalesce(2).write.parquet(data)
+    bloom = str(tmp_path / "b")
+    build_bloom_index(spark, data, bloom, ["a"])
+    spark.createDataFrame([(1000,)], "a long").coalesce(1).write.mode(
+        "append"
+    ).parquet(data)
+    out = update_bloom_index(spark, data, bloom)
+    assert out["added"] == 1 and out["removed"] == 0
+    # the appended value is now findable and absent values prune all
+    assert bloom_prune(spark, bloom, "a", 1000) is not None
+    assert len(bloom_prune(spark, bloom, "a", 999)) == 3
+    assert update_bloom_index(spark, data, bloom) == {"added": 0, "removed": 0}
