@@ -223,6 +223,30 @@ def cmd_compact(args: argparse.Namespace) -> None:
     print(json.dumps(out))
 
 
+def cmd_delete(args: argparse.Namespace) -> None:
+    """Row-level deletes (deletes.py): tombstone rows matching --where
+    into the deletion-vector table; --compact folds tombstones into a
+    physical rewrite of only the affected files (requires --index)."""
+    from columnar_analytics_engine_spark.deletes import (
+        compact_deletes,
+        delete_where,
+    )
+
+    if not args.where and not args.compact:
+        sys.exit("error: delete needs --where and/or --compact")
+    spark = get_spark(app_name="cae-delete")
+    out: dict = {}
+    if args.where:
+        out["tombstones_added"] = delete_where(
+            spark, args.data, args.dv, args.where
+        )
+    if args.compact:
+        if not args.index:
+            sys.exit("error: --compact requires --index")
+        out.update(compact_deletes(spark, args.data, args.dv, args.index))
+    print(json.dumps(out))
+
+
 def cmd_cluster_report(args: argparse.Namespace) -> None:
     """Clustering-depth report from a stats index (layout.py): per
     probe column, how many files overlap each file's value range on
@@ -397,6 +421,16 @@ def main(argv: list[str] | None = None) -> None:
     cp.add_argument("--max-files", type=int, default=64)
     cp.add_argument("--vacuum", action="store_true", help="GC unindexed strays after")
     cp.set_defaults(fn=cmd_compact)
+
+    dl = sub.add_parser(
+        "delete", help="row-level deletes via deletion vectors (--where / --compact)"
+    )
+    dl.add_argument("data", help="parquet dataset directory")
+    dl.add_argument("dv", help="deletion-vector table location")
+    dl.add_argument("--where", help="SQL predicate selecting rows to delete")
+    dl.add_argument("--compact", action="store_true", help="fold tombstones into files")
+    dl.add_argument("--index", help="stats index (required for --compact)")
+    dl.set_defaults(fn=cmd_delete)
 
     cr = sub.add_parser(
         "cluster-report", help="clustering depth per probe column from a stats index"

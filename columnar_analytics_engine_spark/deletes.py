@@ -1,0 +1,199 @@
+"""Row-level deletes on immutable Parquet: deletion vectors (merge-on-read).
+
+The reference's files — like Parquet — are immutable; the only native
+way to delete a row is to rewrite its file.  At 100 TB a GDPR-style
+"delete these 10k rows scattered across the corpus" cannot rewrite
+terabytes, so every lakehouse format grew MERGE-ON-READ deletes (Delta
+deletion vectors, Iceberg position deletes, Hive ACID delete deltas):
+record (file, row position) tombstones out-of-line, have readers
+subtract them, and fold them into a physical rewrite later.  This is
+that layer on plain Parquet, built on Spark's ``_metadata.row_index``
+(the stable position of a row within its immutable file):
+
+* :func:`delete_where` — one scan of the matching files turns a SQL
+  predicate into (file, row_index) tombstones appended to the DV
+  table.  Write cost is proportional to the DELETED rows, not the
+  table.
+* :func:`read_with_deletes` — the merge-on-read path: scan minus a
+  broadcast anti-join against the DV table.  Exact; costs one
+  broadcast of the (delete-count-sized) DV.
+* :func:`compact_deletes` — the fold: rewrite ONLY the files that
+  carry tombstones (dropping those rows), swap the stats-index
+  manifest, clear the folded tombstones, delete the originals — the
+  same stage → rename-in → index-swap publish discipline as
+  ``layout.cluster_compact``, with the same crash story
+  (``layout.vacuum_unindexed`` GCs strays).
+
+Maintenance ordering contract: ``layout.cluster_compact`` reads files
+WITHOUT consulting DVs (it moves physical rows), so fold deletes
+(``compact_deletes``) before re-clustering a table that has live
+tombstones — the docstring of each function repeats this.
+
+Determinism note for the oracle gate: deletes are defined by a
+predicate, so the surviving ROWS are deterministic even though file
+names and row positions are not; every registered query aggregates
+over the survivors.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DV_SCHEMA = "file string, row_index long"
+
+
+def _strip_scheme(c: Column) -> Column:
+    """``_metadata.file_path`` is a URI (``file:/...``); the index and
+    manifest layers use plain paths — normalize to match."""
+    return F.regexp_replace(c, "^file:(//)?", "")
+
+
+def _rewrite_small_table(spark: SparkSession, df: DataFrame, path: str) -> None:
+    """Staging rewrite for manifest-sized tables (same shape as
+    ``skipping.update_stats_index``: never clobber the input of the
+    plan being read)."""
+    import shutil
+
+    staging = path.rstrip("/") + "._staging"
+    df.coalesce(1).write.mode("overwrite").parquet(staging)
+    spark.read.parquet(staging).coalesce(1).write.mode("overwrite").parquet(path)
+    shutil.rmtree(staging, ignore_errors=True)
+
+
+def _dv(spark: SparkSession, dv_path: str) -> DataFrame:
+    if os.path.exists(dv_path):
+        return spark.read.parquet(dv_path)
+    return spark.createDataFrame([], DV_SCHEMA)
+
+
+def delete_where(
+    spark: SparkSession, data_path: str, dv_path: str, predicate: str
+) -> int:
+    """Tombstone every row of ``data_path`` matching the SQL
+    ``predicate``: append (file, row_index) pairs to the DV table at
+    ``dv_path`` (created on first use).  Returns the number of NEW
+    tombstones.  Idempotent — re-deleting already-deleted rows adds
+    nothing (the DV table is kept distinct), and the data files are
+    untouched."""
+    hits = (
+        spark.read.parquet(data_path)
+        .select(
+            _strip_scheme(F.col("_metadata.file_path")).alias("file"),
+            F.col("_metadata.row_index").alias("row_index"),
+        )
+        .where(F.expr(predicate))
+    )
+    existing = _dv(spark, dv_path)
+    merged = existing.unionByName(hits).distinct()
+    n_before = existing.count()
+    _rewrite_small_table(spark, merged, dv_path)
+    return spark.read.parquet(dv_path).count() - n_before
+
+
+def read_with_deletes(
+    spark: SparkSession,
+    data_path: str,
+    dv_path: str,
+    index_path: str | None = None,
+    predicate: str | None = None,
+    bloom_path: str | None = None,
+) -> DataFrame:
+    """Merge-on-read scan: the dataset minus its tombstones (broadcast
+    anti-join on (file, row_index) — DV tables are delete-count-sized).
+    With ``index_path`` (+ optional ``predicate``/``bloom_path``) the
+    scan first prunes files through the stats index
+    (``skipping.read_skipping``), and tombstone subtraction applies on
+    the pruned scan — the two layers compose because both are pure
+    row-set restrictions."""
+    if index_path is not None and predicate is not None:
+        from columnar_analytics_engine_spark.skipping import read_skipping
+
+        base = read_skipping(
+            spark, data_path, index_path, predicate, bloom_path=bloom_path
+        )
+    else:
+        base = spark.read.parquet(data_path)
+    dv = _dv(spark, dv_path)
+    cols = base.columns
+    tagged = base.select(
+        "*",
+        _strip_scheme(F.col("_metadata.file_path")).alias("__dv_file"),
+        F.col("_metadata.row_index").alias("__dv_ri"),
+    )
+    kept = tagged.join(
+        F.broadcast(dv),
+        (tagged["__dv_file"] == dv["file"])
+        & (tagged["__dv_ri"] == dv["row_index"]),
+        "left_anti",
+    )
+    return kept.select(*cols)
+
+
+def compact_deletes(
+    spark: SparkSession,
+    data_path: str,
+    dv_path: str,
+    index_path: str,
+    max_files: int = 64,
+) -> dict:
+    """Fold tombstones into the data: rewrite up to ``max_files`` of
+    the tombstone-carrying files WITHOUT their deleted rows, publish
+    via the manifest discipline (stage sibling → rename into the
+    dataset root → stats-index swap → clear folded tombstones → delete
+    originals), and return counts.  Each run's I/O is bounded by the
+    affected files, so a 10k-row delete on a 100 TB table folds by
+    rewriting only the files those rows live in.  Files whose EVERY
+    row is deleted are dropped without a rewrite.  Run this before
+    ``layout.cluster_compact`` when tombstones exist — the re-cluster
+    path moves physical rows and does not consult DVs."""
+    import shutil
+    import uuid
+
+    from columnar_analytics_engine_spark.layout import _swap_index
+    from columnar_analytics_engine_spark.skipping import list_parquet_files
+
+    dv = _dv(spark, dv_path)
+    affected = sorted(
+        r["file"] for r in dv.select("file").distinct().limit(max_files).collect()
+    )
+    if not affected:
+        return {"folded_files": 0, "new_files": 0, "tombstones_cleared": 0}
+    tagged = (
+        spark.read.option("basePath", data_path)
+        .parquet(*affected)
+        .select(
+            "*",
+            _strip_scheme(F.col("_metadata.file_path")).alias("__dv_file"),
+            F.col("_metadata.row_index").alias("__dv_ri"),
+        )
+    )
+    survivors = tagged.join(
+        F.broadcast(dv),
+        (tagged["__dv_file"] == dv["file"]) & (tagged["__dv_ri"] == dv["row_index"]),
+        "left_anti",
+    ).drop("__dv_file", "__dv_ri")
+    tag = uuid.uuid4().hex[:12]
+    staging = data_path.rstrip("/") + f".rewrite-{tag}"
+    survivors.coalesce(max(1, len(affected) // 4)).write.parquet(staging)
+    new_files = []
+    for i, src in enumerate(list_parquet_files(staging)):
+        dst = os.path.join(data_path, f"rewrite-{tag}-{i:05d}.parquet")
+        os.rename(src, dst)
+        new_files.append(dst)
+    shutil.rmtree(staging, ignore_errors=True)
+    _swap_index(spark, index_path, affected, new_files, data_path)
+    affected_df = spark.createDataFrame([(f,) for f in affected], "file string")
+    remaining = dv.join(F.broadcast(affected_df), "file", "left_anti")
+    cleared = dv.count() - remaining.count()
+    _rewrite_small_table(spark, remaining, dv_path)
+    for f in affected:
+        os.remove(f)
+    return {
+        "folded_files": len(affected),
+        "new_files": len(new_files),
+        "tombstones_cleared": cleared,
+    }

@@ -304,7 +304,92 @@ def layout_cluster_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _deletes_fixture(spark: SparkSession, sf_dir: str, tag_suffix: str):
+    import hashlib
+    import os
+    import tempfile
+
+    from columnar_analytics_engine_spark.deletes import delete_where
+    from columnar_analytics_engine_spark.io import write_sorted
+    from columnar_analytics_engine_spark.skipping import build_stats_index
+
+    src = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    tag = hashlib.md5(
+        f"{sf_dir}:{os.getpid()}:{tag_suffix}".encode()
+    ).hexdigest()[:12]
+    data = f"{tempfile.gettempdir()}/cae_dv_data_{tag}"
+    index = f"{tempfile.gettempdir()}/cae_dv_idx_{tag}"
+    dv = f"{tempfile.gettempdir()}/cae_dv_dv_{tag}"
+    write_sorted(src, data, ["o_custkey"], n_files=8)
+    build_stats_index(spark, data, index)
+    delete_where(spark, data, dv, "o_orderstatus = 'F'")
+    return data, index, dv
+
+
+_DELETES_AGG_SQL = f"""
+    SELECT COUNT(*) AS n_orders,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_orderkey,
+           {sql_exact_sum('o_totalprice', 'sum_price')}
+    FROM orders
+    WHERE o_orderstatus <> 'F'
+"""
+
+
+def deletes_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level delete WITHOUT rewriting data files: predicate →
+    (file, row_index) tombstones (``deletes.delete_where``, cost
+    proportional to the deleted rows), then a merge-on-read scan that
+    subtracts them (broadcast anti-join on the delete-count-sized DV
+    table).  The oracle aggregates the source under the negated
+    predicate — merge-on-read must equal the delete it models.  This
+    is Delta deletion vectors / Iceberg position deletes on plain
+    Parquet via ``_metadata.row_index``; at 100 TB it is the only
+    affordable shape for a scattered 10k-row GDPR delete."""
+    from columnar_analytics_engine_spark.deletes import read_with_deletes
+
+    data, _index, dv = _deletes_fixture(spark, sf_dir, "mor")
+    return read_with_deletes(spark, data, dv).agg(
+        F.count("*").alias("n_orders"),
+        F.sum("o_orderkey").alias("sum_orderkey"),
+        exact_sum("o_totalprice", "sum_price"),
+    )
+
+
+def deletes_compact_physical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fold: ``deletes.compact_deletes`` rewrites ONLY the
+    tombstone-carrying files without their deleted rows (stage →
+    rename-in → stats-index swap → clear tombstones → drop originals),
+    after which a PLAIN scan — no DV consultation — must hash-match
+    the same oracle as the merge-on-read path: folding tombstones
+    changes bytes on disk, never results."""
+    from columnar_analytics_engine_spark.deletes import compact_deletes
+
+    data, index, dv = _deletes_fixture(spark, sf_dir, "fold")
+    compact_deletes(spark, data, dv, index)
+    return spark.read.parquet(data).agg(
+        F.count("*").alias("n_orders"),
+        F.sum("o_orderkey").alias("sum_orderkey"),
+        exact_sum("o_totalprice", "sum_price"),
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "deletes_merge_on_read": QuerySpec(
+        deletes_merge_on_read,
+        _DELETES_AGG_SQL,
+        "deletion vectors: predicate delete + merge-on-read scan "
+        "(oracle on the negated predicate)",
+        ("scale", "maintenance", "deletes"),
+    ),
+    "deletes_compact_physical": QuerySpec(
+        deletes_compact_physical,
+        _DELETES_AGG_SQL,
+        "deletion vectors folded into a physical rewrite of only the "
+        "affected files (same oracle as the merge-on-read path)",
+        ("scale", "maintenance", "deletes", "index"),
+    ),
     "layout_clustering_depth": QuerySpec(
         layout_clustering_depth,
         _clustering_depth_sql(),

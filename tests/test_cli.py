@@ -271,3 +271,22 @@ def test_cli_bloom_build_update_and_plan(spark, tmp_path, capsys):
     assert plan["files_kept"] < plan["files_total"]
     cli.main(["index", "update-bloom", raw, blm])
     assert json.loads(capsys.readouterr().out) == {"added": 0, "removed": 0}
+
+
+def test_cli_delete_and_fold(spark, tmp_path, capsys):
+    raw = str(tmp_path / "raw")
+    cli.main(["write", raw, "1000", "11"])
+    capsys.readouterr()
+    idx = str(tmp_path / "idx")
+    dv = str(tmp_path / "dv")
+    cli.main(["index", "build", raw, idx])
+    capsys.readouterr()
+    total = spark.read.parquet(raw).count()
+    doomed = spark.read.parquet(raw).filter("value > 8000").count()
+    assert 0 < doomed < total
+    cli.main(["delete", raw, dv, "--where", "value > 8000"])
+    assert json.loads(capsys.readouterr().out)["tombstones_added"] == doomed
+    cli.main(["delete", raw, dv, "--compact", "--index", idx])
+    out = json.loads(capsys.readouterr().out)
+    assert out["tombstones_cleared"] == doomed
+    assert spark.read.parquet(raw).count() == total - doomed

@@ -1,0 +1,115 @@
+"""Deletion vectors: merge-on-read row deletes + physical fold.
+
+Invariant everywhere: ``read_with_deletes`` returns exactly the rows a
+plain scan minus the predicate-matched rows would — before AND after
+``compact_deletes`` folds the tombstones into rewritten files (the
+reference's corruption-suite bar: maintenance never changes results).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from columnar_analytics_engine_spark.deletes import (
+    compact_deletes,
+    delete_where,
+    read_with_deletes,
+)
+from columnar_analytics_engine_spark.io import read_table, write_sorted
+from columnar_analytics_engine_spark.skipping import (
+    build_stats_index,
+    list_parquet_files,
+)
+
+COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.select(*COLS).collect())
+
+
+@pytest.fixture()
+def table(spark, sf_small, tmp_path):
+    data = str(tmp_path / "data")
+    index = str(tmp_path / "idx")
+    dv = str(tmp_path / "dv")
+    src = read_table(spark, sf_small, "orders").select(*COLS)
+    write_sorted(src, data, ["o_custkey"], n_files=8)
+    build_stats_index(spark, data, index)
+    return data, index, dv, src
+
+
+def test_delete_where_merge_on_read(spark, table):
+    data, index, dv, src = table
+    n = delete_where(spark, data, dv, "o_orderstatus = 'F'")
+    expect = src.filter(F.col("o_orderstatus") != "F")
+    assert n == src.filter(F.col("o_orderstatus") == "F").count() > 0
+    assert _rows(read_with_deletes(spark, data, dv)) == _rows(expect)
+    # idempotent: same predicate adds nothing
+    assert delete_where(spark, data, dv, "o_orderstatus = 'F'") == 0
+    # incremental second delete unions
+    n2 = delete_where(spark, data, dv, "o_custkey < 5")
+    assert n2 == src.filter(
+        (F.col("o_custkey") < 5) & (F.col("o_orderstatus") != "F")
+    ).count()
+    assert _rows(read_with_deletes(spark, data, dv)) == _rows(
+        expect.filter(F.col("o_custkey") >= 5)
+    )
+
+
+def test_read_with_deletes_composes_with_index_pruning(spark, table):
+    data, index, dv, src = table
+    delete_where(spark, data, dv, "o_orderkey % 3 = 0")
+    lo = src.agg(F.min("o_custkey")).first()[0]
+    got = read_with_deletes(
+        spark, data, dv, index_path=index, predicate=f"o_custkey le {lo + 20}"
+    )
+    expect = src.filter(
+        (F.col("o_custkey") <= lo + 20) & (F.col("o_orderkey") % 3 != 0)
+    )
+    assert _rows(got) == _rows(expect)
+
+
+def test_compact_deletes_folds_physically(spark, table):
+    data, index, dv, src = table
+    delete_where(spark, data, dv, "o_orderstatus = 'F'")
+    expect = _rows(src.filter(F.col("o_orderstatus") != "F"))
+    before_files = set(list_parquet_files(data))
+
+    out = compact_deletes(spark, data, dv, index)
+    assert out["folded_files"] > 0 and out["tombstones_cleared"] > 0
+
+    # physically gone: plain read (no DV) now matches
+    assert _rows(spark.read.parquet(data)) == expect
+    # DV cleared, merge-on-read path unchanged
+    assert spark.read.parquet(dv).count() == 0
+    assert _rows(read_with_deletes(spark, data, dv)) == expect
+    # index manifest == disk
+    disk = set(list_parquet_files(data))
+    indexed = {
+        r["file"]
+        for r in spark.read.parquet(index).select("file").distinct().collect()
+    }
+    assert disk == indexed
+    assert disk != before_files
+    # second compact is a no-op
+    assert compact_deletes(spark, data, dv, index)["folded_files"] == 0
+
+
+def test_compact_deletes_drops_fully_deleted_files(spark, tmp_path):
+    df = spark.createDataFrame([(i, i % 4) for i in range(400)], "a long, b long")
+    data = str(tmp_path / "d")
+    index = str(tmp_path / "i")
+    dv = str(tmp_path / "v")
+    # partition by b: file(s) holding b=2 will be deleted entirely
+    df.repartition(4, "b").write.parquet(data)
+    build_stats_index(spark, data, index)
+    delete_where(spark, data, dv, "b = 2")
+    compact_deletes(spark, data, dv, index)
+    got = sorted(tuple(r) for r in spark.read.parquet(data).collect())
+    assert got == sorted(
+        (i, i % 4) for i in range(400) if i % 4 != 2
+    )
+    # no resurrectable rows anywhere
+    assert spark.read.parquet(data).filter(F.col("b") == 2).count() == 0
