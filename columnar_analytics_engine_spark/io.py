@@ -340,30 +340,9 @@ def write_zorder(
     driver collect, one extra (tiny) pass.  ``bits``·len(cols) must
     stay ≤ 62 (signed long).
     """
-    from pyspark.sql import functions as F
+    from columnar_analytics_engine_spark.layout import zorder_frame
 
-    from columnar_analytics_engine_spark.layout import morton_expr, scaled_bin
-
-    if bits * len(cols) > 62:
-        raise ValueError("bits * len(cols) must be <= 62")
-    stats = df.agg(
-        *[F.min(c).cast("double").alias(f"_mn_{c}") for c in cols],
-        *[F.max(c).cast("double").alias(f"_mx_{c}") for c in cols],
-    )
-    j = df.join(F.broadcast(stats))
-    bins = [
-        scaled_bin(
-            F.col(c), F.col(f"_mn_{c}"), F.col(f"_mx_{c}"), (1 << bits) - 1
-        )
-        for c in cols
-    ]
-    out = (
-        j.withColumn("_z", morton_expr(bins, bits))
-        .drop(*[f"_mn_{c}" for c in cols], *[f"_mx_{c}" for c in cols])
-        .repartitionByRange(n_files, F.col("_z"))
-        .sortWithinPartitions("_z")
-        .drop("_z")
-    )
+    out = zorder_frame(df, cols, n_files, bits=bits)
     writer = out.write.mode(mode)
     if row_group_bytes is not None:
         writer = writer.option("parquet.block.size", str(row_group_bytes))

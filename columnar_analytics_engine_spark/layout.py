@@ -115,6 +115,33 @@ def with_zorder_bucket(
     ).drop(*[f"_mn_{c}" for c in cols], *[f"_mx_{c}" for c in cols])
 
 
+def zorder_frame(
+    df: DataFrame, cols: list[str], n_files: int, bits: int = 16
+) -> DataFrame:
+    """``df`` arranged in Z-order: Morton value over ``cols`` (each
+    range-binned to ``bits`` bits against the frame's exact min/max),
+    range-partitioned into ``n_files`` and sorted within each — the
+    arrangement ``io.write_zorder`` persists, reusable wherever the
+    writer is different (e.g. per-micro-batch clustering inside a
+    ``foreachBatch`` sink)."""
+    if bits * len(cols) > 62:
+        raise ValueError("bits * len(cols) must be <= 62")
+    j = _with_minmax(df, cols)
+    bins = [
+        scaled_bin(
+            F.col(c), F.col(f"_mn_{c}"), F.col(f"_mx_{c}"), (1 << bits) - 1
+        )
+        for c in cols
+    ]
+    return (
+        j.withColumn("_z", morton_expr(bins, bits))
+        .drop(*[f"_mn_{c}" for c in cols], *[f"_mx_{c}" for c in cols])
+        .repartitionByRange(n_files, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )
+
+
 def bucket_extents(
     df_bucketed: DataFrame, probe_cols: list[str], layout: str
 ) -> DataFrame:

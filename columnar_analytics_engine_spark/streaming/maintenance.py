@@ -77,7 +77,14 @@ def compact_batch_partitions(
     }
 
 
-def stats_indexed_sink(spark: SparkSession, data_path: str, index_path: str):
+def stats_indexed_sink(
+    spark: SparkSession,
+    data_path: str,
+    index_path: str,
+    cluster_cols: list[str] | None = None,
+    cluster_files: int = 4,
+    cluster_bits: int = 8,
+):
     """``foreachBatch`` processor: append micro-batches to a Parquet
     dataset and keep its file-level stats-skipping index
     (``skipping.py``) current after every commit.
@@ -96,6 +103,16 @@ def stats_indexed_sink(spark: SparkSession, data_path: str, index_path: str):
     consistent snapshot; a batch becomes visible atomically when its
     update lands.  At 100 TB this also removes the per-query object-
     store listing, which is usually the dominant planning cost.
+
+    With ``cluster_cols`` each batch is additionally arranged in
+    Z-order over those columns before landing (``layout.zorder_frame``,
+    ``cluster_files`` files per batch) — clustered INGEST: every
+    landed file covers a narrow hyper-rectangle of the batch's key
+    space, so the stats index prunes inside batches too, not just
+    across the batch_id partitioning.  The cost is one batch-local
+    range shuffle per micro-batch; nothing about retry idempotency or
+    index reconciliation changes (the arrangement is deterministic for
+    a given batch, and a retry overwrites its whole partition anyway).
     """
     from columnar_analytics_engine_spark.skipping import (
         build_stats_index,
@@ -103,8 +120,15 @@ def stats_indexed_sink(spark: SparkSession, data_path: str, index_path: str):
     )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        out = batch_df
+        if cluster_cols:
+            from columnar_analytics_engine_spark.layout import zorder_frame
+
+            out = zorder_frame(
+                out, cluster_cols, cluster_files, bits=cluster_bits
+            )
         (
-            batch_df.withColumn("batch_id", F.lit(batch_id))
+            out.withColumn("batch_id", F.lit(batch_id))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")

@@ -838,3 +838,67 @@ def test_stats_indexed_sink_maintains_manifest_per_batch(spark, tmp_path):
     process(one_batch, 1)
     got2 = read_skipping(spark, data, index, "k ge 0")
     assert sorted(r["k"] for r in got2.collect()) == [0, 1, 2, 3, 4]
+
+
+def test_stats_indexed_sink_clustered_ingest(spark, tmp_path):
+    """cluster_cols: each micro-batch lands Z-order-arranged, so the
+    stats index prunes INSIDE a batch; results identical either way."""
+    import os
+
+    from pyspark.sql import functions as SF
+
+    from columnar_analytics_engine_spark.layout import (
+        clustering_depth,
+        index_extents,
+    )
+    from columnar_analytics_engine_spark.skipping import (
+        plan_skipping,
+        read_skipping,
+    )
+    from columnar_analytics_engine_spark.streaming.maintenance import (
+        stats_indexed_sink,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # one wide batch: 4k rows over two independent keys
+    rows = spark.range(4000).select(
+        (SF.col("id") % 64).alias("x"),
+        SF.pmod(SF.col("id") * 2654435761, SF.lit(64)).alias("y"),
+        SF.col("id").alias("payload"),
+    )
+    rows.coalesce(1).write.parquet(f"{src}/b0.parquet")
+    stream = (
+        spark.readStream.schema("x long, y long, payload long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/b*.parquet")
+    )
+    data = str(tmp_path / "table")
+    index = str(tmp_path / "index")
+    process = stats_indexed_sink(
+        spark, data, index, cluster_cols=["x", "y"], cluster_files=8,
+        cluster_bits=6,
+    )
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # contents exact
+    got = read_skipping(spark, data, index, "x ge 0")
+    assert got.count() == 4000
+    assert sorted(r["payload"] for r in got.collect()) == list(range(4000))
+    # in-batch pruning on BOTH z columns
+    for pred in ("x ge 0 and x le 7", "y ge 0 and y le 7"):
+        plan = plan_skipping(spark, index, pred)
+        assert plan["files_pruned"] > 0, pred
+    # clustered, measurably: depth well below file count on both axes
+    d = {
+        r["probe_col"]: r["avg_depth"]
+        for r in clustering_depth(index_extents(spark, index, ["x", "y"])).collect()
+    }
+    n_files = plan_skipping(spark, index, "x ge 0")["files_total"]
+    assert d["x"] <= n_files / 2 and d["y"] <= n_files / 2
