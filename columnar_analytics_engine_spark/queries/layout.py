@@ -202,16 +202,23 @@ def skipping_bloom_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     data = f"{tempfile.gettempdir()}/cae_bloom_data_{tag}"
     index = f"{tempfile.gettempdir()}/cae_bloom_idx_{tag}"
     bloom = f"{tempfile.gettempdir()}/cae_bloom_blm_{tag}"
-    write_shuffled(src, data, "o_orderkey", n_files=16)
-    build_stats_index(spark, data, index)
-    build_bloom_index(spark, data, bloom, ["o_orderkey"])
-    return read_skipping(
-        spark, data, index, "o_orderkey eq 42", bloom_path=bloom
-    ).agg(
+    agg_cols = (
         F.count("*").alias("n_orders"),
         F.sum("o_custkey").alias("sum_custkey"),
         exact_sum("o_totalprice", "sum_price"),
     )
+    write_shuffled(src, data, "o_orderkey", n_files=16)
+    from columnar_analytics_engine_spark.skipping import list_parquet_files
+
+    if not list_parquet_files(data):
+        # empty source: a hive-partitioned write of zero rows lands no
+        # files, so there is nothing to index — same plan, unpruned
+        return src.filter(F.col("o_orderkey") == 42).agg(*agg_cols)
+    build_stats_index(spark, data, index)
+    build_bloom_index(spark, data, bloom, ["o_orderkey"])
+    return read_skipping(
+        spark, data, index, "o_orderkey eq 42", bloom_path=bloom
+    ).agg(*agg_cols)
 
 
 def skipping_dynamic_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -288,20 +295,28 @@ def layout_cluster_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = hashlib.md5(f"{sf_dir}:{os.getpid()}".encode()).hexdigest()[:12]
     data = f"{tempfile.gettempdir()}/cae_compact_data_{tag}"
     index = f"{tempfile.gettempdir()}/cae_compact_idx_{tag}"
-    write_shuffled(src, data, "o_orderkey", n_files=16)
-    build_stats_index(spark, data, index)
-    cluster_compact(
-        spark, data, index, ["o_custkey", "o_orderkey"], max_files=64
-    )
-    return read_skipping(
-        spark, data, index, "o_custkey ge 10 and o_custkey le 60"
-    ).agg(
+    agg_cols = (
         F.count("*").alias("n_orders"),
         F.sum("o_orderkey").alias("sum_orderkey"),
         exact_sum("o_totalprice", "sum_price"),
         F.min("o_custkey").alias("min_cust"),
         F.max("o_custkey").alias("max_cust"),
     )
+    write_shuffled(src, data, "o_orderkey", n_files=16)
+    from columnar_analytics_engine_spark.skipping import list_parquet_files
+
+    if not list_parquet_files(data):
+        # empty source (see skipping_bloom_scan): nothing to compact
+        return src.filter(
+            (F.col("o_custkey") >= 10) & (F.col("o_custkey") <= 60)
+        ).agg(*agg_cols)
+    build_stats_index(spark, data, index)
+    cluster_compact(
+        spark, data, index, ["o_custkey", "o_orderkey"], max_files=64
+    )
+    return read_skipping(
+        spark, data, index, "o_custkey ge 10 and o_custkey le 60"
+    ).agg(*agg_cols)
 
 
 def _deletes_fixture(spark: SparkSession, sf_dir: str, tag_suffix: str):

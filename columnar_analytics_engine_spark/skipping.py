@@ -70,37 +70,71 @@ _OPS = {
     "ge": "ge", ">=": "ge",
 }
 
+_LIT_RE = r"(?:'((?:[^']|'')*)'|(-?\d+\.\d+(?:[eE][-+]?\d+)?)|(-?\d+))"
+
 _CLAUSE_RE = re.compile(
     r"\s*([A-Za-z_][A-Za-z0-9_]*)\s*"
     r"(eq|ne|lt|le|gt|ge|==|=|!=|<=|>=|<|>)\s*"
-    r"(?:'((?:[^']|'')*)'|(-?\d+\.\d+(?:[eE][-+]?\d+)?)|(-?\d+))\s*",
+    + _LIT_RE
+    + r"\s*",
 )
+
+_IN_RE = re.compile(
+    r"\s*([A-Za-z_][A-Za-z0-9_]*)\s+(?i:in)\s*\(([^)]*)\)\s*"
+)
+
+_MAX_IN_LIST = 1000
+
+
+def _parse_literal(s_lit, f_lit, i_lit) -> Any:
+    if s_lit is not None:
+        return s_lit.replace("''", "'")
+    if f_lit is not None:
+        return float(f_lit)
+    return int(i_lit)
 
 
 def parse_predicate(expr: str) -> list[tuple[str, str, Any]]:
-    """Parse an AND-conjoined comparison predicate into
-    (column, op, literal) clauses; literals are int, float, or str
-    (single-quoted, ``''`` escapes a quote)."""
+    """Parse an AND-conjoined predicate into (column, op, literal)
+    clauses; literals are int, float, or str (single-quoted, ``''``
+    escapes a quote).  ``col in (lit, lit, ...)`` parses to an ``in``
+    clause whose literal is the value LIST (≤ 1000 entries — an eq-set,
+    so it composes with interval AND bloom pruning per value)."""
     clauses: list[tuple[str, str, Any]] = []
     for part in re.split(r"(?i)\s+and\s+", expr.strip()):
         if not part:
             continue
         m = _CLAUSE_RE.fullmatch(part)
-        if not m:
-            raise ValueError(
-                f"skipping predicate: cannot parse clause {part!r} "
-                "(grammar: col [eq|ne|lt|le|gt|ge|=|==|!=|<|<=|>|>=] "
-                "(int|float|'string'), joined with AND)"
-            )
-        col, op, s_lit, f_lit, i_lit = m.groups()
-        val: Any
-        if s_lit is not None:
-            val = s_lit.replace("''", "'")
-        elif f_lit is not None:
-            val = float(f_lit)
-        else:
-            val = int(i_lit)
-        clauses.append((col, _OPS[op.lower()], val))
+        if m:
+            col, op, s_lit, f_lit, i_lit = m.groups()
+            clauses.append((col, _OPS[op.lower()], _parse_literal(s_lit, f_lit, i_lit)))
+            continue
+        m = _IN_RE.fullmatch(part)
+        if m:
+            col, body = m.groups()
+            if not body.strip():
+                raise ValueError(
+                    f"skipping predicate: IN list must have 1..{_MAX_IN_LIST} items"
+                )
+            vals = []
+            for item in body.split(","):
+                lm = re.fullmatch(r"\s*" + _LIT_RE + r"\s*", item)
+                if not lm:
+                    raise ValueError(
+                        f"skipping predicate: bad IN-list item {item!r}"
+                    )
+                vals.append(_parse_literal(*lm.groups()))
+            if not vals or len(vals) > _MAX_IN_LIST:
+                raise ValueError(
+                    f"skipping predicate: IN list must have 1..{_MAX_IN_LIST} items"
+                )
+            clauses.append((col, "in", vals))
+            continue
+        raise ValueError(
+            f"skipping predicate: cannot parse clause {part!r} "
+            "(grammar: col [eq|ne|lt|le|gt|ge|=|==|!=|<|<=|>|>=] "
+            "(int|float|'string') | col in (lit, ...), joined with AND)"
+        )
     return clauses
 
 
@@ -361,6 +395,12 @@ def _prune_condition(op: str, val: Any) -> F.Column:
     prune.  NULLs satisfy no comparison, so an all-null file prunes
     under every op.
     """
+    if op == "in":
+        # an eq-set: the file is excludable iff EVERY member is
+        cond = _prune_condition("eq", val[0])
+        for v in val[1:]:
+            cond = cond & _prune_condition("eq", v)
+        return cond
     if isinstance(val, str):
         cond = (F.col("kind") == "str") & _interval_excludes(
             op, F.col("min_str"), F.col("max_str"), F.lit(val)
@@ -414,6 +454,8 @@ def _prune_condition(op: str, val: Any) -> F.Column:
 
 def _clause_column(col: str, op: str, val: Any) -> F.Column:
     c = F.col(col)
+    if op == "in":
+        return c.isin(*val)
     return {
         "eq": c == F.lit(val), "ne": c != F.lit(val),
         "lt": c < F.lit(val), "le": c <= F.lit(val),
@@ -454,8 +496,12 @@ def plan_skipping(
         for col, op, val in clauses:
             if op == "eq":
                 bp = bloom_prune(spark, bloom_path, col, val)
-                if bp:
-                    pruned_files |= bp
+            elif op == "in":
+                bp = bloom_prune_many(spark, bloom_path, col, val)
+            else:
+                continue
+            if bp:
+                pruned_files |= bp
     kept = [f for f in all_files if f not in pruned_files]
     return {
         "files": kept,
@@ -915,16 +961,21 @@ def update_bloom_index(
     return {"added": len(added), "removed": len(removed)}
 
 
-def _bloom_member_expr(h1_col: str, h2_col: str) -> F.Column:
-    """TRUE iff every probe position is set in ``words`` — evaluated
-    per bloom row, entirely JVM-side (higher-order functions; the
-    modular form keeps every intermediate below 2^60)."""
-    return F.expr(
+def _bloom_member_sql(h1: str, h2: str) -> str:
+    """SQL fragment: TRUE iff every probe position is set in ``words``
+    — evaluated per bloom row, entirely JVM-side (higher-order
+    functions; the modular form keeps every intermediate below 2^60).
+    ``h1``/``h2`` are SQL expressions (literals or lambda fields)."""
+    return (
         f"forall(transform(sequence(0L, k - 1L),"
-        f" i -> pmod(pmod({h1_col}, m) + i * pmod({h2_col}, m), m)),"
+        f" i -> pmod(pmod({h1}, m) + i * pmod({h2}, m), m)),"
         f" p -> (shiftright(words[CAST(p DIV 64 AS INT)],"
         f" CAST(pmod(p, 64) AS INT)) & 1) = 1)"
     )
+
+
+def _bloom_member_expr(h1_col: str, h2_col: str) -> F.Column:
+    return F.expr(_bloom_member_sql(h1_col, h2_col))
 
 
 def bloom_prune(
@@ -934,13 +985,35 @@ def bloom_prune(
     ``value`` (None when the value's kind is not bloom-indexable —
     caller keeps everything).  Files without a bloom row are never in
     the returned set."""
-    canon = _bloom_canon(value)
-    if canon is None:
+    return bloom_prune_many(spark, bloom_path, column, [value])
+
+
+def bloom_prune_many(
+    spark: SparkSession, bloom_path: str, column: str, values: list[Any]
+) -> set[str] | None:
+    """Files whose bloom filter refutes EVERY value in ``values`` (the
+    IN-list / join-key-set prune), in one pass over the bloom table:
+    per row, ``forall`` over the (driver-hashed) value pairs of NOT
+    member.  Returns None — caller keeps everything — if any value is
+    not bloom-indexable or the values mix kinds."""
+    canons = [_bloom_canon(v) for v in values]
+    if not canons or any(c is None for c in canons):
         return None
-    kind = "int" if isinstance(value, int) else "str"
-    h1, h2 = _bloom_hash_pair(canon)
+    kinds = {"int" if isinstance(v, int) else "str" for v in values}
+    if len(kinds) != 1:
+        return None
+    (kind,) = kinds
+    pairs = ", ".join(
+        "named_struct('h1', {0}L, 'h2', {1}L)".format(*_bloom_hash_pair(c))
+        for c in canons
+    )
     bl = spark.read.parquet(bloom_path).filter(
         (F.col("column") == column) & (F.col("kind") == kind) & (F.col("m") > 0)
     )
-    miss = bl.filter(~_bloom_member_expr(f"{h1}L", f"{h2}L")).select("file")
+    miss = bl.filter(
+        F.expr(
+            f"forall(array({pairs}),"
+            f" q -> NOT ({_bloom_member_sql('q.h1', 'q.h2')}))"
+        )
+    ).select("file")
     return {r["file"] for r in miss.collect()}

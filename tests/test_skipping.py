@@ -521,3 +521,51 @@ def test_update_bloom_index_incremental(spark, tmp_path):
     assert bloom_prune(spark, bloom, "a", 1000) is not None
     assert len(bloom_prune(spark, bloom, "a", 999)) == 3
     assert update_bloom_index(spark, data, bloom) == {"added": 0, "removed": 0}
+
+
+def test_parse_predicate_in_list():
+    assert parse_predicate("a in (1, 2, 3) and b eq 'x'") == [
+        ("a", "in", [1, 2, 3]),
+        ("b", "eq", "x"),
+    ]
+    assert parse_predicate("s IN ('a', 'b''c')") == [("s", "in", ["a", "b'c"])]
+    with pytest.raises(ValueError, match="IN list"):
+        parse_predicate("a in ()")
+    with pytest.raises(ValueError, match="bad IN-list item"):
+        parse_predicate("a in (1, oops)")
+
+
+def test_in_list_interval_pruning_and_exactness(spark, sorted_orders):
+    data, index = sorted_orders
+    src = spark.read.parquet(data)
+    lo = src.agg(F.min("o_custkey")).first()[0]
+    pred = f"o_custkey in ({lo}, {lo + 1}, {lo + 2})"
+    plan = plan_skipping(spark, index, pred)
+    assert plan["files_pruned"] > 0  # sorted layout: the set sits low
+    got = read_skipping(spark, data, index, pred)
+    assert sorted(r["o_orderkey"] for r in got.collect()) == sorted(
+        r["o_orderkey"]
+        for r in src.filter(
+            F.col("o_custkey").isin(lo, lo + 1, lo + 2)
+        ).collect()
+    )
+
+
+def test_in_list_bloom_pruning(spark, bloomed_orders):
+    data, index, bloom = bloomed_orders
+    src = spark.read.parquet(data)
+    lo, hi = src.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    mids = [int((lo + hi) // 2 + d) for d in (0, 1)]
+    pred = f"o_orderkey in ({mids[0]}, {mids[1]})"
+    no_bloom = plan_skipping(spark, index, pred)
+    with_bloom = plan_skipping(spark, index, pred, bloom_path=bloom)
+    assert no_bloom["files_pruned"] == 0
+    assert with_bloom["files_pruned"] > 0
+    # exactness is the proof that "prune only when ALL values miss"
+    # held: rows for EVERY in-list value survive the pruned read
+    got = read_skipping(spark, data, index, pred, bloom_path=bloom)
+    assert sorted(r["o_custkey"] for r in got.collect()) == sorted(
+        r["o_custkey"]
+        for r in src.filter(F.col("o_orderkey").isin(*mids)).collect()
+    )
+    assert got.count() == len(mids)  # unique keys: one row per value
