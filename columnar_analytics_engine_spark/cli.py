@@ -247,6 +247,21 @@ def cmd_delete(args: argparse.Namespace) -> None:
     print(json.dumps(out))
 
 
+def cmd_upsert(args: argparse.Namespace) -> None:
+    """Index-bounded MERGE (layout.merge_upsert_files): upsert a
+    source parquet dataset into the target by key, rewriting only the
+    files the stats index says can contain a source key."""
+    from columnar_analytics_engine_spark.layout import merge_upsert_files
+
+    spark = get_spark(app_name="cae-upsert")
+    source = spark.read.parquet(args.source)
+    out = merge_upsert_files(
+        spark, args.data, args.index, source, args.key,
+        bloom_path=args.bloom,
+    )
+    print(json.dumps(out))
+
+
 def cmd_cluster_report(args: argparse.Namespace) -> None:
     """Clustering-depth report from a stats index (layout.py): per
     probe column, how many files overlap each file's value range on
@@ -421,6 +436,16 @@ def main(argv: list[str] | None = None) -> None:
     cp.add_argument("--max-files", type=int, default=64)
     cp.add_argument("--vacuum", action="store_true", help="GC unindexed strays after")
     cp.set_defaults(fn=cmd_compact)
+
+    up = sub.add_parser(
+        "upsert", help="index-bounded MERGE of a source parquet dataset by key"
+    )
+    up.add_argument("data", help="target parquet dataset directory")
+    up.add_argument("index", help="stats index location")
+    up.add_argument("source", help="source parquet dataset (the upsert rows)")
+    up.add_argument("--key", required=True, help="merge key column")
+    up.add_argument("--bloom", help="bloom index to tighten the affected set")
+    up.set_defaults(fn=cmd_upsert)
 
     dl = sub.add_parser(
         "delete", help="row-level deletes via deletion vectors (--where / --compact)"

@@ -318,6 +318,45 @@ def _swap_index(
     shutil.rmtree(staging, ignore_errors=True)
 
 
+def publish_rewrite(
+    spark: SparkSession,
+    data_path: str,
+    index_path: str,
+    drop_files: list[str],
+    df: DataFrame,
+) -> list[str]:
+    """The shared rewrite-publish discipline (cluster_compact /
+    compact_deletes / merge_upsert_files): write ``df`` to a staging
+    SIBLING of the dataset (a nested subdir would corrupt plain
+    directory-listing reads), rename its part files into the dataset
+    root under unique ``rewrite-*`` names (per-file-atomic), swap the
+    stats-index manifest (drop ``drop_files``, add the new files), and
+    only then delete the originals.  Index-planned readers never see a
+    torn state; a crash strands only vacuum-able garbage
+    (``vacuum_unindexed``).  ``df`` must already be arranged (sorted /
+    range-partitioned / coalesced) the way the caller wants it
+    persisted."""
+    import os
+    import shutil
+    import uuid
+
+    from columnar_analytics_engine_spark.skipping import list_parquet_files
+
+    tag = uuid.uuid4().hex[:12]
+    staging = data_path.rstrip("/") + f".rewrite-{tag}"
+    df.write.parquet(staging)
+    new_files = []
+    for i, src in enumerate(list_parquet_files(staging)):
+        dst = os.path.join(data_path, f"rewrite-{tag}-{i:05d}.parquet")
+        os.rename(src, dst)
+        new_files.append(dst)
+    shutil.rmtree(staging, ignore_errors=True)
+    _swap_index(spark, index_path, drop_files, new_files, data_path)
+    for f in drop_files:
+        os.remove(f)
+    return new_files
+
+
 def cluster_compact(
     spark: SparkSession,
     data_path: str,
@@ -349,11 +388,6 @@ def cluster_compact(
     re-adopt stranded originals.
     """
     import os
-    import shutil
-    import uuid
-
-    from columnar_analytics_engine_spark.io import write_sorted, write_zorder
-    from columnar_analytics_engine_spark.skipping import list_parquet_files
 
     cand = overlap_candidates(
         spark, index_path, cols[0], max_files=max_files,
@@ -364,21 +398,11 @@ def cluster_compact(
     total = sum(os.path.getsize(f) for f in cand)
     n_files = max(1, int((total + target_file_bytes - 1) // target_file_bytes))
     df = spark.read.option("basePath", data_path).parquet(*cand)
-    tag = uuid.uuid4().hex[:12]
-    staging = data_path.rstrip("/") + f".rewrite-{tag}"
     if len(cols) == 1:
-        write_sorted(df, staging, cols, n_files=n_files)
+        arranged = df.repartitionByRange(n_files, *cols).sortWithinPartitions(*cols)
     else:
-        write_zorder(df, staging, cols, n_files=n_files, bits=bits)
-    new_files = []
-    for i, src in enumerate(list_parquet_files(staging)):
-        dst = os.path.join(data_path, f"rewrite-{tag}-{i:05d}.parquet")
-        os.rename(src, dst)
-        new_files.append(dst)
-    shutil.rmtree(staging, ignore_errors=True)
-    _swap_index(spark, index_path, cand, new_files, data_path)
-    for f in cand:
-        os.remove(f)
+        arranged = zorder_frame(df, cols, n_files, bits=bits)
+    new_files = publish_rewrite(spark, data_path, index_path, cand, arranged)
     return {"rewritten": len(cand), "new_files": len(new_files)}
 
 
@@ -405,3 +429,68 @@ def vacuum_unindexed(spark: SparkSession, data_path: str, index_path: str) -> li
         shutil.rmtree(d, ignore_errors=True)
         stranded.append(d)
     return stranded
+
+
+def merge_upsert_files(
+    spark: SparkSession,
+    data_path: str,
+    index_path: str,
+    source: DataFrame,
+    key: str,
+    max_keys: int = 100_000,
+    bloom_path: str | None = None,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """MERGE-on-write with I/O bounded by the AFFECTED files: upsert
+    ``source`` rows into the dataset by ``key`` (source wins on
+    conflict, unmatched source rows insert), rewriting only the files
+    the stats index says might contain a source key.
+
+    The affected set comes from ``skipping.plan_skipping_join`` (files
+    whose key interval — and bloom filter, when ``bloom_path`` is
+    given — can contain at least one source key; files without usable
+    stats count as affected).  Its superset guarantee is exactly what
+    MERGE needs: a key absent from every affected file is absent from
+    the table, so writing ALL source rows into the rewrite both
+    updates matches and inserts the rest.  On a key-clustered table a
+    10k-row upsert rewrites a handful of files; on a shuffled table
+    the honest answer is "most of them" (the bloom index tightens it).
+
+    Same contract as ``operators.merge.merge_upsert`` (key-unique
+    sides, matching schemas — the frame-level twin for when a full
+    rewrite is intended anyway) and the same publish discipline /
+    crash story as the other maintenance ops (``publish_rewrite``).
+    Fold deletion vectors FIRST (``deletes.compact_deletes``): the
+    rewrite reads physical rows and does not consult DVs."""
+    import os
+
+    from columnar_analytics_engine_spark.skipping import plan_skipping_join
+
+    plan = plan_skipping_join(
+        spark, index_path, key, source.select(key), max_keys,
+        bloom_path=bloom_path,
+    )
+    affected = plan["files"]
+    if not affected:
+        # no file can hold any source key: pure insert
+        n_files = 1
+        new_files = publish_rewrite(
+            spark, data_path, index_path, [], source.coalesce(n_files)
+        )
+        return {"affected_files": 0, "new_files": len(new_files),
+                "pruned_files": plan["files_pruned"]}
+    total = sum(os.path.getsize(f) for f in affected)
+    n_files = max(1, int((total + target_file_bytes - 1) // target_file_bytes))
+    old = spark.read.option("basePath", data_path).parquet(*affected)
+    merged = old.join(
+        F.broadcast(source.select(key)), key, "left_anti"
+    ).unionByName(source)
+    new_files = publish_rewrite(
+        spark, data_path, index_path, affected,
+        merged.repartitionByRange(n_files, key).sortWithinPartitions(key),
+    )
+    return {
+        "affected_files": len(affected),
+        "new_files": len(new_files),
+        "pruned_files": plan["files_pruned"],
+    }

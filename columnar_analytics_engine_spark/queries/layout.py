@@ -319,6 +319,74 @@ def layout_cluster_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(*agg_cols)
 
 
+def layout_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-on-write bounded by the affected files: upsert a
+    source of updates (+1000 on a price slice) and inserts (shifted
+    keys) into a key-clustered ``orders``, rewriting ONLY the files
+    the stats index says can contain a source key
+    (``layout.merge_upsert_files`` ← ``skipping.plan_skipping_join``'s
+    superset guarantee: a key absent from every affected file is
+    absent from the table, so the rewrite both updates and inserts).
+    The oracle replays the MERGE relationally (anti-join ∪ source) on
+    the untouched source table."""
+    from columnar_analytics_engine_spark.io import write_sorted
+    from columnar_analytics_engine_spark.layout import merge_upsert_files
+    from columnar_analytics_engine_spark.skipping import build_stats_index
+
+    import hashlib
+    import os
+    import tempfile
+
+    src = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    tag = hashlib.md5(f"{sf_dir}:{os.getpid()}".encode()).hexdigest()[:12]
+    data = f"{tempfile.gettempdir()}/cae_merge_data_{tag}"
+    index = f"{tempfile.gettempdir()}/cae_merge_idx_{tag}"
+    write_sorted(src, data, ["o_orderkey"], n_files=8)
+    build_stats_index(spark, data, index)
+    updates = src.filter(F.col("o_orderkey") <= 300).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(1000.0)
+    )
+    inserts = updates.filter(F.col("o_orderkey") <= 100).select(
+        (F.col("o_orderkey") + 20_000_000).alias("o_orderkey"),
+        "o_custkey",
+        "o_totalprice",
+    )
+    merge_upsert_files(
+        spark, data, index, updates.unionByName(inserts), "o_orderkey"
+    )
+    return spark.read.parquet(data).agg(
+        F.count("*").alias("n_rows"),
+        F.sum("o_orderkey").alias("sum_orderkey"),
+        F.sum("o_custkey").alias("sum_custkey"),
+        exact_sum("o_totalprice", "sum_price"),
+    )
+
+
+_MERGE_SQL = f"""
+    WITH src AS (
+      SELECT o_orderkey, o_custkey, o_totalprice + 1000 AS o_totalprice
+      FROM orders WHERE o_orderkey <= 300
+      UNION ALL
+      SELECT o_orderkey + 20000000, o_custkey, o_totalprice + 1000
+      FROM orders WHERE o_orderkey <= 100
+    ),
+    merged AS (
+      SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+      FROM orders o
+      WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM src)
+      UNION ALL
+      SELECT * FROM src
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_orderkey,
+           CAST(SUM(o_custkey) AS BIGINT) AS sum_custkey,
+           {sql_exact_sum('o_totalprice', 'sum_price')}
+    FROM merged
+"""
+
+
 def _deletes_fixture(spark: SparkSession, sf_dir: str, tag_suffix: str):
     import hashlib
     import os
@@ -391,6 +459,13 @@ def deletes_compact_physical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES: dict[str, QuerySpec] = {
+    "layout_merge_upsert": QuerySpec(
+        layout_merge_upsert,
+        _MERGE_SQL,
+        "MERGE-on-write rewriting only the index-affected files "
+        "(oracle replays the merge relationally)",
+        ("scale", "maintenance", "merge", "index"),
+    ),
     "deletes_merge_on_read": QuerySpec(
         deletes_merge_on_read,
         _DELETES_AGG_SQL,

@@ -290,3 +290,23 @@ def test_cli_delete_and_fold(spark, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out)
     assert out["tombstones_cleared"] == doomed
     assert spark.read.parquet(raw).count() == total - doomed
+
+
+def test_cli_upsert(spark, tmp_path, capsys):
+    raw = str(tmp_path / "raw")
+    cli.main(["write", raw, "1000", "13"])
+    capsys.readouterr()
+    idx = str(tmp_path / "idx")
+    cli.main(["index", "build", raw, idx])
+    capsys.readouterr()
+    from pyspark.sql import functions as F
+
+    src_dir = str(tmp_path / "src")
+    spark.read.parquet(raw).limit(5).withColumn(
+        "value", F.lit(99999).cast("long")
+    ).write.parquet(src_dir)
+    cli.main(["upsert", raw, idx, src_dir, "--key", "id"])
+    out = json.loads(capsys.readouterr().out)
+    assert out["new_files"] >= 1
+    assert spark.read.parquet(raw).filter("value = 99999").count() == 5
+    assert spark.read.parquet(raw).count() == 1000

@@ -280,3 +280,83 @@ def test_vacuum_unindexed_gc_and_reader_isolation(spark, sf_small, tmp_path):
     assert removed == [stray]
     assert stray not in list_parquet_files(data)
     assert _sorted_rows(read_skipping(spark, data, index, pred)) == before
+
+
+# ---------------------------------------------------------------------------
+# Index-bounded MERGE (upsert)
+# ---------------------------------------------------------------------------
+
+from columnar_analytics_engine_spark.layout import merge_upsert_files  # noqa: E402
+
+
+def test_merge_upsert_files_bounded_and_exact(spark, sf_small, tmp_path):
+    from columnar_analytics_engine_spark.io import write_sorted
+
+    cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    orders = read_table(spark, sf_small, "orders").select(*cols)
+    data = str(tmp_path / "data")
+    index = str(tmp_path / "idx")
+    write_sorted(orders, data, ["o_orderkey"], n_files=8)
+    build_stats_index(spark, data, index)
+    n_before = len(list_parquet_files(data))
+
+    lo = orders.agg(F.min("o_orderkey")).first()[0]
+    updates = (
+        orders.filter(F.col("o_orderkey") <= lo + 50)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1000.0)
+    )
+    inserts = updates.select(
+        (F.col("o_orderkey") + 20_000_000).alias("o_orderkey"),
+        "o_custkey",
+        "o_totalprice",
+    )
+    source = updates.unionByName(inserts)
+
+    out = merge_upsert_files(spark, data, index, source, "o_orderkey")
+    # key-clustered: only the low-key file(s) rewrite
+    assert 0 < out["affected_files"] < n_before
+    assert out["pruned_files"] > 0
+
+    got = sorted(tuple(r) for r in spark.read.parquet(data).collect())
+    expect = sorted(
+        tuple(r)
+        for r in orders.join(
+            source.select("o_orderkey"), "o_orderkey", "left_anti"
+        )
+        .unionByName(source)
+        .collect()
+    )
+    assert got == expect
+    # index manifest still mirrors disk, pruned reads still exact
+    disk = set(list_parquet_files(data))
+    indexed = {
+        r["file"]
+        for r in spark.read.parquet(index).select("file").distinct().collect()
+    }
+    assert disk == indexed
+    got2 = read_skipping(spark, data, index, f"o_orderkey le {lo + 50}")
+    assert got2.count() == updates.count()
+    assert got2.agg(F.min("o_totalprice")).first()[0] >= 1000.0
+
+
+def test_merge_upsert_files_pure_insert(spark, sf_small, tmp_path):
+    from columnar_analytics_engine_spark.io import write_sorted
+
+    cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    orders = read_table(spark, sf_small, "orders").select(*cols)
+    data = str(tmp_path / "data")
+    index = str(tmp_path / "idx")
+    write_sorted(orders, data, ["o_orderkey"], n_files=4)
+    build_stats_index(spark, data, index)
+    n = orders.count()
+    inserts = spark.createDataFrame(
+        [(90_000_001, 1, 10.0), (90_000_002, 2, 20.0)],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    )
+    out = merge_upsert_files(spark, data, index, inserts, "o_orderkey")
+    assert out["affected_files"] == 0  # keys beyond every interval
+    assert spark.read.parquet(data).count() == n + 2
+    got = read_skipping(spark, data, index, "o_orderkey ge 90000000")
+    assert sorted(r["o_orderkey"] for r in got.collect()) == [
+        90_000_001, 90_000_002,
+    ]
