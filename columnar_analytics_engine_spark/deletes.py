@@ -150,11 +150,7 @@ def compact_deletes(
     row is deleted are dropped without a rewrite.  Run this before
     ``layout.cluster_compact`` when tombstones exist — the re-cluster
     path moves physical rows and does not consult DVs."""
-    import shutil
-    import uuid
-
-    from columnar_analytics_engine_spark.layout import _swap_index
-    from columnar_analytics_engine_spark.skipping import list_parquet_files
+    from columnar_analytics_engine_spark.layout import publish_rewrite
 
     dv = _dv(spark, dv_path)
     affected = sorted(
@@ -176,22 +172,14 @@ def compact_deletes(
         (tagged["__dv_file"] == dv["file"]) & (tagged["__dv_ri"] == dv["row_index"]),
         "left_anti",
     ).drop("__dv_file", "__dv_ri")
-    tag = uuid.uuid4().hex[:12]
-    staging = data_path.rstrip("/") + f".rewrite-{tag}"
-    survivors.coalesce(max(1, len(affected) // 4)).write.parquet(staging)
-    new_files = []
-    for i, src in enumerate(list_parquet_files(staging)):
-        dst = os.path.join(data_path, f"rewrite-{tag}-{i:05d}.parquet")
-        os.rename(src, dst)
-        new_files.append(dst)
-    shutil.rmtree(staging, ignore_errors=True)
-    _swap_index(spark, index_path, affected, new_files, data_path)
+    new_files = publish_rewrite(
+        spark, data_path, index_path, affected,
+        survivors.coalesce(max(1, len(affected) // 4)),
+    )
     affected_df = spark.createDataFrame([(f,) for f in affected], "file string")
     remaining = dv.join(F.broadcast(affected_df), "file", "left_anti")
     cleared = dv.count() - remaining.count()
     _rewrite_small_table(spark, remaining, dv_path)
-    for f in affected:
-        os.remove(f)
     return {
         "folded_files": len(affected),
         "new_files": len(new_files),
