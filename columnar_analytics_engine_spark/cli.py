@@ -160,6 +160,10 @@ def cmd_index(args: argparse.Namespace) -> None:
         print(json.dumps({"bloom_rows": n}))
     elif args.action == "update-bloom":
         print(json.dumps(update_bloom_index(spark, args.data, args.index)))
+    elif args.action == "verify":
+        from columnar_analytics_engine_spark.skipping import verify_stats_index
+
+        print(json.dumps(verify_stats_index(spark, args.data, args.index)))
     else:  # plan
         if not args.predicate:
             sys.exit("error: plan requires --predicate")
@@ -406,7 +410,7 @@ def main(argv: list[str] | None = None) -> None:
     )
     ix.add_argument(
         "action",
-        choices=["build", "update", "plan", "build-bloom", "update-bloom"],
+        choices=["build", "update", "plan", "verify", "build-bloom", "update-bloom"],
     )
     ix.add_argument("data", help="parquet dataset directory")
     ix.add_argument("index", help="index (or bloom index) location")

@@ -1017,3 +1017,45 @@ def bloom_prune_many(
         )
     ).select("file")
     return {r["file"] for r in miss.collect()}
+
+
+def verify_stats_index(
+    spark: SparkSession, data_path: str, index_path: str
+) -> dict[str, Any]:
+    """Index/disk drift report (the ops check before trusting a
+    manifest after manual surgery or a crashed maintenance run):
+
+    * ``missing`` — files on disk the index does not know (invisible
+      to index-planned readers; ``update_stats_index`` adopts them,
+      ``layout.vacuum_unindexed`` deletes them — the operator chooses
+      which was intended),
+    * ``orphans`` — index rows whose file vanished (prune noise;
+      ``update_stats_index`` drops them),
+    * ``row_drift`` — indexed files whose current footer row count
+      disagrees with the indexed ``file_rows`` (an in-place overwrite,
+      which the maintenance ops here never do — a red flag).
+
+    Read-only; footer opens only for files the index already lists.
+    """
+    import pyarrow.parquet as pq
+
+    disk = set(list_parquet_files(data_path))
+    idx = spark.read.parquet(index_path)
+    indexed_rows = {
+        r["file"]: r["file_rows"]
+        for r in idx.select("file", "file_rows").distinct().collect()
+    }
+    indexed = set(indexed_rows)
+    drift = []
+    for f in sorted(indexed & disk):
+        actual = pq.ParquetFile(f).metadata.num_rows
+        if actual != indexed_rows[f]:
+            drift.append({"file": f, "indexed": indexed_rows[f], "actual": actual})
+    return {
+        "files_on_disk": len(disk),
+        "files_indexed": len(indexed),
+        "missing": sorted(disk - indexed),
+        "orphans": sorted(indexed - disk),
+        "row_drift": drift,
+        "consistent": disk == indexed and not drift,
+    }

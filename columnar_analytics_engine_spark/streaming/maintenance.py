@@ -84,6 +84,8 @@ def stats_indexed_sink(
     cluster_cols: list[str] | None = None,
     cluster_files: int = 4,
     cluster_bits: int = 8,
+    bloom_path: str | None = None,
+    bloom_cols: list[str] | None = None,
 ):
     """``foreachBatch`` processor: append micro-batches to a Parquet
     dataset and keep its file-level stats-skipping index
@@ -113,9 +115,17 @@ def stats_indexed_sink(
     range shuffle per micro-batch; nothing about retry idempotency or
     index reconciliation changes (the arrangement is deterministic for
     a given batch, and a retry overwrites its whole partition anyway).
+
+    With ``bloom_path`` + ``bloom_cols`` the Bloom file index is
+    maintained per batch too (``update_bloom_index`` — change-bounded:
+    only the batch's new files are scanned).  Bloom staleness is safe
+    in both directions (skipping.py), so a crash between the data
+    commit and the bloom update costs pruning, never correctness.
     """
     from columnar_analytics_engine_spark.skipping import (
+        build_bloom_index,
         build_stats_index,
+        update_bloom_index,
         update_stats_index,
     )
 
@@ -138,5 +148,10 @@ def stats_indexed_sink(
             update_stats_index(spark, data_path, index_path)
         else:
             build_stats_index(spark, data_path, index_path)
+        if bloom_path is not None and bloom_cols:
+            if os.path.exists(bloom_path):
+                update_bloom_index(spark, data_path, bloom_path)
+            else:
+                build_bloom_index(spark, data_path, bloom_path, bloom_cols)
 
     return process

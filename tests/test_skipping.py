@@ -569,3 +569,37 @@ def test_in_list_bloom_pruning(spark, bloomed_orders):
         for r in src.filter(F.col("o_orderkey").isin(*mids)).collect()
     )
     assert got.count() == len(mids)  # unique keys: one row per value
+
+
+def test_verify_stats_index_reports_drift(spark, sf_small, tmp_path):
+    import os
+    import shutil
+
+    from columnar_analytics_engine_spark.io import read_table, write_sorted
+    from columnar_analytics_engine_spark.skipping import verify_stats_index
+
+    data = str(tmp_path / "d")
+    index = str(tmp_path / "i")
+    df = read_table(spark, sf_small, "orders").select("o_orderkey")
+    write_sorted(df, data, ["o_orderkey"], n_files=4)
+    build_stats_index(spark, data, index)
+    rep = verify_stats_index(spark, data, index)
+    assert rep["consistent"] and not rep["missing"] and not rep["orphans"]
+
+    # strand a file (missing) and delete an indexed one (orphan)
+    files = list_parquet_files(data)
+    stray = os.path.join(data, "stray.parquet")
+    shutil.copy(files[0], stray)
+    os.remove(files[1])
+    rep = verify_stats_index(spark, data, index)
+    assert rep["missing"] == [stray]
+    assert rep["orphans"] == [files[1]]
+    assert not rep["consistent"]
+
+    # in-place overwrite => row drift
+    os.remove(stray)
+    df.limit(3).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "tiny"))
+    tiny = list_parquet_files(str(tmp_path / "tiny"))[0]
+    shutil.copy(tiny, files[0])
+    rep = verify_stats_index(spark, data, index)
+    assert rep["row_drift"] and rep["row_drift"][0]["file"] == files[0]

@@ -902,3 +902,51 @@ def test_stats_indexed_sink_clustered_ingest(spark, tmp_path):
     }
     n_files = plan_skipping(spark, index, "x ge 0")["files_total"]
     assert d["x"] <= n_files / 2 and d["y"] <= n_files / 2
+
+
+def test_stats_indexed_sink_maintains_bloom(spark, tmp_path):
+    import os
+
+    from columnar_analytics_engine_spark.skipping import (
+        plan_skipping,
+        read_skipping,
+    )
+    from columnar_analytics_engine_spark.streaming.maintenance import (
+        stats_indexed_sink,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i, lo in enumerate((0, 1000, 2000)):
+        spark.range(lo, lo + 500).selectExpr("id AS k", "id * 2 AS v").coalesce(
+            1
+        ).write.parquet(f"{src}/b{i}.parquet")
+    stream = (
+        spark.readStream.schema("k long, v long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/b*.parquet")
+    )
+    data = str(tmp_path / "table")
+    index = str(tmp_path / "index")
+    bloom = str(tmp_path / "bloom")
+    process = stats_indexed_sink(
+        spark, data, index, bloom_path=bloom, bloom_cols=["k"]
+    )
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # every batch's file has a bloom row; an absent mid-range key
+    # prunes through bloom where intervals keep the holding batch
+    rows = spark.read.parquet(bloom)
+    assert rows.select("file").distinct().count() == 3
+    present = plan_skipping(spark, index, "k eq 1250", bloom_path=bloom)
+    got = read_skipping(spark, data, index, "k eq 1250", bloom_path=bloom)
+    assert got.count() == 1
+    absent = plan_skipping(spark, index, "k eq 700", bloom_path=bloom)
+    assert absent["files"] == []  # gap between batches: everything prunes
+    assert present["files_pruned"] >= 2
