@@ -200,8 +200,12 @@ def cmd_optimize(args: argparse.Namespace) -> None:
         out["layout"] = {"sort": args.sort}
     else:
         cols = [c.strip() for c in args.zorder.split(",")]
-        write_zorder(df, args.out, cols, n_files=args.files, bits=args.bits)
-        out["layout"] = {"zorder": cols, "bits": args.bits}
+        method = "quantile" if args.quantile else "linear"
+        bits = min(args.bits, 8) if args.quantile else args.bits
+        write_zorder(
+            df, args.out, cols, n_files=args.files, bits=bits, method=method
+        )
+        out["layout"] = {"zorder": cols, "bits": bits, "method": method}
     if args.index:
         out["files_indexed"] = build_stats_index(spark, args.out, args.index)
         out["index"] = args.index
@@ -428,6 +432,10 @@ def main(argv: list[str] | None = None) -> None:
     op.add_argument("--zorder", help="comma list of Z-order columns")
     op.add_argument("--files", type=int, default=32)
     op.add_argument("--bits", type=int, default=16)
+    op.add_argument(
+        "--quantile", action="store_true",
+        help="equi-frequency rank bins for skewed z-columns (caps bits at 8)",
+    )
     op.add_argument("--index", help="also build a stats index here")
     op.set_defaults(fn=cmd_optimize)
 

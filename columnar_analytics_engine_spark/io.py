@@ -322,6 +322,7 @@ def write_zorder(
     bits: int = 16,
     mode: str = "overwrite",
     row_group_bytes: int | None = None,
+    method: str = "linear",
 ) -> None:
     """Z-order (Morton-curve) clustered Parquet export: multi-column
     locality for multi-column pruning.
@@ -338,11 +339,13 @@ def write_zorder(
     All arithmetic is JVM expressions; the per-column min/max needed
     for binning is a 1-row aggregate broadcast-joined in-plan — no
     driver collect, one extra (tiny) pass.  ``bits``·len(cols) must
-    stay ≤ 62 (signed long).
+    stay ≤ 62 (signed long).  ``method='quantile'`` switches to
+    equi-frequency rank bins (one approxQuantile pass, bits ≤ 8) —
+    use it when a z-column is skewed (see ``layout.zorder_frame``).
     """
     from columnar_analytics_engine_spark.layout import zorder_frame
 
-    out = zorder_frame(df, cols, n_files, bits=bits)
+    out = zorder_frame(df, cols, n_files, bits=bits, method=method)
     writer = out.write.mode(mode)
     if row_group_bytes is not None:
         writer = writer.option("parquet.block.size", str(row_group_bytes))

@@ -115,28 +115,77 @@ def with_zorder_bucket(
     ).drop(*[f"_mn_{c}" for c in cols], *[f"_mx_{c}" for c in cols])
 
 
+def rank_bin(c: Column, cuts: list[float]) -> Column:
+    """Quantile-rank bin: the number of ``cuts`` at or below ``c`` —
+    0..len(cuts), evaluated as one higher-order filter over a literal
+    cut array (JVM-side, no join).  With equi-probable cuts every bin
+    holds ~the same ROW COUNT regardless of the value distribution —
+    the skew-robust twin of :func:`scaled_bin` (whose equal-WIDTH bins
+    collapse to one hot bin under power-law columns, destroying the
+    interleave's balance)."""
+    arr = F.array(*[F.lit(float(x)) for x in cuts])
+    return F.size(F.filter(arr, lambda x: c.cast("double") >= x)).cast("long")
+
+
+def quantile_cuts(
+    df: DataFrame, cols: list[str], bits: int, relative_error: float = 0.001
+) -> dict[str, list[float]]:
+    """Per-column equi-probable cut points for ``2**bits`` rank bins —
+    one distributed Greenwald-Khanna pass (``approxQuantile``), cut
+    lists collected to the driver (``2**bits - 1`` doubles per column;
+    quantile mode caps ``bits`` at 8, so ≤ 255 values)."""
+    probs = [i / (1 << bits) for i in range(1, 1 << bits)]
+    qs = df.stat.approxQuantile(cols, probs, relative_error)
+    return {c: qs[i] for i, c in enumerate(cols)}
+
+
 def zorder_frame(
-    df: DataFrame, cols: list[str], n_files: int, bits: int = 16
+    df: DataFrame,
+    cols: list[str],
+    n_files: int,
+    bits: int = 16,
+    method: str = "linear",
 ) -> DataFrame:
     """``df`` arranged in Z-order: Morton value over ``cols`` (each
-    range-binned to ``bits`` bits against the frame's exact min/max),
-    range-partitioned into ``n_files`` and sorted within each — the
-    arrangement ``io.write_zorder`` persists, reusable wherever the
-    writer is different (e.g. per-micro-batch clustering inside a
-    ``foreachBatch`` sink)."""
+    binned to ``bits`` bits), range-partitioned into ``n_files`` and
+    sorted within each — the arrangement ``io.write_zorder`` persists,
+    reusable wherever the writer is different (e.g. per-micro-batch
+    clustering inside a ``foreachBatch`` sink).
+
+    ``method='linear'`` (default) bins by equal-WIDTH ranges against
+    the exact min/max — zero extra passes, deterministic, right for
+    roughly uniform keys.  ``method='quantile'`` bins by equal-
+    FREQUENCY rank (one ``approxQuantile`` pass, ``bits`` ≤ 8): under
+    a skewed column the linear variant packs most rows into a few hot
+    bins — the interleave then orders by the OTHER columns only and
+    the skewed column's depth degrades toward no-clustering; rank bins
+    keep every bin population-balanced, so the Z-curve keeps locality
+    in both dimensions at any skew."""
     if bits * len(cols) > 62:
         raise ValueError("bits * len(cols) must be <= 62")
-    j = _with_minmax(df, cols)
-    bins = [
-        scaled_bin(
-            F.col(c), F.col(f"_mn_{c}"), F.col(f"_mx_{c}"), (1 << bits) - 1
-        )
-        for c in cols
-    ]
+    if method == "linear":
+        j = _with_minmax(df, cols)
+        bins = [
+            scaled_bin(
+                F.col(c), F.col(f"_mn_{c}"), F.col(f"_mx_{c}"), (1 << bits) - 1
+            )
+            for c in cols
+        ]
+        drop = [f"_mn_{c}" for c in cols] + [f"_mx_{c}" for c in cols]
+    elif method == "quantile":
+        if bits > 8:
+            raise ValueError("quantile binning caps bits at 8 (256 bins)")
+        cuts = quantile_cuts(df, cols, bits)
+        j = df
+        bins = [rank_bin(F.col(c), cuts[c]) for c in cols]
+        drop = []
+    else:
+        raise ValueError(f"unknown binning method {method!r}")
+    out = j.withColumn("_z", morton_expr(bins, bits))
+    if drop:
+        out = out.drop(*drop)
     return (
-        j.withColumn("_z", morton_expr(bins, bits))
-        .drop(*[f"_mn_{c}" for c in cols], *[f"_mx_{c}" for c in cols])
-        .repartitionByRange(n_files, F.col("_z"))
+        out.repartitionByRange(n_files, F.col("_z"))
         .sortWithinPartitions("_z")
         .drop("_z")
     )

@@ -207,7 +207,9 @@ def test_cli_optimize_and_cluster_report(spark, tmp_path, capsys):
          "--index", zidx]
     )
     out = json.loads(capsys.readouterr().out)
-    assert out["layout"] == {"zorder": ["id", "value"], "bits": 16}
+    assert out["layout"] == {
+        "zorder": ["id", "value"], "bits": 16, "method": "linear",
+    }
     assert out["files_indexed"] >= 1
 
     cli.main(["cluster-report", zidx, "--columns", "id,value"])
