@@ -94,6 +94,35 @@ def delete_where(
     return spark.read.parquet(dv_path).count() - n_before
 
 
+def delete_keys(
+    spark: SparkSession,
+    data_path: str,
+    dv_path: str,
+    keys: DataFrame,
+    key_col: str,
+) -> int:
+    """Tombstone every row whose ``key_col`` appears in ``keys`` (a
+    one-column DataFrame) — the key-set twin of :func:`delete_where`,
+    for deletes computed by another operator (a dedup loser list, a
+    GDPR id batch) rather than expressible as a predicate.  One
+    broadcast semi-join scan of the matching files; idempotent like
+    ``delete_where``."""
+    k = keys.toDF("__k").where(F.col("__k").isNotNull()).distinct()
+    hits = (
+        spark.read.parquet(data_path)
+        .join(F.broadcast(k), F.col(key_col) == F.col("__k"), "left_semi")
+        .select(
+            _strip_scheme(F.col("_metadata.file_path")).alias("file"),
+            F.col("_metadata.row_index").alias("row_index"),
+        )
+    )
+    existing = _dv(spark, dv_path)
+    merged = existing.unionByName(hits).distinct()
+    n_before = existing.count()
+    _rewrite_small_table(spark, merged, dv_path)
+    return spark.read.parquet(dv_path).count() - n_before
+
+
 def read_with_deletes(
     spark: SparkSession,
     data_path: str,

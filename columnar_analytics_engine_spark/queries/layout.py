@@ -458,7 +458,69 @@ def deletes_compact_physical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def deletes_dedup_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup WITHOUT rewriting the corpus: a fingerprint dedup pass
+    (md5 of the 12-token prefix — the cheap screen that catches
+    template near-dups) picks per-group losers, ``deletes.delete_keys``
+    tombstones them, and the merge-on-read scan returns the survivors.
+    At 100 TB this is the shape dedup has to take — the loser list is
+    a key set, the corpus stays immutable, and the physical fold
+    (``compact_deletes``) runs on maintenance windows, not inline.
+    The oracle replays the keep-min-id rule relationally on the
+    untouched source."""
+    import hashlib
+    import os
+    import tempfile
+
+    from columnar_analytics_engine_spark.deletes import (
+        delete_keys,
+        read_with_deletes,
+    )
+    from columnar_analytics_engine_spark.io import write_sorted
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    tag = hashlib.md5(f"{sf_dir}:{os.getpid()}".encode()).hexdigest()[:12]
+    data = f"{tempfile.gettempdir()}/cae_tomb_data_{tag}"
+    dv = f"{tempfile.gettempdir()}/cae_tomb_dv_{tag}"
+    write_sorted(docs, data, ["doc_id"], n_files=8)
+    fp = F.md5(
+        F.concat_ws(" ", F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 12))
+    )
+    keyed = docs.select("doc_id", fp.alias("f"))
+    keep = keyed.groupBy("f").agg(F.min("doc_id").alias("keep_id"))
+    losers = (
+        keyed.join(keep, "f")
+        .filter(F.col("doc_id") != F.col("keep_id"))
+        .select("doc_id")
+    )
+    delete_keys(spark, data, dv, losers, "doc_id")
+    return read_with_deletes(spark, data, dv).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doc_id").alias("sum_id"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "deletes_dedup_tombstones": QuerySpec(
+        deletes_dedup_tombstones,
+        r"""
+        WITH fp AS (
+          SELECT doc_id, n_chars,
+                 md5(array_to_string(list_slice(
+                     regexp_split_to_array(trim(text), '\s+'), 1, 12), ' ')) AS f
+          FROM documents
+        ),
+        k AS (SELECT f, MIN(doc_id) AS keep FROM fp GROUP BY f)
+        SELECT COUNT(*) AS n_docs,
+               CAST(SUM(doc_id) AS BIGINT) AS sum_id,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM fp JOIN k ON fp.f = k.f AND fp.doc_id = k.keep
+        """,
+        "dedup losers tombstoned via deletion vectors, survivors by "
+        "merge-on-read (oracle replays keep-min-id)",
+        ("scale", "maintenance", "deletes", "dedup"),
+    ),
     "layout_merge_upsert": QuerySpec(
         layout_merge_upsert,
         _MERGE_SQL,

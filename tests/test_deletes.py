@@ -113,3 +113,18 @@ def test_compact_deletes_drops_fully_deleted_files(spark, tmp_path):
     )
     # no resurrectable rows anywhere
     assert spark.read.parquet(data).filter(F.col("b") == 2).count() == 0
+
+
+def test_delete_keys_by_key_set(spark, table):
+    from columnar_analytics_engine_spark.deletes import delete_keys
+
+    data, index, dv, src = table
+    doomed = src.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey")
+    n = delete_keys(spark, data, dv, doomed, "o_orderkey")
+    assert n == doomed.count() > 0
+    got = read_with_deletes(spark, data, dv)
+    assert _rows(got) == _rows(src.filter(F.col("o_orderkey") % 7 != 0))
+    # idempotent; null keys dropped
+    again = spark.createDataFrame([(None,)], "k long")
+    assert delete_keys(spark, data, dv, doomed, "o_orderkey") == 0
+    assert delete_keys(spark, data, dv, again, "o_orderkey") == 0
