@@ -373,18 +373,22 @@ def publish_rewrite(
     index_path: str,
     drop_files: list[str],
     df: DataFrame,
+    dest_dir: str | None = None,
 ) -> list[str]:
     """The shared rewrite-publish discipline (cluster_compact /
     compact_deletes / merge_upsert_files): write ``df`` to a staging
     SIBLING of the dataset (a nested subdir would corrupt plain
-    directory-listing reads), rename its part files into the dataset
-    root under unique ``rewrite-*`` names (per-file-atomic), swap the
-    stats-index manifest (drop ``drop_files``, add the new files), and
-    only then delete the originals.  Index-planned readers never see a
-    torn state; a crash strands only vacuum-able garbage
-    (``vacuum_unindexed``).  ``df`` must already be arranged (sorted /
-    range-partitioned / coalesced) the way the caller wants it
-    persisted."""
+    directory-listing reads), rename its part files into ``dest_dir``
+    (default: the dataset root; a hive partition directory for
+    partition-scoped rewrites) under unique ``rewrite-*`` names
+    (per-file-atomic), swap the stats-index manifest (drop
+    ``drop_files``, add the new files), and only then delete the
+    originals.  Index-planned readers never see a torn state; a crash
+    strands only vacuum-able garbage (``vacuum_unindexed``).  ``df``
+    must already be arranged (sorted / range-partitioned / coalesced)
+    the way the caller wants it persisted — and, when ``dest_dir`` is
+    a partition directory, must NOT carry the path-encoded partition
+    columns."""
     import os
     import shutil
     import uuid
@@ -396,7 +400,7 @@ def publish_rewrite(
     df.write.parquet(staging)
     new_files = []
     for i, src in enumerate(list_parquet_files(staging)):
-        dst = os.path.join(data_path, f"rewrite-{tag}-{i:05d}.parquet")
+        dst = os.path.join(dest_dir or data_path, f"rewrite-{tag}-{i:05d}.parquet")
         os.rename(src, dst)
         new_files.append(dst)
     shutil.rmtree(staging, ignore_errors=True)
@@ -443,16 +447,65 @@ def cluster_compact(
         min_overlaps=min_overlaps,
     )
     if len(cand) < 2:
-        return {"rewritten": 0, "new_files": 0}
-    total = sum(os.path.getsize(f) for f in cand)
-    n_files = max(1, int((total + target_file_bytes - 1) // target_file_bytes))
-    df = spark.read.option("basePath", data_path).parquet(*cand)
-    if len(cols) == 1:
-        arranged = df.repartitionByRange(n_files, *cols).sortWithinPartitions(*cols)
-    else:
-        arranged = zorder_frame(df, cols, n_files, bits=bits)
-    new_files = publish_rewrite(spark, data_path, index_path, cand, arranged)
-    return {"rewritten": len(cand), "new_files": len(new_files)}
+        return {"rewritten": 0, "new_files": 0, "groups": 0}
+
+    # hive layouts (the streaming sink's batch_id=N dirs): rows must
+    # stay inside their partition directory — a root-level rewrite
+    # would mix leaf files with key=value dirs and corrupt plain
+    # directory-listing reads.  Group candidates per partition dir and
+    # rewrite each group in place; cross-partition overlap cannot be
+    # merged (the path IS the partition value), which is the layout's
+    # own constraint, not this function's.
+    def pdir(f: str) -> str:
+        rel = os.path.relpath(os.path.dirname(f), data_path)
+        return os.path.dirname(f) if "=" in rel else data_path
+
+    groups: dict[str, list[str]] = {}
+    for f in cand:
+        groups.setdefault(pdir(f), []).append(f)
+    hive = any(d != data_path for d in groups)
+    if hive:
+        part_keys = {
+            seg.split("=", 1)[0]
+            for d in groups
+            if d != data_path
+            for seg in os.path.relpath(d, data_path).split(os.sep)
+            if "=" in seg
+        }
+        bad = part_keys & set(cols)
+        if bad:
+            raise ValueError(
+                f"cluster columns {sorted(bad)} are path-encoded partition "
+                "columns; cluster on data columns inside each partition"
+            )
+
+    rewritten = 0
+    new_total = 0
+    n_groups = 0
+    for dest, files in sorted(groups.items()):
+        if len(files) < 2:
+            continue
+        total = sum(os.path.getsize(f) for f in files)
+        n_files = max(
+            1, int((total + target_file_bytes - 1) // target_file_bytes)
+        )
+        # leaf-file read WITHOUT basePath: partition columns stay
+        # path-encoded and out of the rewritten files
+        df = spark.read.parquet(*files)
+        if len(cols) == 1:
+            arranged = df.repartitionByRange(n_files, *cols).sortWithinPartitions(
+                *cols
+            )
+        else:
+            arranged = zorder_frame(df, cols, n_files, bits=bits)
+        new_files = publish_rewrite(
+            spark, data_path, index_path, files, arranged,
+            dest_dir=dest if dest != data_path else None,
+        )
+        rewritten += len(files)
+        new_total += len(new_files)
+        n_groups += 1
+    return {"rewritten": rewritten, "new_files": new_total, "groups": n_groups}
 
 
 def vacuum_unindexed(spark: SparkSession, data_path: str, index_path: str) -> list[str]:

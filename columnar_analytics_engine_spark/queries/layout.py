@@ -269,20 +269,20 @@ def skipping_dynamic_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def layout_cluster_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental re-clustering round-trip under the hash gate: write
-    ``orders`` deliberately shuffled (worst-case layout), compact the
-    overlap-heaviest files Z-ordered via ``layout.cluster_compact``
-    (stage → rename-in → index swap → delete originals), then answer a
-    range predicate through the post-compact index.  The oracle runs
-    the same filter + aggregate on the untouched source: maintenance
-    rewrites may only move rows between files, never change results.
-    (Table-format analog: Delta OPTIMIZE ZORDER / Iceberg
-    rewrite_data_files; reference analog: the corruption suite's
-    results-never-change bar, ``tests/test_corruption.cpp``.)"""
+    ``orders`` deliberately unclustered (flat round-robin — every file
+    spans the full key range), compact the overlap-heaviest files
+    Z-ordered via ``layout.cluster_compact`` (stage → rename-in →
+    index swap → delete originals), then answer a range predicate
+    through the post-compact index.  The oracle runs the same filter +
+    aggregate on the untouched source: maintenance rewrites may only
+    move rows between files, never change results.  (Table-format
+    analog: Delta OPTIMIZE ZORDER / Iceberg rewrite_data_files;
+    reference analog: the corruption suite's results-never-change bar,
+    ``tests/test_corruption.cpp``.)"""
     import hashlib
     import os
     import tempfile
 
-    from columnar_analytics_engine_spark.io import write_shuffled
     from columnar_analytics_engine_spark.layout import cluster_compact
     from columnar_analytics_engine_spark.skipping import (
         build_stats_index,
@@ -302,14 +302,10 @@ def layout_cluster_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_custkey").alias("min_cust"),
         F.max("o_custkey").alias("max_cust"),
     )
-    write_shuffled(src, data, "o_orderkey", n_files=16)
-    from columnar_analytics_engine_spark.skipping import list_parquet_files
-
-    if not list_parquet_files(data):
-        # empty source (see skipping_bloom_scan): nothing to compact
-        return src.filter(
-            (F.col("o_custkey") >= 10) & (F.col("o_custkey") <= 60)
-        ).agg(*agg_cols)
+    # flat round-robin: every file spans the full key range, and the
+    # compaction can actually merge files (a hive-partitioned layout
+    # would constrain rewrites to within each partition dir)
+    src.repartition(16).write.mode("overwrite").parquet(data)
     build_stats_index(spark, data, index)
     cluster_compact(
         spark, data, index, ["o_custkey", "o_orderkey"], max_files=64

@@ -171,14 +171,15 @@ def _avg_depth(spark, index, col):
 
 
 def test_cluster_compact_rewrites_preserves_and_improves(spark, sf_small, tmp_path):
-    from columnar_analytics_engine_spark.io import write_shuffled
-
     orders = read_table(spark, sf_small, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
     data = str(tmp_path / "data")
     index = str(tmp_path / "idx")
-    write_shuffled(orders, data, "o_orderkey", n_files=8)
+    # flat (non-hive) round-robin write: every file spans the full key
+    # range — the root-level compaction scenario (the hive scenario is
+    # test_cluster_compact_hive_partitioned_stays_in_partition)
+    orders.repartition(8).write.parquet(data)
     build_stats_index(spark, data, index)
     before_rows = _sorted_rows(spark.read.parquet(data))
     before_depth = _avg_depth(spark, index, "o_custkey")
@@ -417,3 +418,65 @@ def test_quantile_zorder_validation_and_rank_bin(spark):
         zorder_frame(df, ["a", "b"], 4, method="nope")
     got = df.select(rank_bin(F.col("a"), [2.0, 5.0, 7.0]).alias("r")).collect()
     assert [r["r"] for r in got] == [0, 0, 1, 1, 1, 2, 2, 3, 3, 3]
+
+
+def test_cluster_compact_hive_partitioned_stays_in_partition(spark, tmp_path):
+    """The streaming sink's batch_id=N layout: compaction rewrites
+    WITHIN each partition dir (never into the root), plain directory
+    reads keep working, and cluster columns that are path-encoded are
+    rejected."""
+    data = str(tmp_path / "data")
+    index = str(tmp_path / "idx")
+    df = spark.range(4000).select(
+        (F.col("id") % 3).alias("batch_id"),
+        F.pmod(F.col("id") * 2654435761, F.lit(10_000)).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    # several small shuffled files per partition: heavy k-overlap
+    df.repartition(4).write.partitionBy("batch_id").parquet(data)
+    build_stats_index(spark, data, index)
+    before = sorted(
+        tuple(r)
+        for r in spark.read.parquet(data)
+        .select("payload", "k", "batch_id")
+        .collect()
+    )
+
+    with pytest.raises(ValueError, match="path-encoded partition"):
+        cluster_compact(spark, data, index, ["batch_id", "k"])
+
+    out = cluster_compact(spark, data, index, ["k"], max_files=64)
+    assert out["groups"] == 3 and out["rewritten"] >= 6
+
+    # plain directory read still works and is unchanged
+    after = sorted(
+        tuple(r)
+        for r in spark.read.parquet(data)
+        .select("payload", "k", "batch_id")
+        .collect()
+    )
+    assert after == before
+    # no rewrite files escaped into the dataset root
+    import os
+
+    root_files = [
+        f for f in os.listdir(data)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    ]
+    assert root_files == []
+    # index == disk, and a per-partition k-range prune works
+    disk = set(list_parquet_files(data))
+    indexed = {
+        r["file"]
+        for r in spark.read.parquet(index).select("file").distinct().collect()
+    }
+    assert disk == indexed
+    plan_pruned = read_skipping(
+        spark, data, index, "k le 100 and batch_id eq 1"
+    )
+    want = spark.read.parquet(data).filter(
+        (F.col("k") <= 100) & (F.col("batch_id") == 1)
+    )
+    assert sorted(r["payload"] for r in plan_pruned.collect()) == sorted(
+        r["payload"] for r in want.collect()
+    )
