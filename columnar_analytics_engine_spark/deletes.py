@@ -137,13 +137,20 @@ def read_with_deletes(
     scan first prunes files through the stats index
     (``skipping.read_skipping``), and tombstone subtraction applies on
     the pruned scan — the two layers compose because both are pure
-    row-set restrictions."""
+    row-set restrictions.  ``index_path`` without a predicate reads the
+    manifest's full file list (``skipping.read_indexed``) — the
+    maintenance-safe scan, not a silent fall-through to a directory
+    listing."""
     if index_path is not None and predicate is not None:
         from columnar_analytics_engine_spark.skipping import read_skipping
 
         base = read_skipping(
             spark, data_path, index_path, predicate, bloom_path=bloom_path
         )
+    elif index_path is not None:
+        from columnar_analytics_engine_spark.skipping import read_indexed
+
+        base = read_indexed(spark, data_path, index_path)
     else:
         base = spark.read.parquet(data_path)
     dv = _dv(spark, dv_path)
@@ -172,14 +179,25 @@ def compact_deletes(
     """Fold tombstones into the data: rewrite up to ``max_files`` of
     the tombstone-carrying files WITHOUT their deleted rows, publish
     via the manifest discipline (stage sibling → rename into the
-    dataset root → stats-index swap → clear folded tombstones → delete
+    partition (or root) dir → stats-index swap → clear folded tombstones → delete
     originals), and return counts.  Each run's I/O is bounded by the
     affected files, so a 10k-row delete on a 100 TB table folds by
     rewriting only the files those rows live in.  Files whose EVERY
     row is deleted are dropped without a rewrite.  Run this before
     ``layout.cluster_compact`` when tombstones exist — the re-cluster
-    path moves physical rows and does not consult DVs."""
-    from columnar_analytics_engine_spark.layout import publish_rewrite
+    path moves physical rows and does not consult DVs.
+
+    Hive-partitioned layouts (e.g. the streaming sink's ``batch_id=N``
+    dirs) are handled by grouping the tombstoned files per partition
+    directory and rewriting each group IN PLACE (leaf reads without
+    basePath, so partition values stay path-encoded and out of the
+    rewritten files) — a root-level rewrite would mix leaf files with
+    ``key=value`` dirs and corrupt both plain directory reads and
+    basePath leaf-list reads."""
+    from columnar_analytics_engine_spark.layout import (
+        group_by_partition_dir,
+        publish_rewrite,
+    )
 
     dv = _dv(spark, dv_path)
     affected = sorted(
@@ -187,24 +205,27 @@ def compact_deletes(
     )
     if not affected:
         return {"folded_files": 0, "new_files": 0, "tombstones_cleared": 0}
-    tagged = (
-        spark.read.option("basePath", data_path)
-        .parquet(*affected)
-        .select(
+    groups = group_by_partition_dir(affected, data_path)
+    new_files: list[str] = []
+    for dest, files in sorted(groups.items()):
+        tagged = spark.read.parquet(*files).select(
             "*",
             _strip_scheme(F.col("_metadata.file_path")).alias("__dv_file"),
             F.col("_metadata.row_index").alias("__dv_ri"),
         )
-    )
-    survivors = tagged.join(
-        F.broadcast(dv),
-        (tagged["__dv_file"] == dv["file"]) & (tagged["__dv_ri"] == dv["row_index"]),
-        "left_anti",
-    ).drop("__dv_file", "__dv_ri")
-    new_files = publish_rewrite(
-        spark, data_path, index_path, affected,
-        survivors.coalesce(max(1, len(affected) // 4)),
-    )
+        survivors = tagged.join(
+            F.broadcast(dv),
+            (tagged["__dv_file"] == dv["file"])
+            & (tagged["__dv_ri"] == dv["row_index"]),
+            "left_anti",
+        ).drop("__dv_file", "__dv_ri")
+        new_files.extend(
+            publish_rewrite(
+                spark, data_path, index_path, files,
+                survivors.coalesce(max(1, len(files) // 4)),
+                dest_dir=dest if dest != data_path else None,
+            )
+        )
     affected_df = spark.createDataFrame([(f,) for f in affected], "file string")
     remaining = dv.join(F.broadcast(affected_df), "file", "left_anti")
     cleared = dv.count() - remaining.count()

@@ -330,6 +330,43 @@ def overlap_candidates(
     return [r["file"] for r in counts.collect()]
 
 
+def group_by_partition_dir(
+    files: list[str], data_path: str
+) -> dict[str, list[str]]:
+    """Group leaf files by their hive partition directory (files not
+    under a ``key=value`` path group under the dataset root).  Every
+    partition-scoped rewrite (``cluster_compact``,
+    ``deletes.compact_deletes``) must keep rows inside their partition
+    directory: renaming rewritten files into the dataset ROOT of a
+    partitioned layout mixes leaf files with ``key=value`` dirs, which
+    breaks plain directory reads AND basePath leaf-list reads with
+    conflicting-directory-structure errors."""
+    import os
+
+    def pdir(f: str) -> str:
+        rel = os.path.relpath(os.path.dirname(f), data_path)
+        return os.path.dirname(f) if "=" in rel else data_path
+
+    groups: dict[str, list[str]] = {}
+    for f in files:
+        groups.setdefault(pdir(f), []).append(f)
+    return groups
+
+
+def partition_keys_of(groups: dict[str, list[str]], data_path: str) -> set[str]:
+    """The path-encoded partition column names appearing in a
+    :func:`group_by_partition_dir` result."""
+    import os
+
+    return {
+        seg.split("=", 1)[0]
+        for d in groups
+        if d != data_path
+        for seg in os.path.relpath(d, data_path).split(os.sep)
+        if "=" in seg
+    }
+
+
 def _swap_index(
     spark: SparkSession,
     index_path: str,
@@ -456,23 +493,10 @@ def cluster_compact(
     # rewrite each group in place; cross-partition overlap cannot be
     # merged (the path IS the partition value), which is the layout's
     # own constraint, not this function's.
-    def pdir(f: str) -> str:
-        rel = os.path.relpath(os.path.dirname(f), data_path)
-        return os.path.dirname(f) if "=" in rel else data_path
-
-    groups: dict[str, list[str]] = {}
-    for f in cand:
-        groups.setdefault(pdir(f), []).append(f)
+    groups = group_by_partition_dir(cand, data_path)
     hive = any(d != data_path for d in groups)
     if hive:
-        part_keys = {
-            seg.split("=", 1)[0]
-            for d in groups
-            if d != data_path
-            for seg in os.path.relpath(d, data_path).split(os.sep)
-            if "=" in seg
-        }
-        bad = part_keys & set(cols)
+        bad = partition_keys_of(groups, data_path) & set(cols)
         if bad:
             raise ValueError(
                 f"cluster columns {sorted(bad)} are path-encoded partition "
@@ -563,10 +587,32 @@ def merge_upsert_files(
     rewrite is intended anyway) and the same publish discipline /
     crash story as the other maintenance ops (``publish_rewrite``).
     Fold deletion vectors FIRST (``deletes.compact_deletes``): the
-    rewrite reads physical rows and does not consult DVs."""
+    rewrite reads physical rows and does not consult DVs.
+
+    Hive-partitioned layouts are rejected: a MERGE rewrite would have
+    to route every merged row (including inserts for partitions with no
+    affected file) into its ``key=value`` directory, which requires the
+    partition columns in ``source`` and a per-partition publish — MERGE
+    each partition directory separately (``data_path=<partition dir>``
+    with a partition-scoped index), or use
+    ``operators.merge.merge_upsert`` when a full rewrite is intended."""
     import os
 
-    from columnar_analytics_engine_spark.skipping import plan_skipping_join
+    from columnar_analytics_engine_spark.skipping import (
+        list_parquet_files,
+        plan_skipping_join,
+    )
+
+    part_groups = group_by_partition_dir(
+        list_parquet_files(data_path), data_path
+    )
+    if any(d != data_path for d in part_groups):
+        raise ValueError(
+            "merge_upsert_files does not support hive-partitioned "
+            f"layouts (partition columns {sorted(partition_keys_of(part_groups, data_path))}); "
+            "merge each partition directory separately or use "
+            "operators.merge.merge_upsert for a full rewrite"
+        )
 
     plan = plan_skipping_join(
         spark, index_path, key, source.select(key), max_keys,

@@ -1,0 +1,202 @@
+"""Versioned stats-index manifests: atomic publish, time travel, vacuum.
+
+Round-11's maintenance tier (``layout.publish_rewrite`` and friends)
+kept ONE manifest snapshot and deleted rewritten originals immediately
+— correct for a single sequential process, but a concurrent reader that
+planned its file list before a compaction failed mid-query when the
+originals vanished, and a crash during the manifest overwrite could
+leave the table with no manifest at all.  Every production table format
+solves both with the same structure (Delta's versioned transaction log,
+Iceberg's snapshot metadata files): manifests are IMMUTABLE, each
+maintenance operation writes a NEW manifest version, a single atomic
+pointer flip publishes it, and data files are deleted only by an
+explicit vacuum after a retention window.  This module is that
+structure on plain Parquet:
+
+* Layout: ``index_path/ver-00000001/`` (one immutable Parquet manifest
+  per version) + ``index_path/_CURRENT`` (a text file holding the
+  published version number, swapped with ``os.replace`` — atomic on
+  POSIX).  A reader resolves ``_CURRENT`` once at plan time and reads a
+  snapshot no writer will ever mutate or delete out from under it
+  (until vacuum expires it).
+* Crash safety: version numbers are allocated from the DIRECTORY
+  listing (``ver-*``), not from ``_CURRENT``, so a writer that crashed
+  after staging ``ver-7`` but before the pointer flip leaves
+  ``_CURRENT`` at 6 — readers are consistent, the orphan dir is
+  vacuum-able garbage, and the next writer allocates ``ver-8``.
+* Time travel: ``read_manifest(..., as_of=N)`` plans from any retained
+  version; since maintenance no longer deletes data files, the version-
+  N file set is still on disk and the as-of read returns the table
+  exactly as published at version N.
+* Vacuum (:func:`layout.vacuum_unindexed`): deletes data files not
+  referenced by any RETAINED version and expires old version dirs —
+  the one place bytes are destroyed, run on an operator's schedule
+  (Delta ``VACUUM``'s retention contract).
+* Multi-table transactions build on the ``publish=False`` staging mode:
+  stage versions for several tables, then flip one catalog pointer
+  (``transaction.py``).
+
+Legacy layout (a flat Parquet directory at ``index_path`` with no
+``_CURRENT``) is read transparently and upgraded to version 1 on the
+first write — existing indexes keep working unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_VER_RE = re.compile(r"^ver-(\d{8})$")
+_CURRENT = "_CURRENT"
+
+
+def _ver_dir(index_path: str, version: int) -> str:
+    return os.path.join(index_path, f"ver-{version:08d}")
+
+
+def list_versions(index_path: str) -> list[int]:
+    """All staged manifest versions on disk (published or not),
+    ascending."""
+    if not os.path.isdir(index_path):
+        return []
+    out = []
+    for name in os.listdir(index_path):
+        m = _VER_RE.match(name)
+        if m and os.path.isdir(os.path.join(index_path, name)):
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def current_version(index_path: str) -> int | None:
+    """The PUBLISHED version (``_CURRENT``), or ``None`` when the index
+    is legacy-flat or absent."""
+    cur = os.path.join(index_path, _CURRENT)
+    try:
+        with open(cur) as fh:
+            return int(fh.read().strip())
+    except (FileNotFoundError, ValueError):
+        return None
+
+
+def _is_legacy_flat(index_path: str) -> bool:
+    if not os.path.isdir(index_path):
+        return False
+    return any(
+        f.endswith(".parquet") and not f.startswith(("_", "."))
+        for f in os.listdir(index_path)
+    )
+
+
+def manifest_dir(index_path: str, as_of: int | None = None) -> str:
+    """The directory holding the manifest snapshot to read: a specific
+    retained version (``as_of``) or the published one."""
+    if as_of is not None:
+        d = _ver_dir(index_path, as_of)
+        if not os.path.isdir(d):
+            raise FileNotFoundError(
+                f"manifest version {as_of} not found under {index_path} "
+                f"(retained: {list_versions(index_path)}) — vacuumed or never "
+                "published"
+            )
+        return d
+    cur = current_version(index_path)
+    if cur is not None:
+        return _ver_dir(index_path, cur)
+    if _is_legacy_flat(index_path):
+        return index_path
+    raise FileNotFoundError(f"no manifest at {index_path}")
+
+
+def read_manifest(
+    spark: SparkSession, index_path: str, as_of: int | None = None
+) -> DataFrame:
+    """The manifest snapshot as a DataFrame (current, or ``as_of`` a
+    retained version)."""
+    return spark.read.parquet(manifest_dir(index_path, as_of))
+
+
+def _publish_pointer(index_path: str, version: int) -> None:
+    """Atomically flip ``_CURRENT`` to ``version`` (tmp + os.replace —
+    the single indivisible step of every publish)."""
+    tmp = os.path.join(index_path, f"{_CURRENT}.tmp-{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as fh:
+        fh.write(f"{version}\n")
+    os.replace(tmp, os.path.join(index_path, _CURRENT))
+
+
+def write_manifest(
+    spark: SparkSession,
+    index_path: str,
+    df: DataFrame,
+    publish: bool = True,
+) -> int:
+    """Write ``df`` as the next manifest version and (by default)
+    publish it with an atomic pointer flip.  Returns the version
+    number.  With ``publish=False`` the version is STAGED only —
+    invisible to readers until :func:`publish_version` (or a
+    ``transaction.Catalog`` commit) flips a pointer; a crash before
+    that leaves readers on the old version.
+
+    A legacy flat index is upgraded in place: its rows become
+    ``ver-<n>`` and the flat files are removed after the pointer exists
+    (a crash in between leaves both readable states consistent)."""
+    os.makedirs(index_path, exist_ok=True)
+    staged = list_versions(index_path)
+    version = (staged[-1] if staged else 0) + 1
+    legacy = current_version(index_path) is None and _is_legacy_flat(index_path)
+    df.coalesce(1).write.mode("overwrite").parquet(_ver_dir(index_path, version))
+    if publish:
+        _publish_pointer(index_path, version)
+        if legacy:
+            for f in os.listdir(index_path):
+                if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                    os.remove(os.path.join(index_path, f))
+    return version
+
+
+def publish_version(index_path: str, version: int) -> None:
+    """Publish a previously staged version (validates it exists)."""
+    if not os.path.isdir(_ver_dir(index_path, version)):
+        raise FileNotFoundError(
+            f"cannot publish: version {version} not staged at {index_path}"
+        )
+    _publish_pointer(index_path, version)
+
+
+def expire_versions(index_path: str, keep_last: int) -> list[int]:
+    """Drop manifest version dirs beyond the newest ``keep_last``
+    PUBLISHED-or-older versions, never the current one.  Returns the
+    expired version numbers.  Orphan versions staged ABOVE the current
+    pointer (a crashed or un-committed stage) are also dropped — they
+    were never visible."""
+    cur = current_version(index_path)
+    if cur is None:
+        return []
+    versions = list_versions(index_path)
+    retained = [v for v in versions if v <= cur][-max(1, keep_last):]
+    expired = [v for v in versions if v not in retained and v != cur]
+    for v in expired:
+        shutil.rmtree(_ver_dir(index_path, v), ignore_errors=True)
+    return expired
+
+
+def referenced_files(
+    spark: SparkSession, index_path: str, versions: list[int] | None = None
+) -> set[str]:
+    """Union of data files referenced by the given manifest versions
+    (default: every retained version — the set vacuum must NOT
+    delete)."""
+    if versions is None:
+        versions = list_versions(index_path)
+        if not versions and _is_legacy_flat(index_path):
+            df = read_manifest(spark, index_path)
+            return {r["file"] for r in df.select("file").distinct().collect()}
+    out: set[str] = set()
+    for v in versions:
+        df = read_manifest(spark, index_path, as_of=v)
+        out |= {r["file"] for r in df.select("file").distinct().collect()}
+    return out

@@ -540,6 +540,23 @@ def read_skipping(
     return df.where(cond) if cond is not None else df
 
 
+def read_indexed(
+    spark: SparkSession, data_path: str, index_path: str
+) -> DataFrame:
+    """Read exactly the files the stats-index manifest lists — no
+    predicate pruning, just the manifest's view of the table.  This is
+    the safe read for a table under maintenance: directory listing can
+    see stranded/pre-vacuum files, the manifest cannot."""
+    idx = spark.read.parquet(index_path)
+    files = sorted({r["file"] for r in idx.select("file").distinct().collect()})
+    if not files:
+        return spark.read.parquet(data_path).where(F.lit(False))
+    reader = spark.read
+    if os.path.isdir(data_path):
+        reader = reader.option("basePath", data_path)
+    return reader.parquet(*files)
+
+
 # ---------------------------------------------------------------------------
 # Dynamic file pruning for joins (Delta/Databricks "DFP", Iceberg
 # runtime filtering): prune the FACT side's file manifest from the
@@ -639,9 +656,16 @@ def plan_skipping_join(
                 (r["_k"], *_bloom_hash_pair(_bloom_canon(r["_k"])))
                 for r in k.collect()
             ]
-            k2 = spark.createDataFrame(
-                key_rows, schema=k.schema.add("_h1", "long").add("_h2", "long")
+            # fresh StructType: StructType.add mutates in place and
+            # returns self, so extending k.schema directly would leave
+            # phantom _h1/_h2 fields on the cached schema object
+            from pyspark.sql.types import LongType, StructField, StructType
+
+            hashed_schema = StructType(
+                list(k.schema.fields)
+                + [StructField("_h1", LongType()), StructField("_h2", LongType())]
             )
+            k2 = spark.createDataFrame(key_rows, schema=hashed_schema)
             pairs = prunable.join(
                 F.broadcast(k2),
                 F.col("_k").between(F.col(lo_c), F.col(hi_c)),

@@ -128,3 +128,64 @@ def test_delete_keys_by_key_set(spark, table):
     again = spark.createDataFrame([(None,)], "k long")
     assert delete_keys(spark, data, dv, doomed, "o_orderkey") == 0
     assert delete_keys(spark, data, dv, again, "o_orderkey") == 0
+
+
+def test_read_with_deletes_index_without_predicate(spark, table):
+    """index_path alone must read the manifest's file list (the
+    maintenance-safe scan), not silently fall back to a directory
+    listing."""
+    data, index, dv, src = table
+    delete_where(spark, data, dv, "o_orderkey % 3 = 0")
+    got = read_with_deletes(spark, data, dv, index_path=index)
+    expect = src.filter(F.col("o_orderkey") % 3 != 0)
+    assert _rows(got) == _rows(expect)
+    # a stranded (unindexed) file is invisible through the index path
+    import shutil
+
+    stray_dir = data + "_straysrc"
+    src.limit(20).coalesce(1).write.parquet(stray_dir)
+    stray = list_parquet_files(stray_dir)[0]
+    shutil.copy(stray, data + "/stray-not-indexed.parquet")
+    got2 = read_with_deletes(spark, data, dv, index_path=index)
+    assert _rows(got2) == _rows(expect)
+
+
+def test_compact_deletes_hive_partitioned_stays_in_partition(spark, tmp_path):
+    """The streaming sink's batch_id=N layout: the fold rewrites WITHIN
+    each partition dir, never into the root — root-level leaf files
+    mixed with key=value dirs break plain directory reads."""
+    import os
+
+    data = str(tmp_path / "d")
+    index = str(tmp_path / "i")
+    dv = str(tmp_path / "v")
+    df = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(600)],
+        "a long, batch_id long, x double",
+    )
+    df.repartition(2).write.partitionBy("batch_id").parquet(data)
+    build_stats_index(spark, data, index)
+    delete_where(spark, data, dv, "a % 5 = 0")
+
+    out = compact_deletes(spark, data, dv, index)
+    assert out["folded_files"] > 0 and out["tombstones_cleared"] > 0
+
+    # no rewrite files escaped into the dataset root
+    root_files = [
+        f for f in os.listdir(data)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    ]
+    assert root_files == []
+    # plain directory read works and partition column survives
+    got = sorted(
+        (r["a"], r["batch_id"], r["x"])
+        for r in spark.read.parquet(data).collect()
+    )
+    assert got == sorted((i, i % 3, float(i)) for i in range(600) if i % 5 != 0)
+    # basePath leaf-list read (the read_skipping shape) also works
+    from columnar_analytics_engine_spark.skipping import read_skipping
+
+    pruned = read_skipping(spark, data, index, "batch_id eq 1")
+    assert pruned.count() == sum(
+        1 for i in range(600) if i % 3 == 1 and i % 5 != 0
+    )

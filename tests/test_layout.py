@@ -480,3 +480,19 @@ def test_cluster_compact_hive_partitioned_stays_in_partition(spark, tmp_path):
     assert sorted(r["payload"] for r in plan_pruned.collect()) == sorted(
         r["payload"] for r in want.collect()
     )
+
+
+def test_merge_upsert_files_rejects_hive_partitioned(spark, tmp_path):
+    """MERGE would have to route rows into key=value dirs; until it
+    can, it must refuse loudly instead of corrupting the layout."""
+    data = str(tmp_path / "d")
+    index = str(tmp_path / "i")
+    df = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(300)],
+        "k long, part long, x double",
+    )
+    df.write.partitionBy("part").parquet(data)
+    build_stats_index(spark, data, index)
+    source = spark.createDataFrame([(1, 0, 9.9)], "k long, part long, x double")
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        merge_upsert_files(spark, data, index, source, "k")

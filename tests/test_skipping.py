@@ -603,3 +603,17 @@ def test_verify_stats_index_reports_drift(spark, sf_small, tmp_path):
     shutil.copy(tiny, files[0])
     rep = verify_stats_index(spark, data, index)
     assert rep["row_drift"] and rep["row_drift"][0]["file"] == files[0]
+
+
+def test_plan_skipping_join_does_not_mutate_key_schema(spark, bloomed_orders):
+    """StructType.add mutates in place; the bloom path must build a
+    fresh schema instead of growing the key frame's cached one."""
+    from columnar_analytics_engine_spark.skipping import plan_skipping_join
+
+    data, index, bloom = bloomed_orders
+    keys = spark.createDataFrame([(1,), (6,), (7,)], "o_orderkey long")
+    plan = plan_skipping_join(
+        spark, index, "o_orderkey", keys, bloom_path=bloom
+    )
+    assert plan["mode"] == "keys+bloom"
+    assert keys.schema.fieldNames() == ["o_orderkey"]
