@@ -227,8 +227,60 @@ def cmd_compact(args: argparse.Namespace) -> None:
         spark, args.data, args.index, cols, max_files=args.max_files
     )
     if args.vacuum:
-        out["vacuumed"] = len(vacuum_unindexed(spark, args.data, args.index))
+        out["vacuumed"] = len(
+            vacuum_unindexed(
+                spark, args.data, args.index, keep_versions=args.keep_versions
+            )
+        )
     print(json.dumps(out))
+
+
+def cmd_vacuum(args: argparse.Namespace) -> None:
+    """Reclaim bytes (layout.vacuum_unindexed): expire manifest
+    versions beyond --keep-versions and delete data files no retained
+    version references — the explicit retention boundary of the
+    maintenance tier (rewrites themselves never delete)."""
+    from columnar_analytics_engine_spark.layout import vacuum_unindexed
+
+    spark = get_spark(app_name="cae-vacuum")
+    removed = vacuum_unindexed(
+        spark, args.data, args.index, keep_versions=args.keep_versions
+    )
+    print(json.dumps({"removed": len(removed), "paths": removed}))
+
+
+def cmd_history(args: argparse.Namespace) -> None:
+    """Manifest version history: retained versions, the published one,
+    and per-version file/row counts — what `as_of` can time-travel to."""
+    from pyspark.sql import functions as F
+
+    from columnar_analytics_engine_spark.manifest import (
+        current_version,
+        list_versions,
+        read_manifest,
+    )
+
+    spark = get_spark(app_name="cae-history")
+    cur = current_version(args.index)
+    versions = []
+    for v in list_versions(args.index):
+        m = read_manifest(spark, args.index, as_of=v)
+        agg = (
+            m.select("file", "file_rows")
+            .distinct()
+            .groupBy()
+            .agg(F.count("*").alias("files"), F.sum("file_rows").alias("rows"))
+            .first()
+        )
+        versions.append(
+            {
+                "version": v,
+                "current": v == cur,
+                "files": agg["files"],
+                "rows": agg["rows"],
+            }
+        )
+    print(json.dumps({"current": cur, "versions": versions}))
 
 
 def cmd_delete(args: argparse.Namespace) -> None:
@@ -252,6 +304,12 @@ def cmd_delete(args: argparse.Namespace) -> None:
         if not args.index:
             sys.exit("error: --compact requires --index")
         out.update(compact_deletes(spark, args.data, args.dv, args.index))
+        if args.vacuum:
+            from columnar_analytics_engine_spark.layout import vacuum_unindexed
+
+            out["vacuumed"] = len(
+                vacuum_unindexed(spark, args.data, args.index)
+            )
     print(json.dumps(out))
 
 
@@ -447,7 +505,28 @@ def main(argv: list[str] | None = None) -> None:
     cp.add_argument("--cols", required=True, help="comma list of cluster columns")
     cp.add_argument("--max-files", type=int, default=64)
     cp.add_argument("--vacuum", action="store_true", help="GC unindexed strays after")
+    cp.add_argument(
+        "--keep-versions", type=int, default=1,
+        help="manifest versions to retain when vacuuming (default 1)",
+    )
     cp.set_defaults(fn=cmd_compact)
+
+    vc = sub.add_parser(
+        "vacuum", help="expire old manifest versions and reclaim unreferenced files"
+    )
+    vc.add_argument("data", help="parquet dataset directory")
+    vc.add_argument("index", help="stats index location")
+    vc.add_argument(
+        "--keep-versions", type=int, default=1,
+        help="manifest versions to retain (default 1: current only)",
+    )
+    vc.set_defaults(fn=cmd_vacuum)
+
+    hi = sub.add_parser(
+        "history", help="manifest version history (what as_of can read)"
+    )
+    hi.add_argument("index", help="stats index location")
+    hi.set_defaults(fn=cmd_history)
 
     up = sub.add_parser(
         "upsert", help="index-bounded MERGE of a source parquet dataset by key"
@@ -467,6 +546,10 @@ def main(argv: list[str] | None = None) -> None:
     dl.add_argument("--where", help="SQL predicate selecting rows to delete")
     dl.add_argument("--compact", action="store_true", help="fold tombstones into files")
     dl.add_argument("--index", help="stats index (required for --compact)")
+    dl.add_argument(
+        "--vacuum", action="store_true",
+        help="reclaim the folded originals after --compact",
+    )
     dl.set_defaults(fn=cmd_delete)
 
     cr = sub.add_parser(

@@ -18,11 +18,17 @@ that layer on plain Parquet, built on Spark's ``_metadata.row_index``
   broadcast anti-join against the DV table.  Exact; costs one
   broadcast of the (delete-count-sized) DV.
 * :func:`compact_deletes` — the fold: rewrite ONLY the files that
-  carry tombstones (dropping those rows), swap the stats-index
-  manifest, clear the folded tombstones, delete the originals — the
-  same stage → rename-in → index-swap publish discipline as
-  ``layout.cluster_compact``, with the same crash story
-  (``layout.vacuum_unindexed`` GCs strays).
+  carry tombstones (dropping those rows), publish the next stats-index
+  manifest version, clear the folded tombstones — the same stage →
+  rename-in → versioned-manifest-publish discipline as
+  ``layout.cluster_compact``; originals persist for in-flight readers
+  until ``layout.vacuum_unindexed`` reclaims them.
+
+Versioning caveat: the DV table itself is NOT versioned — after a
+fold, an ``as_of`` read of a pre-fold manifest version sees the
+original files but the folded tombstones are gone, so time travel does
+not compose with ``compact_deletes`` (it does with ``delete_where``
+itself: tombstones only ever grow until a fold).
 
 Maintenance ordering contract: ``layout.cluster_compact`` reads files
 WITHOUT consulting DVs (it moves physical rows), so fold deletes
@@ -179,8 +185,9 @@ def compact_deletes(
     """Fold tombstones into the data: rewrite up to ``max_files`` of
     the tombstone-carrying files WITHOUT their deleted rows, publish
     via the manifest discipline (stage sibling → rename into the
-    partition (or root) dir → stats-index swap → clear folded tombstones → delete
-    originals), and return counts.  Each run's I/O is bounded by the
+    partition (or root) dir → versioned stats-index publish → clear
+    folded tombstones; originals persist until
+    ``layout.vacuum_unindexed``), and return counts.  Each run's I/O is bounded by the
     affected files, so a 10k-row delete on a 100 TB table folds by
     rewriting only the files those rows live in.  Files whose EVERY
     row is deleted are dropped without a rewrite.  Run this before

@@ -222,7 +222,9 @@ def index_extents(
     written, file granularity.  Only int/num columns carry comparable
     bounds; files without stats contribute no row (they would read as
     depth-unknown, not as well-clustered)."""
-    idx = spark.read.parquet(index_path)
+    from columnar_analytics_engine_spark.manifest import read_manifest
+
+    idx = read_manifest(spark, index_path)
     cols_df = spark.createDataFrame(
         [(c,) for c in probe_cols], "probe_col string"
     )
@@ -373,18 +375,33 @@ def _swap_index(
     drop_files: list[str],
     add_files: list[str],
     base_path: str,
-) -> None:
-    """Rewrite the index manifest: drop rows for ``drop_files``, add
-    footer-scanned rows for ``add_files`` (same staging-rewrite shape
-    as ``skipping.update_stats_index``)."""
-    import shutil
-
+    publish: bool = True,
+) -> int:
+    """Write the next index-manifest VERSION: current rows minus
+    ``drop_files`` plus footer-scanned rows for ``add_files``, then an
+    atomic pointer flip (``manifest.write_manifest``).  A crash at any
+    point leaves ``_CURRENT`` on the old, complete version — never a
+    manifest-less table.  ``publish=False`` stages the version for a
+    multi-table transaction commit.  Returns the version number."""
+    from columnar_analytics_engine_spark.manifest import (
+        read_manifest,
+        write_manifest,
+    )
     from columnar_analytics_engine_spark.skipping import _stats_df
 
-    idx = spark.read.parquet(index_path)
-    columns = sorted(
-        {r["column"] for r in idx.select("column").distinct().collect()}
-    )
+    from columnar_analytics_engine_spark.evolution import read_schema_spec
+
+    idx = read_manifest(spark, index_path)
+    # evolved tables: new files may carry columns no prior file has —
+    # index ALL their columns (cohort detection in read_evolved keys
+    # off per-file manifest rows).  Un-evolved tables keep the index's
+    # original column restriction.
+    if read_schema_spec(index_path) is not None:
+        columns = None
+    else:
+        columns = sorted(
+            {r["column"] for r in idx.select("column").distinct().collect()}
+        )
     kept = idx
     if drop_files:
         drop_df = spark.createDataFrame(
@@ -396,12 +413,7 @@ def _swap_index(
         out = kept.unionByName(
             _stats_df(spark, sorted(add_files), columns, base_path=base_path)
         )
-    staging = index_path.rstrip("/") + "._staging"
-    out.coalesce(1).write.mode("overwrite").parquet(staging)
-    spark.read.parquet(staging).coalesce(1).write.mode("overwrite").parquet(
-        index_path
-    )
-    shutil.rmtree(staging, ignore_errors=True)
+    return write_manifest(spark, index_path, out, publish=publish)
 
 
 def publish_rewrite(
@@ -411,6 +423,7 @@ def publish_rewrite(
     drop_files: list[str],
     df: DataFrame,
     dest_dir: str | None = None,
+    publish: bool = True,
 ) -> list[str]:
     """The shared rewrite-publish discipline (cluster_compact /
     compact_deletes / merge_upsert_files): write ``df`` to a staging
@@ -418,14 +431,26 @@ def publish_rewrite(
     directory-listing reads), rename its part files into ``dest_dir``
     (default: the dataset root; a hive partition directory for
     partition-scoped rewrites) under unique ``rewrite-*`` names
-    (per-file-atomic), swap the stats-index manifest (drop
-    ``drop_files``, add the new files), and only then delete the
-    originals.  Index-planned readers never see a torn state; a crash
-    strands only vacuum-able garbage (``vacuum_unindexed``).  ``df``
-    must already be arranged (sorted / range-partitioned / coalesced)
-    the way the caller wants it persisted — and, when ``dest_dir`` is
-    a partition directory, must NOT carry the path-encoded partition
-    columns."""
+    (per-file-atomic), then publish the next index-manifest VERSION
+    (drop ``drop_files``, add the new files) with an atomic pointer
+    flip.  The originals are NOT deleted: they stay referenced by the
+    prior manifest version, so a concurrent reader that planned before
+    the flip finishes against intact files, and ``as_of`` reads keep
+    working — exactly Delta/Iceberg's tombstone-then-vacuum contract.
+    Bytes are reclaimed only by an explicit ``vacuum_unindexed`` after
+    the retention window.  A crash strands at worst an unreferenced
+    staging sibling or an unpublished manifest version, both vacuum-able
+    garbage.  ``df`` must already be arranged (sorted /
+    range-partitioned / coalesced) the way the caller wants it
+    persisted — and, when ``dest_dir`` is a partition directory, must
+    NOT carry the path-encoded partition columns.  ``publish=False``
+    stages the manifest version for a multi-table transaction commit.
+
+    NOTE: after a rewrite and before vacuum, a PLAIN directory read of
+    ``data_path`` sees both the originals and the rewrite (double
+    rows).  A maintained table is read through its manifest
+    (``skipping.read_skipping`` / ``read_indexed``); plain directory
+    reads are only exact again after ``vacuum_unindexed``."""
     import os
     import shutil
     import uuid
@@ -441,9 +466,9 @@ def publish_rewrite(
         os.rename(src, dst)
         new_files.append(dst)
     shutil.rmtree(staging, ignore_errors=True)
-    _swap_index(spark, index_path, drop_files, new_files, data_path)
-    for f in drop_files:
-        os.remove(f)
+    _swap_index(
+        spark, index_path, drop_files, new_files, data_path, publish=publish
+    )
     return new_files
 
 
@@ -459,8 +484,9 @@ def cluster_compact(
 ) -> dict:
     """Index-driven incremental re-clustering: rewrite only the
     overlap-heaviest files (chosen on ``cols[0]``'s extents) Z-ordered
-    over ``cols`` (range-sorted when one column), then swap the index
-    manifest and delete the rewritten originals.
+    over ``cols`` (range-sorted when one column), then publish the next
+    index-manifest version; originals persist until
+    ``vacuum_unindexed``.
 
     Rewriting ANY subset preserves results — the new files hold
     exactly the rewritten rows, just re-arranged — so the cap bounds
@@ -469,13 +495,14 @@ def cluster_compact(
     staged in a SIBLING directory (a nested subdir would corrupt plain
     directory-listing parquet reads), its part files are renamed into
     the dataset root under unique ``rewrite-*`` names (per-file-atomic
-    on POSIX), the index manifest swaps, and only then are the
-    originals deleted — readers planning from the index never see a
-    torn state; a crash strands at worst an unreferenced staging
-    sibling or unindexed data files, both GC'd by
-    ``vacuum_unindexed``.  Run ``skipping.update_stats_index`` only
-    AFTER vacuuming — it trusts the directory listing and would
-    re-adopt stranded originals.
+    on POSIX), and the next index-manifest version publishes with an
+    atomic pointer flip.  The rewritten originals stay on disk,
+    referenced by the prior manifest version, until
+    ``vacuum_unindexed`` reclaims them — concurrent index-planned
+    readers and ``as_of`` reads never see a torn state, and a crash
+    strands at worst vacuum-able garbage.  ``update_stats_index`` is
+    retention-aware: it never re-adopts files an older retained
+    version references.
     """
     import os
 
@@ -532,23 +559,40 @@ def cluster_compact(
     return {"rewritten": rewritten, "new_files": new_total, "groups": n_groups}
 
 
-def vacuum_unindexed(spark: SparkSession, data_path: str, index_path: str) -> list[str]:
-    """Delete data files present on disk but absent from the index
-    manifest — the garbage a crashed ``cluster_compact`` (new files
-    written, index not swapped) or a completed one (originals deleted
-    mid-way) can strand.  Returns the deleted paths.  Safe by the
-    manifest contract: a file the index does not list is invisible to
-    index-planned readers.  Crashed-compact staging SIBLINGS
-    (``<data>.rewrite-*``) are removed too."""
+def vacuum_unindexed(
+    spark: SparkSession,
+    data_path: str,
+    index_path: str,
+    keep_versions: int = 1,
+) -> list[str]:
+    """The one place bytes are destroyed (Delta ``VACUUM``'s role):
+    expire manifest versions beyond the newest ``keep_versions``
+    published ones, then delete data files no RETAINED version
+    references — rewritten originals past their retention window,
+    crashed-compact strays — plus crashed staging SIBLINGS
+    (``<data>.rewrite-*``).  Returns the deleted paths.
+
+    ``keep_versions=1`` reclaims everything but the current snapshot
+    (plain directory reads of ``data_path`` are exact again after
+    this); a larger window keeps ``as_of`` time travel and in-flight
+    readers alive for the last N maintenance operations.  Run it on
+    the operator's schedule, after the longest query you expect to
+    overlap a maintenance run — a reader holding a plan older than the
+    retention window is the one failure mode this contract does not
+    cover (same as every table format)."""
     import glob
     import os
     import shutil
 
+    from columnar_analytics_engine_spark.manifest import (
+        expire_versions,
+        referenced_files,
+    )
     from columnar_analytics_engine_spark.skipping import list_parquet_files
 
-    idx = spark.read.parquet(index_path)
-    indexed = {r["file"] for r in idx.select("file").distinct().collect()}
-    stranded = [f for f in list_parquet_files(data_path) if f not in indexed]
+    expire_versions(index_path, keep_versions)
+    keep = referenced_files(spark, index_path)
+    stranded = [f for f in list_parquet_files(data_path) if f not in keep]
     for f in stranded:
         os.remove(f)
     for d in glob.glob(data_path.rstrip("/") + ".rewrite-*"):
@@ -566,6 +610,7 @@ def merge_upsert_files(
     max_keys: int = 100_000,
     bloom_path: str | None = None,
     target_file_bytes: int = 128 * 1024 * 1024,
+    publish: bool = True,
 ) -> dict:
     """MERGE-on-write with I/O bounded by the AFFECTED files: upsert
     ``source`` rows into the dataset by ``key`` (source wins on
@@ -588,6 +633,10 @@ def merge_upsert_files(
     crash story as the other maintenance ops (``publish_rewrite``).
     Fold deletion vectors FIRST (``deletes.compact_deletes``): the
     rewrite reads physical rows and does not consult DVs.
+    ``publish=False`` stages the new manifest version without the
+    pointer flip — the building block of a multi-table transaction
+    (``transaction.py``); the returned ``version`` is what the catalog
+    commit pins.
 
     Hive-partitioned layouts are rejected: a MERGE rewrite would have
     to route every merged row (including inserts for partitions with no
@@ -619,26 +668,36 @@ def merge_upsert_files(
         bloom_path=bloom_path,
     )
     affected = plan["files"]
+    from columnar_analytics_engine_spark.manifest import list_versions
+
     if not affected:
         # no file can hold any source key: pure insert
         n_files = 1
         new_files = publish_rewrite(
-            spark, data_path, index_path, [], source.coalesce(n_files)
+            spark, data_path, index_path, [], source.coalesce(n_files),
+            publish=publish,
         )
         return {"affected_files": 0, "new_files": len(new_files),
-                "pruned_files": plan["files_pruned"]}
+                "pruned_files": plan["files_pruned"],
+                "version": list_versions(index_path)[-1]}
     total = sum(os.path.getsize(f) for f in affected)
     n_files = max(1, int((total + target_file_bytes - 1) // target_file_bytes))
-    old = spark.read.option("basePath", data_path).parquet(*affected)
+    # evolved tables: read affected cohorts under the CURRENT logical
+    # schema so the rewrite lazily materializes adds/renames/widenings
+    from columnar_analytics_engine_spark.evolution import read_evolved
+
+    old = read_evolved(spark, data_path, index_path, files=affected)
     merged = old.join(
         F.broadcast(source.select(key)), key, "left_anti"
     ).unionByName(source)
     new_files = publish_rewrite(
         spark, data_path, index_path, affected,
         merged.repartitionByRange(n_files, key).sortWithinPartitions(key),
+        publish=publish,
     )
     return {
         "affected_files": len(affected),
         "new_files": len(new_files),
         "pruned_files": plan["files_pruned"],
+        "version": list_versions(index_path)[-1],
     }

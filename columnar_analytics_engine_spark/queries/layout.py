@@ -349,10 +349,12 @@ def layout_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_totalprice",
     )
+    from columnar_analytics_engine_spark.skipping import read_indexed
+
     merge_upsert_files(
         spark, data, index, updates.unionByName(inserts), "o_orderkey"
     )
-    return spark.read.parquet(data).agg(
+    return read_indexed(spark, data, index).agg(
         F.count("*").alias("n_rows"),
         F.sum("o_orderkey").alias("sum_orderkey"),
         F.sum("o_custkey").alias("sum_custkey"),
@@ -440,13 +442,18 @@ def deletes_compact_physical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The fold: ``deletes.compact_deletes`` rewrites ONLY the
     tombstone-carrying files without their deleted rows (stage →
     rename-in → stats-index swap → clear tombstones → drop originals),
-    after which a PLAIN scan — no DV consultation — must hash-match
-    the same oracle as the merge-on-read path: folding tombstones
-    changes bytes on disk, never results."""
+    then ``vacuum_unindexed`` reclaims the rewritten originals, after
+    which a PLAIN scan — no DV consultation — must hash-match the same
+    oracle as the merge-on-read path: the full delete lifecycle
+    (tombstone → fold → vacuum) changes bytes on disk, never
+    results."""
     from columnar_analytics_engine_spark.deletes import compact_deletes
+
+    from columnar_analytics_engine_spark.layout import vacuum_unindexed
 
     data, index, dv = _deletes_fixture(spark, sf_dir, "fold")
     compact_deletes(spark, data, dv, index)
+    vacuum_unindexed(spark, data, index)
     return spark.read.parquet(data).agg(
         F.count("*").alias("n_orders"),
         F.sum("o_orderkey").alias("sum_orderkey"),
@@ -497,7 +504,296 @@ def deletes_dedup_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def layout_time_travel_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot isolation across maintenance (manifest.py): write
+    ``orders`` key-clustered (manifest v1), run a data-CHANGING MERGE
+    (``layout.merge_upsert_files`` — +1000 on a price slice plus
+    shifted-key inserts, manifest v2), then aggregate BOTH snapshots —
+    ``read_indexed(as_of=v1)`` must see the table exactly as published
+    before the merge (the rewritten originals persist until vacuum),
+    while the current read sees the merge.  The oracle replays both
+    states relationally on the untouched source: one row per snapshot.
+    This is Delta/Iceberg time travel on plain Parquet — and the
+    concurrent-reader guarantee in query form, since an in-flight
+    reader IS an as-of reader of the version it planned from."""
+    import hashlib
+    import os
+    import tempfile
+
+    from columnar_analytics_engine_spark.io import write_sorted
+    from columnar_analytics_engine_spark.layout import merge_upsert_files
+    from columnar_analytics_engine_spark.manifest import current_version
+    from columnar_analytics_engine_spark.skipping import (
+        build_stats_index,
+        read_indexed,
+    )
+
+    src = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    tag = hashlib.md5(f"{sf_dir}:{os.getpid()}".encode()).hexdigest()[:12]
+    data = f"{tempfile.gettempdir()}/cae_tt_data_{tag}"
+    index = f"{tempfile.gettempdir()}/cae_tt_idx_{tag}"
+    write_sorted(src, data, ["o_orderkey"], n_files=8)
+    build_stats_index(spark, data, index)
+    v1 = current_version(index)
+    updates = src.filter(F.col("o_orderkey") <= 300).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(1000.0)
+    )
+    inserts = updates.filter(F.col("o_orderkey") <= 100).select(
+        (F.col("o_orderkey") + 20_000_000).alias("o_orderkey"),
+        "o_custkey",
+        "o_totalprice",
+    )
+    merge_upsert_files(
+        spark, data, index, updates.unionByName(inserts), "o_orderkey"
+    )
+
+    def snap(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.count("*").alias("n_rows"),
+            F.sum("o_orderkey").alias("sum_orderkey"),
+            exact_sum("o_totalprice", "sum_price"),
+        ).select(F.lit(name).alias("snapshot"), "*")
+
+    return (
+        snap(read_indexed(spark, data, index, as_of=v1), "v1")
+        .unionByName(snap(read_indexed(spark, data, index), "v2"))
+        .orderBy("snapshot")
+    )
+
+
+_TIME_TRAVEL_SQL = f"""
+    WITH src AS (
+      SELECT o_orderkey, o_custkey, o_totalprice + 1000 AS o_totalprice
+      FROM orders WHERE o_orderkey <= 300
+      UNION ALL
+      SELECT o_orderkey + 20000000, o_custkey, o_totalprice + 1000
+      FROM orders WHERE o_orderkey <= 100
+    ),
+    merged AS (
+      SELECT o.o_orderkey, o.o_totalprice
+      FROM orders o
+      WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM src)
+      UNION ALL
+      SELECT o_orderkey, o_totalprice FROM src
+    )
+    SELECT 'v1' AS snapshot, COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_orderkey,
+           {sql_exact_sum('o_totalprice', 'sum_price')}
+    FROM orders
+    UNION ALL
+    SELECT 'v2', COUNT(*),
+           CAST(SUM(o_orderkey) AS BIGINT),
+           {sql_exact_sum('o_totalprice', 'sum_price')}
+    FROM merged
+    ORDER BY snapshot
+"""
+
+
+
+def txn_two_table_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table atomic publish (transaction.py): stage index-bounded
+    MERGEs on an orders + lineitem pair with ``publish=False`` (both
+    manifest versions exist, neither pointer moved), commit ONE catalog
+    file with ``os.replace``, then join the two ``snapshot_table``
+    reads — which resolve versions through the catalog and are
+    therefore snapshot-consistent by construction.  The oracle replays
+    both merges relationally and joins; a torn commit (one table new,
+    one old) would hash-mismatch.  This is the Delta-commit-marker /
+    Iceberg-catalog-swap shape on plain Parquet — the primitive that
+    lets a 100 TB ingest move a fact table and its sibling in one
+    indivisible step."""
+    import hashlib
+    import os
+    import tempfile
+
+    from columnar_analytics_engine_spark.io import write_sorted
+    from columnar_analytics_engine_spark.layout import merge_upsert_files
+    from columnar_analytics_engine_spark.manifest import current_version
+    from columnar_analytics_engine_spark.skipping import build_stats_index
+    from columnar_analytics_engine_spark.transaction import (
+        commit,
+        snapshot_table,
+    )
+
+    tag = hashlib.md5(f"{sf_dir}:{os.getpid()}".encode()).hexdigest()[:12]
+    base = f"{tempfile.gettempdir()}/cae_txn_{tag}"
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    line = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(exact_sum("l_quantity", "l_qty"))
+    )
+    cat = f"{base}/catalog.json"
+    os.makedirs(base, exist_ok=True)
+    tables = {}
+    for name, df, key in (("orders", orders, "o_orderkey"),
+                          ("lineitem", line, "l_orderkey")):
+        data, index = f"{base}/{name}_data", f"{base}/{name}_idx"
+        write_sorted(df, data, [key], n_files=4)
+        build_stats_index(spark, data, index)
+        tables[name] = {"data": data, "index": index,
+                        "version": current_version(index)}
+    commit(cat, tables)
+
+    staged = {}
+    for name, df, key, val in (
+        ("orders", orders, "o_orderkey", "o_totalprice"),
+        ("lineitem", line, "l_orderkey", "l_qty"),
+    ):
+        updates = df.filter(F.col(key) <= 300).withColumn(
+            val, F.col(val) + F.lit(1000.0)
+        )
+        out = merge_upsert_files(
+            spark, tables[name]["data"], tables[name]["index"],
+            updates, key, publish=False,
+        )
+        staged[name] = {**tables[name], "version": out["version"]}
+    commit(cat, staged)
+
+    o = snapshot_table(spark, cat, "orders")
+    l = snapshot_table(spark, cat, "lineitem")
+    return o.join(l, o["o_orderkey"] == l["l_orderkey"]).agg(
+        F.count("*").alias("n_rows"),
+        F.sum("o_orderkey").alias("sum_orderkey"),
+        exact_sum("o_totalprice", "sum_price"),
+        exact_sum("l_qty", "sum_qty"),
+    )
+
+
+_TXN_SQL = f"""
+    WITH lagg AS (
+      SELECT l_orderkey,
+             {sql_exact_sum('l_quantity', 'l_qty')}
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    o2 AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey <= 300 THEN o_totalprice + 1000
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders
+    ),
+    l2 AS (
+      SELECT l_orderkey,
+             CASE WHEN l_orderkey <= 300 THEN l_qty + 1000
+                  ELSE l_qty END AS l_qty
+      FROM lagg
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_orderkey,
+           {sql_exact_sum('o_totalprice', 'sum_price')},
+           {sql_exact_sum('l_qty', 'sum_qty')}
+    FROM o2 JOIN l2 ON o_orderkey = l_orderkey
+"""
+
+
+
+def evolve_schema_merge_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution end-to-end (evolution.py): write ``orders``
+    key-clustered and indexed, ADD a column (``o_bonus`` double,
+    default 0.0) and RENAME another (``o_custkey`` → ``cust_id``) —
+    both metadata-only, zero data files touched — then MERGE a
+    mixed-schema source that carries the new column, and aggregate
+    across BOTH physical cohorts through ``read_evolved`` (old files:
+    path-era schema reconciled by per-cohort projection — defaults for
+    the add, forward-mapping for the rename; rewritten files: the
+    evolved schema materialized).  The oracle replays the evolution
+    relationally.  At 100 TB this is the only affordable shape for a
+    schema change: O(metadata) now, physical convergence rides along
+    with normal maintenance rewrites."""
+    import hashlib
+    import os
+    import tempfile
+
+    from columnar_analytics_engine_spark.evolution import (
+        add_column,
+        read_evolved,
+        rename_column,
+    )
+    from columnar_analytics_engine_spark.io import write_sorted
+    from columnar_analytics_engine_spark.layout import merge_upsert_files
+    from columnar_analytics_engine_spark.skipping import build_stats_index
+
+    src = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    tag = hashlib.md5(f"{sf_dir}:{os.getpid()}".encode()).hexdigest()[:12]
+    data = f"{tempfile.gettempdir()}/cae_evo_data_{tag}"
+    index = f"{tempfile.gettempdir()}/cae_evo_idx_{tag}"
+    write_sorted(src, data, ["o_orderkey"], n_files=8)
+    build_stats_index(spark, data, index)
+    # fresh fixture on re-runs in one process: the data was rewritten,
+    # so a spec left by a previous run no longer applies
+    spec_file = os.path.join(index, "_SCHEMA")
+    if os.path.exists(spec_file):
+        os.remove(spec_file)
+    add_column(spark, data, index, "o_bonus", "double", default=0.0)
+    rename_column(spark, data, index, "o_custkey", "cust_id")
+
+    updates = src.filter(F.col("o_orderkey") <= 300).select(
+        "o_orderkey",
+        F.col("o_custkey").alias("cust_id"),
+        (F.col("o_totalprice") + F.lit(1000.0)).alias("o_totalprice"),
+        (F.col("o_totalprice") + F.lit(1000.0)).alias("o_bonus"),
+    )
+    merge_upsert_files(spark, data, index, updates, "o_orderkey")
+    return read_evolved(spark, data, index).agg(
+        F.count("*").alias("n_rows"),
+        F.sum("o_orderkey").alias("sum_orderkey"),
+        F.sum("cust_id").alias("sum_cust"),
+        exact_sum("o_totalprice", "sum_price"),
+        exact_sum("o_bonus", "sum_bonus"),
+    )
+
+
+_EVOLVE_SQL = f"""
+    WITH src AS (
+      SELECT o_orderkey, o_custkey AS cust_id,
+             o_totalprice + 1000 AS o_totalprice,
+             o_totalprice + 1000 AS o_bonus
+      FROM orders WHERE o_orderkey <= 300
+    ),
+    merged AS (
+      SELECT o_orderkey, o_custkey AS cust_id, o_totalprice,
+             CAST(0.0 AS DOUBLE) AS o_bonus
+      FROM orders
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+      UNION ALL
+      SELECT * FROM src
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_orderkey,
+           CAST(SUM(cust_id) AS BIGINT) AS sum_cust,
+           {sql_exact_sum('o_totalprice', 'sum_price')},
+           {sql_exact_sum('o_bonus', 'sum_bonus')}
+    FROM merged
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "evolve_schema_merge_agg": QuerySpec(
+        evolve_schema_merge_agg,
+        _EVOLVE_SQL,
+        "metadata-only add+rename, mixed-schema MERGE, aggregate across "
+        "physical cohorts (oracle replays the evolution)",
+        ("scale", "maintenance", "evolution", "index"),
+    ),
+    "txn_two_table_snapshot": QuerySpec(
+        txn_two_table_snapshot,
+        _TXN_SQL,
+        "two-table atomic publish via one catalog swap; snapshot join "
+        "(oracle replays both merges)",
+        ("scale", "maintenance", "transaction", "index"),
+    ),
+    "layout_time_travel_scan": QuerySpec(
+        layout_time_travel_scan,
+        _TIME_TRAVEL_SQL,
+        "versioned-manifest time travel: as-of read of the pre-MERGE "
+        "snapshot vs the current read (oracle replays both states)",
+        ("scale", "maintenance", "index", "time-travel"),
+    ),
     "deletes_dedup_tombstones": QuerySpec(
         deletes_dedup_tombstones,
         r"""

@@ -309,18 +309,22 @@ def build_stats_index(
     data_path: str,
     index_path: str,
     columns: list[str] | None = None,
-    mode: str = "overwrite",
 ) -> int:
     """Build the per-file stats index for ``data_path`` at
     ``index_path``; returns the number of files indexed.  The index is
-    tiny relative to the data (rows = files × columns), so it is
-    written as a single file — one footer to open at plan time."""
+    tiny relative to the data (rows = files × columns), so each
+    manifest snapshot is a single file — one footer to open at plan
+    time.  Written as a new manifest VERSION with an atomic pointer
+    flip (``manifest.write_manifest``); a rebuild never clobbers the
+    snapshot a concurrent reader planned from."""
+    from columnar_analytics_engine_spark.manifest import write_manifest
+
     files = list_parquet_files(data_path)
     if not files:
         raise FileNotFoundError(f"no parquet files under {data_path}")
-    _stats_df(spark, files, columns, base_path=data_path).coalesce(1).write.mode(
-        mode
-    ).parquet(index_path)
+    write_manifest(
+        spark, index_path, _stats_df(spark, files, columns, base_path=data_path)
+    )
     return len(files)
 
 
@@ -331,18 +335,38 @@ def update_stats_index(
     from the index, drop rows for files that vanished (compaction /
     retention deletes).  Returns ``{"added": n, "removed": m}``.  Cost
     is bounded by the CHANGE, not the corpus — the property that makes
-    a stats index viable on an appending 100 TB dataset."""
+    a stats index viable on an appending 100 TB dataset.
+
+    Published as a new manifest VERSION (``manifest.write_manifest``).
+    Files that are on disk but referenced only by OLDER retained
+    versions are NOT re-adopted: they were dropped by a maintenance
+    rewrite and are awaiting vacuum — re-indexing them would resurrect
+    their rows.  Truly new files are those no retained version has ever
+    referenced."""
+    from columnar_analytics_engine_spark.manifest import (
+        read_manifest,
+        referenced_files,
+    )
+
     current = set(list_parquet_files(data_path))
-    idx = spark.read.parquet(index_path)
+    idx = read_manifest(spark, index_path)
     indexed = {r["file"] for r in idx.select("file").distinct().collect()}
-    added = sorted(current - indexed)
+    known = referenced_files(spark, index_path)
+    added = sorted(current - indexed - known)
     removed = sorted(indexed - current)
     if not added and not removed:
         return {"added": 0, "removed": 0}
-    # indexed columns = whatever the existing index carries
-    columns = sorted(
-        {r["column"] for r in idx.select("column").distinct().collect()}
-    )
+    # indexed columns = whatever the existing index carries — unless
+    # the table has a schema-evolution spec, where new files may carry
+    # brand-new columns that cohort detection must see
+    from columnar_analytics_engine_spark.evolution import read_schema_spec
+
+    if read_schema_spec(index_path) is not None:
+        columns = None
+    else:
+        columns = sorted(
+            {r["column"] for r in idx.select("column").distinct().collect()}
+        )
     if removed:
         removed_df = spark.createDataFrame([(f,) for f in removed], "file string")
         kept = idx.join(F.broadcast(removed_df), "file", "left_anti")
@@ -353,15 +377,9 @@ def update_stats_index(
         if added
         else kept
     )
-    # rewrite via a staging path: the new index must not clobber the
-    # input of its own plan mid-read
-    staging = index_path.rstrip("/") + "._staging"
-    out.coalesce(1).write.mode("overwrite").parquet(staging)
-    final = spark.read.parquet(staging)
-    final.coalesce(1).write.mode("overwrite").parquet(index_path)
-    import shutil
+    from columnar_analytics_engine_spark.manifest import write_manifest
 
-    shutil.rmtree(staging, ignore_errors=True)
+    write_manifest(spark, index_path, out)
     return {"added": len(added), "removed": len(removed)}
 
 
@@ -468,6 +486,7 @@ def plan_skipping(
     index_path: str,
     predicate: str,
     bloom_path: str | None = None,
+    as_of: int | None = None,
 ) -> dict[str, Any]:
     """Prune the file manifest with the stats index.  Returns
     ``{"files": [...kept...], "files_total": n, "files_pruned": m,
@@ -478,8 +497,10 @@ def plan_skipping(
     Bloom index (``build_bloom_index``) — effective even on columns
     the layout does not cluster.
     """
+    from columnar_analytics_engine_spark.manifest import read_manifest
+
     clauses = parse_predicate(predicate)
-    idx = spark.read.parquet(index_path)
+    idx = read_manifest(spark, index_path, as_of=as_of)
     all_files = [r["file"] for r in idx.select("file").distinct().collect()]
     pruned = None
     for col, op, val in clauses:
@@ -517,13 +538,16 @@ def read_skipping(
     index_path: str,
     predicate: str,
     bloom_path: str | None = None,
+    as_of: int | None = None,
 ) -> DataFrame:
     """Read ``data_path`` under ``predicate`` touching only files the
     stats index cannot exclude.  The exact predicate is re-applied on
     the pruned scan (and pushes down into it), so the result is
     IDENTICAL to filtering the full dataset — the index only removes
     file opens and tasks."""
-    plan = plan_skipping(spark, index_path, predicate, bloom_path=bloom_path)
+    plan = plan_skipping(
+        spark, index_path, predicate, bloom_path=bloom_path, as_of=as_of
+    )
     cond = None
     for col, op, val in plan["clauses"]:
         c = _clause_column(col, op, val)
@@ -541,13 +565,18 @@ def read_skipping(
 
 
 def read_indexed(
-    spark: SparkSession, data_path: str, index_path: str
+    spark: SparkSession, data_path: str, index_path: str,
+    as_of: int | None = None,
 ) -> DataFrame:
     """Read exactly the files the stats-index manifest lists — no
     predicate pruning, just the manifest's view of the table.  This is
     the safe read for a table under maintenance: directory listing can
-    see stranded/pre-vacuum files, the manifest cannot."""
-    idx = spark.read.parquet(index_path)
+    see stranded/pre-vacuum files, the manifest cannot.  ``as_of=N``
+    time-travels: maintenance keeps dropped files on disk until vacuum,
+    so the version-N snapshot reads exactly as it was published."""
+    from columnar_analytics_engine_spark.manifest import read_manifest
+
+    idx = read_manifest(spark, index_path, as_of=as_of)
     files = sorted({r["file"] for r in idx.select("file").distinct().collect()})
     if not files:
         return spark.read.parquet(data_path).where(F.lit(False))
@@ -623,8 +652,10 @@ def plan_skipping_join(
     """
     if len(keys.columns) != 1:
         raise ValueError("keys must be a one-column DataFrame of join keys")
+    from columnar_analytics_engine_spark.manifest import read_manifest
+
     kind = _key_kind(dict(keys.dtypes)[keys.columns[0]])
-    idx = spark.read.parquet(index_path)
+    idx = read_manifest(spark, index_path)
     all_files = [r["file"] for r in idx.select("file").distinct().collect()]
     if kind is None:
         # non-comparable key type: nothing prunable, keep everything
@@ -1063,8 +1094,10 @@ def verify_stats_index(
     """
     import pyarrow.parquet as pq
 
+    from columnar_analytics_engine_spark.manifest import read_manifest
+
     disk = set(list_parquet_files(data_path))
-    idx = spark.read.parquet(index_path)
+    idx = read_manifest(spark, index_path)
     indexed_rows = {
         r["file"]: r["file_rows"]
         for r in idx.select("file", "file_rows").distinct().collect()

@@ -86,6 +86,7 @@ def stats_indexed_sink(
     cluster_bits: int = 8,
     bloom_path: str | None = None,
     bloom_cols: list[str] | None = None,
+    manifest_keep_versions: int = 8,
 ):
     """``foreachBatch`` processor: append micro-batches to a Parquet
     dataset and keep its file-level stats-skipping index
@@ -121,6 +122,13 @@ def stats_indexed_sink(
     only the batch's new files are scanned).  Bloom staleness is safe
     in both directions (skipping.py), so a crash between the data
     commit and the bloom update costs pruning, never correctness.
+
+    The stats index is a VERSIONED manifest (manifest.py): each
+    micro-batch's update publishes a new version atomically.  The sink
+    expires versions beyond ``manifest_keep_versions`` after each
+    update so a long-running stream does not accumulate one manifest
+    dir per micro-batch; the window still covers readers that planned
+    several batches ago.
     """
     from columnar_analytics_engine_spark.skipping import (
         build_bloom_index,
@@ -148,6 +156,9 @@ def stats_indexed_sink(
             update_stats_index(spark, data_path, index_path)
         else:
             build_stats_index(spark, data_path, index_path)
+        from columnar_analytics_engine_spark.manifest import expire_versions
+
+        expire_versions(index_path, manifest_keep_versions)
         if bloom_path is not None and bloom_cols:
             if os.path.exists(bloom_path):
                 update_bloom_index(spark, data_path, bloom_path)

@@ -288,9 +288,10 @@ def test_cli_delete_and_fold(spark, tmp_path, capsys):
     assert 0 < doomed < total
     cli.main(["delete", raw, dv, "--where", "value > 8000"])
     assert json.loads(capsys.readouterr().out)["tombstones_added"] == doomed
-    cli.main(["delete", raw, dv, "--compact", "--index", idx])
+    cli.main(["delete", raw, dv, "--compact", "--index", idx, "--vacuum"])
     out = json.loads(capsys.readouterr().out)
     assert out["tombstones_cleared"] == doomed
+    assert out["vacuumed"] >= 1  # folded originals reclaimed
     assert spark.read.parquet(raw).count() == total - doomed
 
 
@@ -309,6 +310,14 @@ def test_cli_upsert(spark, tmp_path, capsys):
     ).write.parquet(src_dir)
     cli.main(["upsert", raw, idx, src_dir, "--key", "id"])
     out = json.loads(capsys.readouterr().out)
-    assert out["new_files"] >= 1
+    assert out["new_files"] >= 1 and out["version"] == 2
+    # merged originals persist until vacuum (grace period); history
+    # shows both versions, vacuum reclaims, plain reads exact again
+    cli.main(["history", idx])
+    hist = json.loads(capsys.readouterr().out)
+    assert hist["current"] == 2 and len(hist["versions"]) == 2
+    cli.main(["vacuum", raw, idx])
+    vac = json.loads(capsys.readouterr().out)
+    assert vac["removed"] >= 1
     assert spark.read.parquet(raw).filter("value = 99999").count() == 5
     assert spark.read.parquet(raw).count() == 1000

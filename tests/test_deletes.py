@@ -11,6 +11,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from columnar_analytics_engine_spark.manifest import read_manifest
 from columnar_analytics_engine_spark.deletes import (
     compact_deletes,
     delete_where,
@@ -79,6 +80,9 @@ def test_compact_deletes_folds_physically(spark, table):
 
     out = compact_deletes(spark, data, dv, index)
     assert out["folded_files"] > 0 and out["tombstones_cleared"] > 0
+    from columnar_analytics_engine_spark.layout import vacuum_unindexed
+
+    vacuum_unindexed(spark, data, index)
 
     # physically gone: plain read (no DV) now matches
     assert _rows(spark.read.parquet(data)) == expect
@@ -89,7 +93,7 @@ def test_compact_deletes_folds_physically(spark, table):
     disk = set(list_parquet_files(data))
     indexed = {
         r["file"]
-        for r in spark.read.parquet(index).select("file").distinct().collect()
+        for r in read_manifest(spark, index).select("file").distinct().collect()
     }
     assert disk == indexed
     assert disk != before_files
@@ -107,6 +111,9 @@ def test_compact_deletes_drops_fully_deleted_files(spark, tmp_path):
     build_stats_index(spark, data, index)
     delete_where(spark, data, dv, "b = 2")
     compact_deletes(spark, data, dv, index)
+    from columnar_analytics_engine_spark.layout import vacuum_unindexed
+
+    vacuum_unindexed(spark, data, index)
     got = sorted(tuple(r) for r in spark.read.parquet(data).collect())
     assert got == sorted(
         (i, i % 4) for i in range(400) if i % 4 != 2
@@ -169,6 +176,9 @@ def test_compact_deletes_hive_partitioned_stays_in_partition(spark, tmp_path):
 
     out = compact_deletes(spark, data, dv, index)
     assert out["folded_files"] > 0 and out["tombstones_cleared"] > 0
+    from columnar_analytics_engine_spark.layout import vacuum_unindexed
+
+    vacuum_unindexed(spark, data, index)
 
     # no rewrite files escaped into the dataset root
     root_files = [

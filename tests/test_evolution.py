@@ -1,0 +1,135 @@
+"""Schema evolution: metadata-only add/rename/widen + cohort reads.
+
+Invariants: evolution ops never touch data files; ``read_evolved``
+reconciles every physical cohort to the current logical schema
+(default for never-written, NOT for written-NULL); maintenance
+rewrites lazily materialize the evolved schema; invalid evolutions
+fail loudly.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from columnar_analytics_engine_spark.evolution import (
+    add_column,
+    read_evolved,
+    read_schema_spec,
+    rename_column,
+    widen_type,
+)
+from columnar_analytics_engine_spark.layout import merge_upsert_files
+from columnar_analytics_engine_spark.skipping import (
+    build_stats_index,
+    list_parquet_files,
+    update_stats_index,
+)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    data = str(tmp_path / "data")
+    index = str(tmp_path / "idx")
+    df = spark.createDataFrame(
+        [(i, i * 10, f"u{i}") for i in range(100)],
+        "id bigint, amount int, name string",
+    )
+    df.repartition(4, "id").write.parquet(data)
+    build_stats_index(spark, data, index)
+    return data, index, df
+
+
+def test_no_spec_passthrough(spark, table):
+    data, index, df = table
+    got = read_evolved(spark, data, index)
+    assert _rows(got) == _rows(df)
+    assert read_schema_spec(index) is None
+
+
+def test_add_column_default_and_mixed_cohorts(spark, table):
+    data, index, df = table
+    files_before = set(list_parquet_files(data))
+    add_column(spark, data, index, "score", "double", default=1.5)
+    # metadata-only: zero data files changed
+    assert set(list_parquet_files(data)) == files_before
+
+    got = read_evolved(spark, data, index)
+    assert got.schema["score"].dataType.simpleString() == "double"
+    assert got.filter(F.col("score") == 1.5).count() == 100
+
+    # upsert a batch that CARRIES the column — including an explicit
+    # NULL, which must stay NULL (not become the default)
+    source = spark.createDataFrame(
+        [(5, 50, "u5", 9.9), (200, 2000, "u200", None)],
+        "id bigint, amount int, name string, score double",
+    )
+    merge_upsert_files(spark, data, index, source, "id")
+    got = read_evolved(spark, data, index)
+    assert got.count() == 101
+    vals = {r["id"]: r["score"] for r in got.collect()}
+    assert vals[5] == 9.9 and vals[200] is None
+    assert vals[7] == 1.5  # untouched old-cohort row keeps the default
+    # aggregate across both cohorts
+    assert got.agg(F.count("score")).first()[0] == 100  # one real NULL
+
+
+def test_rename_column_maps_old_files_forward(spark, table):
+    data, index, df = table
+    rename_column(spark, data, index, "amount", "amount_cents")
+    got = read_evolved(spark, data, index)
+    assert "amount_cents" in got.columns and "amount" not in got.columns
+    assert _rows(got.select("id", "amount_cents")) == _rows(
+        df.select("id", "amount")
+    )
+    with pytest.raises(ValueError, match="already exists"):
+        rename_column(spark, data, index, "name", "amount_cents")
+    with pytest.raises(KeyError):
+        rename_column(spark, data, index, "nope", "x")
+    # a rewrite materializes the new physical name; both cohorts agree
+    source = spark.createDataFrame(
+        [(5, 555, "u5")], "id bigint, amount_cents int, name string"
+    )
+    merge_upsert_files(spark, data, index, source, "id")
+    got = read_evolved(spark, data, index)
+    assert got.filter(F.col("id") == 5).first()["amount_cents"] == 555
+    assert got.count() == 100
+
+
+def test_widen_type_casts_old_cohorts(spark, table):
+    data, index, df = table
+    widen_type(spark, data, index, "amount", "bigint")
+    got = read_evolved(spark, data, index)
+    assert got.schema["amount"].dataType.simpleString() == "bigint"
+    assert got.agg(F.sum("amount")).first()[0] == sum(i * 10 for i in range(100))
+    with pytest.raises(ValueError, match="cannot widen"):
+        widen_type(spark, data, index, "name", "bigint")
+    with pytest.raises(ValueError, match="cannot widen"):
+        widen_type(spark, data, index, "amount", "int")  # narrowing
+
+
+def test_compose_add_rename_widen_and_append(spark, table):
+    """The full lifecycle: widen + rename + add, then an APPEND of
+    new-schema files via update_stats_index — three physical cohorts
+    reconcile."""
+    data, index, df = table
+    widen_type(spark, data, index, "amount", "bigint")
+    rename_column(spark, data, index, "amount", "cents")
+    add_column(spark, data, index, "flag", "int", default=0)
+    newer = spark.createDataFrame(
+        [(1000, 7, "new", 1)], "id bigint, cents bigint, name string, flag int"
+    )
+    newer.coalesce(1).write.mode("append").parquet(data)
+    update_stats_index(spark, data, index)
+    got = read_evolved(spark, data, index)
+    assert got.count() == 101
+    assert got.filter(F.col("flag") == 1).first()["id"] == 1000
+    assert got.filter(F.col("flag") == 0).count() == 100
+    assert (
+        got.agg(F.sum("cents")).first()[0]
+        == sum(i * 10 for i in range(100)) + 7
+    )

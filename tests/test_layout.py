@@ -13,6 +13,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from columnar_analytics_engine_spark.manifest import read_manifest
 from columnar_analytics_engine_spark.io import read_table
 from columnar_analytics_engine_spark.layout import (
     bucket_extents,
@@ -190,12 +191,17 @@ def test_cluster_compact_rewrites_preserves_and_improves(spark, sf_small, tmp_pa
     )
     assert out["rewritten"] == 8 and out["new_files"] >= 1
 
-    # data identical, originals gone, index == disk manifest
+    # grace period: originals persist for in-flight/as-of readers; the
+    # manifest-planned read is exact, and vacuum reclaims the originals
+    from columnar_analytics_engine_spark.skipping import read_indexed
+
+    assert _sorted_rows(read_indexed(spark, data, index)) == before_rows
+    vacuum_unindexed(spark, data, index)
     assert _sorted_rows(spark.read.parquet(data)) == before_rows
     disk = set(list_parquet_files(data))
     indexed = {
         r["file"]
-        for r in spark.read.parquet(index).select("file").distinct().collect()
+        for r in read_manifest(spark, index).select("file").distinct().collect()
     }
     assert disk == indexed
     assert _avg_depth(spark, index, "o_custkey") < before_depth
@@ -228,7 +234,9 @@ def test_cluster_compact_bounded_by_max_files(spark, sf_small, tmp_path):
 
     out = cluster_compact(spark, data, index, ["o_custkey"], max_files=3)
     assert 2 <= out["rewritten"] <= 3
-    assert _sorted_rows(spark.read.parquet(data)) == before_rows
+    from columnar_analytics_engine_spark.skipping import read_indexed
+
+    assert _sorted_rows(read_indexed(spark, data, index)) == before_rows
 
     # candidates shrink as runs converge
     remaining = overlap_candidates(spark, index, "o_custkey", max_files=64)
@@ -317,6 +325,7 @@ def test_merge_upsert_files_bounded_and_exact(spark, sf_small, tmp_path):
     # key-clustered: only the low-key file(s) rewrite
     assert 0 < out["affected_files"] < n_before
     assert out["pruned_files"] > 0
+    vacuum_unindexed(spark, data, index)
 
     got = sorted(tuple(r) for r in spark.read.parquet(data).collect())
     expect = sorted(
@@ -332,7 +341,7 @@ def test_merge_upsert_files_bounded_and_exact(spark, sf_small, tmp_path):
     disk = set(list_parquet_files(data))
     indexed = {
         r["file"]
-        for r in spark.read.parquet(index).select("file").distinct().collect()
+        for r in read_manifest(spark, index).select("file").distinct().collect()
     }
     assert disk == indexed
     got2 = read_skipping(spark, data, index, f"o_orderkey le {lo + 50}")
@@ -447,6 +456,7 @@ def test_cluster_compact_hive_partitioned_stays_in_partition(spark, tmp_path):
 
     out = cluster_compact(spark, data, index, ["k"], max_files=64)
     assert out["groups"] == 3 and out["rewritten"] >= 6
+    vacuum_unindexed(spark, data, index)
 
     # plain directory read still works and is unchanged
     after = sorted(
@@ -468,7 +478,7 @@ def test_cluster_compact_hive_partitioned_stays_in_partition(spark, tmp_path):
     disk = set(list_parquet_files(data))
     indexed = {
         r["file"]
-        for r in spark.read.parquet(index).select("file").distinct().collect()
+        for r in read_manifest(spark, index).select("file").distinct().collect()
     }
     assert disk == indexed
     plan_pruned = read_skipping(

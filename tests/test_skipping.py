@@ -13,6 +13,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from columnar_analytics_engine_spark.manifest import read_manifest
 from columnar_analytics_engine_spark.io import read_table, write_sorted
 from columnar_analytics_engine_spark.skipping import (
     build_stats_index,
@@ -103,7 +104,7 @@ def test_unindexed_kind_never_prunes(spark, sorted_orders):
     file (correct, just not accelerated); a kind-mismatched literal on
     an indexed column likewise keeps every file."""
     data, index = sorted_orders
-    idx = spark.read.parquet(index)
+    idx = read_manifest(spark, index)
     assert idx.filter(
         (F.col("column") == "o_orderdate") & (F.col("kind") == "other")
     ).count() > 0
@@ -162,7 +163,7 @@ def test_update_stats_index_is_incremental(spark, sf_small, tmp_path):
     assert delta["removed"] == 1
     idx_files = {
         r["file"]
-        for r in spark.read.parquet(index).select("file").distinct().collect()
+        for r in read_manifest(spark, index).select("file").distinct().collect()
     }
     assert victim not in idx_files
     assert update_stats_index(spark, data, index) == {"added": 0, "removed": 0}

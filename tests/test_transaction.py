@@ -1,0 +1,142 @@
+"""Multi-table atomic publish: stage → one catalog os.replace → commit.
+
+Crash-injection bar: kill the transaction at every point before the
+catalog swap and BOTH tables must read back at their old versions; the
+moment the swap lands, both read new — never a mix.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from columnar_analytics_engine_spark.io import read_table, write_sorted
+from columnar_analytics_engine_spark.layout import merge_upsert_files
+from columnar_analytics_engine_spark.manifest import current_version
+from columnar_analytics_engine_spark.skipping import build_stats_index
+from columnar_analytics_engine_spark.transaction import (
+    commit,
+    read_catalog,
+    snapshot_table,
+)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture()
+def pair(spark, sf_small, tmp_path):
+    """orders + lineitem, each indexed at v1, catalog committed at v1."""
+    cat = str(tmp_path / "catalog.json")
+    tables = {}
+    frames = {}
+    for name, cols, key in (
+        ("orders", ["o_orderkey", "o_totalprice"], "o_orderkey"),
+        ("lineitem", ["l_orderkey", "l_quantity"], "l_orderkey"),
+    ):
+        data = str(tmp_path / f"{name}_data")
+        index = str(tmp_path / f"{name}_idx")
+        src = read_table(spark, sf_small, name).select(*cols)
+        if name == "lineitem":
+            # unique merge keys (merge_upsert_files contract)
+            src = src.groupBy(key).agg(
+                F.sum(cols[1]).alias(cols[1])
+            )
+        write_sorted(src, data, [key], n_files=4)
+        build_stats_index(spark, data, index)
+        tables[name] = {
+            "data": data, "index": index, "version": current_version(index),
+        }
+        frames[name] = src
+    commit(cat, tables)
+    return cat, tables, frames
+
+
+def _stage_both(spark, tables, frames):
+    """Stage (publish=False) a merge on each table; return pinned
+    versions + expected frames."""
+    staged, expect = {}, {}
+    for name, key, val in (
+        ("orders", "o_orderkey", "o_totalprice"),
+        ("lineitem", "l_orderkey", "l_quantity"),
+    ):
+        src = frames[name]
+        updates = src.filter(F.col(key) <= 300).withColumn(
+            val, F.col(val) + F.lit(1000.0)
+        )
+        out = merge_upsert_files(
+            spark, tables[name]["data"], tables[name]["index"],
+            updates, key, publish=False,
+        )
+        staged[name] = {**tables[name], "version": out["version"]}
+        expect[name] = _rows(
+            src.join(updates.select(key), key, "left_anti").unionByName(updates)
+        )
+    return staged, expect
+
+
+def test_crash_before_commit_leaves_both_old(spark, pair):
+    cat, tables, frames = pair
+    old = {n: _rows(snapshot_table(spark, cat, n)) for n in tables}
+    staged, _expect = _stage_both(spark, tables, frames)
+    # staged versions exist above current, per-table pointers unmoved
+    for name in tables:
+        assert staged[name]["version"] > tables[name]["version"]
+        assert current_version(tables[name]["index"]) == tables[name]["version"]
+    # CRASH here (no commit): catalog still pins v1 for BOTH
+    for name in tables:
+        assert _rows(snapshot_table(spark, cat, name)) == old[name]
+
+
+def test_commit_flips_both_tables_atomically(spark, pair):
+    cat, tables, frames = pair
+    staged, expect = _stage_both(spark, tables, frames)
+    commit(cat, staged)
+    for name in tables:
+        assert _rows(snapshot_table(spark, cat, name)) == expect[name]
+        # convergence: per-table pointer rolled forward too
+        assert current_version(tables[name]["index"]) == staged[name]["version"]
+    # committed state survives process "restart" (re-read from disk)
+    assert read_catalog(cat)["tables"]["orders"]["version"] == staged["orders"]["version"]
+
+
+def test_commit_validates_staged_versions(spark, pair):
+    cat, tables, _frames = pair
+    bogus = {**tables["orders"], "version": 99}
+    with pytest.raises(FileNotFoundError, match="not staged"):
+        commit(cat, {"orders": bogus})
+    # catalog untouched by the failed commit
+    assert read_catalog(cat)["tables"]["orders"]["version"] == tables["orders"]["version"]
+
+
+def test_snapshot_join_is_consistent_across_commit(spark, pair):
+    """A reader that resolved the catalog BEFORE a commit joins two
+    old-version frames; after, two new-version frames — never a mix."""
+    cat, tables, frames = pair
+    pre_orders = snapshot_table(spark, cat, "orders")
+    pre_line = snapshot_table(spark, cat, "lineitem")
+    pre = _rows(
+        pre_orders.join(
+            pre_line, pre_orders["o_orderkey"] == pre_line["l_orderkey"]
+        ).groupBy().agg(
+            F.count("*").alias("n"),
+            F.sum("o_totalprice").alias("sp"),
+            F.sum("l_quantity").alias("sq"),
+        )
+    )
+    staged, _ = _stage_both(spark, tables, frames)
+    commit(cat, staged)
+    # the pre-commit plan still evaluates against intact v1 files
+    post_plan = _rows(
+        pre_orders.join(
+            pre_line, pre_orders["o_orderkey"] == pre_line["l_orderkey"]
+        ).groupBy().agg(
+            F.count("*").alias("n"),
+            F.sum("o_totalprice").alias("sp"),
+            F.sum("l_quantity").alias("sq"),
+        )
+    )
+    assert post_plan == pre
+    with pytest.raises(KeyError):
+        snapshot_table(spark, cat, "nope")
