@@ -83,6 +83,17 @@ N_TIMED_RUNS = 3  # warm steady-state: best of 3 (reference methodology
 # regression (VERDICT r9 item 2).
 HEALTHY_PROBE_MS = 130.0
 
+# Rescale ONLY on a degraded host (probe slower than this): r11 showed
+# the ratio over-correcting on fast-probe windows (normalized total
+# moved OPPOSITE to raw time).  On a healthy-or-fast box the raw number
+# IS the comparable number; normalization exists to discount kernel-
+# time storms, not to inflate quiet rounds (VERDICT r11 item 2).
+PROBE_DEGRADED_MS = 160.0
+
+
+def _norm_factor(probe_ms: float) -> float:
+    return HEALTHY_PROBE_MS / probe_ms if probe_ms > PROBE_DEGRADED_MS else 1.0
+
 # A query whose min sample differs >3x between the two interleaved
 # suite passes was inside a host slowdown window for one whole pass;
 # its min is still reported, but the name lands in storm_flags so a
@@ -260,7 +271,7 @@ def reference_parity_bench(num_rows: int = 1_000_000, seed: int = 42) -> None:
                     "metric": "reference_parity_total_sec",
                     "value": total,
                     "unit": "sec",
-                    "value_normalized": round(total * HEALTHY_PROBE_MS / probe, 4),
+                    "value_normalized": round(total * _norm_factor(probe), 4),
                     "storm_flags": storm_flags,
                     "queries": timings,
                     "rows": num_rows,
@@ -475,9 +486,18 @@ def main() -> None:
     # Global warm pass (JVM code cache, codegen, parquet footers) with
     # its persist_once entries released afterwards: JIT warmth is
     # global state we WANT shared; cache entries are per-query state we
-    # don't (see below).
+    # don't (see below).  Queries with a registered ``setup`` (on-disk
+    # fixture build = table MAINTENANCE, e.g. skipping_dynamic_join's
+    # clustered write + index build) run it here ONCE, timed separately:
+    # maintenance cost must not read as query cost in the headline
+    # (VERDICT r11 item 3) — both numbers land in the JSON.
+    setup_secs: dict[str, float] = {}
     with cache_scope():
         for name in BENCH_QUERIES:
+            if qs[name].setup is not None:
+                t0 = time.perf_counter()
+                qs[name].setup(spark, sf_dir)
+                setup_secs[name] = round(time.perf_counter() - t0, 4)
             qs[name].fn(spark, sf_dir).count()
 
     # Per-query cache scope: each query warms its own persist_once
@@ -530,11 +550,15 @@ def main() -> None:
                 "metric": "total_headline_sec",
                 "value": total,
                 "unit": "sec",
-                # host-speed-rescaled total (see HEALTHY_PROBE_MS):
-                # comparable across rounds regardless of box state
-                "value_normalized": round(total * HEALTHY_PROBE_MS / probe, 4),
+                # host-speed-rescaled total: identity on healthy/fast
+                # probes, discounts only degraded hosts (see
+                # PROBE_DEGRADED_MS)
+                "value_normalized": round(total * _norm_factor(probe), 4),
                 "storm_flags": storm_flags,
                 "queries": timings,
+                # per-run fixture maintenance, timed apart from queries
+                "setup_sec": setup_secs,
+                "setup_total_sec": round(sum(setup_secs.values()), 4),
                 "sf": sf,
                 "conditions": cond,
             }

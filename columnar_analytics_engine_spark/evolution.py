@@ -127,6 +127,15 @@ def add_column(
     spec["columns"].append(
         {"name": name, "type": dtype, "default": default, "sources": []}
     )
+    if name in spec.get("dropped", []):
+        # without per-file field IDs, a re-added name is ambiguous: old
+        # files still physically carry the dropped bytes and would leak
+        # into the new column.  Iceberg solves this with field IDs; here
+        # the honest contract is that dropped names are retired.
+        raise ValueError(
+            f"column {name!r} was dropped; names are not reusable "
+            "(old files still carry its bytes)"
+        )
     _write_spec(index_path, spec)
     return spec
 
@@ -161,6 +170,26 @@ def widen_type(
             f"(allowed: {sorted(_WIDEN_OK)})"
         )
     c["type"] = dtype
+    _write_spec(index_path, spec)
+    return spec
+
+
+def drop_column(
+    spark: SparkSession, data_path: str, index_path: str, name: str
+) -> dict:
+    """Drop a column (metadata-only): the spec stops projecting it;
+    physical bytes remain in old files until maintenance rewrites them
+    out.  The dropped name (and its rename sources) are RETIRED — a
+    later ``add_column`` of the same name is rejected, because old
+    files still carry the dropped bytes and would leak into the new
+    column (Iceberg avoids this with field IDs; plain Parquet has
+    none)."""
+    spec = read_schema_spec(index_path) or _init_spec(spark, data_path, index_path)
+    c = _get_col(spec, name)
+    if len(spec["columns"]) == 1:
+        raise ValueError("cannot drop the last column")
+    spec["columns"].remove(c)
+    spec.setdefault("dropped", []).extend([c["name"]] + c["sources"])
     _write_spec(index_path, spec)
     return spec
 

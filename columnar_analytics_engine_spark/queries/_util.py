@@ -42,12 +42,20 @@ from columnar_analytics_engine_spark.io import read_table
 
 @dataclass
 class QuerySpec:
-    """One operator/query: the Spark implementation and its SQL oracle."""
+    """One operator/query: the Spark implementation and its SQL oracle.
+
+    ``setup`` (optional): an idempotent (spark, sf_dir) -> None that
+    builds the query's on-disk fixture (clustered write + index) and
+    caches per process.  ``fn`` always works standalone — it calls the
+    same builder internally — but a bench harness can time ``setup``
+    separately so per-run table MAINTENANCE cost does not read as QUERY
+    cost (VERDICT r11 item 3)."""
 
     fn: Callable[[SparkSession, str], DataFrame]
     sql: str | None = None  # None => not SQL-expressible; rows-only check
     description: str = ""
     tags: tuple[str, ...] = field(default_factory=tuple)
+    setup: Callable[[SparkSession, str], None] | None = None
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

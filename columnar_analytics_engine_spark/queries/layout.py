@@ -221,6 +221,37 @@ def skipping_bloom_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(*agg_cols)
 
 
+_DFP_BUILT: dict[str, tuple[str, str]] = {}
+
+
+def _dfp_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Build (once per process per sf_dir) the clustered-lineitem +
+    stats-index fixture for ``skipping_dynamic_join``.  The build is
+    table MAINTENANCE (clustered rewrite + distributed index build) —
+    ~90% of the query's old headline wall time — so it is cached and
+    exposed as the QuerySpec's ``setup`` for separate timing
+    (VERDICT r11 item 3)."""
+    if sf_dir in _DFP_BUILT:
+        return _DFP_BUILT[sf_dir]
+    import hashlib
+    import os
+    import tempfile
+
+    from columnar_analytics_engine_spark.io import write_sorted
+    from columnar_analytics_engine_spark.skipping import build_stats_index
+
+    fact = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    tag = hashlib.md5(f"{sf_dir}:{os.getpid()}".encode()).hexdigest()[:12]
+    data = f"{tempfile.gettempdir()}/cae_dfp_data_{tag}"
+    index = f"{tempfile.gettempdir()}/cae_dfp_idx_{tag}"
+    write_sorted(fact, data, ["l_orderkey"], n_files=16)
+    build_stats_index(spark, data, index)
+    _DFP_BUILT[sf_dir] = (data, index)
+    return data, index
+
+
 def skipping_dynamic_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic file pruning for a fact⋈dim join: ``lineitem`` written
     key-clustered, its manifest pruned by the FILTERED dim side's
@@ -231,24 +262,11 @@ def skipping_dynamic_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the runtime-filtering layer Spark's own DPP applies only to
     hive-partition columns, generalized to any clustered data column
     via the stats index."""
-    import hashlib
-    import os
-    import tempfile
-
-    from columnar_analytics_engine_spark.io import write_sorted
     from columnar_analytics_engine_spark.skipping import (
         broadcast_join_skipping,
-        build_stats_index,
     )
 
-    fact = t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_quantity", "l_extendedprice"
-    )
-    tag = hashlib.md5(f"{sf_dir}:{os.getpid()}".encode()).hexdigest()[:12]
-    data = f"{tempfile.gettempdir()}/cae_dfp_data_{tag}"
-    index = f"{tempfile.gettempdir()}/cae_dfp_idx_{tag}"
-    write_sorted(fact, data, ["l_orderkey"], n_files=16)
-    build_stats_index(spark, data, index)
+    data, index = _dfp_fixture(spark, sf_dir)
     dim = (
         t(spark, sf_dir, "orders")
         .filter((F.col("o_orderkey") <= 600) & (F.col("o_orderstatus") == "F"))
@@ -899,5 +917,6 @@ QUERIES: dict[str, QuerySpec] = {
         "dynamic file pruning: fact manifest pruned by the dim side's "
         "join keys (oracle on the plain join)",
         ("scale", "join", "index"),
+        setup=lambda spark, sf_dir: (_dfp_fixture(spark, sf_dir), None)[1],
     ),
 }

@@ -133,3 +133,27 @@ def test_compose_add_rename_widen_and_append(spark, table):
         got.agg(F.sum("cents")).first()[0]
         == sum(i * 10 for i in range(100)) + 7
     )
+
+
+def test_drop_column_metadata_only_and_name_retired(spark, table):
+    from columnar_analytics_engine_spark.evolution import drop_column
+
+    data, index, df = table
+    files_before = set(list_parquet_files(data))
+    drop_column(spark, data, index, "amount")
+    assert set(list_parquet_files(data)) == files_before  # zero data I/O
+    got = read_evolved(spark, data, index)
+    assert got.columns == ["id", "name"]
+    assert _rows(got) == _rows(df.select("id", "name"))
+    # maintenance rewrite materializes the drop
+    source = spark.createDataFrame([(5, "u5x")], "id bigint, name string")
+    merge_upsert_files(spark, data, index, source, "id")
+    got = read_evolved(spark, data, index)
+    assert got.count() == 100
+    assert got.filter(F.col("id") == 5).first()["name"] == "u5x"
+    # dropped names are retired (old bytes would leak)
+    with pytest.raises(ValueError, match="not reusable"):
+        add_column(spark, data, index, "amount", "int", default=0)
+    drop_column(spark, data, index, "id")
+    with pytest.raises(ValueError, match="cannot drop the last column"):
+        drop_column(spark, data, index, "name")
