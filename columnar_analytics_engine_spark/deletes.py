@@ -204,6 +204,7 @@ def compact_deletes(
     from columnar_analytics_engine_spark.layout import (
         group_by_partition_dir,
         publish_rewrite,
+        split_groups_by_cohort,
     )
 
     dv = _dv(spark, dv_path)
@@ -213,8 +214,12 @@ def compact_deletes(
     if not affected:
         return {"folded_files": 0, "new_files": 0, "tombstones_cleared": 0}
     groups = group_by_partition_dir(affected, data_path)
+    # evolved tables: schema-homogeneous rewrite groups only (mixing
+    # cohorts in one read would drop the wider cohort's bytes)
+    groups = split_groups_by_cohort(spark, index_path, groups)
     new_files: list[str] = []
     for dest, files in sorted(groups.items()):
+        dest = dest.split("\x00", 1)[0]  # strip cohort tag
         tagged = spark.read.parquet(*files).select(
             "*",
             _strip_scheme(F.col("_metadata.file_path")).alias("__dv_file"),

@@ -24,11 +24,15 @@ manifest:
   narrow type → cast) and the cohorts union.  Distinguishing
   written-NULL from never-written (→ default) is exactly what a merged
   ``mergeSchema`` scan cannot do and per-cohort reads can.
-* Lazy materialization: ``layout.merge_upsert_files`` and
-  ``deletes.compact_deletes`` read affected files through the evolved
-  view, so every maintenance rewrite upgrades the files it touches to
-  the current schema — the table converges physically without a bulk
-  rewrite, Iceberg-style.
+* Lazy materialization: ``layout.merge_upsert_files`` reads affected
+  files through the evolved view, so every MERGE upgrades the files it
+  touches to the current schema — the table converges physically
+  without a bulk rewrite, Iceberg-style.  ``cluster_compact`` and
+  ``compact_deletes`` instead preserve each file's PHYSICAL schema
+  (they split rewrite groups per cohort —
+  ``layout.split_groups_by_cohort`` — because a mixed-cohort read
+  would silently drop the wider cohort's bytes); correctness never
+  depends on which maintenance op ran.
 
 Pruning stays sound for free: a predicate on an added/renamed column
 finds no stats row under that name for pre-evolution files, and the

@@ -355,6 +355,47 @@ def group_by_partition_dir(
     return groups
 
 
+def split_groups_by_cohort(
+    spark: SparkSession,
+    index_path: str,
+    groups: dict[str, list[str]],
+) -> dict[str, list[str]]:
+    """On a schema-EVOLVED table, further split each rewrite group by
+    physical-schema cohort (the per-file column set in the manifest).
+    A multi-file Spark read without mergeSchema takes the first file's
+    schema: mixing cohorts in one rewrite would silently DROP the
+    bytes of columns the sampled schema lacks.  Cohort-homogeneous
+    groups preserve every byte; the evolved view reconciles at read
+    time as always.  No-op (identity) when the table never evolved."""
+    from columnar_analytics_engine_spark.evolution import read_schema_spec
+    from columnar_analytics_engine_spark.manifest import read_manifest
+
+    if read_schema_spec(index_path) is None:
+        return groups
+    from pyspark.sql import functions as _F
+
+    cols_of = {
+        r["file"]: frozenset(r["cols"])
+        for r in read_manifest(spark, index_path)
+        .groupBy("file")
+        .agg(_F.collect_set("column").alias("cols"))
+        .collect()
+    }
+    out: dict[str, list[str]] = {}
+    for dest, files in groups.items():
+        by_cohort: dict[frozenset, list[str]] = {}
+        for f in files:
+            by_cohort.setdefault(cols_of.get(f, frozenset()), []).append(f)
+        if len(by_cohort) == 1:
+            out[dest] = files
+        else:
+            for i, (_sig, fl) in enumerate(
+                sorted(by_cohort.items(), key=lambda kv: sorted(kv[1]))
+            ):
+                out[f"{dest}\x00cohort{i}"] = fl
+    return out
+
+
 def partition_keys_of(groups: dict[str, list[str]], data_path: str) -> set[str]:
     """The path-encoded partition column names appearing in a
     :func:`group_by_partition_dir` result."""
@@ -522,6 +563,7 @@ def cluster_compact(
     # own constraint, not this function's.
     groups = group_by_partition_dir(cand, data_path)
     hive = any(d != data_path for d in groups)
+    groups = split_groups_by_cohort(spark, index_path, groups)
     if hive:
         bad = partition_keys_of(groups, data_path) & set(cols)
         if bad:
@@ -534,6 +576,7 @@ def cluster_compact(
     new_total = 0
     n_groups = 0
     for dest, files in sorted(groups.items()):
+        dest = dest.split("\x00", 1)[0]  # strip cohort tag
         if len(files) < 2:
             continue
         total = sum(os.path.getsize(f) for f in files)

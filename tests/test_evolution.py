@@ -157,3 +157,58 @@ def test_drop_column_metadata_only_and_name_retired(spark, table):
     drop_column(spark, data, index, "id")
     with pytest.raises(ValueError, match="cannot drop the last column"):
         drop_column(spark, data, index, "name")
+
+
+def test_cluster_compact_preserves_mixed_cohorts(spark, table):
+    """Re-clustering an evolved table must not lose the new column's
+    bytes: rewrite groups split per physical-schema cohort (a
+    mixed-cohort read samples one file's schema and silently drops
+    columns it lacks)."""
+    from columnar_analytics_engine_spark.layout import cluster_compact
+
+    data, index, df = table
+    add_column(spark, data, index, "score", "double", default=1.5)
+    # append a NEW-cohort slab (carries score), overlapping the old
+    # files' id range so both cohorts hold compaction candidates
+    newer = spark.createDataFrame(
+        [(i, i * 10, f"u{i}", float(i)) for i in range(100, 200)],
+        "id bigint, amount int, name string, score double",
+    ).unionByName(
+        spark.createDataFrame(
+            [(i, i * 10, f"w{i}", -1.0) for i in range(0, 100, 3)],
+            "id bigint, amount int, name string, score double",
+        )
+    )
+    newer.repartition(4).write.mode("append").parquet(data)
+    update_stats_index(spark, data, index)
+    before = _rows(read_evolved(spark, data, index))
+    out = cluster_compact(spark, data, index, ["id"], max_files=64,
+                          min_overlaps=1)
+    assert out["rewritten"] >= 4 and out["groups"] >= 2  # one per cohort
+    after = _rows(read_evolved(spark, data, index))
+    assert after == before  # no bytes lost, defaults undisturbed
+
+
+def test_compact_deletes_preserves_mixed_cohorts(spark, table):
+    from columnar_analytics_engine_spark.deletes import (
+        compact_deletes,
+        delete_where,
+        read_with_deletes,
+    )
+
+    data, index, df = table
+    add_column(spark, data, index, "score", "double", default=1.5)
+    newer = spark.createDataFrame(
+        [(i, i * 10, f"u{i}", float(i)) for i in range(100, 150)],
+        "id bigint, amount int, name string, score double",
+    )
+    newer.repartition(2).write.mode("append").parquet(data)
+    update_stats_index(spark, data, index)
+    dv = data + "_dv"
+    delete_where(spark, data, dv, "id % 10 = 3")
+    expect = _rows(
+        read_evolved(spark, data, index).filter(F.col("id") % 10 != 3)
+    )
+    compact_deletes(spark, data, dv, index)
+    got = _rows(read_evolved(spark, data, index))
+    assert got == expect  # deleted rows gone, cohort bytes intact
