@@ -146,7 +146,35 @@ def read_with_deletes(
     row-set restrictions.  ``index_path`` without a predicate reads the
     manifest's full file list (``skipping.read_indexed``) — the
     maintenance-safe scan, not a silent fall-through to a directory
-    listing."""
+    listing.  Schema-EVOLVED tables compose too: tombstones subtract
+    inside each cohort scan (``evolution.read_evolved(dv_path=...)``)
+    and the predicate re-applies on logical columns."""
+    if index_path is not None:
+        from columnar_analytics_engine_spark.evolution import (
+            read_evolved,
+            read_schema_spec,
+        )
+
+        if read_schema_spec(index_path) is not None:
+            from columnar_analytics_engine_spark.skipping import (
+                _clause_column,
+                plan_skipping,
+            )
+
+            files = None
+            cond = None
+            if predicate is not None:
+                plan = plan_skipping(
+                    spark, index_path, predicate, bloom_path=bloom_path
+                )
+                files = plan["files"]
+                for col, op, val in plan["clauses"]:
+                    c = _clause_column(col, op, val)
+                    cond = c if cond is None else (cond & c)
+            df = read_evolved(
+                spark, data_path, index_path, files=files, dv_path=dv_path
+            )
+            return df.where(cond) if cond is not None else df
     if index_path is not None and predicate is not None:
         from columnar_analytics_engine_spark.skipping import read_skipping
 

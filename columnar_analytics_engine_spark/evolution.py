@@ -226,6 +226,7 @@ def read_evolved(
     index_path: str,
     as_of: int | None = None,
     files: list[str] | None = None,
+    dv_path: str | None = None,
 ) -> DataFrame:
     """The table under its CURRENT logical schema: manifest-listed
     files (optionally restricted to ``files`` — the maintenance-rewrite
@@ -234,18 +235,44 @@ def read_evolved(
     exactly ``read_indexed``.  Cohort count is the number of distinct
     physical schemas ever written — a handful in practice — and each
     cohort is one ordinary pruned scan, so the plan stays
-    scan-shaped at any table size."""
+    scan-shaped at any table size.
+
+    ``dv_path`` subtracts deletion vectors INSIDE each cohort scan
+    (before the reconciling projection, while ``_metadata`` is still
+    addressable) — the composition ``deletes.read_with_deletes`` uses
+    for evolved tables."""
+    from columnar_analytics_engine_spark.deletes import _dv, _strip_scheme
     from columnar_analytics_engine_spark.manifest import read_manifest
     from columnar_analytics_engine_spark.skipping import read_indexed
+
+    dv = _dv(spark, dv_path) if dv_path is not None else None
+
+    def minus_dv(df: DataFrame) -> DataFrame:
+        if dv is None:
+            return df
+        tagged = df.select(
+            "*",
+            _strip_scheme(F.col("_metadata.file_path")).alias("__dv_file"),
+            F.col("_metadata.row_index").alias("__dv_ri"),
+        )
+        return tagged.join(
+            F.broadcast(dv),
+            (tagged["__dv_file"] == dv["file"])
+            & (tagged["__dv_ri"] == dv["row_index"]),
+            "left_anti",
+        ).drop("__dv_file", "__dv_ri")
 
     spec = read_schema_spec(index_path)
     if spec is None:
         if files is None:
-            return read_indexed(spark, data_path, index_path, as_of=as_of)
-        reader = spark.read
-        if os.path.isdir(data_path):
-            reader = reader.option("basePath", data_path)
-        return reader.parquet(*sorted(files))
+            base = read_indexed(spark, data_path, index_path, as_of=as_of)
+        else:
+            reader = spark.read
+            if os.path.isdir(data_path):
+                reader = reader.option("basePath", data_path)
+            base = reader.parquet(*sorted(files))
+        cols = base.columns
+        return minus_dv(base).select(*cols)
     m = read_manifest(spark, index_path, as_of=as_of).select("file", "column")
     if files is not None:
         fdf = spark.createDataFrame([(f,) for f in files], "file string")
@@ -266,7 +293,7 @@ def read_evolved(
         if os.path.isdir(data_path):
             reader = reader.option("basePath", data_path)
         parts.append(
-            reader.parquet(*sorted(flist)).select(
+            minus_dv(reader.parquet(*sorted(flist))).select(
                 *_cohort_projection(spec, set(physical))
             )
         )

@@ -607,6 +607,7 @@ def vacuum_unindexed(
     data_path: str,
     index_path: str,
     keep_versions: int = 1,
+    protect_versions: tuple[int, ...] = (),
 ) -> list[str]:
     """The one place bytes are destroyed (Delta ``VACUUM``'s role):
     expire manifest versions beyond the newest ``keep_versions``
@@ -622,7 +623,11 @@ def vacuum_unindexed(
     the operator's schedule, after the longest query you expect to
     overlap a maintenance run — a reader holding a plan older than the
     retention window is the one failure mode this contract does not
-    cover (same as every table format)."""
+    cover (same as every table format).  ``protect_versions`` pins
+    specific versions past the window — thread a transaction catalog's
+    pinned snapshots through here so vacuum never destroys a version a
+    committed catalog still references
+    (``transaction.pinned_versions``)."""
     import glob
     import os
     import shutil
@@ -633,7 +638,7 @@ def vacuum_unindexed(
     )
     from columnar_analytics_engine_spark.skipping import list_parquet_files
 
-    expire_versions(index_path, keep_versions)
+    expire_versions(index_path, keep_versions, protect=protect_versions)
     keep = referenced_files(spark, index_path)
     stranded = [f for f in list_parquet_files(data_path) if f not in keep]
     for f in stranded:

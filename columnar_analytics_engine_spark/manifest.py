@@ -167,17 +167,22 @@ def publish_version(index_path: str, version: int) -> None:
     _publish_pointer(index_path, version)
 
 
-def expire_versions(index_path: str, keep_last: int) -> list[int]:
+def expire_versions(
+    index_path: str, keep_last: int, protect: tuple[int, ...] = ()
+) -> list[int]:
     """Drop manifest version dirs beyond the newest ``keep_last``
-    PUBLISHED-or-older versions, never the current one.  Returns the
-    expired version numbers.  Orphan versions staged ABOVE the current
-    pointer (a crashed or un-committed stage) are also dropped — they
-    were never visible."""
+    PUBLISHED-or-older versions — never the current one, never a
+    ``protect``-ed version (a transaction catalog's pinned snapshot:
+    ``vacuum_unindexed(..., protect_versions=...)`` threads it
+    through).  Returns the expired version numbers.  Orphan versions
+    staged ABOVE the current pointer (a crashed or un-committed stage)
+    are also dropped — they were never visible."""
     cur = current_version(index_path)
     if cur is None:
         return []
     versions = list_versions(index_path)
-    retained = [v for v in versions if v <= cur][-max(1, keep_last):]
+    retained = set([v for v in versions if v <= cur][-max(1, keep_last):])
+    retained |= set(protect) & set(versions)
     expired = [v for v in versions if v not in retained and v != cur]
     for v in expired:
         shutil.rmtree(_ver_dir(index_path, v), ignore_errors=True)

@@ -552,6 +552,20 @@ def read_skipping(
     for col, op, val in plan["clauses"]:
         c = _clause_column(col, op, val)
         cond = c if cond is None else (cond & c)
+    from columnar_analytics_engine_spark.evolution import read_schema_spec
+
+    if read_schema_spec(index_path) is not None:
+        # evolved table: per-cohort reconciling scans over the pruned
+        # file list, exact predicate re-applied on LOGICAL columns.
+        # Pruning stays sound: clauses on added/renamed columns find no
+        # stats row under the logical name for pre-evolution files, so
+        # those files are conservatively kept.
+        from columnar_analytics_engine_spark.evolution import read_evolved
+
+        df = read_evolved(
+            spark, data_path, index_path, as_of=as_of, files=plan["files"]
+        )
+        return df.where(cond) if cond is not None else df
     if not plan["files"]:
         # schema-only read: no row groups are materialized under lit(false)
         return spark.read.parquet(data_path).where(F.lit(False))
@@ -573,9 +587,17 @@ def read_indexed(
     the safe read for a table under maintenance: directory listing can
     see stranded/pre-vacuum files, the manifest cannot.  ``as_of=N``
     time-travels: maintenance keeps dropped files on disk until vacuum,
-    so the version-N snapshot reads exactly as it was published."""
+    so the version-N snapshot reads exactly as it was published.
+    Schema-EVOLVED tables route through ``evolution.read_evolved`` —
+    a flat multi-file read would sample one cohort's physical schema
+    and silently drop/null the others' columns."""
+    from columnar_analytics_engine_spark.evolution import read_schema_spec
     from columnar_analytics_engine_spark.manifest import read_manifest
 
+    if read_schema_spec(index_path) is not None:
+        from columnar_analytics_engine_spark.evolution import read_evolved
+
+        return read_evolved(spark, data_path, index_path, as_of=as_of)
     idx = read_manifest(spark, index_path, as_of=as_of)
     files = sorted({r["file"] for r in idx.select("file").distinct().collect()})
     if not files:

@@ -90,18 +90,50 @@ def commit(catalog_path: str, tables: dict[str, dict]) -> dict:
     return cat
 
 
+def pinned_versions(catalog_path: str, index_path: str) -> tuple[int, ...]:
+    """Every version the committed catalog pins for tables whose index
+    lives at ``index_path`` — pass to
+    ``layout.vacuum_unindexed(protect_versions=...)`` so retention
+    cannot destroy a snapshot a committed catalog still references."""
+    import os as _os
+
+    norm = _os.path.normpath(index_path)
+    return tuple(
+        sorted(
+            e["version"]
+            for e in read_catalog(catalog_path)["tables"].values()
+            if _os.path.normpath(e["index"]) == norm
+        )
+    )
+
+
 def snapshot_table(
-    spark: SparkSession, catalog_path: str, name: str
+    spark: SparkSession,
+    catalog_path: str,
+    name: str,
+    predicate: str | None = None,
+    bloom_path: str | None = None,
 ) -> DataFrame:
     """Read table ``name`` at the version the committed catalog pins —
     the multi-table-consistent read path.  Joins between
     ``snapshot_table`` frames of one catalog state are snapshot-
-    consistent by construction."""
-    from columnar_analytics_engine_spark.skipping import read_indexed
+    consistent by construction.  ``predicate`` prunes the pinned
+    version's file manifest through the stats index
+    (``skipping.read_skipping(as_of=...)``) — snapshot isolation and
+    file skipping compose."""
+    from columnar_analytics_engine_spark.skipping import (
+        read_indexed,
+        read_skipping,
+    )
 
     entry = read_catalog(catalog_path)["tables"].get(name)
     if entry is None:
         raise KeyError(f"table {name!r} not in catalog {catalog_path}")
+    if predicate is not None:
+        return read_skipping(
+            spark, entry["data"], entry["index"], predicate,
+            bloom_path=bloom_path, as_of=entry["version"],
+        )
     return read_indexed(
         spark, entry["data"], entry["index"], as_of=entry["version"]
     )

@@ -212,3 +212,52 @@ def test_compact_deletes_preserves_mixed_cohorts(spark, table):
     compact_deletes(spark, data, dv, index)
     got = _rows(read_evolved(spark, data, index))
     assert got == expect  # deleted rows gone, cohort bytes intact
+
+
+def test_read_surface_is_evolution_aware(spark, table):
+    """read_indexed / read_skipping / read_with_deletes on an evolved
+    table all reconcile cohorts — none samples one cohort's physical
+    schema — and deletion vectors subtract inside the cohort scans."""
+    from columnar_analytics_engine_spark.deletes import (
+        delete_where,
+        read_with_deletes,
+    )
+    from columnar_analytics_engine_spark.skipping import (
+        read_indexed,
+        read_skipping,
+    )
+
+    data, index, df = table
+    add_column(spark, data, index, "score", "double", default=1.5)
+    rename_column(spark, data, index, "amount", "cents")
+    newer = spark.createDataFrame(
+        [(i, i * 10, f"u{i}", float(i)) for i in range(100, 150)],
+        "id bigint, cents int, name string, score double",
+    )
+    newer.coalesce(1).write.mode("append").parquet(data)
+    update_stats_index(spark, data, index)
+
+    # read_indexed delegates to the evolved view
+    got = read_indexed(spark, data, index)
+    assert set(got.columns) == {"id", "cents", "name", "score"}
+    assert got.count() == 150
+    assert got.filter(F.col("score") == 1.5).count() == 100
+
+    # read_skipping: predicate on the RENAMED column; old files keep
+    # conservatively (no stats under the logical name), result exact
+    got = read_skipping(spark, data, index, "cents ge 1200")
+    assert sorted(r["id"] for r in got.collect()) == list(range(120, 150))
+    # predicate on the ADDED column
+    got = read_skipping(spark, data, index, "score ge 140.0")
+    assert sorted(r["id"] for r in got.collect()) == list(range(140, 150))
+
+    # deletion vectors compose with evolution
+    dv = data + "_dv"
+    delete_where(spark, data, dv, "id % 2 = 1")
+    got = read_with_deletes(spark, data, dv, index_path=index)
+    assert got.count() == 75
+    assert got.filter(F.col("score") == 1.5).count() == 50
+    got = read_with_deletes(
+        spark, data, dv, index_path=index, predicate="cents ge 1200"
+    )
+    assert sorted(r["id"] for r in got.collect()) == list(range(120, 150, 2))

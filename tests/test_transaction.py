@@ -140,3 +140,64 @@ def test_snapshot_join_is_consistent_across_commit(spark, pair):
     assert post_plan == pre
     with pytest.raises(KeyError):
         snapshot_table(spark, cat, "nope")
+
+
+def test_vacuum_respects_catalog_pins(spark, pair):
+    """Retention must not destroy a snapshot a committed catalog still
+    references: protect_versions threads the catalog pins through
+    vacuum, and snapshot_table keeps working after aggressive
+    retention."""
+    from columnar_analytics_engine_spark.layout import vacuum_unindexed
+    from columnar_analytics_engine_spark.transaction import pinned_versions
+
+    cat, tables, frames = pair
+    old = _rows(snapshot_table(spark, cat, "orders"))
+    # advance orders twice WITHOUT committing the catalog (single-table
+    # maintenance publishing past the pinned version)
+    for bump in (1, 2):
+        src = frames["orders"]
+        updates = src.filter(F.col("o_orderkey") <= 50 * bump).withColumn(
+            "o_totalprice", F.col("o_totalprice") + F.lit(float(bump))
+        )
+        merge_upsert_files(
+            spark, tables["orders"]["data"], tables["orders"]["index"],
+            updates, "o_orderkey",
+        )
+    pins = pinned_versions(cat, tables["orders"]["index"])
+    assert pins == (tables["orders"]["version"],)
+    removed = vacuum_unindexed(
+        spark, tables["orders"]["data"], tables["orders"]["index"],
+        keep_versions=1, protect_versions=pins,
+    )
+    # the pinned snapshot still reads exactly as committed
+    assert _rows(snapshot_table(spark, cat, "orders")) == old
+    # without protection the pin would have been destroyed
+    vacuum_unindexed(
+        spark, tables["orders"]["data"], tables["orders"]["index"],
+        keep_versions=1,
+    )
+    with pytest.raises(FileNotFoundError):
+        snapshot_table(spark, cat, "orders").collect()
+
+
+def test_snapshot_predicate_prunes_pinned_version(spark, pair):
+    """Snapshot isolation composes with file skipping: a predicate on
+    snapshot_table plans against the PINNED version's manifest and
+    matches the unpruned snapshot filter exactly — even after further
+    uncommitted maintenance advanced the table."""
+    cat, tables, frames = pair
+    src = frames["orders"]
+    lo = src.agg(F.min("o_orderkey")).first()[0]
+    expect = _rows(src.filter(F.col("o_orderkey") <= lo + 100))
+    # advance past the pin without committing
+    updates = src.filter(F.col("o_orderkey") <= 100).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(7.0)
+    )
+    merge_upsert_files(
+        spark, tables["orders"]["data"], tables["orders"]["index"],
+        updates, "o_orderkey",
+    )
+    got = snapshot_table(
+        spark, cat, "orders", predicate=f"o_orderkey le {lo + 100}"
+    )
+    assert _rows(got) == expect
