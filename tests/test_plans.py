@@ -178,3 +178,49 @@ def test_join_strategy_hints_control_physical_plan(spark, sf_small):
 
     bcast = orders.join(customer.hint("broadcast"), cond)
     assert "BroadcastHashJoin" in formatted_plan(bcast)
+
+
+def test_evolved_read_prunes_columns_per_cohort(spark, tmp_path):
+    """Column pruning pushes through the evolved union: a cohort that
+    physically LACKS the added column scans only the requested real
+    columns (the default is a synthesized literal, zero I/O), while the
+    cohort that carries it reads exactly (id, score)."""
+    import re
+
+    from columnar_analytics_engine_spark.evolution import (
+        add_column,
+        read_evolved,
+    )
+    from columnar_analytics_engine_spark.skipping import (
+        build_stats_index,
+        update_stats_index,
+    )
+
+    data = str(tmp_path / "d")
+    index = str(tmp_path / "i")
+    df = spark.createDataFrame(
+        [(i, i * 10, f"u{i}") for i in range(1000)],
+        "id bigint, amount int, name string",
+    )
+    df.coalesce(2).write.parquet(data)
+    build_stats_index(spark, data, index)
+    add_column(spark, data, index, "score", "double", default=1.0)
+    df2 = spark.createDataFrame(
+        [(i, i, "x", 2.0) for i in range(1000, 1500)],
+        "id bigint, amount int, name string, score double",
+    )
+    df2.coalesce(1).write.mode("append").parquet(data)
+    update_stats_index(spark, data, index)
+
+    plan = (
+        read_evolved(spark, data, index)
+        .select("id", "score")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    schemas = sorted(re.findall(r"ReadSchema: (\S+)", plan))
+    assert schemas == [
+        "struct<id:bigint,score:double>",
+        "struct<id:bigint>",
+    ], plan
