@@ -283,6 +283,46 @@ def cmd_history(args: argparse.Namespace) -> None:
     print(json.dumps({"current": cur, "versions": versions}))
 
 
+def cmd_evolve(args: argparse.Namespace) -> None:
+    """Metadata-only schema evolution (evolution.py): add / rename /
+    widen / drop a column, or show the current logical schema.  Zero
+    data files are touched; maintenance rewrites materialize changes
+    lazily."""
+    from columnar_analytics_engine_spark.evolution import (
+        add_column,
+        drop_column,
+        read_schema_spec,
+        rename_column,
+        widen_type,
+    )
+
+    spark = get_spark(app_name="cae-evolve")
+    if args.action == "add":
+        default = None
+        if args.default is not None:
+            for cast in (int, float):
+                try:
+                    default = cast(args.default)
+                    break
+                except ValueError:
+                    continue
+            else:
+                default = args.default
+        spec = add_column(
+            spark, args.data, args.index, args.column, args.type, default
+        )
+    elif args.action == "rename":
+        spec = rename_column(spark, args.data, args.index, args.column, args.to)
+    elif args.action == "widen":
+        spec = widen_type(spark, args.data, args.index, args.column, args.type)
+    elif args.action == "drop":
+        spec = drop_column(spark, args.data, args.index, args.column)
+    else:  # show
+        spec = read_schema_spec(args.index) or {"columns": None,
+                                                "note": "never evolved"}
+    print(json.dumps(spec))
+
+
 def cmd_delete(args: argparse.Namespace) -> None:
     """Row-level deletes (deletes.py): tombstone rows matching --where
     into the deletion-vector table; --compact folds tombstones into a
@@ -527,6 +567,18 @@ def main(argv: list[str] | None = None) -> None:
     )
     hi.add_argument("index", help="stats index location")
     hi.set_defaults(fn=cmd_history)
+
+    ev = sub.add_parser(
+        "evolve", help="metadata-only schema evolution (add/rename/widen/drop/show)"
+    )
+    ev.add_argument("action", choices=["add", "rename", "widen", "drop", "show"])
+    ev.add_argument("data", help="parquet dataset directory")
+    ev.add_argument("index", help="stats index location")
+    ev.add_argument("--column", help="column name (new name for add)")
+    ev.add_argument("--type", help="Spark DDL type (add/widen)")
+    ev.add_argument("--default", help="default for pre-add files (add)")
+    ev.add_argument("--to", help="new name (rename)")
+    ev.set_defaults(fn=cmd_evolve)
 
     up = sub.add_parser(
         "upsert", help="index-bounded MERGE of a source parquet dataset by key"

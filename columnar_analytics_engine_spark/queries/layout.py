@@ -790,7 +790,75 @@ _EVOLVE_SQL = f"""
 """
 
 
+
+def maintenance_lifecycle_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full table-maintenance lifecycle under one hash gate:
+    unclustered write → predicate DELETE (tombstones) → physical fold
+    (``compact_deletes``) → incremental re-cluster
+    (``cluster_compact``) → retention vacuum → index-planned aggregate.
+    Every step publishes a new manifest version atomically; the oracle
+    is simply the filtered aggregate over the untouched source —
+    five maintenance operations may move bytes between files and
+    versions, never change results (the reference's corruption-suite
+    bar, tests/test_corruption.cpp, applied to the whole lifecycle)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from columnar_analytics_engine_spark.deletes import (
+        compact_deletes,
+        delete_where,
+    )
+    from columnar_analytics_engine_spark.layout import (
+        cluster_compact,
+        vacuum_unindexed,
+    )
+    from columnar_analytics_engine_spark.skipping import (
+        build_stats_index,
+        read_skipping,
+    )
+
+    src = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    tag = hashlib.md5(f"{sf_dir}:{os.getpid()}".encode()).hexdigest()[:12]
+    data = f"{tempfile.gettempdir()}/cae_life_data_{tag}"
+    index = f"{tempfile.gettempdir()}/cae_life_idx_{tag}"
+    dv = f"{tempfile.gettempdir()}/cae_life_dv_{tag}"
+    import shutil
+
+    shutil.rmtree(dv, ignore_errors=True)  # fresh DV on re-runs
+    src.repartition(8).write.mode("overwrite").parquet(data)
+    build_stats_index(spark, data, index)
+    delete_where(spark, data, dv, "o_orderstatus = 'F'")
+    compact_deletes(spark, data, dv, index)
+    cluster_compact(spark, data, index, ["o_custkey"], max_files=64)
+    vacuum_unindexed(spark, data, index, keep_versions=1)
+    return read_skipping(
+        spark, data, index, "o_custkey ge 1"
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.sum("o_orderkey").alias("sum_orderkey"),
+        F.sum("o_custkey").alias("sum_custkey"),
+        exact_sum("o_totalprice", "sum_price"),
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "maintenance_lifecycle_agg": QuerySpec(
+        maintenance_lifecycle_agg,
+        f"""
+        SELECT COUNT(*) AS n_orders,
+               CAST(SUM(o_orderkey) AS BIGINT) AS sum_orderkey,
+               CAST(SUM(o_custkey) AS BIGINT) AS sum_custkey,
+               {sql_exact_sum('o_totalprice', 'sum_price')}
+        FROM orders
+        WHERE o_orderstatus <> 'F' AND o_custkey >= 1
+        """,
+        "delete -> fold -> re-cluster -> vacuum lifecycle; oracle is the "
+        "plain filtered aggregate (maintenance never changes results)",
+        ("scale", "maintenance", "deletes", "layout", "index"),
+    ),
     "evolve_schema_merge_agg": QuerySpec(
         evolve_schema_merge_agg,
         _EVOLVE_SQL,

@@ -321,3 +321,34 @@ def test_cli_upsert(spark, tmp_path, capsys):
     assert vac["removed"] >= 1
     assert spark.read.parquet(raw).filter("value = 99999").count() == 5
     assert spark.read.parquet(raw).count() == 1000
+
+
+def test_cli_evolve_lifecycle(spark, tmp_path, capsys):
+    raw = str(tmp_path / "raw")
+    idx = str(tmp_path / "idx")
+    cli.main(["write", raw, "500", "17"])
+    capsys.readouterr()
+    cli.main(["index", "build", raw, idx])
+    capsys.readouterr()
+    cli.main(["evolve", "add", raw, idx, "--column", "score",
+              "--type", "double", "--default", "1.5"])
+    spec = json.loads(capsys.readouterr().out)
+    assert spec["columns"][-1] == {
+        "name": "score", "type": "double", "default": 1.5, "sources": [],
+    }
+    cli.main(["evolve", "rename", raw, idx, "--column", "region", "--to", "zone"])
+    spec = json.loads(capsys.readouterr().out)
+    assert any(
+        c["name"] == "zone" and c["sources"] == ["region"]
+        for c in spec["columns"]
+    )
+    from columnar_analytics_engine_spark.evolution import read_evolved
+
+    got = read_evolved(spark, raw, idx)
+    assert "zone" in got.columns and "region" not in got.columns
+    assert got.filter("score = 1.5").count() == 500
+    cli.main(["evolve", "drop", raw, idx, "--column", "status"])
+    capsys.readouterr()
+    cli.main(["evolve", "show", raw, idx])
+    spec = json.loads(capsys.readouterr().out)
+    assert "status" not in [c["name"] for c in spec["columns"]]
