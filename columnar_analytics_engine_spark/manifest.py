@@ -194,14 +194,17 @@ def referenced_files(
 ) -> set[str]:
     """Union of data files referenced by the given manifest versions
     (default: every retained version — the set vacuum must NOT
-    delete)."""
+    delete).  All version dirs are read in ONE Spark job (identical
+    schemas), so the cost is one distinct over the union, not one job
+    per retained version — at a streaming sink's per-batch cadence
+    with an 8-version window that is 1 plan instead of 8."""
     if versions is None:
         versions = list_versions(index_path)
         if not versions and _is_legacy_flat(index_path):
             df = read_manifest(spark, index_path)
             return {r["file"] for r in df.select("file").distinct().collect()}
-    out: set[str] = set()
-    for v in versions:
-        df = read_manifest(spark, index_path, as_of=v)
-        out |= {r["file"] for r in df.select("file").distinct().collect()}
-    return out
+    if not versions:
+        return set()
+    dirs = [manifest_dir(index_path, v) for v in versions]
+    df = spark.read.parquet(*dirs)
+    return {r["file"] for r in df.select("file").distinct().collect()}

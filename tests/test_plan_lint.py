@@ -24,6 +24,10 @@ _SINGLE_PARTITION_ALLOW = {
     # distributed global rank: the only unpartitioned window runs over
     # the #partitions-row offsets table + the 1-row total
     "window_ntile_percent": 2,
+    # time travel: a union of TWO 1-row snapshot aggregates (as-of and
+    # current) + the 2-row final sort — every single-partition stage is
+    # post-aggregate
+    "layout_time_travel_scan": 3,
     # ANALYZE-style profile: a union of per-column 1-row summaries
     "table_profile": 4,
     # per-stage funnel accounting: 1-row counts per pipeline stage
