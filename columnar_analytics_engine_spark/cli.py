@@ -323,6 +323,43 @@ def cmd_evolve(args: argparse.Namespace) -> None:
     print(json.dumps(spec))
 
 
+def cmd_catalog(args: argparse.Namespace) -> None:
+    """Multi-table transaction catalog (transaction.py): ``show`` the
+    committed state, ``pin`` (commit) a table at its current manifest
+    version, or ``count`` a snapshot read of a named table."""
+    from columnar_analytics_engine_spark.manifest import current_version
+    from columnar_analytics_engine_spark.transaction import (
+        commit,
+        read_catalog,
+        snapshot_table,
+    )
+
+    if args.action == "show":
+        print(json.dumps(read_catalog(args.catalog)))
+        return
+    if args.action == "pin":
+        if not (args.table and args.data and args.index):
+            sys.exit("error: catalog pin needs --table --data --index")
+        version = args.version
+        if version is None:
+            version = current_version(args.index)
+            if version is None:
+                sys.exit(f"error: no published manifest at {args.index}")
+        cat = commit(args.catalog, {
+            args.table: {"data": args.data, "index": args.index,
+                         "version": version},
+        })
+        print(json.dumps(cat["tables"][args.table]))
+        return
+    # snapshot: count rows of the pinned version
+    if not args.table:
+        sys.exit("error: catalog snapshot needs --table")
+    spark = get_spark(app_name="cae-catalog")
+    df = snapshot_table(spark, args.catalog, args.table)
+    print(json.dumps({"table": args.table, "rows": df.count(),
+                      "columns": df.columns}))
+
+
 def cmd_delete(args: argparse.Namespace) -> None:
     """Row-level deletes (deletes.py): tombstone rows matching --where
     into the deletion-vector table; --compact folds tombstones into a
@@ -579,6 +616,20 @@ def main(argv: list[str] | None = None) -> None:
     ev.add_argument("--default", help="default for pre-add files (add)")
     ev.add_argument("--to", help="new name (rename)")
     ev.set_defaults(fn=cmd_evolve)
+
+    ct = sub.add_parser(
+        "catalog", help="multi-table transaction catalog (show/pin/snapshot)"
+    )
+    ct.add_argument("action", choices=["show", "pin", "snapshot"])
+    ct.add_argument("catalog", help="catalog JSON path")
+    ct.add_argument("--table", help="table name")
+    ct.add_argument("--data", help="dataset directory (pin)")
+    ct.add_argument("--index", help="stats index location (pin)")
+    ct.add_argument(
+        "--version", type=int,
+        help="manifest version to pin (default: the published one)",
+    )
+    ct.set_defaults(fn=cmd_catalog)
 
     up = sub.add_parser(
         "upsert", help="index-bounded MERGE of a source parquet dataset by key"

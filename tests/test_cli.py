@@ -352,3 +352,23 @@ def test_cli_evolve_lifecycle(spark, tmp_path, capsys):
     cli.main(["evolve", "show", raw, idx])
     spec = json.loads(capsys.readouterr().out)
     assert "status" not in [c["name"] for c in spec["columns"]]
+
+
+def test_cli_catalog_pin_and_snapshot(spark, tmp_path, capsys):
+    raw = str(tmp_path / "raw")
+    idx = str(tmp_path / "idx")
+    cat = str(tmp_path / "cat.json")
+    cli.main(["write", raw, "400", "19"])
+    capsys.readouterr()
+    cli.main(["index", "build", raw, idx])
+    capsys.readouterr()
+    cli.main(["catalog", "pin", cat, "--table", "t", "--data", raw,
+              "--index", idx])
+    pinned = json.loads(capsys.readouterr().out)
+    assert pinned["version"] == 1
+    cli.main(["catalog", "show", cat])
+    shown = json.loads(capsys.readouterr().out)
+    assert shown["tables"]["t"]["version"] == 1
+    cli.main(["catalog", "snapshot", cat, "--table", "t"])
+    snap = json.loads(capsys.readouterr().out)
+    assert snap["rows"] == 400

@@ -838,6 +838,20 @@ def test_stats_indexed_sink_maintains_manifest_per_batch(spark, tmp_path):
     process(one_batch, 1)
     got2 = read_skipping(spark, data, index, "k ge 0")
     assert sorted(r["k"] for r in got2.collect()) == [0, 1, 2, 3, 4]
+    # manifest versions are bounded by the sink's retention window:
+    # 4 publishes so far, default keep=8 retains all; a tight window
+    # expires down to it on the very next batch
+    from columnar_analytics_engine_spark.manifest import list_versions
+    from columnar_analytics_engine_spark.streaming.maintenance import (
+        stats_indexed_sink as _sink,
+    )
+
+    assert len(list_versions(index)) >= 3
+    tight = _sink(spark, data, index, manifest_keep_versions=2)
+    tight(spark.createDataFrame([(9, 90)], "k long, v long"), 7)
+    assert len(list_versions(index)) <= 2
+    got3 = read_skipping(spark, data, index, "k ge 0")
+    assert sorted(r["k"] for r in got3.collect()) == [0, 1, 2, 3, 4, 9]
 
 
 def test_stats_indexed_sink_clustered_ingest(spark, tmp_path):
