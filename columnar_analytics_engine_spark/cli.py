@@ -244,9 +244,11 @@ def cmd_vacuum(args: argparse.Namespace) -> None:
 
     spark = get_spark(app_name="cae-vacuum")
     removed = vacuum_unindexed(
-        spark, args.data, args.index, keep_versions=args.keep_versions
+        spark, args.data, args.index, keep_versions=args.keep_versions,
+        dry_run=args.dry_run,
     )
-    print(json.dumps({"removed": len(removed), "paths": removed}))
+    key = "would_remove" if args.dry_run else "removed"
+    print(json.dumps({key: len(removed), "paths": removed}))
 
 
 def cmd_history(args: argparse.Namespace) -> None:
@@ -596,6 +598,10 @@ def main(argv: list[str] | None = None) -> None:
     vc.add_argument(
         "--keep-versions", type=int, default=1,
         help="manifest versions to retain (default 1: current only)",
+    )
+    vc.add_argument(
+        "--dry-run", action="store_true",
+        help="report what would be deleted without deleting",
     )
     vc.set_defaults(fn=cmd_vacuum)
 

@@ -608,6 +608,7 @@ def vacuum_unindexed(
     index_path: str,
     keep_versions: int = 1,
     protect_versions: tuple[int, ...] = (),
+    dry_run: bool = False,
 ) -> list[str]:
     """The one place bytes are destroyed (Delta ``VACUUM``'s role):
     expire manifest versions beyond the newest ``keep_versions``
@@ -627,7 +628,11 @@ def vacuum_unindexed(
     specific versions past the window — thread a transaction catalog's
     pinned snapshots through here so vacuum never destroys a version a
     committed catalog still references
-    (``transaction.pinned_versions``)."""
+    (``transaction.pinned_versions``).  ``dry_run=True`` returns what
+    WOULD be deleted (data files + staging siblings; version expiry is
+    simulated against the same retention math) without touching
+    anything — the look-before-you-delete every retention tool
+    needs."""
     import glob
     import os
     import shutil
@@ -638,6 +643,25 @@ def vacuum_unindexed(
     )
     from columnar_analytics_engine_spark.skipping import list_parquet_files
 
+    from columnar_analytics_engine_spark.manifest import (
+        current_version,
+        list_versions,
+    )
+
+    if dry_run:
+        cur = current_version(index_path)
+        versions = list_versions(index_path)
+        if cur is None:
+            retained = versions
+        else:
+            retained = sorted(
+                set([v for v in versions if v <= cur][-max(1, keep_versions):])
+                | ({cur} | (set(protect_versions) & set(versions)))
+            )
+        keep = referenced_files(spark, index_path, retained or None)
+        would = [f for f in list_parquet_files(data_path) if f not in keep]
+        would += sorted(glob.glob(data_path.rstrip("/") + ".rewrite-*"))
+        return would
     expire_versions(index_path, keep_versions, protect=protect_versions)
     keep = referenced_files(spark, index_path)
     stranded = [f for f in list_parquet_files(data_path) if f not in keep]

@@ -215,3 +215,15 @@ def test_update_stats_index_does_not_readopt_retained_files(spark, compactable):
     delta = update_stats_index(spark, data, index)
     assert delta["added"] == 1
     assert read_indexed(spark, data, index).count() == n + 25
+
+
+def test_vacuum_dry_run_reports_without_deleting(spark, compactable):
+    data, index, src = compactable
+    cluster_compact(spark, data, index, ["o_custkey"], max_files=8)
+    disk_before = set(list_parquet_files(data))
+    would = vacuum_unindexed(spark, data, index, keep_versions=1, dry_run=True)
+    assert would, "rewritten originals should be reported"
+    assert set(list_parquet_files(data)) == disk_before  # nothing deleted
+    assert list_versions(index) == [1, 2]  # no expiry either
+    removed = vacuum_unindexed(spark, data, index, keep_versions=1)
+    assert sorted(removed) == sorted(would)  # dry run told the truth
