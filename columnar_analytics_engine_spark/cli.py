@@ -325,6 +325,21 @@ def cmd_evolve(args: argparse.Namespace) -> None:
     print(json.dumps(spec))
 
 
+def cmd_health(args: argparse.Namespace) -> None:
+    """Table-health report (layout.table_health): size / history /
+    reclaimable / deletes / clustering / evolution in one JSON line —
+    what to read before scheduling compact or vacuum."""
+    from columnar_analytics_engine_spark.layout import table_health
+
+    spark = get_spark(app_name="cae-health")
+    cols = (
+        [c.strip() for c in args.cols.split(",")] if args.cols else None
+    )
+    print(json.dumps(table_health(
+        spark, args.data, args.index, dv_path=args.dv, probe_cols=cols
+    )))
+
+
 def cmd_catalog(args: argparse.Namespace) -> None:
     """Multi-table transaction catalog (transaction.py): ``show`` the
     committed state, ``pin`` (commit) a table at its current manifest
@@ -636,6 +651,15 @@ def main(argv: list[str] | None = None) -> None:
         help="manifest version to pin (default: the published one)",
     )
     ct.set_defaults(fn=cmd_catalog)
+
+    hl = sub.add_parser(
+        "health", help="table health: size/history/reclaimable/deletes/clustering"
+    )
+    hl.add_argument("data", help="parquet dataset directory")
+    hl.add_argument("index", help="stats index location")
+    hl.add_argument("--dv", help="deletion-vector table location")
+    hl.add_argument("--cols", help="comma list of probe columns for depth")
+    hl.set_defaults(fn=cmd_health)
 
     up = sub.add_parser(
         "upsert", help="index-bounded MERGE of a source parquet dataset by key"

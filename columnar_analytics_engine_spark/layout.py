@@ -673,6 +673,91 @@ def vacuum_unindexed(
     return stranded
 
 
+def table_health(
+    spark: SparkSession,
+    data_path: str,
+    index_path: str,
+    dv_path: str | None = None,
+    probe_cols: list[str] | None = None,
+) -> dict:
+    """One-call health report for a maintained table — the numbers an
+    operator reads before scheduling OPTIMIZE / VACUUM (Delta's
+    DESCRIBE DETAIL + OPTIMIZE preview, on plain Parquet):
+
+    * size: current-manifest file count, bytes, mean file MB (small-file
+      pressure), plus rows from the manifest's footer counts;
+    * history: retained manifest versions and the published one;
+    * reclaimable: what a ``vacuum_unindexed(keep_versions=1)`` would
+      delete right now (dry run — nothing is touched);
+    * deletes: live tombstone count and how many files carry them;
+    * clustering: per probe column, the avg overlap depth from the
+      stats index (1.0 = point query touches one file) and the
+      ``overlap_candidates`` count a compaction would rewrite;
+    * evolution: whether a schema spec exists and the physical cohort
+      count.
+
+    Everything is metadata-scale: manifest reads, footer counts already
+    in the index, zero data-file I/O."""
+    import os
+
+    from columnar_analytics_engine_spark.evolution import read_schema_spec
+    from columnar_analytics_engine_spark.manifest import (
+        current_version,
+        list_versions,
+        read_manifest,
+    )
+
+    m = read_manifest(spark, index_path)
+    per_file = m.select("file", "file_rows").distinct()
+    agg = per_file.groupBy().agg(
+        F.count("*").alias("files"), F.sum("file_rows").alias("rows")
+    ).first()
+    files = [r["file"] for r in per_file.select("file").collect()]
+    total_bytes = sum(os.path.getsize(f) for f in files if os.path.exists(f))
+    report: dict = {
+        "files": agg["files"],
+        "rows": agg["rows"],
+        "total_mb": round(total_bytes / 1e6, 2),
+        "avg_file_mb": round(total_bytes / 1e6 / max(1, agg["files"]), 2),
+        "current_version": current_version(index_path),
+        "retained_versions": list_versions(index_path),
+        "reclaimable_files": len(
+            vacuum_unindexed(
+                spark, data_path, index_path, keep_versions=1, dry_run=True
+            )
+        ),
+    }
+    if dv_path is not None and os.path.exists(dv_path):
+        dv = spark.read.parquet(dv_path)
+        report["tombstones"] = dv.count()
+        report["tombstoned_files"] = dv.select("file").distinct().count()
+    else:
+        report["tombstones"] = 0
+        report["tombstoned_files"] = 0
+    spec = read_schema_spec(index_path)
+    report["evolved"] = spec is not None
+    report["cohorts"] = (
+        m.groupBy("file")
+        .agg(F.sort_array(F.collect_set("column")).alias("cols"))
+        .select("cols")
+        .distinct()
+        .count()
+    )
+    if probe_cols:
+        depth = {
+            (r["probe_col"]): round(r["avg_depth"], 2)
+            for r in clustering_depth(
+                index_extents(spark, index_path, probe_cols)
+            ).collect()
+        }
+        report["avg_depth"] = depth
+        report["compact_candidates"] = {
+            c: len(overlap_candidates(spark, index_path, c, max_files=10_000))
+            for c in probe_cols
+        }
+    return report
+
+
 def merge_upsert_files(
     spark: SparkSession,
     data_path: str,

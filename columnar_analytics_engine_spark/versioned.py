@@ -13,6 +13,15 @@ Layout:  ``{table}/v=N/part-*.parquet`` + ``_SUCCESS``
 * retention (``vacuum``) deletes whole version directories, never files
   inside one.
 
+Relationship to the round-12 manifest tier (``manifest.py``): this
+module snapshots WHOLE datasets (each version a full copy — right for
+nightly deliverables and diff feeds); the manifest tier versions the
+FILE LIST of one live table (copy-free — right for in-place
+maintenance: compaction, deletes, MERGE, schema evolution).  For
+time travel over a maintained table use
+``skipping.read_indexed(as_of=N)``; use this module when each version
+must be an independently shippable dataset.
+
 At 100 TB this is the nightly-snapshot pattern: each version is a
 complete partitioned dataset, ``diff_versions`` (one full-outer key
 join, bucketed storage makes it shuffle-free) feeds incremental

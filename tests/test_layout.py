@@ -506,3 +506,40 @@ def test_merge_upsert_files_rejects_hive_partitioned(spark, tmp_path):
     source = spark.createDataFrame([(1, 0, 9.9)], "k long, part long, x double")
     with pytest.raises(ValueError, match="hive-partitioned"):
         merge_upsert_files(spark, data, index, source, "k")
+
+
+def test_table_health_report(spark, sf_small, tmp_path):
+    """The operator one-call: size, history, reclaimable (dry),
+    tombstones, clustering depth, compaction candidates — all
+    metadata-scale and consistent with the underlying tools."""
+    from columnar_analytics_engine_spark.deletes import delete_where
+    from columnar_analytics_engine_spark.layout import (
+        cluster_compact,
+        table_health,
+    )
+
+    orders = read_table(spark, sf_small, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    data = str(tmp_path / "data")
+    index = str(tmp_path / "idx")
+    dv = str(tmp_path / "dv")
+    orders.repartition(8).write.parquet(data)
+    build_stats_index(spark, data, index)
+    delete_where(spark, data, dv, "o_orderkey % 5 = 0")
+    h = table_health(spark, data, index, dv_path=dv,
+                     probe_cols=["o_custkey"])
+    assert h["files"] == 8 and h["rows"] == orders.count()
+    assert h["current_version"] == 1 and h["reclaimable_files"] == 0
+    assert h["tombstones"] > 0 and h["tombstoned_files"] == 8
+    assert h["avg_depth"]["o_custkey"] > 4  # shuffled: heavy overlap
+    assert h["compact_candidates"]["o_custkey"] == 8
+    assert h["evolved"] is False and h["cohorts"] == 1
+
+    cluster_compact(spark, data, index, ["o_custkey"], max_files=8)
+    h2 = table_health(spark, data, index, dv_path=dv,
+                      probe_cols=["o_custkey"])
+    assert h2["current_version"] == 2
+    assert h2["reclaimable_files"] == 8  # originals await vacuum
+    assert h2["avg_depth"]["o_custkey"] < h["avg_depth"]["o_custkey"]
+    assert h2["compact_candidates"]["o_custkey"] < 8
