@@ -222,10 +222,22 @@ def cmd_compact(args: argparse.Namespace) -> None:
     )
 
     spark = get_spark(app_name="cae-compact")
-    cols = [c.strip() for c in args.cols.split(",")]
-    out = cluster_compact(
-        spark, args.data, args.index, cols, max_files=args.max_files
-    )
+    if args.small_files:
+        from columnar_analytics_engine_spark.layout import compact_small_files
+
+        out = compact_small_files(
+            spark, args.data, args.index,
+            target_file_bytes=args.target_mb * 1024 * 1024,
+            max_files=args.max_files,
+            cols=[c.strip() for c in args.cols.split(",")] if args.cols else None,
+        )
+    else:
+        if not args.cols:
+            sys.exit("error: compact needs --cols (or --small-files)")
+        cols = [c.strip() for c in args.cols.split(",")]
+        out = cluster_compact(
+            spark, args.data, args.index, cols, max_files=args.max_files
+        )
     if args.vacuum:
         out["vacuumed"] = len(
             vacuum_unindexed(
@@ -596,8 +608,16 @@ def main(argv: list[str] | None = None) -> None:
     )
     cp.add_argument("data", help="parquet dataset directory")
     cp.add_argument("index", help="stats index location")
-    cp.add_argument("--cols", required=True, help="comma list of cluster columns")
+    cp.add_argument("--cols", help="comma list of cluster/sort columns")
     cp.add_argument("--max-files", type=int, default=64)
+    cp.add_argument(
+        "--small-files", action="store_true",
+        help="size-based compaction (merge small files) instead of overlap-based",
+    )
+    cp.add_argument(
+        "--target-mb", type=int, default=128,
+        help="target output file size for --small-files (MB)",
+    )
     cp.add_argument("--vacuum", action="store_true", help="GC unindexed strays after")
     cp.add_argument(
         "--keep-versions", type=int, default=1,

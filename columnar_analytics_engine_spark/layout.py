@@ -673,6 +673,76 @@ def vacuum_unindexed(
     return stranded
 
 
+def compact_small_files(
+    spark: SparkSession,
+    data_path: str,
+    index_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    small_bytes: int | None = None,
+    max_files: int = 64,
+    cols: list[str] | None = None,
+) -> dict:
+    """Small-file compaction (the OTHER maintenance axis):
+    ``cluster_compact`` selects by value-range OVERLAP, so a
+    well-sorted table of ten thousand tiny files — exactly what a
+    micro-batch streaming sink produces — never qualifies.  This
+    selects by SIZE: files under ``small_bytes`` (default: half the
+    target) from the current manifest, grouped per partition directory
+    and schema cohort (same safety rules as every rewrite here),
+    bin-packed into ``ceil(total/target)`` outputs per group, capped at
+    ``max_files`` per run so each maintenance tick is bounded I/O.
+    With ``cols`` the rewritten rows are range-sorted on those columns
+    (repairing clustering while compacting); without, files coalesce
+    as-is — row order inside the group is preserved per Spark's
+    file-order scan, and results are identical either way (manifest
+    publish discipline, originals persist until vacuum)."""
+    import os
+
+    from columnar_analytics_engine_spark.manifest import read_manifest
+
+    m = read_manifest(spark, index_path)
+    files = sorted({r["file"] for r in m.select("file").distinct().collect()})
+    cutoff = small_bytes if small_bytes is not None else target_file_bytes // 2
+    small = [
+        f for f in files
+        if os.path.exists(f) and os.path.getsize(f) < cutoff
+    ][:max_files]
+    groups = split_groups_by_cohort(
+        spark, index_path, group_by_partition_dir(small, data_path)
+    )
+    if cols:
+        part_keys = partition_keys_of(groups, data_path) & set(cols)
+        if part_keys:
+            raise ValueError(
+                f"sort columns {sorted(part_keys)} are path-encoded "
+                "partition columns"
+            )
+    rewritten = 0
+    new_total = 0
+    n_groups = 0
+    for dest, flist in sorted(groups.items()):
+        dest = dest.split("\x00", 1)[0]
+        if len(flist) < 2:
+            continue
+        total = sum(os.path.getsize(f) for f in flist)
+        n_out = max(1, int((total + target_file_bytes - 1) // target_file_bytes))
+        df = spark.read.parquet(*flist)
+        if cols:
+            arranged = df.repartitionByRange(n_out, *cols).sortWithinPartitions(
+                *cols
+            )
+        else:
+            arranged = df.coalesce(n_out)
+        new_files = publish_rewrite(
+            spark, data_path, index_path, flist, arranged,
+            dest_dir=dest if dest != data_path else None,
+        )
+        rewritten += len(flist)
+        new_total += len(new_files)
+        n_groups += 1
+    return {"rewritten": rewritten, "new_files": new_total, "groups": n_groups}
+
+
 def table_health(
     spark: SparkSession,
     data_path: str,

@@ -844,7 +844,66 @@ def maintenance_lifecycle_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def layout_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-based compaction round-trip under the hash gate: ``orders``
+    written as MANY tiny sorted files (disjoint key ranges — the shape
+    overlap-based compaction can never select, and exactly what a
+    micro-batch streaming sink leaves behind), merged by
+    ``layout.compact_small_files`` into size-targeted files, then a
+    range predicate answered through the post-compact manifest.  The
+    oracle runs the same filter + aggregate on the untouched source:
+    bin-packing small files moves bytes, never results."""
+    import hashlib
+    import os
+    import tempfile
+
+    from columnar_analytics_engine_spark.io import write_sorted
+    from columnar_analytics_engine_spark.layout import compact_small_files
+    from columnar_analytics_engine_spark.skipping import (
+        build_stats_index,
+        read_skipping,
+    )
+
+    src = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    tag = hashlib.md5(f"{sf_dir}:{os.getpid()}".encode()).hexdigest()[:12]
+    data = f"{tempfile.gettempdir()}/cae_small_data_{tag}"
+    index = f"{tempfile.gettempdir()}/cae_small_idx_{tag}"
+    write_sorted(src, data, ["o_custkey"], n_files=24)
+    build_stats_index(spark, data, index)
+    compact_small_files(
+        spark, data, index, target_file_bytes=64 * 1024 * 1024,
+        max_files=64, cols=["o_custkey"],
+    )
+    return read_skipping(
+        spark, data, index, "o_custkey ge 10 and o_custkey le 60"
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.sum("o_orderkey").alias("sum_orderkey"),
+        exact_sum("o_totalprice", "sum_price"),
+        F.min("o_custkey").alias("min_cust"),
+        F.max("o_custkey").alias("max_cust"),
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "layout_compact_small_files": QuerySpec(
+        layout_compact_small_files,
+        f"""
+        SELECT COUNT(*) AS n_orders,
+               CAST(SUM(o_orderkey) AS BIGINT) AS sum_orderkey,
+               {sql_exact_sum('o_totalprice', 'sum_price')},
+               MIN(o_custkey) AS min_cust,
+               MAX(o_custkey) AS max_cust
+        FROM orders
+        WHERE o_custkey >= 10 AND o_custkey <= 60
+        """,
+        "size-based small-file compaction (the streaming-sink shape "
+        "overlap selection never matches); oracle on the untouched source",
+        ("scale", "layout", "maintenance", "index"),
+    ),
     "maintenance_lifecycle_agg": QuerySpec(
         maintenance_lifecycle_agg,
         f"""

@@ -543,3 +543,60 @@ def test_table_health_report(spark, sf_small, tmp_path):
     assert h2["reclaimable_files"] == 8  # originals await vacuum
     assert h2["avg_depth"]["o_custkey"] < h["avg_depth"]["o_custkey"]
     assert h2["compact_candidates"]["o_custkey"] < 8
+
+
+def test_compact_small_files_merges_sorted_sink_output(spark, tmp_path):
+    """A sorted table of many tiny files (the streaming-sink shape)
+    never qualifies for overlap-based compaction — size-based
+    compaction must merge it, per partition dir, preserving results."""
+    from columnar_analytics_engine_spark.layout import compact_small_files
+
+    data = str(tmp_path / "d")
+    index = str(tmp_path / "i")
+    df = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(3000)],
+        "k long, batch_id long, x double",
+    )
+    # 6 tiny files per partition, disjoint k ranges (sorted shape)
+    df.repartitionByRange(6, "k").sortWithinPartitions("k").write.partitionBy(
+        "batch_id"
+    ).parquet(data)
+    build_stats_index(spark, data, index)
+    n_before = len(list_parquet_files(data))
+    assert n_before >= 18
+
+    # overlap-based selection finds nothing to do on disjoint ranges
+    assert overlap_candidates(spark, index, "k", min_overlaps=3) == []
+
+    out = compact_small_files(
+        spark, data, index, target_file_bytes=64 * 1024 * 1024
+    )
+    assert out["rewritten"] >= 18 and out["groups"] == 3
+    from columnar_analytics_engine_spark.skipping import read_indexed
+
+    got = sorted(
+        (r["k"], r["batch_id"], r["x"])
+        for r in read_indexed(spark, data, index).collect()
+    )
+    assert got == sorted((i, i % 3, float(i)) for i in range(3000))
+    # fewer, bigger files; no root-level leaf escapes; vacuum then plain-read
+    import os
+
+    indexed = {
+        r["file"]
+        for r in read_manifest(spark, index).select("file").distinct().collect()
+    }
+    assert len(indexed) == 3  # one merged file per partition
+    root_files = [
+        f for f in os.listdir(data)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    ]
+    assert root_files == []
+    vacuum_unindexed(spark, data, index)
+    assert sorted(
+        (r["k"], r["batch_id"], r["x"])
+        for r in spark.read.parquet(data).collect()
+    ) == got
+    # path-encoded sort columns rejected
+    with pytest.raises(ValueError, match="path-encoded"):
+        compact_small_files(spark, data, index, cols=["batch_id"])
