@@ -87,6 +87,8 @@ def stats_indexed_sink(
     bloom_path: str | None = None,
     bloom_cols: list[str] | None = None,
     manifest_keep_versions: int = 8,
+    compact_small_every: int | None = None,
+    compact_target_bytes: int = 128 * 1024 * 1024,
 ):
     """``foreachBatch`` processor: append micro-batches to a Parquet
     dataset and keep its file-level stats-skipping index
@@ -129,6 +131,15 @@ def stats_indexed_sink(
     update so a long-running stream does not accumulate one manifest
     dir per micro-batch; the window still covers readers that planned
     several batches ago.
+
+    ``compact_small_every=N`` folds small-file maintenance INTO the
+    sink: every N-th batch, ``layout.compact_small_files`` bin-packs
+    accumulated tiny batch files into ``compact_target_bytes`` outputs
+    (per partition dir, manifest-published, originals persist until
+    vacuum) — the sink's own antidote to the small-file problem it
+    creates.  Index-planned readers see each compaction atomically; a
+    retried batch re-runs its compaction idempotently (size-selection
+    simply finds less to do).
     """
     from columnar_analytics_engine_spark.skipping import (
         build_bloom_index,
@@ -158,6 +169,19 @@ def stats_indexed_sink(
             build_stats_index(spark, data_path, index_path)
         from columnar_analytics_engine_spark.manifest import expire_versions
 
+        if (
+            compact_small_every
+            and batch_id >= 0
+            and (batch_id + 1) % compact_small_every == 0
+        ):
+            from columnar_analytics_engine_spark.layout import (
+                compact_small_files,
+            )
+
+            compact_small_files(
+                spark, data_path, index_path,
+                target_file_bytes=compact_target_bytes,
+            )
         expire_versions(index_path, manifest_keep_versions)
         if bloom_path is not None and bloom_cols:
             if os.path.exists(bloom_path):

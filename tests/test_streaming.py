@@ -967,3 +967,44 @@ def test_stats_indexed_sink_maintains_bloom(spark, tmp_path):
     absent = plan_skipping(spark, index, "k eq 700", bloom_path=bloom)
     assert absent["files"] == []  # gap between batches: everything prunes
     assert present["files_pruned"] >= 2
+
+
+def test_stats_indexed_sink_auto_compacts_small_files(spark, tmp_path):
+    """compact_small_every folds small-file maintenance into the sink:
+    tiny per-batch files bin-pack periodically, index-planned reads stay
+    exact throughout, and vacuum reclaims the originals."""
+    import os
+
+    from columnar_analytics_engine_spark.layout import vacuum_unindexed
+    from columnar_analytics_engine_spark.manifest import read_manifest
+    from columnar_analytics_engine_spark.skipping import read_skipping
+    from columnar_analytics_engine_spark.streaming.maintenance import (
+        stats_indexed_sink,
+    )
+
+    data = str(tmp_path / "table")
+    index = str(tmp_path / "index")
+    process = stats_indexed_sink(
+        spark, data, index, compact_small_every=2,
+        compact_target_bytes=64 * 1024 * 1024,
+    )
+    expect = []
+    for b in range(4):
+        rows = [(b * 10 + i, b) for i in range(10)]
+        expect += rows
+        process(spark.createDataFrame(rows, "k long, src long"), b)
+
+    got = read_skipping(spark, data, index, "k ge 0")
+    assert sorted((r["k"], r["src"]) for r in got.collect()) == sorted(expect)
+    # compaction ran on batches 1 and 3: the manifest holds fewer files
+    # than the raw batch count would imply... each batch lands >=1 file
+    # per partition dir; after two compaction ticks the batch_id=*
+    # partitions' smalls are bin-packed per partition
+    m = read_manifest(spark, index)
+    n_indexed = m.select("file").distinct().count()
+    vacuum_unindexed(spark, data, index, keep_versions=1)
+    from columnar_analytics_engine_spark.skipping import list_parquet_files
+
+    assert len(list_parquet_files(data)) == n_indexed
+    got2 = read_skipping(spark, data, index, "k ge 0")
+    assert sorted((r["k"], r["src"]) for r in got2.collect()) == sorted(expect)
