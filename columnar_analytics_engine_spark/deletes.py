@@ -235,6 +235,9 @@ def compact_deletes(
         split_groups_by_cohort,
     )
 
+    from columnar_analytics_engine_spark.manifest import current_version
+
+    expected = current_version(index_path)
     dv = _dv(spark, dv_path)
     affected = sorted(
         r["file"] for r in dv.select("file").distinct().limit(max_files).collect()
@@ -264,8 +267,10 @@ def compact_deletes(
                 spark, data_path, index_path, files,
                 survivors.coalesce(max(1, len(files) // 4)),
                 dest_dir=dest if dest != data_path else None,
+                expected_current=expected,
             )
         )
+        expected = current_version(index_path)
     affected_df = spark.createDataFrame([(f,) for f in affected], "file string")
     remaining = dv.join(F.broadcast(affected_df), "file", "left_anti")
     cleared = dv.count() - remaining.count()

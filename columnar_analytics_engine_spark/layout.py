@@ -417,6 +417,7 @@ def _swap_index(
     add_files: list[str],
     base_path: str,
     publish: bool = True,
+    expected_current: int | None = None,
 ) -> int:
     """Write the next index-manifest VERSION: current rows minus
     ``drop_files`` plus footer-scanned rows for ``add_files``, then an
@@ -425,6 +426,7 @@ def _swap_index(
     manifest-less table.  ``publish=False`` stages the version for a
     multi-table transaction commit.  Returns the version number."""
     from columnar_analytics_engine_spark.manifest import (
+        current_version,
         read_manifest,
         write_manifest,
     )
@@ -432,6 +434,14 @@ def _swap_index(
 
     from columnar_analytics_engine_spark.evolution import read_schema_spec
 
+    # the conflict check runs against the version this change was
+    # computed FROM: the caller's plan-time base when supplied (a
+    # compaction's candidate selection may predate this call by the
+    # whole rewrite), else this function's own read
+    base_version = (
+        expected_current if expected_current is not None
+        else current_version(index_path)
+    )
     idx = read_manifest(spark, index_path)
     # evolved tables: new files may carry columns no prior file has —
     # index ALL their columns (cohort detection in read_evolved keys
@@ -454,7 +464,12 @@ def _swap_index(
         out = kept.unionByName(
             _stats_df(spark, sorted(add_files), columns, base_path=base_path)
         )
-    return write_manifest(spark, index_path, out, publish=publish)
+    # optimistic concurrency: this new version was computed FROM
+    # base_version; refuse to publish over someone else's newer one
+    return write_manifest(
+        spark, index_path, out, publish=publish,
+        expected_current=base_version,
+    )
 
 
 def publish_rewrite(
@@ -465,6 +480,7 @@ def publish_rewrite(
     df: DataFrame,
     dest_dir: str | None = None,
     publish: bool = True,
+    expected_current: int | None = None,
 ) -> list[str]:
     """The shared rewrite-publish discipline (cluster_compact /
     compact_deletes / merge_upsert_files): write ``df`` to a staging
@@ -508,7 +524,8 @@ def publish_rewrite(
         new_files.append(dst)
     shutil.rmtree(staging, ignore_errors=True)
     _swap_index(
-        spark, index_path, drop_files, new_files, data_path, publish=publish
+        spark, index_path, drop_files, new_files, data_path, publish=publish,
+        expected_current=expected_current,
     )
     return new_files
 
@@ -547,6 +564,9 @@ def cluster_compact(
     """
     import os
 
+    from columnar_analytics_engine_spark.manifest import current_version
+
+    expected = current_version(index_path)
     cand = overlap_candidates(
         spark, index_path, cols[0], max_files=max_files,
         min_overlaps=min_overlaps,
@@ -595,7 +615,9 @@ def cluster_compact(
         new_files = publish_rewrite(
             spark, data_path, index_path, files, arranged,
             dest_dir=dest if dest != data_path else None,
+            expected_current=expected,
         )
+        expected = current_version(index_path)
         rewritten += len(files)
         new_total += len(new_files)
         n_groups += 1
@@ -703,6 +725,9 @@ def compact_small_files(
     m = read_manifest(spark, index_path)
     files = sorted({r["file"] for r in m.select("file").distinct().collect()})
     cutoff = small_bytes if small_bytes is not None else target_file_bytes // 2
+    from columnar_analytics_engine_spark.manifest import current_version
+
+    expected = current_version(index_path)
     small = [
         f for f in files
         if os.path.exists(f) and os.path.getsize(f) < cutoff
@@ -736,7 +761,9 @@ def compact_small_files(
         new_files = publish_rewrite(
             spark, data_path, index_path, flist, arranged,
             dest_dir=dest if dest != data_path else None,
+            expected_current=expected,
         )
+        expected = current_version(index_path)
         rewritten += len(flist)
         new_total += len(new_files)
         n_groups += 1
@@ -890,6 +917,9 @@ def merge_upsert_files(
             "operators.merge.merge_upsert for a full rewrite"
         )
 
+    from columnar_analytics_engine_spark.manifest import current_version
+
+    expected = current_version(index_path)
     plan = plan_skipping_join(
         spark, index_path, key, source.select(key), max_keys,
         bloom_path=bloom_path,
@@ -902,7 +932,7 @@ def merge_upsert_files(
         n_files = 1
         new_files = publish_rewrite(
             spark, data_path, index_path, [], source.coalesce(n_files),
-            publish=publish,
+            publish=publish, expected_current=expected,
         )
         return {"affected_files": 0, "new_files": len(new_files),
                 "pruned_files": plan["files_pruned"],
@@ -920,7 +950,7 @@ def merge_upsert_files(
     new_files = publish_rewrite(
         spark, data_path, index_path, affected,
         merged.repartitionByRange(n_files, key).sortWithinPartitions(key),
-        publish=publish,
+        publish=publish, expected_current=expected,
     )
     return {
         "affected_files": len(affected),

@@ -54,6 +54,14 @@ _VER_RE = re.compile(r"^ver-(\d{8})$")
 _CURRENT = "_CURRENT"
 
 
+class ConcurrentWriteError(RuntimeError):
+    """Another writer published a manifest version after this writer
+    read its base snapshot (optimistic-concurrency conflict).  The
+    loser's staged version remains on disk, unpublished — vacuum-able
+    garbage; retry by re-reading the current manifest and re-applying
+    the change (Delta's commit-conflict contract)."""
+
+
 def _ver_dir(index_path: str, version: int) -> str:
     return os.path.join(index_path, f"ver-{version:08d}")
 
@@ -128,11 +136,26 @@ def _publish_pointer(index_path: str, version: int) -> None:
     os.replace(tmp, os.path.join(index_path, _CURRENT))
 
 
+def _allocate_version(index_path: str) -> int:
+    """Claim the next version number with an atomic ``os.mkdir`` —
+    two concurrent writers can never clobber each other's version dir
+    (mkdir fails for the loser, who claims the next number)."""
+    staged = list_versions(index_path)
+    version = (staged[-1] if staged else 0) + 1
+    while True:
+        try:
+            os.mkdir(_ver_dir(index_path, version))
+            return version
+        except FileExistsError:
+            version += 1
+
+
 def write_manifest(
     spark: SparkSession,
     index_path: str,
     df: DataFrame,
     publish: bool = True,
+    expected_current: int | None = None,
 ) -> int:
     """Write ``df`` as the next manifest version and (by default)
     publish it with an atomic pointer flip.  Returns the version
@@ -141,15 +164,35 @@ def write_manifest(
     ``transaction.Catalog`` commit) flips a pointer; a crash before
     that leaves readers on the old version.
 
+    Concurrency: version numbers are claimed with an atomic ``mkdir``
+    (no clobber between racing writers), and ``expected_current``
+    provides optimistic concurrency — pass the version your change was
+    COMPUTED FROM, and the publish raises :class:`ConcurrentWriteError`
+    if another writer published in between (your rows would silently
+    drop theirs).  The conflicted version stays staged/unpublished —
+    readers are unaffected, vacuum reclaims it, the caller re-reads and
+    retries.  Every maintenance op threads this through, so two
+    concurrent compactions cannot lose each other's updates.
+
     A legacy flat index is upgraded in place: its rows become
     ``ver-<n>`` and the flat files are removed after the pointer exists
     (a crash in between leaves both readable states consistent)."""
     os.makedirs(index_path, exist_ok=True)
-    staged = list_versions(index_path)
-    version = (staged[-1] if staged else 0) + 1
     legacy = current_version(index_path) is None and _is_legacy_flat(index_path)
-    df.coalesce(1).write.mode("overwrite").parquet(_ver_dir(index_path, version))
+    version = _allocate_version(index_path)
+    # append into the freshly CLAIMED (empty) dir: overwrite would
+    # delete-and-recreate it, reopening the mkdir race window
+    df.coalesce(1).write.mode("append").parquet(_ver_dir(index_path, version))
     if publish:
+        if expected_current is not None:
+            cur = current_version(index_path)
+            if cur is not None and cur != expected_current:
+                raise ConcurrentWriteError(
+                    f"manifest at {index_path} moved from version "
+                    f"{expected_current} to {cur} while this change was "
+                    f"being staged (staged as ver-{version}, left "
+                    "unpublished); re-read and retry"
+                )
         _publish_pointer(index_path, version)
         if legacy:
             for f in os.listdir(index_path):

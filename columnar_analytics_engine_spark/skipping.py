@@ -344,10 +344,12 @@ def update_stats_index(
     their rows.  Truly new files are those no retained version has ever
     referenced."""
     from columnar_analytics_engine_spark.manifest import (
+        current_version as _manifest_current,
         read_manifest,
         referenced_files,
     )
 
+    base_version = _manifest_current(index_path)
     current = set(list_parquet_files(data_path))
     idx = read_manifest(spark, index_path)
     indexed = {r["file"] for r in idx.select("file").distinct().collect()}
@@ -379,7 +381,7 @@ def update_stats_index(
     )
     from columnar_analytics_engine_spark.manifest import write_manifest
 
-    write_manifest(spark, index_path, out)
+    write_manifest(spark, index_path, out, expected_current=base_version)
     return {"added": len(added), "removed": len(removed)}
 
 

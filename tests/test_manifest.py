@@ -227,3 +227,69 @@ def test_vacuum_dry_run_reports_without_deleting(spark, compactable):
     assert list_versions(index) == [1, 2]  # no expiry either
     removed = vacuum_unindexed(spark, data, index, keep_versions=1)
     assert sorted(removed) == sorted(would)  # dry run told the truth
+
+
+def test_concurrent_writers_cannot_clobber_or_lose_updates(spark, tmp_path):
+    """Writer concurrency: atomic mkdir version allocation (no dir
+    clobber) + optimistic publish — a writer whose change was computed
+    from a stale base raises instead of silently dropping the other
+    writer's rows; its staged version stays unpublished and readers
+    never see it."""
+    from columnar_analytics_engine_spark.manifest import (
+        ConcurrentWriteError,
+        write_manifest,
+    )
+
+    index = str(tmp_path / "idx")
+    write_manifest(spark, index, spark.createDataFrame([("a",)], "file string"))
+
+    # writer A computes from v1... meanwhile writer B publishes v2
+    write_manifest(
+        spark, index, spark.createDataFrame([("b",)], "file string"),
+        expected_current=1,
+    )
+    assert current_version(index) == 2
+    with pytest.raises(ConcurrentWriteError, match="moved from version 1"):
+        write_manifest(
+            spark, index, spark.createDataFrame([("stale",)], "file string"),
+            expected_current=1,
+        )
+    # loser's version is staged-not-published; readers see the winner
+    assert current_version(index) == 2
+    assert _rows(read_manifest(spark, index)) == [("b",)]
+    assert 3 in list_versions(index)  # staged orphan, vacuum-able
+    assert expire_versions(index, keep_last=2) == [3]
+
+
+def test_maintenance_ops_detect_concurrent_publish(spark, compactable):
+    """cluster_compact/merge publish through expected_current: a
+    manifest advanced underneath them (simulated concurrent writer)
+    raises instead of losing that writer's update."""
+    from columnar_analytics_engine_spark.manifest import (
+        ConcurrentWriteError,
+        read_manifest,
+        write_manifest,
+    )
+    import columnar_analytics_engine_spark.layout as layout_mod
+
+    data, index, src = compactable
+
+    orig_overlap = layout_mod.overlap_candidates
+
+    def racing_overlap(*a, **k):
+        cand = orig_overlap(*a, **k)
+        # another writer publishes AFTER this compaction planned
+        write_manifest(
+            spark, index, read_manifest(spark, index), publish=True
+        )
+        return cand
+
+    layout_mod.overlap_candidates = racing_overlap
+    try:
+        with pytest.raises(ConcurrentWriteError):
+            cluster_compact(spark, data, index, ["o_custkey"], max_files=8)
+    finally:
+        layout_mod.overlap_candidates = orig_overlap
+    # the racing writer's publish is intact and data is unchanged
+    n = read_indexed(spark, data, index).count()
+    assert n == src.count()
