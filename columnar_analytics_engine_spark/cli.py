@@ -404,7 +404,8 @@ def cmd_delete(args: argparse.Namespace) -> None:
     out: dict = {}
     if args.where:
         out["tombstones_added"] = delete_where(
-            spark, args.data, args.dv, args.where
+            spark, args.data, args.dv, args.where,
+            index_path=args.index,
         )
     if args.compact:
         if not args.index:

@@ -76,21 +76,53 @@ def _dv(spark: SparkSession, dv_path: str) -> DataFrame:
     return spark.createDataFrame([], DV_SCHEMA)
 
 
+def _raw_scan(spark: SparkSession, data_path: str, index_path: str | None):
+    """Raw (un-projected, ``_metadata``-addressable) scan of the table:
+    the manifest's file list when an index is given — a maintained
+    table's directory may hold pre-vacuum originals that a plain
+    listing would double-count (and tombstoning THOSE would bloat the
+    DV with references to files vacuum later removes) — else the plain
+    directory read.  Predicates evaluate against physical column names
+    (on a schema-evolved table, delete by a column every cohort
+    physically carries, e.g. the primary key)."""
+    if index_path is None:
+        return spark.read.parquet(data_path)
+    from columnar_analytics_engine_spark.manifest import read_manifest
+
+    files = sorted(
+        r["file"]
+        for r in read_manifest(spark, index_path).select("file").distinct().collect()
+    )
+    if not files:
+        return spark.read.parquet(data_path).where(F.lit(False))
+    reader = spark.read
+    if os.path.isdir(data_path):
+        reader = reader.option("basePath", data_path)
+    return reader.parquet(*files)
+
+
 def delete_where(
-    spark: SparkSession, data_path: str, dv_path: str, predicate: str
+    spark: SparkSession,
+    data_path: str,
+    dv_path: str,
+    predicate: str,
+    index_path: str | None = None,
 ) -> int:
     """Tombstone every row of ``data_path`` matching the SQL
     ``predicate``: append (file, row_index) pairs to the DV table at
     ``dv_path`` (created on first use).  Returns the number of NEW
     tombstones.  Idempotent — re-deleting already-deleted rows adds
     nothing (the DV table is kept distinct), and the data files are
-    untouched."""
+    untouched.  On a MAINTAINED table pass ``index_path`` so the scan
+    plans from the manifest (see :func:`_raw_scan`)."""
     hits = (
-        spark.read.parquet(data_path)
+        _raw_scan(spark, data_path, index_path)
         .select(
             _strip_scheme(F.col("_metadata.file_path")).alias("file"),
             F.col("_metadata.row_index").alias("row_index"),
         )
+        # predicate columns resolve through the projection (Spark's
+        # missing-reference resolution), same as the pre-r12 shape
         .where(F.expr(predicate))
     )
     existing = _dv(spark, dv_path)
@@ -106,16 +138,18 @@ def delete_keys(
     dv_path: str,
     keys: DataFrame,
     key_col: str,
+    index_path: str | None = None,
 ) -> int:
     """Tombstone every row whose ``key_col`` appears in ``keys`` (a
     one-column DataFrame) — the key-set twin of :func:`delete_where`,
     for deletes computed by another operator (a dedup loser list, a
     GDPR id batch) rather than expressible as a predicate.  One
     broadcast semi-join scan of the matching files; idempotent like
-    ``delete_where``."""
+    ``delete_where``; ``index_path`` plans the scan from the manifest
+    on maintained tables."""
     k = keys.toDF("__k").where(F.col("__k").isNotNull()).distinct()
     hits = (
-        spark.read.parquet(data_path)
+        _raw_scan(spark, data_path, index_path)
         .join(F.broadcast(k), F.col(key_col) == F.col("__k"), "left_semi")
         .select(
             _strip_scheme(F.col("_metadata.file_path")).alias("file"),
@@ -237,13 +271,32 @@ def compact_deletes(
 
     from columnar_analytics_engine_spark.manifest import current_version
 
+    from columnar_analytics_engine_spark.manifest import read_manifest
+
     expected = current_version(index_path)
     dv = _dv(spark, dv_path)
-    affected = sorted(
-        r["file"] for r in dv.select("file").distinct().limit(max_files).collect()
-    )
-    if not affected:
+    manifest_files = {
+        r["file"]
+        for r in read_manifest(spark, index_path).select("file").distinct().collect()
+    }
+    dv_files = sorted(r["file"] for r in dv.select("file").distinct().collect())
+    # tombstones on files the CURRENT manifest no longer lists are dead
+    # weight (those rows are invisible to every read path; the files may
+    # already be vacuumed) — cleared below without any rewrite
+    dead = [f for f in dv_files if f not in manifest_files]
+    affected = [f for f in dv_files if f in manifest_files][:max_files]
+    if not affected and not dead:
         return {"folded_files": 0, "new_files": 0, "tombstones_cleared": 0}
+    if not affected:
+        remaining = dv.join(
+            F.broadcast(
+                spark.createDataFrame([(f,) for f in dead], "file string")
+            ),
+            "file", "left_anti",
+        )
+        cleared = dv.count() - remaining.count()
+        _rewrite_small_table(spark, remaining, dv_path)
+        return {"folded_files": 0, "new_files": 0, "tombstones_cleared": cleared}
     groups = group_by_partition_dir(affected, data_path)
     # evolved tables: schema-homogeneous rewrite groups only (mixing
     # cohorts in one read would drop the wider cohort's bytes)
@@ -271,7 +324,9 @@ def compact_deletes(
             )
         )
         expected = current_version(index_path)
-    affected_df = spark.createDataFrame([(f,) for f in affected], "file string")
+    affected_df = spark.createDataFrame(
+        [(f,) for f in affected + dead], "file string"
+    )
     remaining = dv.join(F.broadcast(affected_df), "file", "left_anti")
     cleared = dv.count() - remaining.count()
     _rewrite_small_table(spark, remaining, dv_path)

@@ -1,0 +1,162 @@
+"""Randomized maintenance-lifecycle fuzz: ANY op sequence preserves
+results.
+
+A seeded random walk over the full maintenance surface — append,
+predicate delete, physical fold, re-cluster, small-file compaction,
+index-bounded MERGE, metadata-only schema add, retention vacuum — with
+a pure-Python model of the expected rows checked after EVERY op via
+the merge-on-read read path.  This is the reference corruption suite's
+"results never change" bar (tests/test_corruption.cpp) applied to the
+whole round-12 tier at once, with op ORDER chosen adversarially by the
+seed rather than by the test author.
+
+The generator respects the tier's one documented ordering contract
+(fold deletion vectors before ops that move physical rows — the module
+docstrings state it, so the fuzzer states it too); everything else is
+fair game in any order.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from columnar_analytics_engine_spark.deletes import (
+    compact_deletes,
+    delete_where,
+    read_with_deletes,
+)
+from columnar_analytics_engine_spark.evolution import add_column
+from columnar_analytics_engine_spark.layout import (
+    cluster_compact,
+    compact_small_files,
+    merge_upsert_files,
+    vacuum_unindexed,
+)
+from columnar_analytics_engine_spark.skipping import (
+    build_stats_index,
+    update_stats_index,
+)
+
+
+def _check(spark, data, index, dv, model, extra_cols):
+    got = sorted(
+        tuple(r)
+        for r in read_with_deletes(spark, data, dv, index_path=index)
+        .select("k", "v", *extra_cols)
+        .collect()
+    )
+    expect = sorted(
+        (k, v, *(e[c] for c in extra_cols)) for k, (v, e) in model.items()
+    )
+    assert got == expect
+
+
+@pytest.mark.parametrize("seed", [7, 23, 61])
+def test_random_maintenance_walk_preserves_results(spark, tmp_path, seed):
+    rng = random.Random(seed)
+    data = str(tmp_path / "d")
+    index = str(tmp_path / "i")
+    dv = str(tmp_path / "v")
+
+    # model: key -> (v, {extra_col: value}); extras added by evolution
+    model: dict[int, tuple[int, dict]] = {k: (k * 10, {}) for k in range(300)}
+    extra_cols: list[str] = []
+    next_key = 300
+    n_evolved = 0
+    tombstones_live = False
+
+    def schema_ddl():
+        return "k long, v long" + "".join(
+            f", {c} double" for c in extra_cols
+        )
+
+    def to_rows(keys_vals):
+        return [
+            (k, v, *(e[c] for c in extra_cols))
+            for k, v, e in keys_vals
+        ]
+
+    spark.createDataFrame(
+        to_rows([(k, v, e) for k, (v, e) in model.items()]), schema_ddl()
+    ).repartition(6).write.parquet(data)
+    build_stats_index(spark, data, index)
+
+    def fold():
+        nonlocal tombstones_live
+        if tombstones_live:
+            compact_deletes(spark, data, dv, index)
+            tombstones_live = False
+
+    ops = []
+    for _ in range(12):
+        op = rng.choice(
+            ["append", "delete", "fold", "cluster", "small", "merge",
+             "evolve", "vacuum"]
+        )
+        ops.append(op)
+        if op == "append":
+            n = rng.randint(20, 60)
+            batch = []
+            for _ in range(n):
+                e = {c: float(next_key % 7) for c in extra_cols}
+                model[next_key] = (next_key * 10, e)
+                batch.append((next_key, next_key * 10, e))
+                next_key += 1
+            spark.createDataFrame(
+                to_rows(batch), schema_ddl()
+            ).coalesce(1).write.mode("append").parquet(data)
+            update_stats_index(spark, data, index)
+        elif op == "delete":
+            m = rng.choice([5, 7, 11])
+            r = rng.randint(0, m - 1)
+            n = delete_where(
+                spark, data, dv, f"k % {m} = {r}", index_path=index
+            )
+            doomed = [k for k in model if k % m == r]
+            assert n == len(doomed)
+            for k in doomed:
+                del model[k]
+            tombstones_live = tombstones_live or n > 0
+        elif op == "fold":
+            fold()
+        elif op == "cluster":
+            fold()  # documented contract: fold before moving rows
+            cluster_compact(spark, data, index, ["k"], max_files=16)
+        elif op == "small":
+            fold()
+            compact_small_files(
+                spark, data, index, target_file_bytes=64 * 1024 * 1024,
+                max_files=32,
+            )
+        elif op == "merge":
+            fold()  # merge reads physical rows, no DV consultation
+            lo = rng.randint(0, next_key)
+            hi = lo + rng.randint(10, 80)
+            batch = []
+            for k in range(lo, hi):
+                e = {c: 99.5 for c in extra_cols}
+                model[k] = (k * 10 + 1, e)
+                batch.append((k, k * 10 + 1, e))
+            if batch:
+                src = spark.createDataFrame(to_rows(batch), schema_ddl())
+                merge_upsert_files(spark, data, index, src, "k")
+        elif op == "evolve":
+            if n_evolved >= 2:
+                continue
+            col = f"x{n_evolved}"
+            n_evolved += 1
+            default = float(n_evolved)
+            add_column(spark, data, index, col, "double", default=default)
+            extra_cols.append(col)
+            for k, (v, e) in model.items():
+                e[col] = default
+        elif op == "vacuum":
+            vacuum_unindexed(spark, data, index, keep_versions=1)
+        _check(spark, data, index, dv, model, extra_cols)
+    # final: fold + vacuum, then the INDEX-planned plain read agrees
+    fold()
+    vacuum_unindexed(spark, data, index, keep_versions=1)
+    _check(spark, data, index, dv, model, extra_cols)
