@@ -1,0 +1,130 @@
+"""Change-data-feed between manifest versions: the incremental-read
+primitive a downstream pipeline over a maintained 100 TB table needs.
+
+``versioned.diff_versions`` diffs whole-dataset snapshots — two full
+scans.  The versioned-manifest tier can do radically better, because
+a manifest version IS a file set: files present in BOTH versions
+contributed no change, so the diff is
+
+    added rows   = rows of files only in ``to_version``
+    removed rows = rows of files only in ``from_version``
+
+— a METADATA-ONLY plan whose scan cost is bounded by the CHANGED
+files, never the table (the Delta change-data-feed shape).  A
+maintenance rewrite (compaction, MERGE) rewrites unchanged rows into
+new files, so the raw file diff contains identical rows on both
+sides; :func:`read_changes` therefore NETS by full row value —
+``+1`` per added-file row, ``-1`` per removed-file row, grouped over
+the diff rows only — and emits rows whose net count is non-zero:
+
+* pure insert → ``(+1)`` → ``_change_type='insert'``
+* folded delete → ``(-1)`` → ``'delete'``
+* update → old value ``'delete'`` + new value ``'insert'``
+* compaction-moved unchanged row → ``+1-1`` → suppressed
+
+which makes the feed independent of HOW maintenance arranged the
+bytes — exactly what an incremental consumer wants, and what makes it
+replayable in ANSI SQL for the oracle gate.
+
+Merge-on-read deletes (``deletes.delete_keys``) are DVs, not manifest
+changes: they enter the feed when FOLDED (``deletes.compact_deletes``
+rewrites the files, the file diff captures the disappearance) — same
+contract as reading the table itself through its manifest lifecycle.
+
+Schema evolution composes: both sides read through
+``evolution.read_evolved`` under the CURRENT logical schema (cohort
+projections reconcile physical differences), mirroring the evolution
+module's documented spec-is-current-only contract.
+
+Reference anchor: the snapshot-read bar of the reference's
+``tests/test_corruption.cpp``-style never-changing results, extended
+to deltas between snapshots.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+CHANGE_TYPE = "_change_type"
+CHANGE_COUNT = "_change_count"
+
+
+def changed_files(
+    spark: SparkSession, index_path: str, from_version: int, to_version: int
+) -> dict[str, list[str]]:
+    """The manifest file-set diff — metadata only, no data I/O.
+    Returns ``{"added": [...], "removed": [...]}`` (files only in
+    ``to_version`` / only in ``from_version``)."""
+    from columnar_analytics_engine_spark.manifest import read_manifest
+
+    f_from = {
+        r["file"]
+        for r in read_manifest(spark, index_path, as_of=from_version)
+        .select("file").distinct().collect()
+    }
+    f_to = {
+        r["file"]
+        for r in read_manifest(spark, index_path, as_of=to_version)
+        .select("file").distinct().collect()
+    }
+    return {
+        "added": sorted(f_to - f_from),
+        "removed": sorted(f_from - f_to),
+    }
+
+
+def read_changes(
+    spark: SparkSession,
+    data_path: str,
+    index_path: str,
+    from_version: int,
+    to_version: int,
+) -> DataFrame:
+    """Net row-level changes between two retained manifest versions:
+    the table's columns plus ``_change_type`` (``'insert'`` /
+    ``'delete'``) and ``_change_count`` (net multiplicity, ≥1).  Both
+    versions must still be retained (un-vacuumed) — the same contract
+    as ``as_of`` time travel.  Scan cost is bounded by the files that
+    CHANGED between the versions; files in both contribute nothing and
+    are never read."""
+    from columnar_analytics_engine_spark.evolution import read_evolved
+
+    if from_version == to_version:
+        diff = {"added": [], "removed": []}
+    else:
+        diff = changed_files(spark, index_path, from_version, to_version)
+
+    def side(files: list[str], as_of: int, cnt: int) -> DataFrame | None:
+        if not files:
+            return None
+        rows = read_evolved(
+            spark, data_path, index_path, as_of=as_of, files=files
+        )
+        return rows.withColumn(CHANGE_COUNT, F.lit(cnt))
+
+    added = side(diff["added"], to_version, 1)
+    removed = side(diff["removed"], from_version, -1)
+    if added is None and removed is None:
+        base = read_evolved(spark, data_path, index_path, as_of=to_version)
+        return (
+            base.withColumn(CHANGE_TYPE, F.lit("insert"))
+            .withColumn(CHANGE_COUNT, F.lit(1).cast("long"))
+            .limit(0)
+        )
+    u = added if removed is None else (
+        removed if added is None else added.unionByName(removed)
+    )
+    cols = [c for c in u.columns if c != CHANGE_COUNT]
+    net = (
+        u.groupBy(*cols)
+        .agg(F.sum(CHANGE_COUNT).alias("__net"))
+        .filter(F.col("__net") != 0)
+    )
+    return net.select(
+        *cols,
+        F.when(F.col("__net") > 0, F.lit("insert"))
+        .otherwise(F.lit("delete"))
+        .alias(CHANGE_TYPE),
+        F.abs(F.col("__net")).cast("long").alias(CHANGE_COUNT),
+    )

@@ -315,15 +315,13 @@ def compact_deletes(
             & (tagged["__dv_ri"] == dv["row_index"]),
             "left_anti",
         ).drop("__dv_file", "__dv_ri")
-        new_files.extend(
-            publish_rewrite(
-                spark, data_path, index_path, files,
-                survivors.coalesce(max(1, len(files) // 4)),
-                dest_dir=dest if dest != data_path else None,
-                expected_current=expected,
-            )
+        group_files, expected = publish_rewrite(
+            spark, data_path, index_path, files,
+            survivors.coalesce(max(1, len(files) // 4)),
+            dest_dir=dest if dest != data_path else None,
+            expected_current=expected,
         )
-        expected = current_version(index_path)
+        new_files.extend(group_files)
     affected_df = spark.createDataFrame(
         [(f,) for f in affected + dead], "file string"
     )

@@ -151,8 +151,18 @@ def rename_column(
     spec records it in ``sources`` so cohort reads map it forward.
     New writes use the new name."""
     spec = read_schema_spec(index_path) or _init_spec(spark, data_path, index_path)
-    if any(c["name"] == new for c in spec["columns"]):
+    if any(c["name"] == new or new in c["sources"] for c in spec["columns"]):
         raise ValueError(f"column {new!r} already exists")
+    if new in spec.get("dropped", []):
+        # same retirement rule as add_column: old files still
+        # physically carry the dropped column's bytes, and the cohort
+        # projection prefers a physically present name — renaming onto
+        # a dropped name would leak those stale bytes into the renamed
+        # logical column instead of reading the rename source
+        raise ValueError(
+            f"column {new!r} was dropped; names are not reusable "
+            "(old files still carry its bytes)"
+        )
     c = _get_col(spec, old)
     c["sources"] = [old] + c["sources"]
     c["name"] = new

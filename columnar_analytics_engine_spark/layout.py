@@ -481,7 +481,7 @@ def publish_rewrite(
     dest_dir: str | None = None,
     publish: bool = True,
     expected_current: int | None = None,
-) -> list[str]:
+) -> tuple[list[str], int]:
     """The shared rewrite-publish discipline (cluster_compact /
     compact_deletes / merge_upsert_files): write ``df`` to a staging
     SIBLING of the dataset (a nested subdir would corrupt plain
@@ -502,6 +502,11 @@ def publish_rewrite(
     persisted — and, when ``dest_dir`` is a partition directory, must
     NOT carry the path-encoded partition columns.  ``publish=False``
     stages the manifest version for a multi-table transaction commit.
+    Returns ``(new_files, version)`` — the version comes straight from
+    ``write_manifest``'s return, never from re-listing the version
+    directory (a concurrent writer staging a higher version between
+    this publish and a listing would otherwise be reported — and then
+    pinned by a transaction commit — as OUR snapshot).
 
     NOTE: after a rewrite and before vacuum, a PLAIN directory read of
     ``data_path`` sees both the originals and the rewrite (double
@@ -523,11 +528,11 @@ def publish_rewrite(
         os.rename(src, dst)
         new_files.append(dst)
     shutil.rmtree(staging, ignore_errors=True)
-    _swap_index(
+    version = _swap_index(
         spark, index_path, drop_files, new_files, data_path, publish=publish,
         expected_current=expected_current,
     )
-    return new_files
+    return new_files, version
 
 
 def cluster_compact(
@@ -612,12 +617,11 @@ def cluster_compact(
             )
         else:
             arranged = zorder_frame(df, cols, n_files, bits=bits)
-        new_files = publish_rewrite(
+        new_files, expected = publish_rewrite(
             spark, data_path, index_path, files, arranged,
             dest_dir=dest if dest != data_path else None,
             expected_current=expected,
         )
-        expected = current_version(index_path)
         rewritten += len(files)
         new_total += len(new_files)
         n_groups += 1
@@ -665,21 +669,14 @@ def vacuum_unindexed(
     )
     from columnar_analytics_engine_spark.skipping import list_parquet_files
 
-    from columnar_analytics_engine_spark.manifest import (
-        current_version,
-        list_versions,
-    )
+    from columnar_analytics_engine_spark.manifest import surviving_versions
 
     if dry_run:
-        cur = current_version(index_path)
-        versions = list_versions(index_path)
-        if cur is None:
-            retained = versions
-        else:
-            retained = sorted(
-                set([v for v in versions if v <= cur][-max(1, keep_versions):])
-                | ({cur} | (set(protect_versions) & set(versions)))
+        retained = sorted(
+            surviving_versions(
+                index_path, keep_versions, protect=protect_versions
             )
+        )
         keep = referenced_files(spark, index_path, retained or None)
         would = [f for f in list_parquet_files(data_path) if f not in keep]
         would += sorted(glob.glob(data_path.rstrip("/") + ".rewrite-*"))
@@ -758,12 +755,11 @@ def compact_small_files(
             )
         else:
             arranged = df.coalesce(n_out)
-        new_files = publish_rewrite(
+        new_files, expected = publish_rewrite(
             spark, data_path, index_path, flist, arranged,
             dest_dir=dest if dest != data_path else None,
             expected_current=expected,
         )
-        expected = current_version(index_path)
         rewritten += len(flist)
         new_total += len(new_files)
         n_groups += 1
@@ -925,18 +921,16 @@ def merge_upsert_files(
         bloom_path=bloom_path,
     )
     affected = plan["files"]
-    from columnar_analytics_engine_spark.manifest import list_versions
-
     if not affected:
         # no file can hold any source key: pure insert
         n_files = 1
-        new_files = publish_rewrite(
+        new_files, version = publish_rewrite(
             spark, data_path, index_path, [], source.coalesce(n_files),
             publish=publish, expected_current=expected,
         )
         return {"affected_files": 0, "new_files": len(new_files),
                 "pruned_files": plan["files_pruned"],
-                "version": list_versions(index_path)[-1]}
+                "version": version}
     total = sum(os.path.getsize(f) for f in affected)
     n_files = max(1, int((total + target_file_bytes - 1) // target_file_bytes))
     # evolved tables: read affected cohorts under the CURRENT logical
@@ -947,7 +941,7 @@ def merge_upsert_files(
     merged = old.join(
         F.broadcast(source.select(key)), key, "left_anti"
     ).unionByName(source)
-    new_files = publish_rewrite(
+    new_files, version = publish_rewrite(
         spark, data_path, index_path, affected,
         merged.repartitionByRange(n_files, key).sortWithinPartitions(key),
         publish=publish, expected_current=expected,
@@ -956,5 +950,5 @@ def merge_upsert_files(
         "affected_files": len(affected),
         "new_files": len(new_files),
         "pruned_files": plan["files_pruned"],
-        "version": list_versions(index_path)[-1],
+        "version": version,
     }

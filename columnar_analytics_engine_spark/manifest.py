@@ -43,15 +43,22 @@ first write — existing indexes keep working unchanged.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import re
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
 _VER_RE = re.compile(r"^ver-(\d{8})$")
 _CURRENT = "_CURRENT"
+_LOCK = "_PUBLISH_LOCK"
+# how long an above-current staged version dir is presumed in-flight
+# (a concurrent writer between staging and publish) before expiry may
+# reclaim it — Delta's log-retention grace for in-flight commits
+ORPHAN_GRACE_SEC = 600.0
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -136,6 +143,64 @@ def _publish_pointer(index_path: str, version: int) -> None:
     os.replace(tmp, os.path.join(index_path, _CURRENT))
 
 
+@contextlib.contextmanager
+def mkdir_lock(
+    lock_dir: str, stale_sec: float = 30.0, timeout_sec: float = 60.0
+):
+    """Short-critical-section mutex built on ``os.mkdir`` (atomic on
+    every POSIX filesystem; the pattern maps to the conditional-put
+    every object store offers).  Used for check-then-act commit steps
+    that must serialize: the manifest pointer flip and the transaction
+    catalog's read-merge-write.  The section is held for microseconds
+    (a small read + a rename), so contention resolves by a short spin.
+    A lock dir older than ``stale_sec`` can only be a crashed holder
+    (no live holder keeps it for 30 s) and is broken by the next
+    acquirer."""
+    os.makedirs(os.path.dirname(lock_dir) or ".", exist_ok=True)
+    deadline = time.monotonic() + timeout_sec
+    while True:
+        try:
+            os.mkdir(lock_dir)
+            break
+        except FileExistsError:
+            try:
+                if time.time() - os.stat(lock_dir).st_mtime > stale_sec:
+                    # crashed holder: break the lock (rmdir is atomic;
+                    # a racing breaker loses with FileNotFoundError)
+                    with contextlib.suppress(OSError):
+                        os.rmdir(lock_dir)
+            except FileNotFoundError:
+                pass  # holder released between mkdir and stat — retry
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"could not acquire lock at {lock_dir} within "
+                    f"{timeout_sec}s"
+                )
+            time.sleep(0.002)
+    try:
+        yield
+    finally:
+        with contextlib.suppress(OSError):
+            os.rmdir(lock_dir)
+
+
+@contextlib.contextmanager
+def publish_lock(
+    index_path: str, stale_sec: float = 30.0, timeout_sec: float = 60.0
+):
+    """Mutex for the manifest check-then-flip COMMIT step.  Without
+    it, two writers computed from the same base can BOTH pass the
+    ``cur == expected_current`` check and both flip — the first
+    publish is silently shadowed even though ``write_manifest``
+    returned success."""
+    os.makedirs(index_path, exist_ok=True)
+    with mkdir_lock(
+        os.path.join(index_path, _LOCK),
+        stale_sec=stale_sec, timeout_sec=timeout_sec,
+    ):
+        yield
+
+
 def _allocate_version(index_path: str) -> int:
     """Claim the next version number with an atomic ``os.mkdir`` —
     two concurrent writers can never clobber each other's version dir
@@ -184,16 +249,20 @@ def write_manifest(
     # delete-and-recreate it, reopening the mkdir race window
     df.coalesce(1).write.mode("append").parquet(_ver_dir(index_path, version))
     if publish:
-        if expected_current is not None:
-            cur = current_version(index_path)
-            if cur is not None and cur != expected_current:
-                raise ConcurrentWriteError(
-                    f"manifest at {index_path} moved from version "
-                    f"{expected_current} to {cur} while this change was "
-                    f"being staged (staged as ver-{version}, left "
-                    "unpublished); re-read and retry"
-                )
-        _publish_pointer(index_path, version)
+        # check + flip under the publish lock: two writers from the
+        # same base must serialize, or both pass the check and the
+        # first flip is silently shadowed (lost update)
+        with publish_lock(index_path):
+            if expected_current is not None:
+                cur = current_version(index_path)
+                if cur is not None and cur != expected_current:
+                    raise ConcurrentWriteError(
+                        f"manifest at {index_path} moved from version "
+                        f"{expected_current} to {cur} while this change was "
+                        f"being staged (staged as ver-{version}, left "
+                        "unpublished); re-read and retry"
+                    )
+            _publish_pointer(index_path, version)
         if legacy:
             for f in os.listdir(index_path):
                 if f.endswith(".parquet") and not f.startswith(("_", ".")):
@@ -201,35 +270,85 @@ def write_manifest(
     return version
 
 
-def publish_version(index_path: str, version: int) -> None:
-    """Publish a previously staged version (validates it exists)."""
+def publish_version(
+    index_path: str, version: int, monotonic: bool = False
+) -> bool:
+    """Publish a previously staged version (validates it exists).
+    With ``monotonic=True`` the flip only happens when it moves the
+    pointer FORWARD — the convergence roll a transaction commit does —
+    and the read-compare-flip runs under the publish lock so two
+    concurrent commits cannot interleave their flips into a backwards
+    move.  Returns whether the pointer moved."""
     if not os.path.isdir(_ver_dir(index_path, version)):
         raise FileNotFoundError(
             f"cannot publish: version {version} not staged at {index_path}"
         )
-    _publish_pointer(index_path, version)
+    with publish_lock(index_path):
+        if monotonic:
+            cur = current_version(index_path)
+            if cur is not None and cur >= version:
+                return False
+        _publish_pointer(index_path, version)
+    return True
 
 
 def expire_versions(
-    index_path: str, keep_last: int, protect: tuple[int, ...] = ()
+    index_path: str,
+    keep_last: int,
+    protect: tuple[int, ...] = (),
+    orphan_grace_sec: float = ORPHAN_GRACE_SEC,
 ) -> list[int]:
     """Drop manifest version dirs beyond the newest ``keep_last``
     PUBLISHED-or-older versions — never the current one, never a
     ``protect``-ed version (a transaction catalog's pinned snapshot:
     ``vacuum_unindexed(..., protect_versions=...)`` threads it
     through).  Returns the expired version numbers.  Orphan versions
-    staged ABOVE the current pointer (a crashed or un-committed stage)
-    are also dropped — they were never visible."""
-    cur = current_version(index_path)
-    if cur is None:
-        return []
+    staged ABOVE the current pointer are dropped only once their dir
+    mtime is older than ``orphan_grace_sec``: a young above-current dir
+    is most likely a CONCURRENT writer between staging and publish
+    (the sink runs expiry every batch — deleting it mid-write would
+    leave a catalog or ``_CURRENT`` pointing at a missing manifest);
+    an old one is a crashed or abandoned stage, never visible, safe to
+    reclaim."""
     versions = list_versions(index_path)
-    retained = set([v for v in versions if v <= cur][-max(1, keep_last):])
-    retained |= set(protect) & set(versions)
-    expired = [v for v in versions if v not in retained and v != cur]
+    survivors = surviving_versions(
+        index_path, keep_last, protect=protect,
+        orphan_grace_sec=orphan_grace_sec,
+    )
+    expired = [v for v in versions if v not in survivors]
     for v in expired:
         shutil.rmtree(_ver_dir(index_path, v), ignore_errors=True)
     return expired
+
+
+def surviving_versions(
+    index_path: str,
+    keep_last: int,
+    protect: tuple[int, ...] = (),
+    orphan_grace_sec: float = ORPHAN_GRACE_SEC,
+) -> set[int]:
+    """The version set :func:`expire_versions` would RETAIN under the
+    same arguments — the one retention math, shared with
+    ``layout.vacuum_unindexed``'s dry run so preview and reality can
+    never disagree.  Empty-or-all when no pointer exists (legacy /
+    unpublished index: expiry is a no-op there)."""
+    cur = current_version(index_path)
+    versions = list_versions(index_path)
+    if cur is None:
+        return set(versions)
+    now = time.time()
+    retained = set([v for v in versions if v <= cur][-max(1, keep_last):])
+    retained |= set(protect) & set(versions)
+    retained.add(cur)
+    for v in versions:
+        if v > cur and v not in retained:
+            try:
+                age = now - os.stat(_ver_dir(index_path, v)).st_mtime
+            except FileNotFoundError:
+                continue
+            if age < orphan_grace_sec:
+                retained.add(v)  # presumed in-flight stage — grace
+    return retained & set(versions)
 
 
 def referenced_files(

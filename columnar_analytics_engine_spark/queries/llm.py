@@ -213,23 +213,33 @@ def compact_minhash_index(
     spark: SparkSession,
     index_dir: str,
     target_file_bytes: int = 128 * 1024 * 1024,
+    vacuum_keep: int | None = None,
 ) -> dict:
     """Small-file compaction for the persisted MinHash index (VERDICT
     r10 item 7 — the batch twin of streaming/maintenance.py's state
     compaction): production appends add one file set to
     ``bands.parquet``/``sets.parquet`` per ingested batch, and after
     enough batches every probe pays a task + footer read per small
-    file.  Each table is rewritten to ~``target_file_bytes`` files via
-    ``io.compact_files`` and swapped in with two directory renames
-    (never half-rewritten in place; ``.old`` removed last — the same
-    crash contract as ``compact_batch_partitions``).  Run it from the
-    maintenance owner between ingests, like ``versioned.vacuum``.
+    file.  Each table is rewritten to ~``target_file_bytes`` files and
+    published as the next GENERATION behind an atomic pointer
+    (``artifacts.publish_generation`` — VERDICT r12 item 1): a probe
+    that resolved the artifact before the compaction keeps scanning
+    its intact generation; a fresh probe resolves the compacted one.
+    Prior generations persist until ``artifacts.vacuum_generations``
+    (run here when ``vacuum_keep`` is given, else on the maintenance
+    owner's schedule) — no in-place swap, no no-directory window, no
+    rmtree under a reader.
 
-    Returns {table: {"files_before": n, "files_after": n}}.
+    Returns {table: {"files_before": n, "files_after": n,
+    "generation": g}}.
     """
     import os
-    import shutil
 
+    from columnar_analytics_engine_spark.artifacts import (
+        publish_generation,
+        resolve_artifact,
+        vacuum_generations,
+    )
     from columnar_analytics_engine_spark.io import compact_files
 
     def _count_files(path: str) -> int:
@@ -243,16 +253,26 @@ def compact_minhash_index(
     out: dict = {}
     for table in ("bands.parquet", "sets.parquet"):
         src = os.path.join(index_dir, table)
-        before = _count_files(src)
-        tmp = f"{src}.compacting"
-        old = f"{src}.old"
-        compact_files(spark, src, tmp, target_file_bytes=target_file_bytes)
-        if os.path.exists(old):
-            shutil.rmtree(old)
-        os.rename(src, old)
-        os.rename(tmp, src)
-        shutil.rmtree(old)
-        out[table] = {"files_before": before, "files_after": _count_files(src)}
+        live = resolve_artifact(src)
+        before = _count_files(live)
+
+        def _build(gen_dir: str, live=live) -> None:
+            # append into the freshly CLAIMED (empty) generation dir:
+            # overwrite would delete-and-recreate it, reopening the
+            # allocation race
+            compact_files(
+                spark, live, gen_dir,
+                target_file_bytes=target_file_bytes, mode="append",
+            )
+
+        gen = publish_generation(src, _build)
+        if vacuum_keep is not None:
+            vacuum_generations(src, keep_last=vacuum_keep)
+        out[table] = {
+            "files_before": before,
+            "files_after": _count_files(resolve_artifact(src)),
+            "generation": gen,
+        }
     return out
 
 
@@ -267,15 +287,19 @@ def dedup_minhash_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     the from-scratch cross-half LSH pairs exactly (signatures are
     deterministic md5-affine values, operators/dedup.py).
     """
+    from columnar_analytics_engine_spark.artifacts import resolve_artifact
+
     index_dir = ensure_minhash_index(spark, sf_dir)
     batch = t(spark, sf_dir, "documents").filter(
         F.col("doc_id") % _MH_PROBE_MOD == 0
     )
+    # resolve ONCE at plan time: the resolved generation dir stays
+    # intact through any concurrent compaction (artifacts.py)
     index_bands = spark.read.schema(
         "doc_id long, band_id int, band_key string"
-    ).parquet(f"{index_dir}/bands.parquet")
+    ).parquet(resolve_artifact(f"{index_dir}/bands.parquet"))
     index_sets = spark.read.schema("doc_id long, toks array<bigint>").parquet(
-        f"{index_dir}/sets.parquet"
+        resolve_artifact(f"{index_dir}/sets.parquet")
     )
     return D.minhash_probe(batch, index_bands, index_sets, threshold=0.8)
 

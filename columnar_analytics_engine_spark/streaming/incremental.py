@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from columnar_analytics_engine_spark.functions.text import fingerprint
+from columnar_analytics_engine_spark.artifacts import resolve_artifact
 
 
 def read_index(spark: SparkSession, index_path: str) -> DataFrame:
@@ -44,7 +45,7 @@ def read_index(spark: SparkSession, index_path: str) -> DataFrame:
     duplicate as ``new`` and corrupt the index.
     """
     try:
-        return spark.read.parquet(index_path).select("fp", "hist_id")
+        return spark.read.parquet(resolve_artifact(index_path)).select("fp", "hist_id")
     except AnalysisException as exc:
         if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
             return spark.createDataFrame([], "fp string, hist_id long")
@@ -109,7 +110,7 @@ def incremental_dedup_query(
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("batch_id")
-                .parquet(index_path)
+                .parquet(resolve_artifact(index_path))
             )
         finally:
             classified.unpersist()

@@ -13,16 +13,17 @@ Run it OFFLINE, between streaming runs: Spark only ever retries the
 in-flight micro-batch recorded in the checkpoint, so once the stream
 has stopped cleanly there are no pending retries against the old
 per-batch partitions; the next run starts at a strictly higher batch
-id.  The rewrite goes to ``<path>.compacting`` and is swapped in with
-two directory renames — the table is never half-rewritten in place
-(a crash between the renames leaves either the old or the new
-directory complete; ``<path>.old`` is removed last).
+id.  The rewrite publishes as the next artifact GENERATION behind an
+atomic pointer (``artifacts.py``): concurrent readers that resolved
+the prior generation keep scanning intact files, a crash strands only
+an unpublished generation dir, and bytes are reclaimed by
+``artifacts.vacuum_generations`` after the retention window — the
+same discipline ``manifest.py`` gives data tables.
 """
 
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -34,38 +35,57 @@ def compact_batch_partitions(
     spark: SparkSession,
     path: str,
     target_rows_per_file: int = _TARGET_ROWS_PER_FILE,
+    vacuum_keep: int | None = None,
 ) -> dict:
-    """Rewrite a batch_id-partitioned state table into one partition.
+    """Rewrite a batch_id-partitioned state table into one partition,
+    published as the next artifact GENERATION behind an atomic pointer
+    (``artifacts.publish_generation`` — VERDICT r12 item 1): a probe
+    that resolved the state table before the compaction keeps scanning
+    its intact generation; prior generations persist until
+    ``artifacts.vacuum_generations`` (run here when ``vacuum_keep`` is
+    given).  No in-place directory swap, no no-directory window, no
+    rmtree under a concurrent reader.
 
-    Returns a summary dict (rows, files before/after, new batch_id).
+    Returns a summary dict (rows, files before/after, new batch_id,
+    generation).
     """
-    df = spark.read.parquet(path)
+    from columnar_analytics_engine_spark.artifacts import (
+        publish_generation,
+        resolve_artifact,
+        vacuum_generations,
+    )
+
+    live = resolve_artifact(path)
+    df = spark.read.parquet(live)
     max_bid = df.agg(F.max("batch_id")).first()[0]
     n_rows = df.count()
     n_files_before = sum(
         1
-        for root, _d, files in os.walk(path)
+        for root, _d, files in os.walk(live)
         for f in files
         if f.endswith(".parquet")
     )
     n_out = max(1, -(-n_rows // target_rows_per_file))  # ceil division
-    tmp = f"{path}.compacting"
-    old = f"{path}.old"
-    (
-        df.withColumn("batch_id", F.lit(max_bid))
-        .repartition(n_out)
-        .write.mode("overwrite")
-        .partitionBy("batch_id")
-        .parquet(tmp)
-    )
-    if os.path.exists(old):
-        shutil.rmtree(old)
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
+
+    def _build(gen_dir: str) -> None:
+        # append into the freshly CLAIMED (empty) generation dir —
+        # overwrite would delete-and-recreate it, reopening the
+        # allocation race
+        (
+            df.withColumn("batch_id", F.lit(max_bid))
+            .repartition(n_out)
+            .write.mode("append")
+            .partitionBy("batch_id")
+            .parquet(gen_dir)
+        )
+
+    gen = publish_generation(path, _build)
+    if vacuum_keep is not None:
+        vacuum_generations(path, keep_last=vacuum_keep)
+    live = resolve_artifact(path)
     n_files_after = sum(
         1
-        for root, _d, files in os.walk(path)
+        for root, _d, files in os.walk(live)
         for f in files
         if f.endswith(".parquet")
     )
@@ -74,6 +94,7 @@ def compact_batch_partitions(
         "files_before": n_files_before,
         "files_after": n_files_after,
         "batch_id": max_bid,
+        "generation": gen,
     }
 
 
@@ -126,11 +147,15 @@ def stats_indexed_sink(
     commit and the bloom update costs pruning, never correctness.
 
     The stats index is a VERSIONED manifest (manifest.py): each
-    micro-batch's update publishes a new version atomically.  The sink
-    expires versions beyond ``manifest_keep_versions`` after each
-    update so a long-running stream does not accumulate one manifest
-    dir per micro-batch; the window still covers readers that planned
-    several batches ago.
+    micro-batch's update publishes a new version atomically.  After
+    each update the sink runs ``layout.vacuum_unindexed(keep_versions=
+    manifest_keep_versions)`` — expiring manifest versions beyond the
+    window AND deleting the data files only those versions referenced
+    (compaction-dropped originals), as one coupled step.  Expiring
+    without reclaiming would leave those originals on disk
+    unreferenced, and the next index update's new-file detection would
+    re-adopt them — duplicate rows on every read.  The window still
+    covers readers that planned several batches ago.
 
     ``compact_small_every=N`` folds small-file maintenance INTO the
     sink: every N-th batch, ``layout.compact_small_files`` bin-packs
@@ -167,8 +192,6 @@ def stats_indexed_sink(
             update_stats_index(spark, data_path, index_path)
         else:
             build_stats_index(spark, data_path, index_path)
-        from columnar_analytics_engine_spark.manifest import expire_versions
-
         if (
             compact_small_every
             and batch_id >= 0
@@ -182,7 +205,20 @@ def stats_indexed_sink(
                 spark, data_path, index_path,
                 target_file_bytes=compact_target_bytes,
             )
-        expire_versions(index_path, manifest_keep_versions)
+        # retention: expire old manifest versions AND reclaim the data
+        # files only they referenced, as one coupled step.  A bare
+        # expire_versions here would strand compaction-dropped originals
+        # on disk unreferenced — once the last retained version naming
+        # them expired, update_stats_index's new-file detection
+        # (disk - indexed - referenced) would RE-ADOPT them and every
+        # read would return their rows twice.  vacuum_unindexed deletes
+        # them at exactly the moment they leave the retention window.
+        from columnar_analytics_engine_spark.layout import vacuum_unindexed
+
+        vacuum_unindexed(
+            spark, data_path, index_path,
+            keep_versions=manifest_keep_versions,
+        )
         if bloom_path is not None and bloom_cols:
             if os.path.exists(bloom_path):
                 update_bloom_index(spark, data_path, bloom_path)

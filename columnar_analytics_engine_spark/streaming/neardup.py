@@ -40,6 +40,7 @@ from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from columnar_analytics_engine_spark.artifacts import resolve_artifact
 from columnar_analytics_engine_spark.operators.dedup import (
     LSH_BANDS,
     MINHASH_K,
@@ -51,8 +52,11 @@ from columnar_analytics_engine_spark.operators.dedup import (
 
 
 def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    # resolve through the artifact pointer: after an offline generation
+    # compaction (streaming/maintenance.py) the live state is the
+    # published generation's sibling dir, not the original path
     try:
-        return spark.read.parquet(path)
+        return spark.read.parquet(resolve_artifact(path))
     except AnalysisException as exc:
         if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
             return spark.createDataFrame([], schema)
@@ -197,7 +201,7 @@ def incremental_neardup_query(
                 classified.write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("batch_id")
-                .parquet(f"{state_dir}/classified")
+                .parquet(resolve_artifact(f"{state_dir}/classified"))
             )
             new_ids = classified.filter(F.col("status") == "new").select("doc_id")
             new_sigs = sigs.join(new_ids, "doc_id").withColumn(
@@ -208,7 +212,7 @@ def incremental_neardup_query(
                     new_sigs.write.mode("overwrite")
                     .option("partitionOverwriteMode", "dynamic")
                     .partitionBy("batch_id")
-                    .parquet(f"{state_dir}/sigs")
+                    .parquet(resolve_artifact(f"{state_dir}/sigs"))
                 )
                 (
                     band_table(new_sigs, bands=bands, rows_per_band=k // bands)
@@ -216,7 +220,7 @@ def incremental_neardup_query(
                     .write.mode("overwrite")
                     .option("partitionOverwriteMode", "dynamic")
                     .partitionBy("batch_id")
-                    .parquet(f"{state_dir}/bands")
+                    .parquet(resolve_artifact(f"{state_dir}/bands"))
                 )
             finally:
                 new_sigs.unpersist()

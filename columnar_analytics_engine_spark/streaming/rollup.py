@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from columnar_analytics_engine_spark.artifacts import resolve_artifact
 
 _SCALE = 100  # cents grid, matching queries/_util.exact_sum
 
@@ -56,7 +57,7 @@ def read_rollup(spark: SparkSession, rollup_path: str) -> DataFrame:
     batch query's output shape: (day, event_type, n_events, sum_value).
     Empty frame when nothing has committed; real read errors propagate."""
     try:
-        parts = spark.read.parquet(rollup_path)
+        parts = spark.read.parquet(resolve_artifact(rollup_path))
     except AnalysisException as exc:
         if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
             return spark.createDataFrame(
@@ -93,7 +94,7 @@ def rollup_maintenance_query(
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")
-            .parquet(rollup_path)
+            .parquet(resolve_artifact(rollup_path))
         )
 
     return (

@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
+from columnar_analytics_engine_spark.artifacts import resolve_artifact
 
 _HIST_SCHEMA = (
     "user_id long, event_type string, valid_from_us long, event_id long,"
@@ -41,7 +42,7 @@ def read_history(spark: SparkSession, hist_path: str) -> DataFrame:
     Only path-not-found is treated as "no history"; real read failures
     propagate (swallowing them would fork every user's history)."""
     try:
-        return spark.read.parquet(hist_path).select(
+        return spark.read.parquet(resolve_artifact(hist_path)).select(
             "user_id", "event_type", "valid_from_us", "event_id",
             F.col("batch_id").cast("long").alias("batch_id"),
         )
@@ -155,7 +156,7 @@ def scd2_maintenance_query(
                 delta.write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("batch_id")
-                .parquet(hist_path)
+                .parquet(resolve_artifact(hist_path))
             )
         finally:
             delta.unpersist()

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from columnar_analytics_engine_spark.functions.hashing import h60
+from columnar_analytics_engine_spark.artifacts import resolve_artifact
 
 CMS_DEPTH = 4
 CMS_WIDTH = 256
@@ -52,7 +53,7 @@ def read_sketch(spark: SparkSession, sketch_path: str) -> DataFrame:
     frame when no batch has committed yet.  Only path-not-found means
     "no sketch"; real read failures propagate."""
     try:
-        parts = spark.read.parquet(sketch_path)
+        parts = spark.read.parquet(resolve_artifact(sketch_path))
     except AnalysisException as exc:
         if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
             return spark.createDataFrame([], "row_id int, bucket long, c long")
@@ -99,7 +100,7 @@ def cms_maintenance_query(
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")
-            .parquet(sketch_path)
+            .parquet(resolve_artifact(sketch_path))
         )
 
     return (

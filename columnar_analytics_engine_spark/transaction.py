@@ -61,10 +61,21 @@ def commit(catalog_path: str, tables: dict[str, dict]) -> dict:
     version is staged before committing.  After the commit, each
     table's own ``_CURRENT`` rolls forward too (so single-table,
     non-catalog readers converge); the catalog remains authoritative.
-    Returns the committed catalog dict."""
+    Returns the committed catalog dict.
+
+    Concurrency: the read-merge-write runs under a catalog lock
+    (``manifest.mkdir_lock``), so two racing commits — even to
+    disjoint table sets — serialize instead of the later ``os.replace``
+    silently dropping the earlier commit's entries.  Each commit
+    appends a record to the catalog's ``history`` with a strictly
+    increasing ``seq``, making the commit order inspectable (and
+    testable) as a linear log.  The convergence pointer roll is
+    monotonic-under-lock (``publish_version(monotonic=True)``), so
+    interleaved commits can never move a table's ``_CURRENT``
+    backwards."""
     from columnar_analytics_engine_spark.manifest import (
-        current_version,
         list_versions,
+        mkdir_lock,
         publish_version,
     )
 
@@ -74,19 +85,28 @@ def commit(catalog_path: str, tables: dict[str, dict]) -> dict:
                 f"cannot commit {name}: version {entry['version']} is not "
                 f"staged at {entry['index']}"
             )
-    cat = read_catalog(catalog_path)
-    cat.setdefault("tables", {}).update(
-        {name: dict(entry) for name, entry in tables.items()}
-    )
-    tmp = f"{catalog_path}.tmp-{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w") as fh:
-        json.dump(cat, fh, indent=2, sort_keys=True)
-    os.replace(tmp, catalog_path)
+    with mkdir_lock(f"{catalog_path}.lock"):
+        cat = read_catalog(catalog_path)
+        cat.setdefault("tables", {}).update(
+            {name: dict(entry) for name, entry in tables.items()}
+        )
+        seq = int(cat.get("seq", 0)) + 1
+        cat["seq"] = seq
+        cat.setdefault("history", []).append(
+            {
+                "seq": seq,
+                "tables": {
+                    name: entry["version"] for name, entry in tables.items()
+                },
+            }
+        )
+        tmp = f"{catalog_path}.tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump(cat, fh, indent=2, sort_keys=True)
+        os.replace(tmp, catalog_path)
     # convergence: roll per-table pointers forward (monotonic only)
     for entry in tables.values():
-        cur = current_version(entry["index"])
-        if cur is None or cur < entry["version"]:
-            publish_version(entry["index"], entry["version"])
+        publish_version(entry["index"], entry["version"], monotonic=True)
     return cat
 
 

@@ -154,6 +154,11 @@ def test_drop_column_metadata_only_and_name_retired(spark, table):
     # dropped names are retired (old bytes would leak)
     with pytest.raises(ValueError, match="not reusable"):
         add_column(spark, data, index, "amount", "int", default=0)
+    # ...for RENAME too (ADVICE r12): renaming onto a dropped name
+    # would make the cohort projection prefer the physically present
+    # stale bytes over the rename source on pre-drop files
+    with pytest.raises(ValueError, match="not reusable"):
+        rename_column(spark, data, index, "name", "amount")
     drop_column(spark, data, index, "id")
     with pytest.raises(ValueError, match="cannot drop the last column"):
         drop_column(spark, data, index, "name")

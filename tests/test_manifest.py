@@ -124,12 +124,16 @@ def test_expire_versions_keeps_current_and_window(spark, tmp_path):
         )
     assert expire_versions(index, keep_last=2) == [1, 2]
     assert list_versions(index) == [3, 4]
-    # orphan stage above current also expires
+    # a FRESH orphan stage above current survives (it may be a
+    # concurrent writer between staging and publish — grace window)...
     write_manifest(
         spark, index, spark.createDataFrame([("e",)], "file string"),
         publish=False,
     )
-    assert expire_versions(index, keep_last=2) == [5]
+    assert expire_versions(index, keep_last=2) == []
+    assert list_versions(index) == [3, 4, 5]
+    # ...and expires once older than the grace window
+    assert expire_versions(index, keep_last=2, orphan_grace_sec=0.0) == [5]
     assert expire_versions(index, keep_last=1) == [3]
     assert list_versions(index) == [4] and current_version(index) == 4
 
@@ -258,7 +262,9 @@ def test_concurrent_writers_cannot_clobber_or_lose_updates(spark, tmp_path):
     assert current_version(index) == 2
     assert _rows(read_manifest(spark, index)) == [("b",)]
     assert 3 in list_versions(index)  # staged orphan, vacuum-able
-    assert expire_versions(index, keep_last=2) == [3]
+    # ...after the in-flight grace window (fresh orphans are spared)
+    assert expire_versions(index, keep_last=2) == []
+    assert expire_versions(index, keep_last=2, orphan_grace_sec=0.0) == [3]
 
 
 def test_maintenance_ops_detect_concurrent_publish(spark, compactable):

@@ -442,6 +442,8 @@ def test_compact_state_preserves_history_and_allows_resume(spark, tmp_path):
     hist = str(tmp_path / "history")
 
     def commit(rows, bid):
+        from columnar_analytics_engine_spark.artifacts import resolve_artifact
+
         b = spark.createDataFrame(rows, schema)
         delta = apply_batch(spark, b, hist, batch_id=bid).withColumn(
             "batch_id", F.lit(bid)
@@ -451,7 +453,9 @@ def test_compact_state_preserves_history_and_allows_resume(spark, tmp_path):
             delta.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")
-            .parquet(hist)
+            # appends land in the CURRENT generation (post-compaction
+            # the live state is the published generation's sibling dir)
+            .parquet(resolve_artifact(hist))
         )
         delta.unpersist()
 
@@ -1008,3 +1012,50 @@ def test_stats_indexed_sink_auto_compacts_small_files(spark, tmp_path):
     assert len(list_parquet_files(data)) == n_indexed
     got2 = read_skipping(spark, data, index, "k ge 0")
     assert sorted((r["k"], r["src"]) for r in got2.collect()) == sorted(expect)
+
+
+def test_stats_indexed_sink_no_readoption_after_retention(spark, tmp_path):
+    """ADVICE r12 (high): expiry must be COUPLED with data-file
+    reclamation.  With a bare expire_versions, compaction-dropped
+    originals stayed on disk unreferenced; once the last retained
+    version naming them expired (manifest_keep_versions batches after
+    the compaction), update_stats_index's new-file detection
+    (disk - indexed - referenced) re-adopted them and every read
+    returned duplicate rows.  The sink now runs vacuum_unindexed
+    per batch, deleting those files the moment they leave the
+    retention window — reads stay exact over a long-running stream."""
+    from columnar_analytics_engine_spark.skipping import (
+        list_parquet_files,
+        read_skipping,
+    )
+    from columnar_analytics_engine_spark.streaming.maintenance import (
+        stats_indexed_sink,
+    )
+
+    data = str(tmp_path / "table")
+    index = str(tmp_path / "index")
+    process = stats_indexed_sink(
+        spark, data, index, compact_small_every=2,
+        compact_target_bytes=64 * 1024 * 1024,
+        manifest_keep_versions=2,
+    )
+    expect = []
+    # 10 batches with keep=2: batch 1's compaction-dropped originals
+    # leave the retention window around batch 3-4 — far before the end
+    for b in range(10):
+        rows = [(b * 10 + i, b) for i in range(10)]
+        expect += rows
+        process(spark.createDataFrame(rows, "k long, src long"), b)
+        got = sorted(
+            (r["k"], r["src"])
+            for r in read_skipping(spark, data, index, "k ge 0").collect()
+        )
+        assert got == sorted(expect), f"duplicates/loss after batch {b}"
+    # and the disk holds exactly the files the current manifest lists
+    # plus at most the retention window's extras — nothing stranded
+    # forever: a final keep=1 vacuum converges disk == manifest
+    from columnar_analytics_engine_spark.layout import vacuum_unindexed
+    from columnar_analytics_engine_spark.manifest import referenced_files
+
+    vacuum_unindexed(spark, data, index, keep_versions=1)
+    assert set(list_parquet_files(data)) == referenced_files(spark, index)

@@ -201,3 +201,92 @@ def test_snapshot_predicate_prunes_pinned_version(spark, pair):
         spark, cat, "orders", predicate=f"o_orderkey le {lo + 100}"
     )
     assert _rows(got) == expect
+
+
+def test_racing_commits_both_land_with_linear_history(spark, pair):
+    """VERDICT r13 item 7: two commits racing on the SAME catalog —
+    different tables, interleaved read-merge-write — must both land
+    (no lost update from the later os.replace clobbering the earlier
+    one) and the catalog history must be a linear, strictly-increasing
+    sequence.  Simulated with threads hammering commit concurrently."""
+    import threading
+
+    cat, tables, frames = pair
+    staged, expect = _stage_both(spark, tables, frames)
+
+    errs = []
+
+    def commit_one(name):
+        try:
+            commit(cat, {name: staged[name]})
+        except Exception as e:  # pragma: no cover - failure reporting
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=commit_one, args=(name,))
+        for name in ("orders", "lineitem")
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    got = read_catalog(cat)
+    # both commits landed: each table pinned at its staged version
+    for name in ("orders", "lineitem"):
+        assert got["tables"][name]["version"] == staged[name]["version"]
+        assert _rows(snapshot_table(spark, cat, name)) == expect[name]
+    # linear history: seq strictly increasing, one record per commit
+    seqs = [h["seq"] for h in got["history"]]
+    assert seqs == sorted(seqs) and len(set(seqs)) == len(seqs)
+    committed = [set(h["tables"]) for h in got["history"][-2:]]
+    assert {"orders"} in committed and {"lineitem"} in committed
+    assert got["seq"] == seqs[-1]
+
+
+def test_racing_commits_same_table_serialize(spark, pair):
+    """Two commits pinning the SAME table serialize under the catalog
+    lock: the final catalog pins the later commit's version, both
+    history records exist, and the per-table _CURRENT pointer never
+    moved backwards (monotonic convergence roll)."""
+    import threading
+
+    cat, tables, frames = pair
+    staged, expect = _stage_both(spark, tables, frames)
+    # stage a SECOND orders version on top of the first
+    src = frames["orders"]
+    upd2 = src.filter(F.col("o_orderkey") <= 100).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(5000.0)
+    )
+    from columnar_analytics_engine_spark.layout import merge_upsert_files
+
+    out2 = merge_upsert_files(
+        spark, tables["orders"]["data"], tables["orders"]["index"],
+        upd2, "o_orderkey", publish=False,
+    )
+    v_lo = staged["orders"]["version"]
+    v_hi = out2["version"]
+    assert v_hi > v_lo
+
+    errs = []
+
+    def commit_v(v):
+        try:
+            commit(cat, {"orders": {**tables["orders"], "version": v}})
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=commit_v, args=(v,)) for v in (v_lo, v_hi)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    got = read_catalog(cat)
+    # both commits are in the linear history
+    pinned = [h["tables"]["orders"] for h in got["history"][-2:]]
+    assert sorted(pinned) == [v_lo, v_hi]
+    # _CURRENT converged forward, never backwards
+    assert current_version(tables["orders"]["index"]) == v_hi
