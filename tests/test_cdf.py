@@ -1,0 +1,112 @@
+"""Change-data-feed between manifest versions (cdf.py):
+
+* a pure MAINTENANCE rewrite (compaction) nets to an EMPTY feed —
+  rows that merely moved between files are not changes;
+* a MERGE emits delete-old + insert-new for updates and insert for
+  new keys; a folded delete emits delete;
+* the feed is metadata-planned: files in both versions are never read;
+* vacuumed versions raise, like as-of time travel.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from columnar_analytics_engine_spark.cdf import changed_files, read_changes
+from columnar_analytics_engine_spark.io import read_table, write_sorted
+from columnar_analytics_engine_spark.layout import (
+    cluster_compact,
+    merge_upsert_files,
+    vacuum_unindexed,
+)
+from columnar_analytics_engine_spark.manifest import current_version
+from columnar_analytics_engine_spark.skipping import build_stats_index
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture()
+def table(spark, sf_small, tmp_path):
+    """orders written unclustered (so compaction has work) + index v1."""
+    data = str(tmp_path / "data")
+    index = str(tmp_path / "idx")
+    src = read_table(spark, sf_small, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    src.repartition(8).write.parquet(data)
+    build_stats_index(spark, data, index)
+    return data, index, src
+
+
+def test_compaction_only_feed_is_empty(spark, table):
+    """A re-cluster rewrites files but changes no rows: every moved row
+    appears +1 in an added file and -1 in a removed file — the net
+    feed must be EMPTY (the property that makes the feed consumable
+    without layout knowledge)."""
+    data, index, _src = table
+    v1 = current_version(index)
+    out = cluster_compact(spark, data, index, ["o_custkey"], max_files=8)
+    assert out["rewritten"] > 0
+    v2 = current_version(index)
+    diff = changed_files(spark, index, v1, v2)
+    assert diff["added"] and diff["removed"]  # files DID change...
+    ch = read_changes(spark, data, index, v1, v2)
+    assert ch.count() == 0  # ...rows did not
+    assert "_change_type" in ch.columns and "_change_count" in ch.columns
+
+
+def test_merge_feed_emits_logical_delta(spark, table):
+    data, index, src = table
+    v1 = current_version(index)
+    updates = src.filter(F.col("o_orderkey") <= 200).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(1000.0)
+    )
+    inserts = spark.createDataFrame(
+        [(77_000_001, 1, 42.0)], "o_orderkey bigint, o_custkey bigint, o_totalprice double"
+    ).withColumn("o_orderkey", F.col("o_orderkey").cast("long")).withColumn(
+        "o_custkey", F.col("o_custkey").cast("long")
+    )
+    # align types with the source frame
+    inserts = inserts.select(
+        F.col("o_orderkey").cast(dict(src.dtypes)["o_orderkey"]),
+        F.col("o_custkey").cast(dict(src.dtypes)["o_custkey"]),
+        F.col("o_totalprice").cast(dict(src.dtypes)["o_totalprice"]),
+    ).toDF("o_orderkey", "o_custkey", "o_totalprice")
+    merge_upsert_files(
+        spark, data, index, updates.unionByName(inserts), "o_orderkey"
+    )
+    v2 = current_version(index)
+    ch = read_changes(spark, data, index, v1, v2)
+    expect = _rows(
+        updates.select("*", F.lit("insert").alias("t"))
+        .unionByName(inserts.select("*", F.lit("insert").alias("t")))
+        .unionByName(
+            src.filter(F.col("o_orderkey") <= 200).select(
+                "*", F.lit("delete").alias("t")
+            )
+        )
+    )
+    got = _rows(
+        ch.select("o_orderkey", "o_custkey", "o_totalprice", "_change_type")
+    )
+    assert got == expect
+    # every net multiplicity is 1 (unique keys)
+    assert ch.filter(F.col("_change_count") != 1).count() == 0
+
+
+def test_same_version_and_vacuumed_version(spark, table):
+    data, index, _src = table
+    v1 = current_version(index)
+    # from == to: empty feed with the right schema
+    ch = read_changes(spark, data, index, v1, v1)
+    assert ch.count() == 0
+    # two maintenance rounds, then vacuum v1 away
+    cluster_compact(spark, data, index, ["o_custkey"], max_files=8)
+    cluster_compact(spark, data, index, ["o_orderkey"], max_files=8)
+    vacuum_unindexed(spark, data, index, keep_versions=1)
+    v_now = current_version(index)
+    with pytest.raises(FileNotFoundError, match="version"):
+        read_changes(spark, data, index, v1, v_now).collect()
