@@ -446,6 +446,32 @@ def cmd_cluster_report(args: argparse.Namespace) -> None:
     )
 
     spark = get_spark(app_name="cae-cluster-report")
+    if getattr(args, "cohorts", False):
+        # per-spec-cohort depth (clusterspec.py): each cohort scored
+        # against ITS clustering columns after a mid-history spec switch
+        from columnar_analytics_engine_spark.clusterspec import (
+            cohort_cluster_report,
+        )
+
+        rows = cohort_cluster_report(spark, args.index).collect()
+        print(
+            json.dumps(
+                [
+                    {
+                        "spec_idx": r["spec_idx"],
+                        "spec_cols": r["spec_cols"],
+                        "probe_col": r["probe_col"],
+                        "n_files": r["n_buckets"],
+                        "overlap_pairs": r["overlap_pairs"],
+                        "avg_depth": round(r["avg_depth"], 3),
+                    }
+                    for r in rows
+                ]
+            )
+        )
+        return
+    if not args.columns:
+        raise SystemExit("cluster-report: --columns is required without --cohorts")
     cols = [c.strip() for c in args.columns.split(",")]
     rows = clustering_depth(index_extents(spark, args.index, cols)).collect()
     print(
@@ -710,7 +736,16 @@ def main(argv: list[str] | None = None) -> None:
         "cluster-report", help="clustering depth per probe column from a stats index"
     )
     cr.add_argument("index", help="stats index location")
-    cr.add_argument("--columns", required=True, help="comma list of probe columns")
+    cr.add_argument(
+        "--columns",
+        help="comma list of probe columns (omit with --cohorts)",
+    )
+    cr.add_argument(
+        "--cohorts",
+        action="store_true",
+        help="per-spec-cohort depth: each cluster-spec cohort scored "
+        "against its own columns (requires a declared cluster spec)",
+    )
     cr.set_defaults(fn=cmd_cluster_report)
 
     e = sub.add_parser("explain", help="print a registered query's physical plan")

@@ -539,7 +539,7 @@ def cluster_compact(
     spark: SparkSession,
     data_path: str,
     index_path: str,
-    cols: list[str],
+    cols: list[str] | None = None,
     max_files: int = 64,
     min_overlaps: int = 1,
     bits: int = 16,
@@ -566,11 +566,28 @@ def cluster_compact(
     strands at worst vacuum-able garbage.  ``update_stats_index`` is
     retention-aware: it never re-adopts files an older retained
     version references.
+
+    ``cols=None`` clusters by the table's ACTIVE cluster spec
+    (``clusterspec.set_cluster_spec``) — the maintenance loop that
+    lazily converges old cohorts onto a switched spec, Iceberg's
+    partition-spec-evolution shape.
     """
     import os
 
     from columnar_analytics_engine_spark.manifest import current_version
 
+    if cols is None:
+        from columnar_analytics_engine_spark.clusterspec import (
+            active_cluster_spec,
+        )
+
+        spec = active_cluster_spec(index_path)
+        if spec is None:
+            raise ValueError(
+                "cols=None requires a declared cluster spec "
+                "(clusterspec.set_cluster_spec)"
+            )
+        cols = list(spec["cols"])
     expected = current_version(index_path)
     cand = overlap_candidates(
         spark, index_path, cols[0], max_files=max_files,

@@ -582,6 +582,82 @@ def layout_time_travel_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def layout_spec_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-spec EVOLUTION (clusterspec.py — VERDICT r12 item 6):
+    write ``orders`` clustered on ``o_custkey`` under spec 0, switch
+    the table's spec to ``o_orderkey``, and let ONE bounded
+    ``cluster_compact`` (cols=None → active spec) lazily converge part
+    of the table — the Iceberg partition-spec-evolution shape with no
+    bulk rewrite.  The table is then TWO cohorts, each clustered by a
+    different column; reads are manifest-driven and per-file
+    stats-pruned, so results must be exactly the source's regardless
+    of which cohort a row sits in — the oracle checks a full aggregate
+    AND a pruned range scan on the NEW spec's column across both
+    cohorts, plus the spec history count.  Per-cohort depth and
+    skip-rate assertions live in tests/test_clusterspec.py (they
+    depend on file layout, not on row values)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from columnar_analytics_engine_spark.clusterspec import (
+        read_spec_history,
+        set_cluster_spec,
+    )
+    from columnar_analytics_engine_spark.io import write_sorted
+    from columnar_analytics_engine_spark.layout import cluster_compact
+    from columnar_analytics_engine_spark.skipping import (
+        build_stats_index,
+        read_indexed,
+        read_skipping,
+    )
+
+    src = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    tag = hashlib.md5(f"{sf_dir}:{os.getpid()}".encode()).hexdigest()[:12]
+    data = f"{tempfile.gettempdir()}/cae_spec_data_{tag}"
+    index = f"{tempfile.gettempdir()}/cae_spec_idx_{tag}"
+    write_sorted(src, data, ["o_custkey"], n_files=8)
+    build_stats_index(spark, data, index)
+    set_cluster_spec(index, ["o_custkey"], since_version=0)  # covers v1 files
+    set_cluster_spec(index, ["o_orderkey"])  # the switch
+    cluster_compact(spark, data, index, max_files=4)  # lazy convergence
+    n_specs = len(read_spec_history(index))
+    full = read_indexed(spark, data, index).agg(
+        F.count("*").alias("n_rows"),
+        F.sum("o_orderkey").alias("sum_key"),
+        exact_sum("o_totalprice", "sum_price"),
+    )
+    pruned = read_skipping(spark, data, index, "o_orderkey le 500").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("o_orderkey").alias("sum_key"),
+        exact_sum("o_totalprice", "sum_price"),
+    )
+    return (
+        full.select(F.lit("full").alias("scan"), "*")
+        .unionByName(pruned.select(F.lit("le500").alias("scan"), "*"))
+        .withColumn("n_specs", F.lit(n_specs).cast("int"))
+        .orderBy("scan")
+    )
+
+
+_SPEC_EVOLUTION_SQL = f"""
+    SELECT 'full' AS scan, COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           {sql_exact_sum('o_totalprice', 'sum_price')},
+           CAST(2 AS INTEGER) AS n_specs
+    FROM orders
+    UNION ALL
+    SELECT 'le500', COUNT(*),
+           CAST(SUM(o_orderkey) AS BIGINT),
+           {sql_exact_sum('o_totalprice', 'sum_price')},
+           CAST(2 AS INTEGER)
+    FROM orders WHERE o_orderkey <= 500
+    ORDER BY scan
+"""
+
+
 def manifest_cdf_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change-data-feed between manifest versions (``cdf.read_changes``
     — VERDICT r12 item 3): write ``orders`` key-clustered (v1), MERGE
@@ -1035,6 +1111,13 @@ QUERIES: dict[str, QuerySpec] = {
         "versioned-manifest time travel: as-of read of the pre-MERGE "
         "snapshot vs the current read (oracle replays both states)",
         ("scale", "maintenance", "index", "time-travel"),
+    ),
+    "layout_spec_evolution_scan": QuerySpec(
+        layout_spec_evolution_scan,
+        _SPEC_EVOLUTION_SQL,
+        "cluster-spec evolution: spec switch + lazy bounded convergence, "
+        "full and pruned scans across both cohorts (oracle on the source)",
+        ("scale", "layout", "maintenance", "index", "evolution"),
     ),
     "manifest_cdf_agg": QuerySpec(
         manifest_cdf_agg,

@@ -90,4 +90,28 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _quiet_bounded_window_warnings(spark)
     return spark
+
+
+def _quiet_bounded_window_warnings(spark: SparkSession) -> None:
+    """Silence WindowExec's "No Partition Defined ... serious
+    performance degradation" warning — for THIS repo it is noise, not
+    signal: every unpartitioned window in the registry is machine-
+    verified bounded by the full-registry lint sweep
+    (``plans/lint.global_windows`` + tests/test_plan_lint.py
+    ``test_global_windows_bounded`` — each is either plan-provably
+    LIMIT-bounded or allowlisted with a topology-bound reason), so a
+    NEW data-sized global window fails CI rather than scrolling past
+    in a bench tail.  Keeping the warning on only trains readers to
+    ignore it — the lint is the enforcement, this is the noise
+    control."""
+    try:
+        jvm = spark.sparkContext._jvm
+        configurator = jvm.org.apache.logging.log4j.core.config.Configurator
+        level = jvm.org.apache.logging.log4j.Level.ERROR
+        configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec", level
+        )
+    except Exception:
+        pass  # non-log4j2 runtime: warnings stay, lint still enforces

@@ -28,6 +28,9 @@ _SINGLE_PARTITION_ALLOW = {
     # current) + the 2-row final sort — every single-partition stage is
     # post-aggregate
     "layout_time_travel_scan": 3,
+    # spec evolution: a union of TWO 1-row scan aggregates (full and
+    # pruned) — same post-aggregate shape as time travel
+    "layout_spec_evolution_scan": 2,
     # ANALYZE-style profile: a union of per-column 1-row summaries
     "table_profile": 4,
     # per-stage funnel accounting: 1-row counts per pipeline stage
