@@ -142,6 +142,29 @@ def _cpu_probe_ms() -> float:
     return round(best * 1000, 1)
 
 
+def _membw_probe_gbps() -> float:
+    """Memory-BANDWIDTH self-calibration: GB/s for a 200 MB numpy copy
+    (read + write), best of 3.  The r11→r12 'uniform ambient drift'
+    episode showed the cpu probe's blind spot: a co-tenant saturating
+    the memory bus slows every scan-shaped query 1.2-2.5x while the
+    2M-iteration arithmetic loop (L1-resident) still reads 'healthy'.
+    Recording bandwidth alongside cpu speed makes that state
+    machine-distinguishable in the artifact: plan regression (probes
+    healthy, one query moved) vs bus contention (membw low, everything
+    moved together)."""
+    import numpy as np
+
+    a = np.ones(200_000_000 // 8, dtype=np.float64)
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        b = a.copy()
+        dt = time.perf_counter() - t0
+        best = max(best, (a.nbytes * 2) / dt / 1e9)
+        del b
+    return round(best, 1)
+
+
 def _bench_conditions(extra: dict | None = None) -> dict:
     """Measurement-condition block embedded in every bench JSON line:
     a regression must be distinguishable from a busy box without
@@ -152,6 +175,7 @@ def _bench_conditions(extra: dict | None = None) -> dict:
         "warmup": True,
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
         "cpu_probe_ms": _cpu_probe_ms(),
+        "membw_gbps": _membw_probe_gbps(),
     }
     if extra:
         cond.update(extra)
@@ -255,6 +279,7 @@ def reference_parity_bench(num_rows: int = 1_000_000, seed: int = 42) -> None:
             {"runs": 10, "warmup_rounds": 8, "passes": 2, "loadavg_end": _loadavg()}
         )
         cond["cpu_probe_ms_end"] = _cpu_probe_ms()
+        cond["membw_gbps_end"] = _membw_probe_gbps()
         if quiet is not None:
             cond["until_quiet"] = {"loadavg": quiet[0], "reached_quiet": quiet[1]}
         total = round(sum(timings.values()), 4)
@@ -533,6 +558,7 @@ def main() -> None:
     total = round(sum(timings.values()), 4)
     cond["loadavg_end"] = _loadavg()
     cond["cpu_probe_ms_end"] = _cpu_probe_ms()
+    cond["membw_gbps_end"] = _membw_probe_gbps()
     if quiet is not None:
         cond["until_quiet"] = {"loadavg": quiet[0], "reached_quiet": quiet[1]}
     # pass-1-vs-pass-2 divergence > STORM_RATIO marks a query whose min
