@@ -352,6 +352,29 @@ def cmd_health(args: argparse.Namespace) -> None:
     )))
 
 
+def cmd_changes(args: argparse.Namespace) -> None:
+    """Change-data-feed between manifest versions (cdf.read_changes):
+    net row changes from the file-set diff, scan cost bounded by the
+    changed files.  Prints up to --limit rows plus a summary line."""
+    from columnar_analytics_engine_spark.cdf import changed_files, read_changes
+    from columnar_analytics_engine_spark.manifest import current_version
+
+    spark = get_spark(app_name="cae-changes")
+    to_v = args.to_version if args.to_version is not None else current_version(args.index)
+    diff = changed_files(spark, args.index, args.from_version, to_v)
+    ch = read_changes(spark, args.data, args.index, args.from_version, to_v)
+    rows = ch.limit(args.limit).collect()
+    for r in rows:
+        print(json.dumps(r.asDict(), default=str))
+    print(json.dumps({
+        "from_version": args.from_version,
+        "to_version": to_v,
+        "files_added": len(diff["added"]),
+        "files_removed": len(diff["removed"]),
+        "change_rows_shown": len(rows),
+    }))
+
+
 def cmd_catalog(args: argparse.Namespace) -> None:
     """Multi-table transaction catalog (transaction.py): ``show`` the
     committed state, ``pin`` (commit) a table at its current manifest
@@ -707,6 +730,20 @@ def main(argv: list[str] | None = None) -> None:
     hl.add_argument("--dv", help="deletion-vector table location")
     hl.add_argument("--cols", help="comma list of probe columns for depth")
     hl.set_defaults(fn=cmd_health)
+
+    cg = sub.add_parser(
+        "changes",
+        help="change-data-feed: net row changes between manifest versions",
+    )
+    cg.add_argument("data", help="parquet dataset directory")
+    cg.add_argument("index", help="stats index location")
+    cg.add_argument("--from-version", type=int, required=True, dest="from_version")
+    cg.add_argument(
+        "--to-version", type=int, default=None, dest="to_version",
+        help="default: the current published version",
+    )
+    cg.add_argument("--limit", type=int, default=20)
+    cg.set_defaults(fn=cmd_changes)
 
     up = sub.add_parser(
         "upsert", help="index-bounded MERGE of a source parquet dataset by key"

@@ -726,6 +726,125 @@ def manifest_cdf_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdf_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The change feed CONSUMED: maintain a per-customer rollup
+    incrementally — ``rollup(v1) ⊕ feed(v1→now) == rollup(now)`` —
+    instead of re-scanning the table.  Same merge + tombstone-fold
+    lifecycle as ``manifest_cdf_agg``; here the v1 rollup is computed
+    once from the as-of snapshot, the feed's net rows fold into signed
+    per-customer deltas (insert = +, delete = −), and a full-outer
+    merge applies them.  All money arithmetic runs in integer CENTS so
+    the incremental sum is bit-identical to the oracle's from-scratch
+    final-state rollup regardless of accumulation order.  This is the
+    downstream shape the CDF exists for: the expensive input is the
+    CHANGED files, not the 100 TB table, and the output matches a full
+    recompute exactly."""
+    import hashlib
+    import os
+    import tempfile
+
+    from columnar_analytics_engine_spark.cdf import read_changes
+    from columnar_analytics_engine_spark.deletes import (
+        compact_deletes,
+        delete_keys,
+    )
+    from columnar_analytics_engine_spark.io import write_sorted
+    from columnar_analytics_engine_spark.layout import merge_upsert_files
+    from columnar_analytics_engine_spark.manifest import current_version
+    from columnar_analytics_engine_spark.skipping import (
+        build_stats_index,
+        read_indexed,
+    )
+
+    src = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    tag = hashlib.md5(f"{sf_dir}:{os.getpid()}".encode()).hexdigest()[:12]
+    data = f"{tempfile.gettempdir()}/cae_cdfr_data_{tag}"
+    index = f"{tempfile.gettempdir()}/cae_cdfr_idx_{tag}"
+    dv = f"{tempfile.gettempdir()}/cae_cdfr_dv_{tag}"
+    write_sorted(src, data, ["o_orderkey"], n_files=8)
+    build_stats_index(spark, data, index)
+    v1 = current_version(index)
+    updates = src.filter(F.col("o_orderkey") <= 300).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(1000.0)
+    )
+    inserts = updates.filter(F.col("o_orderkey") <= 100).select(
+        (F.col("o_orderkey") + 30_000_000).alias("o_orderkey"),
+        "o_custkey",
+        "o_totalprice",
+    )
+    merge_upsert_files(
+        spark, data, index, updates.unionByName(inserts), "o_orderkey"
+    )
+    losers = src.filter(
+        (F.col("o_orderkey") > 300) & (F.col("o_orderkey") <= 400)
+    ).select("o_orderkey")
+    delete_keys(spark, data, dv, losers, "o_orderkey", index_path=index)
+    compact_deletes(spark, data, dv, index)
+    v_now = current_version(index)
+
+    cents = F.round(F.col("o_totalprice") * F.lit(100.0)).cast("long")
+    base = (
+        read_indexed(spark, data, index, as_of=v1)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n0"), F.sum(cents).alias("c0"))
+    )
+    signed = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+        F.lit(-1)
+    ) * F.col("_change_count")
+    delta = (
+        read_changes(spark, data, index, v1, v_now)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(signed).alias("dn"),
+            F.sum(signed * cents).alias("dc"),
+        )
+    )
+    merged = (
+        base.join(delta, "o_custkey", "full_outer")
+        .select(
+            "o_custkey",
+            (
+                F.coalesce(F.col("n0"), F.lit(0))
+                + F.coalesce(F.col("dn"), F.lit(0))
+            ).alias("n_orders"),
+            (
+                F.coalesce(F.col("c0"), F.lit(0))
+                + F.coalesce(F.col("dc"), F.lit(0))
+            ).alias("sum_cents"),
+        )
+        .filter(F.col("n_orders") > 0)
+        .orderBy("o_custkey")
+    )
+    return merged
+
+
+_CDF_ROLLUP_SQL = """
+    WITH upd AS (
+      SELECT o_orderkey, o_custkey, o_totalprice + 1000 AS o_totalprice
+      FROM orders WHERE o_orderkey <= 300
+    ),
+    final AS (
+      -- unchanged originals: not updated (<=300), not deleted ((300,400])
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      WHERE o_orderkey > 400
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_totalprice FROM upd
+      UNION ALL
+      SELECT o_orderkey + 30000000, o_custkey, o_totalprice
+      FROM upd WHERE o_orderkey <= 100
+    )
+    SELECT o_custkey,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM final
+    GROUP BY o_custkey
+    ORDER BY o_custkey
+"""
+
+
 _CDF_SQL = f"""
     WITH upd AS (
       SELECT o_orderkey, o_custkey, o_totalprice + 1000 AS o_totalprice
@@ -1126,6 +1245,14 @@ QUERIES: dict[str, QuerySpec] = {
         "changes across a merge + folded delete (oracle replays the "
         "logical delta; layout noise must net out)",
         ("scale", "maintenance", "index", "cdf"),
+    ),
+    "cdf_incremental_rollup": QuerySpec(
+        cdf_incremental_rollup,
+        _CDF_ROLLUP_SQL,
+        "the feed consumed: as-of rollup + signed per-customer feed "
+        "deltas == from-scratch final rollup, exact in integer cents "
+        "(oracle recomputes the final state)",
+        ("scale", "maintenance", "index", "cdf", "incremental"),
     ),
     "deletes_dedup_tombstones": QuerySpec(
         deletes_dedup_tombstones,
