@@ -80,6 +80,7 @@ def read_changes(
     index_path: str,
     from_version: int,
     to_version: int,
+    key: str | None = None,
 ) -> DataFrame:
     """Net row-level changes between two retained manifest versions:
     the table's columns plus ``_change_type`` (``'insert'`` /
@@ -87,7 +88,15 @@ def read_changes(
     versions must still be retained (un-vacuumed) — the same contract
     as ``as_of`` time travel.  Scan cost is bounded by the files that
     CHANGED between the versions; files in both contribute nothing and
-    are never read."""
+    are never read.
+
+    With ``key`` (a column unique per snapshot — the MERGE contract),
+    a key carrying both a delete and an insert is classified as an
+    UPDATE: the old row becomes ``'update_preimage'`` and the new row
+    ``'update_postimage'`` (Delta CDF's four-type shape), letting a
+    consumer apply updates in place instead of delete+insert.  The
+    classification is one keyed window over the net diff rows — never
+    data-sized."""
     from columnar_analytics_engine_spark.evolution import read_evolved
 
     if from_version == to_version:
@@ -121,10 +130,31 @@ def read_changes(
         .agg(F.sum(CHANGE_COUNT).alias("__net"))
         .filter(F.col("__net") != 0)
     )
-    return net.select(
+    out = net.select(
         *cols,
         F.when(F.col("__net") > 0, F.lit("insert"))
         .otherwise(F.lit("delete"))
         .alias(CHANGE_TYPE),
         F.abs(F.col("__net")).cast("long").alias(CHANGE_COUNT),
+    )
+    if key is None:
+        return out
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(key)
+    is_ins = (F.col(CHANGE_TYPE) == "insert").cast("int")
+    has_both = (F.max(is_ins).over(w) == 1) & (
+        F.min(is_ins).over(w) == 0
+    )
+    return out.withColumn(
+        CHANGE_TYPE,
+        F.when(
+            has_both & (F.col(CHANGE_TYPE) == "insert"),
+            F.lit("update_postimage"),
+        )
+        .when(
+            has_both & (F.col(CHANGE_TYPE) == "delete"),
+            F.lit("update_preimage"),
+        )
+        .otherwise(F.col(CHANGE_TYPE)),
     )

@@ -658,25 +658,15 @@ _SPEC_EVOLUTION_SQL = f"""
 """
 
 
-def manifest_cdf_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Change-data-feed between manifest versions (``cdf.read_changes``
-    — VERDICT r12 item 3): write ``orders`` key-clustered (v1), MERGE
-    (+1000 on keys ≤ 300 plus shifted-key inserts), then tombstone and
-    physically fold keys in (300, 400] — and read the NET row changes
-    between v1 and the final version from the manifest FILE-SET diff
-    alone.  Rows compaction merely moved net out (+1 − 1); what remains
-    is exactly the logical delta: updates as delete-old + insert-new,
-    inserts, folded deletes.  The oracle replays that delta
-    relationally — layout noise (which files the merge happened to
-    rewrite) must be invisible, or the hash mismatches.  Scan cost is
-    bounded by the files that CHANGED, never the table — the
-    incremental-read primitive a downstream pipeline over a maintained
-    100 TB table consumes instead of re-scanning snapshots."""
+def _cdf_fixture(spark: SparkSession, sf_dir: str, prefix: str):
+    """Shared merge + tombstone-fold lifecycle for the CDF queries:
+    orders key-clustered at v1, MERGE (+1000 on keys ≤ 300 plus
+    shifted-key inserts), keys (300, 400] tombstoned and physically
+    folded.  Returns (data, index, v1, v_now)."""
     import hashlib
     import os
     import tempfile
 
-    from columnar_analytics_engine_spark.cdf import read_changes
     from columnar_analytics_engine_spark.deletes import (
         compact_deletes,
         delete_keys,
@@ -690,9 +680,9 @@ def manifest_cdf_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey", "o_totalprice"
     )
     tag = hashlib.md5(f"{sf_dir}:{os.getpid()}".encode()).hexdigest()[:12]
-    data = f"{tempfile.gettempdir()}/cae_cdf_data_{tag}"
-    index = f"{tempfile.gettempdir()}/cae_cdf_idx_{tag}"
-    dv = f"{tempfile.gettempdir()}/cae_cdf_dv_{tag}"
+    data = f"{tempfile.gettempdir()}/cae_{prefix}_data_{tag}"
+    index = f"{tempfile.gettempdir()}/cae_{prefix}_idx_{tag}"
+    dv = f"{tempfile.gettempdir()}/cae_{prefix}_dv_{tag}"
     write_sorted(src, data, ["o_orderkey"], n_files=8)
     build_stats_index(spark, data, index)
     v1 = current_version(index)
@@ -712,7 +702,26 @@ def manifest_cdf_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey")
     delete_keys(spark, data, dv, losers, "o_orderkey", index_path=index)
     compact_deletes(spark, data, dv, index)
-    v_now = current_version(index)
+    return data, index, v1, current_version(index)
+
+
+def manifest_cdf_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed between manifest versions (``cdf.read_changes``
+    — VERDICT r12 item 3): write ``orders`` key-clustered (v1), MERGE
+    (+1000 on keys ≤ 300 plus shifted-key inserts), then tombstone and
+    physically fold keys in (300, 400] — and read the NET row changes
+    between v1 and the final version from the manifest FILE-SET diff
+    alone.  Rows compaction merely moved net out (+1 − 1); what remains
+    is exactly the logical delta: updates as delete-old + insert-new,
+    inserts, folded deletes.  The oracle replays that delta
+    relationally — layout noise (which files the merge happened to
+    rewrite) must be invisible, or the hash mismatches.  Scan cost is
+    bounded by the files that CHANGED, never the table — the
+    incremental-read primitive a downstream pipeline over a maintained
+    100 TB table consumes instead of re-scanning snapshots."""
+    from columnar_analytics_engine_spark.cdf import read_changes
+
+    data, index, v1, v_now = _cdf_fixture(spark, sf_dir, "cdf")
     ch = read_changes(spark, data, index, v1, v_now)
     return (
         ch.groupBy(F.col("_change_type").alias("change_type"))
@@ -739,50 +748,10 @@ def cdf_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream shape the CDF exists for: the expensive input is the
     CHANGED files, not the 100 TB table, and the output matches a full
     recompute exactly."""
-    import hashlib
-    import os
-    import tempfile
-
     from columnar_analytics_engine_spark.cdf import read_changes
-    from columnar_analytics_engine_spark.deletes import (
-        compact_deletes,
-        delete_keys,
-    )
-    from columnar_analytics_engine_spark.io import write_sorted
-    from columnar_analytics_engine_spark.layout import merge_upsert_files
-    from columnar_analytics_engine_spark.manifest import current_version
-    from columnar_analytics_engine_spark.skipping import (
-        build_stats_index,
-        read_indexed,
-    )
+    from columnar_analytics_engine_spark.skipping import read_indexed
 
-    src = t(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_totalprice"
-    )
-    tag = hashlib.md5(f"{sf_dir}:{os.getpid()}".encode()).hexdigest()[:12]
-    data = f"{tempfile.gettempdir()}/cae_cdfr_data_{tag}"
-    index = f"{tempfile.gettempdir()}/cae_cdfr_idx_{tag}"
-    dv = f"{tempfile.gettempdir()}/cae_cdfr_dv_{tag}"
-    write_sorted(src, data, ["o_orderkey"], n_files=8)
-    build_stats_index(spark, data, index)
-    v1 = current_version(index)
-    updates = src.filter(F.col("o_orderkey") <= 300).withColumn(
-        "o_totalprice", F.col("o_totalprice") + F.lit(1000.0)
-    )
-    inserts = updates.filter(F.col("o_orderkey") <= 100).select(
-        (F.col("o_orderkey") + 30_000_000).alias("o_orderkey"),
-        "o_custkey",
-        "o_totalprice",
-    )
-    merge_upsert_files(
-        spark, data, index, updates.unionByName(inserts), "o_orderkey"
-    )
-    losers = src.filter(
-        (F.col("o_orderkey") > 300) & (F.col("o_orderkey") <= 400)
-    ).select("o_orderkey")
-    delete_keys(spark, data, dv, losers, "o_orderkey", index_path=index)
-    compact_deletes(spark, data, dv, index)
-    v_now = current_version(index)
+    data, index, v1, v_now = _cdf_fixture(spark, sf_dir, "cdfr")
 
     cents = F.round(F.col("o_totalprice") * F.lit(100.0)).cast("long")
     base = (
@@ -818,6 +787,60 @@ def cdf_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_custkey")
     )
     return merged
+
+
+def manifest_cdf_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed CDF (``read_changes(key=...)``): with a snapshot-unique
+    key declared, a key carrying both sides of the diff classifies as
+    an UPDATE — old row ``update_preimage``, new row
+    ``update_postimage`` (Delta CDF's four-type shape) — while pure
+    inserts and folded deletes keep their types.  Same lifecycle as
+    ``manifest_cdf_agg``; the oracle replays all four classes
+    literally, so a mis-paired key (or layout leakage) hash-
+    mismatches.  The pairing is one keyed window over the net diff
+    rows — bounded by the CHANGE, never the table."""
+    from columnar_analytics_engine_spark.cdf import read_changes
+
+    data, index, v1, v_now = _cdf_fixture(spark, sf_dir, "cdfu")
+    ch = read_changes(spark, data, index, v1, v_now, key="o_orderkey")
+    return (
+        ch.groupBy(F.col("_change_type").alias("change_type"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("o_orderkey").alias("sum_key"),
+            exact_sum("o_totalprice", "sum_price"),
+        )
+        .orderBy("change_type")
+    )
+
+
+_CDF_UPDATES_SQL = f"""
+    WITH upd AS (
+      SELECT o_orderkey, o_custkey, o_totalprice + 1000 AS o_totalprice
+      FROM orders WHERE o_orderkey <= 300
+    ),
+    changes AS (
+      SELECT 'update_postimage' AS change_type,
+             o_orderkey, o_totalprice
+      FROM upd
+      UNION ALL
+      SELECT 'update_preimage', o_orderkey, o_totalprice
+      FROM orders WHERE o_orderkey <= 300
+      UNION ALL
+      SELECT 'insert', o_orderkey + 30000000, o_totalprice
+      FROM upd WHERE o_orderkey <= 100
+      UNION ALL
+      SELECT 'delete', o_orderkey, o_totalprice
+      FROM orders WHERE o_orderkey > 300 AND o_orderkey <= 400
+    )
+    SELECT change_type,
+           COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           {sql_exact_sum('o_totalprice', 'sum_price')}
+    FROM changes
+    GROUP BY change_type
+    ORDER BY change_type
+"""
 
 
 _CDF_ROLLUP_SQL = """
@@ -1244,6 +1267,13 @@ QUERIES: dict[str, QuerySpec] = {
         "change-data-feed from the manifest file-set diff: net row "
         "changes across a merge + folded delete (oracle replays the "
         "logical delta; layout noise must net out)",
+        ("scale", "maintenance", "index", "cdf"),
+    ),
+    "manifest_cdf_updates": QuerySpec(
+        manifest_cdf_updates,
+        _CDF_UPDATES_SQL,
+        "keyed CDF: delete+insert pairs on a unique key classified as "
+        "update_preimage/update_postimage (oracle replays all 4 classes)",
         ("scale", "maintenance", "index", "cdf"),
     ),
     "cdf_incremental_rollup": QuerySpec(

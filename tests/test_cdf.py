@@ -110,3 +110,38 @@ def test_same_version_and_vacuumed_version(spark, table):
     v_now = current_version(index)
     with pytest.raises(FileNotFoundError, match="version"):
         read_changes(spark, data, index, v1, v_now).collect()
+
+
+def test_keyed_feed_classifies_updates(spark, table):
+    """With a unique key declared, delete+insert pairs on one key
+    classify as update_preimage/update_postimage; pure inserts and
+    deletes keep their types."""
+    data, index, src = table
+    v1 = current_version(index)
+    updates = src.filter(F.col("o_orderkey") <= 100).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(7.0)
+    )
+    new_row = src.filter(F.col("o_orderkey") <= 1).select(
+        (F.col("o_orderkey") + 88_000_000).alias("o_orderkey"),
+        "o_custkey",
+        "o_totalprice",
+    )
+    merge_upsert_files(
+        spark, data, index, updates.unionByName(new_row), "o_orderkey"
+    )
+    v2 = current_version(index)
+    ch = read_changes(spark, data, index, v1, v2, key="o_orderkey")
+    by_type = {
+        r["_change_type"]: r["n"]
+        for r in ch.groupBy("_change_type").agg(F.count("*").alias("n")).collect()
+    }
+    n_upd = updates.count()
+    assert by_type.get("update_preimage") == n_upd
+    assert by_type.get("update_postimage") == n_upd
+    assert by_type.get("insert") == new_row.count()
+    assert "delete" not in by_type
+    # post-images carry the NEW values, pre-images the OLD
+    post = ch.filter(
+        (F.col("_change_type") == "update_postimage")
+    ).select("o_orderkey", "o_totalprice")
+    assert _rows(post) == _rows(updates.select("o_orderkey", "o_totalprice"))

@@ -54,6 +54,42 @@ def _check(spark, data, index, dv, model, extra_cols):
     assert got == expect
 
 
+def _check_cdf(spark, data, index, v_prev, v_cur):
+    """CDF soundness under ANY lifecycle: the physical snapshot at
+    v_prev plus the net feed(v_prev→v_cur) must reconstruct the
+    physical snapshot at v_cur, multiset-exactly.  (Physical level —
+    deliberately before DV subtraction: the feed is defined over the
+    manifest lifecycle, and unfolded tombstones are not manifest
+    changes.)"""
+    from collections import Counter
+
+    from columnar_analytics_engine_spark.cdf import read_changes
+    from columnar_analytics_engine_spark.evolution import read_evolved
+
+    if v_prev is None or v_prev == v_cur:
+        return
+    before = Counter(
+        tuple(r) for r in read_evolved(spark, data, index, as_of=v_prev).collect()
+    )
+    after = Counter(
+        tuple(r) for r in read_evolved(spark, data, index, as_of=v_cur).collect()
+    )
+    feed = read_changes(spark, data, index, v_prev, v_cur).collect()
+    rebuilt = Counter(before)
+    for r in feed:
+        d = r.asDict()
+        t, n = d.pop("_change_type"), d.pop("_change_count")
+        key = tuple(d.values())
+        if t == "insert":
+            rebuilt[key] += n
+        else:
+            rebuilt[key] -= n
+    rebuilt = Counter({k: v for k, v in rebuilt.items() if v})
+    assert rebuilt == after, (
+        f"feed {v_prev}->{v_cur} does not reconstruct the snapshot"
+    )
+
+
 @pytest.mark.parametrize("seed", [7, 23, 61])
 def test_random_maintenance_walk_preserves_results(spark, tmp_path, seed):
     rng = random.Random(seed)
@@ -83,6 +119,12 @@ def test_random_maintenance_walk_preserves_results(spark, tmp_path, seed):
         to_rows([(k, v, e) for k, (v, e) in model.items()]), schema_ddl()
     ).repartition(6).write.parquet(data)
     build_stats_index(spark, data, index)
+    from columnar_analytics_engine_spark.manifest import (
+        current_version,
+        list_versions,
+    )
+
+    v_prev = current_version(index)
 
     def fold():
         nonlocal tombstones_live
@@ -156,6 +198,13 @@ def test_random_maintenance_walk_preserves_results(spark, tmp_path, seed):
         elif op == "vacuum":
             vacuum_unindexed(spark, data, index, keep_versions=1)
         _check(spark, data, index, dv, model, extra_cols)
+        # CDF soundness across whatever this op published — skipped
+        # when vacuum expired the previous checkpoint (same retention
+        # contract as as_of time travel)
+        v_cur = current_version(index)
+        if v_prev in list_versions(index):
+            _check_cdf(spark, data, index, v_prev, v_cur)
+        v_prev = v_cur
     # final: fold + vacuum, then the INDEX-planned plain read agrees
     fold()
     vacuum_unindexed(spark, data, index, keep_versions=1)
