@@ -844,6 +844,14 @@ def table_health(
     else:
         report["tombstones"] = 0
         report["tombstoned_files"] = 0
+    from columnar_analytics_engine_spark.clusterspec import (
+        read_spec_history,
+    )
+
+    cluster_hist = read_spec_history(index_path)
+    report["cluster_specs"] = len(cluster_hist)
+    if cluster_hist:
+        report["active_cluster_cols"] = cluster_hist[-1]["cols"]
     spec = read_schema_spec(index_path)
     report["evolved"] = spec is not None
     report["cohorts"] = (

@@ -117,6 +117,51 @@ def main() -> None:
     pruned = read_skipping(spark, data, index, "user_id le 10")
     step("index-pruned read", rows=pruned.count())
 
+    # --- change-data-feed: incremental read of the merge's delta -------
+    from columnar_analytics_engine_spark.cdf import read_changes
+
+    feed = read_changes(spark, data, index, v_before,
+                        current_version(index), key="id")
+    by_type = {
+        r["_change_type"]: r["n"]
+        for r in feed.groupBy("_change_type").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    step("change-data-feed (merge delta, keyed)", **by_type)
+
+    # --- cluster-spec evolution: switch the clustering column ----------
+    from columnar_analytics_engine_spark.clusterspec import (
+        cohort_cluster_report,
+        set_cluster_spec,
+    )
+
+    set_cluster_spec(index, ["user_id"], since_version=0)
+    # the table keeps growing: append a slab, then switch the spec
+    slab = spark.range(100_000, 140_000).select(
+        F.col("id"),
+        (F.col("id") % 1000).alias("user_id"),
+        (F.col("id") % 7).alias("event_kind"),
+        (F.rand(7) * 100).alias("amount"),
+        F.lit("ingest").alias("source"),
+    )
+    slab.repartition(4).write.mode("append").parquet(data)
+    from columnar_analytics_engine_spark.skipping import update_stats_index
+
+    update_stats_index(spark, data, index)
+    set_cluster_spec(index, ["id"])  # the switch
+    # lazy convergence under the new spec (cols=None → active spec);
+    # small target so the new cohort is visibly multi-file
+    out = cluster_compact(
+        spark, data, index, max_files=4, target_file_bytes=256 * 1024
+    )
+    rep = [
+        (r["spec_idx"], r["spec_cols"], r["probe_col"], round(r["avg_depth"], 2))
+        for r in cohort_cluster_report(spark, index).collect()
+    ]
+    step("cluster-spec evolution (per-cohort depth)",
+         rewritten=out["rewritten"], cohorts=rep)
+
     # --- two-table atomic transaction ----------------------------------
     cat = f"{tmp}/catalog.json"
     users = spark.range(1000).select(
