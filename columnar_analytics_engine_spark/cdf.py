@@ -50,6 +50,82 @@ CHANGE_TYPE = "_change_type"
 CHANGE_COUNT = "_change_count"
 
 
+def read_cursor(cursor_path: str) -> int | None:
+    """The last manifest version a consumer finished processing, or
+    ``None`` before the first :func:`advance_cursor`."""
+    import os
+
+    try:
+        with open(cursor_path) as fh:
+            return int(fh.read().strip())
+    except (FileNotFoundError, ValueError):
+        return None
+
+
+def advance_cursor(cursor_path: str, version: int) -> None:
+    """Record that the feed up to ``version`` was consumed (tmp +
+    ``os.replace`` — atomic).  Call AFTER the downstream effect of the
+    batch is durable: a crash between processing and the advance
+    replays the same changes next time (at-least-once), and the feed's
+    NET semantics make a replay idempotent for consumers that apply it
+    as state (the signed-delta rollup shape), never double-counting."""
+    import os
+    import uuid
+
+    os.makedirs(os.path.dirname(cursor_path) or ".", exist_ok=True)
+    tmp = f"{cursor_path}.tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as fh:
+        fh.write(f"{version}\n")
+    os.replace(tmp, cursor_path)
+
+
+def consume_changes(
+    spark: SparkSession,
+    data_path: str,
+    index_path: str,
+    cursor_path: str,
+    key: str | None = None,
+) -> tuple[DataFrame | None, int, int]:
+    """Incremental-consumer step: the net changes between the cursor's
+    last consumed version and the current published one — the loop a
+    downstream pipeline runs instead of rescanning snapshots.  Returns
+    ``(changes, from_version, to_version)``; ``changes`` is ``None``
+    when nothing new was published.  Does NOT advance the cursor — the
+    caller calls :func:`advance_cursor(cursor_path, to_version)` once
+    its downstream effect is durable (consume → apply → advance; a
+    crash replays, net semantics keep the replay idempotent).
+
+    The cursor must not fall behind the index's retention window
+    (``vacuum_unindexed(keep_versions=N)``): a consumer slower than N
+    maintenance cycles gets the same FileNotFoundError an expired
+    ``as_of`` read gets — size retention to the slowest consumer, the
+    contract every table format documents."""
+    from columnar_analytics_engine_spark.manifest import current_version
+
+    cur = current_version(index_path)
+    if cur is None:
+        raise FileNotFoundError(f"no published manifest at {index_path}")
+    last = read_cursor(cursor_path)
+    if last is None:
+        # first consumption: everything up to the current version is
+        # "new" — emit the current snapshot as inserts so a consumer
+        # can bootstrap from the feed alone
+        from columnar_analytics_engine_spark.evolution import read_evolved
+
+        base = read_evolved(spark, data_path, index_path, as_of=cur)
+        out = base.withColumn(CHANGE_TYPE, F.lit("insert")).withColumn(
+            CHANGE_COUNT, F.lit(1).cast("long")
+        )
+        return out, 0, cur
+    if last == cur:
+        return None, last, cur
+    return (
+        read_changes(spark, data_path, index_path, last, cur, key=key),
+        last,
+        cur,
+    )
+
+
 def changed_files(
     spark: SparkSession, index_path: str, from_version: int, to_version: int
 ) -> dict[str, list[str]]:

@@ -145,3 +145,94 @@ def test_keyed_feed_classifies_updates(spark, table):
         (F.col("_change_type") == "update_postimage")
     ).select("o_orderkey", "o_totalprice")
     assert _rows(post) == _rows(updates.select("o_orderkey", "o_totalprice"))
+
+
+def test_cursor_consumer_tracks_table_exactly(spark, table, tmp_path):
+    """The consume → apply → advance loop: a consumer that folds each
+    feed batch into a keyed state table reconstructs the table exactly
+    after every maintenance cycle, without ever rescanning it; a
+    replayed batch (crash before advance) is idempotent under net
+    application."""
+    from collections import Counter
+
+    from columnar_analytics_engine_spark.cdf import (
+        advance_cursor,
+        consume_changes,
+        read_cursor,
+    )
+
+    data, index, src = table
+    cursor = str(tmp_path / "consumer" / "cursor")
+    state: Counter = Counter()
+
+    def apply(feed_df):
+        for r in feed_df.collect():
+            d = r.asDict()
+            t, n = d.pop("_change_type"), d.pop("_change_count")
+            state[tuple(d.values())] += n if t == "insert" else -n
+        for k in [k for k, v in state.items() if v == 0]:
+            del state[k]
+
+    def table_rows():
+        from columnar_analytics_engine_spark.skipping import read_indexed
+
+        return Counter(tuple(r) for r in read_indexed(spark, data, index).collect())
+
+    # bootstrap: first consumption emits the snapshot as inserts
+    feed, frm, to = consume_changes(spark, data, index, cursor)
+    assert frm == 0 and feed is not None
+    apply(feed)
+    advance_cursor(cursor, to)
+    assert state == table_rows()
+
+    # maintenance cycle 1: merge
+    upd = src.filter(F.col("o_orderkey") <= 150).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(5.0)
+    )
+    merge_upsert_files(spark, data, index, upd, "o_orderkey")
+    feed, frm, to = consume_changes(spark, data, index, cursor)
+    assert feed is not None and frm == read_cursor(cursor)
+    # crash-replay: apply the SAME batch twice without advancing —
+    # net application must not double-count after re-consume
+    snapshot = Counter(state)
+    apply(feed)
+    state2 = Counter(state)
+    state.clear(); state.update(snapshot)
+    feed2, _f, to2 = consume_changes(spark, data, index, cursor)
+    apply(feed2)
+    assert state == state2 and to2 == to
+    advance_cursor(cursor, to)
+    assert state == table_rows()
+
+    # maintenance cycle 2: append a slab -> feed is pure inserts
+    from columnar_analytics_engine_spark.skipping import update_stats_index
+
+    slab = src.limit(40).select(
+        (F.col("o_orderkey") + 55_000_000).alias("o_orderkey"),
+        "o_custkey",
+        "o_totalprice",
+    )
+    # repartition (not coalesce): limit() collapses to one partition,
+    # and the compaction cycle below needs >=2 overlapping files
+    slab.repartition(2).write.mode("append").parquet(data)
+    update_stats_index(spark, data, index)
+    feed, frm, to = consume_changes(spark, data, index, cursor)
+    assert {r["_change_type"] for r in feed.select("_change_type").distinct().collect()} == {"insert"}
+    apply(feed)
+    advance_cursor(cursor, to)
+    assert state == table_rows()
+
+    # maintenance cycle 3: pure compaction -> empty feed, cursor moves
+    out = cluster_compact(
+        spark, data, index, ["o_orderkey"], max_files=8,
+        target_file_bytes=2 * 1024,
+    )
+    assert out["rewritten"] > 0
+    feed, frm, to = consume_changes(spark, data, index, cursor)
+    assert feed is not None and feed.count() == 0  # rows didn't change
+    advance_cursor(cursor, to)
+    assert state == table_rows()
+
+    # nothing new published -> None
+    feed, frm, to = consume_changes(spark, data, index, cursor)
+    assert feed is None and frm == to
