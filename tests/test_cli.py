@@ -372,3 +372,58 @@ def test_cli_catalog_pin_and_snapshot(spark, tmp_path, capsys):
     cli.main(["catalog", "snapshot", cat, "--table", "t"])
     snap = json.loads(capsys.readouterr().out)
     assert snap["rows"] == 400
+
+
+def test_cli_changes_and_cohort_report(spark, tmp_path, capsys):
+    """changes: keyed CDF between versions via the CLI;
+    cluster-report --cohorts: per-spec-cohort depth after a spec
+    switch."""
+    from pyspark.sql import functions as F
+
+    from columnar_analytics_engine_spark.clusterspec import set_cluster_spec
+    from columnar_analytics_engine_spark.io import write_sorted
+    from columnar_analytics_engine_spark.layout import (
+        cluster_compact,
+        merge_upsert_files,
+    )
+    from columnar_analytics_engine_spark.skipping import build_stats_index
+
+    data = str(tmp_path / "data")
+    idx = str(tmp_path / "idx")
+    df = spark.range(2000).select(
+        F.col("id"), (F.col("id") % 50).alias("grp"),
+        (F.col("id") * 2.0).alias("val"),
+    )
+    write_sorted(df, data, ["grp"], n_files=6)
+    build_stats_index(spark, data, idx)
+    upd = df.filter(F.col("id") < 100).withColumn("val", F.col("val") + 1.0)
+    merge_upsert_files(spark, data, idx, upd, "id")
+
+    cli.main(["changes", data, idx, "--from-version", "1", "--limit", "5"])
+    lines = capsys.readouterr().out.strip().splitlines()
+    summary = json.loads(lines[-1])
+    assert summary["from_version"] == 1 and summary["to_version"] == 2
+    assert summary["files_added"] >= 1 and summary["files_removed"] >= 1
+    assert summary["change_rows_shown"] == 5
+    row = json.loads(lines[0])
+    assert "_change_type" in row and "_change_count" in row
+
+    set_cluster_spec(idx, ["grp"], since_version=0)
+    set_cluster_spec(idx, ["id"])
+    # append two id-overlapping files so convergence has candidates
+    from columnar_analytics_engine_spark.skipping import update_stats_index
+
+    slab = spark.range(2000, 2400).select(
+        F.col("id"), (F.col("id") % 50).alias("grp"),
+        (F.col("id") * 2.0).alias("val"),
+    )
+    slab.repartition(2).write.mode("append").parquet(data)
+    update_stats_index(spark, data, idx)
+    cluster_compact(spark, data, idx, max_files=6, target_file_bytes=4 * 1024)
+    cli.main(["cluster-report", idx, "--cohorts"])
+    rows = json.loads(capsys.readouterr().out)
+    specs = {r["spec_idx"] for r in rows}
+    assert 0 in specs and 1 in specs
+    for r in rows:
+        assert r["avg_depth"] >= 1.0
+        assert r["spec_cols"] in ("grp", "id")
