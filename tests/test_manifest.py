@@ -299,3 +299,57 @@ def test_maintenance_ops_detect_concurrent_publish(spark, compactable):
     # the racing writer's publish is intact and data is unchanged
     n = read_indexed(spark, data, index).count()
     assert n == src.count()
+
+
+def test_optimistic_publish_hammer_no_lost_updates(spark, tmp_path):
+    """ADVICE r12 (medium): check-then-flip must be atomic.  Eight
+    threads race retry-loops of read-base -> stage -> publish(expected=
+    base); with the publish lock, every successful write_manifest is a
+    LINEAR successor of the version it was computed from — no publish
+    is ever shadowed.  (Before the lock, two same-base writers could
+    both pass the check and the first flip vanished silently.)"""
+    import threading
+
+    from columnar_analytics_engine_spark.manifest import (
+        ConcurrentWriteError,
+        write_manifest,
+    )
+
+    index = str(tmp_path / "idx")
+    write_manifest(spark, index, spark.createDataFrame([("seed",)], "file string"))
+    # pre-build the tiny frames on the driver thread (Spark session use
+    # is thread-safe; frame creation kept outside the race for speed)
+    published = []  # (base, new_version) pairs, appended post-success
+    lock = threading.Lock()
+    errs = []
+
+    def writer(i):
+        try:
+            for attempt in range(40):
+                base = current_version(index)
+                df = spark.createDataFrame([(f"w{i}-{attempt}",)], "file string")
+                try:
+                    v = write_manifest(spark, index, df, expected_current=base)
+                except ConcurrentWriteError:
+                    continue  # stale base: re-read and retry
+                with lock:
+                    published.append((base, v))
+                return
+            errs.append(f"writer {i} starved")
+        except Exception as e:  # pragma: no cover
+            errs.append(repr(e))
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    assert len(published) == 8
+    # linearizability: the (base -> version) edges chain without forks —
+    # each successful publish was computed from a DISTINCT base (two
+    # successes from the same base would mean one shadowed the other)
+    bases = [b for b, _v in published]
+    assert len(set(bases)) == len(bases), f"forked history: {sorted(published)}"
+    # and the final pointer is one of the published versions
+    assert current_version(index) in {v for _b, v in published}
