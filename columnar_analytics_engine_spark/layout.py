@@ -652,6 +652,7 @@ def vacuum_unindexed(
     keep_versions: int = 1,
     protect_versions: tuple[int, ...] = (),
     dry_run: bool = False,
+    extra_indexes: tuple[str, ...] = (),
 ) -> list[str]:
     """The one place bytes are destroyed (Delta ``VACUUM``'s role):
     expire manifest versions beyond the newest ``keep_versions``
@@ -675,7 +676,14 @@ def vacuum_unindexed(
     WOULD be deleted (data files + staging siblings; version expiry is
     simulated against the same retention math) without touching
     anything — the look-before-you-delete every retention tool
-    needs."""
+    needs.
+
+    ``extra_indexes``: other indexes sharing this data directory —
+    zero-copy branches (``branch.clone_table``); pass
+    ``branch.family_indexes(index_path)`` so no file a live branch's
+    retained versions reference is deleted.  Version expiry still
+    applies only to ``index_path`` (each branch runs its own vacuum
+    for its own history)."""
     import glob
     import os
     import shutil
@@ -688,6 +696,17 @@ def vacuum_unindexed(
 
     from columnar_analytics_engine_spark.manifest import surviving_versions
 
+    norm_self = os.path.normpath(index_path)
+    others = [
+        e for e in extra_indexes if os.path.normpath(e) != norm_self
+    ]
+
+    def _branch_keep() -> set[str]:
+        keep: set[str] = set()
+        for idx in others:
+            keep |= referenced_files(spark, idx)
+        return keep
+
     if dry_run:
         retained = sorted(
             surviving_versions(
@@ -695,15 +714,28 @@ def vacuum_unindexed(
             )
         )
         keep = referenced_files(spark, index_path, retained or None)
+        keep |= _branch_keep()
         would = [f for f in list_parquet_files(data_path) if f not in keep]
         would += sorted(glob.glob(data_path.rstrip("/") + ".rewrite-*"))
         return would
     expire_versions(index_path, keep_versions, protect=protect_versions)
-    keep = referenced_files(spark, index_path)
+    keep = referenced_files(spark, index_path) | _branch_keep()
     stranded = [f for f in list_parquet_files(data_path) if f not in keep]
     for f in stranded:
         os.remove(f)
+    # staging siblings: reclaim only past the in-flight grace window —
+    # with branches, a rewrite may be mid-flight from ANOTHER owner
+    import time as _time
+
+    from columnar_analytics_engine_spark.manifest import ORPHAN_GRACE_SEC
+
+    now = _time.time()
     for d in glob.glob(data_path.rstrip("/") + ".rewrite-*"):
+        try:
+            if others and now - os.stat(d).st_mtime < ORPHAN_GRACE_SEC:
+                continue  # possibly a live branch's in-flight rewrite
+        except FileNotFoundError:
+            continue
         shutil.rmtree(d, ignore_errors=True)
         stranded.append(d)
     return stranded

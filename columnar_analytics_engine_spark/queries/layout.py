@@ -712,6 +712,109 @@ def _cdf_fixture(spark: SparkSession, sf_dir: str, prefix: str):
     return data, index, v1, current_version(index)
 
 
+def layout_branch_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy table branching (``branch.clone_table``): clone the
+    orders table's manifest (no data I/O), MERGE a +1000 price slice
+    into the SOURCE and a different +500 slice into the BRANCH, then
+    run the source's vacuum BRANCH-AWARE (``extra_indexes=
+    family_indexes(...)``) and aggregate both branches.  The oracle
+    replays the two divergent states relationally — if the branches
+    shared any mutable state (a rewrite mutating shared bytes, a
+    vacuum deleting files only the branch references), one side's
+    aggregate would drift and the hash would mismatch.  This is
+    Delta's shallow clone / Iceberg branching on plain Parquet: a
+    dev/test sandbox over a 100 TB table costs one manifest write,
+    and divergent writes stay snapshot-isolated on shared storage."""
+    import hashlib
+    import os
+    import tempfile
+
+    from columnar_analytics_engine_spark.branch import (
+        clone_table,
+        family_indexes,
+    )
+    from columnar_analytics_engine_spark.io import write_sorted
+    from columnar_analytics_engine_spark.layout import (
+        merge_upsert_files,
+        vacuum_unindexed,
+    )
+    from columnar_analytics_engine_spark.skipping import (
+        build_stats_index,
+        read_indexed,
+    )
+
+    src = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    tag = hashlib.md5(f"{sf_dir}:{os.getpid()}".encode()).hexdigest()[:12]
+    data = f"{tempfile.gettempdir()}/cae_br_data_{tag}"
+    index = f"{tempfile.gettempdir()}/cae_br_idx_{tag}"
+    branch = f"{tempfile.gettempdir()}/cae_br_branch_{tag}"
+    write_sorted(src, data, ["o_orderkey"], n_files=8)
+    build_stats_index(spark, data, index)
+    import shutil
+
+    if os.path.isdir(branch):
+        # re-run idempotence: the clone starts fresh each run, like the
+        # overwrite-mode data write above
+        shutil.rmtree(branch)
+    clone_table(spark, index, branch)
+    upd_src = src.filter(F.col("o_orderkey") <= 300).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(1000.0)
+    )
+    merge_upsert_files(spark, data, index, upd_src, "o_orderkey")
+    upd_br = src.filter(
+        (F.col("o_orderkey") > 600) & (F.col("o_orderkey") <= 900)
+    ).withColumn("o_totalprice", F.col("o_totalprice") + F.lit(500.0))
+    merge_upsert_files(spark, data, branch, upd_br, "o_orderkey")
+    # branch-aware retention: the source's vacuum must not destroy
+    # files only the branch references
+    vacuum_unindexed(
+        spark, data, index, keep_versions=1,
+        extra_indexes=tuple(family_indexes(index)),
+    )
+
+    def snap(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.count("*").alias("n_rows"),
+            F.sum("o_orderkey").alias("sum_key"),
+            exact_sum("o_totalprice", "sum_price"),
+        ).select(F.lit(name).alias("branch"), "*")
+
+    return (
+        snap(read_indexed(spark, data, index), "source")
+        .unionByName(snap(read_indexed(spark, data, branch), "branch"))
+        .orderBy(F.desc("branch"))
+    )
+
+
+_BRANCH_SQL = f"""
+    WITH src_merged AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey <= 300 THEN o_totalprice + 1000
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders
+    ),
+    br_merged AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey > 600 AND o_orderkey <= 900
+                  THEN o_totalprice + 500
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders
+    )
+    SELECT 'source' AS branch, COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           {sql_exact_sum('o_totalprice', 'sum_price')}
+    FROM src_merged
+    UNION ALL
+    SELECT 'branch', COUNT(*),
+           CAST(SUM(o_orderkey) AS BIGINT),
+           {sql_exact_sum('o_totalprice', 'sum_price')}
+    FROM br_merged
+    ORDER BY branch DESC
+"""
+
+
 def manifest_cdf_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change-data-feed between manifest versions (``cdf.read_changes``
     — VERDICT r12 item 3): write ``orders`` key-clustered (v1), MERGE
@@ -1267,6 +1370,13 @@ QUERIES: dict[str, QuerySpec] = {
         "cluster-spec evolution: spec switch + lazy bounded convergence, "
         "full and pruned scans across both cohorts (oracle on the source)",
         ("scale", "layout", "maintenance", "index", "evolution"),
+    ),
+    "layout_branch_divergence": QuerySpec(
+        layout_branch_divergence,
+        _BRANCH_SQL,
+        "zero-copy manifest clone, divergent merges on shared storage, "
+        "branch-aware vacuum (oracle replays both branch states)",
+        ("scale", "maintenance", "index", "branch"),
     ),
     "manifest_cdf_agg": QuerySpec(
         manifest_cdf_agg,

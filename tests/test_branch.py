@@ -1,0 +1,148 @@
+"""Zero-copy table branches (branch.py): clone cost is metadata-only,
+branches diverge snapshot-isolated on shared storage, vacuum is
+branch-aware, sidecars copy."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from columnar_analytics_engine_spark.branch import (
+    clone_table,
+    family_indexes,
+)
+from columnar_analytics_engine_spark.io import read_table, write_sorted
+from columnar_analytics_engine_spark.layout import (
+    merge_upsert_files,
+    vacuum_unindexed,
+)
+from columnar_analytics_engine_spark.manifest import current_version
+from columnar_analytics_engine_spark.skipping import (
+    build_stats_index,
+    list_parquet_files,
+    read_indexed,
+)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture()
+def table(spark, sf_small, tmp_path):
+    data = str(tmp_path / "data")
+    index = str(tmp_path / "idx")
+    src = read_table(spark, sf_small, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    write_sorted(src, data, ["o_orderkey"], n_files=6)
+    build_stats_index(spark, data, index)
+    return data, index, src
+
+
+def test_clone_is_zero_copy_and_reads_identically(spark, table, tmp_path):
+    data, index, src = table
+    branch = str(tmp_path / "branch_idx")
+    files_before = set(list_parquet_files(data))
+    v = clone_table(spark, index, branch)
+    assert v == 1 and current_version(branch) == 1
+    assert set(list_parquet_files(data)) == files_before  # zero data I/O
+    assert _rows(read_indexed(spark, data, branch)) == _rows(src)
+    assert os.path.abspath(branch) in family_indexes(index)
+    with pytest.raises(ValueError, match="must differ"):
+        clone_table(spark, index, index)
+
+
+def test_branches_diverge_snapshot_isolated(spark, table, tmp_path):
+    data, index, src = table
+    branch = str(tmp_path / "branch_idx")
+    clone_table(spark, index, branch)
+    upd_src = src.filter(F.col("o_orderkey") <= 100).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(1000.0)
+    )
+    merge_upsert_files(spark, data, index, upd_src, "o_orderkey")
+    upd_br = src.filter(F.col("o_orderkey") > 800).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(500.0)
+    )
+    merge_upsert_files(spark, data, branch, upd_br, "o_orderkey")
+
+    expect_src = _rows(
+        src.join(upd_src.select("o_orderkey"), "o_orderkey", "left_anti")
+        .unionByName(upd_src)
+    )
+    expect_br = _rows(
+        src.join(upd_br.select("o_orderkey"), "o_orderkey", "left_anti")
+        .unionByName(upd_br)
+    )
+    assert _rows(read_indexed(spark, data, index)) == expect_src
+    assert _rows(read_indexed(spark, data, branch)) == expect_br
+
+
+def test_branch_aware_vacuum_protects_both(spark, table, tmp_path):
+    data, index, src = table
+    branch = str(tmp_path / "branch_idx")
+    clone_table(spark, index, branch)
+    upd = src.filter(F.col("o_orderkey") <= 100).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(1000.0)
+    )
+    merge_upsert_files(spark, data, index, upd, "o_orderkey")
+    expect_br = _rows(src)
+
+    # a NAIVE source vacuum (dry run) would delete files the branch
+    # still needs — the documented shallow-clone hazard
+    naive = vacuum_unindexed(
+        spark, data, index, keep_versions=1, dry_run=True
+    )
+    branch_files = {
+        r["file"]
+        for r in __import__(
+            "columnar_analytics_engine_spark.manifest", fromlist=["read_manifest"]
+        ).read_manifest(spark, branch).select("file").distinct().collect()
+    }
+    assert set(naive) & branch_files, "fixture should exercise the hazard"
+
+    # the branch-aware vacuum spares them
+    fam = tuple(family_indexes(index))
+    safe = vacuum_unindexed(
+        spark, data, index, keep_versions=1, dry_run=True, extra_indexes=fam
+    )
+    assert not set(safe) & branch_files
+    removed = vacuum_unindexed(
+        spark, data, index, keep_versions=1, extra_indexes=fam
+    )
+    assert sorted(removed) == sorted(safe)
+    # both branches still read exactly
+    assert _rows(read_indexed(spark, data, branch)) == expect_br
+    assert (
+        read_indexed(spark, data, index)
+        .filter(F.col("o_orderkey") <= 100)
+        .agg(F.min("o_totalprice"))
+        .first()[0]
+        > 1000.0
+    )
+
+
+def test_clone_copies_schema_sidecar_then_diverges(spark, table, tmp_path):
+    from columnar_analytics_engine_spark.evolution import (
+        add_column,
+        read_evolved,
+        read_schema_spec,
+    )
+
+    data, index, src = table
+    add_column(spark, data, index, "flag", "int", default=7)
+    branch = str(tmp_path / "branch_idx")
+    clone_table(spark, index, branch)
+    assert read_schema_spec(branch) == read_schema_spec(index)
+    # branch evolves independently: a new column on the branch does not
+    # appear on the source
+    add_column(spark, data, branch, "extra", "double", default=1.5)
+    assert "extra" in [c["name"] for c in read_schema_spec(branch)["columns"]]
+    assert "extra" not in [c["name"] for c in read_schema_spec(index)["columns"]]
+    got = read_evolved(spark, data, branch)
+    assert got.filter(F.col("extra") == 1.5).count() == src.count()
+    assert read_evolved(spark, data, index).columns == [
+        "o_orderkey", "o_custkey", "o_totalprice", "flag"
+    ]

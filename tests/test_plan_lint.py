@@ -31,6 +31,9 @@ _SINGLE_PARTITION_ALLOW = {
     # spec evolution: a union of TWO 1-row scan aggregates (full and
     # pruned) — same post-aggregate shape as time travel
     "layout_spec_evolution_scan": 2,
+    # branching: a union of TWO 1-row branch aggregates (source and
+    # branch) — same post-aggregate shape
+    "layout_branch_divergence": 2,
     # ANALYZE-style profile: a union of per-column 1-row summaries
     "table_profile": 4,
     # per-stage funnel accounting: 1-row counts per pipeline stage
