@@ -107,6 +107,19 @@ def clone_table(
         raise ValueError("clone destination must differ from the source")
     snapshot = read_manifest(spark, src_index, as_of=as_of)
     version = write_manifest(spark, dest_index, snapshot)
+    from columnar_analytics_engine_spark.manifest import current_version
+
+    origin = {
+        "src_index": os.path.abspath(src_index),
+        "src_version": (
+            as_of if as_of is not None else current_version(src_index)
+        ),
+        "branch_version": version,
+    }
+    tmp = os.path.join(dest_index, f"_CLONE_OF.tmp-{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as fh:
+        json.dump(origin, fh, indent=2)
+    os.replace(tmp, os.path.join(dest_index, "_CLONE_OF"))
     for name in _SIDE_FILES:
         src_f = os.path.join(src_index, name)
         if os.path.exists(src_f):
@@ -117,3 +130,114 @@ def clone_table(
             os.replace(tmp, os.path.join(dest_index, name))
     _register_branch(src_index, dest_index)
     return version
+
+
+def clone_origin(index_path: str) -> dict | None:
+    """Where this index was cloned from (``_CLONE_OF`` sidecar), or
+    ``None`` for a table that was never cloned."""
+    try:
+        with open(os.path.join(index_path, "_CLONE_OF")) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        return None
+
+
+def merge_back(
+    spark: SparkSession,
+    data_path: str,
+    src_index: str,
+    branch_index: str,
+    key: str,
+    force: bool = False,
+) -> dict:
+    """Merge a branch's changes back into its source — the
+    branch-then-merge workflow (write-audit-publish): everything the
+    branch did since the clone point, derived from its own CHANGE FEED
+    (``cdf.read_changes(clone_version → current, key=...)``), is
+    applied to the source as one keyed MERGE plus one keyed delete.
+    Cost is bounded by what the branch CHANGED, never the table.
+
+    Fast-forward check: by default the merge refuses when the SOURCE
+    advanced past the clone point (its current version is no longer
+    the recorded ``src_version``) — applying the branch blindly could
+    silently overwrite source-side changes.  ``force=True`` applies
+    anyway with branch-wins-on-key-conflict semantics (documented
+    last-writer-wins, the caller has decided).  Returns
+    ``{"upserted": n, "deleted": n, "version": source_version}``.
+
+    Fold the branch's deletion vectors first
+    (``deletes.compact_deletes``): the feed is defined over the
+    manifest lifecycle, so unfolded tombstones are not yet changes —
+    the same contract as reading the branch's own CDF.
+    """
+    from columnar_analytics_engine_spark.cdf import read_changes
+    from columnar_analytics_engine_spark.deletes import delete_keys
+    from columnar_analytics_engine_spark.manifest import (
+        ConcurrentWriteError,
+        current_version,
+    )
+
+    origin = clone_origin(branch_index)
+    if origin is None:
+        raise ValueError(
+            f"{branch_index} has no _CLONE_OF sidecar — not a branch"
+        )
+    if os.path.abspath(src_index) != origin["src_index"]:
+        raise ValueError(
+            f"branch was cloned from {origin['src_index']}, "
+            f"not {os.path.abspath(src_index)}"
+        )
+    src_cur = current_version(src_index)
+    if not force and src_cur != origin["src_version"]:
+        raise ConcurrentWriteError(
+            f"source advanced from version {origin['src_version']} to "
+            f"{src_cur} since the clone; merge back would overwrite its "
+            "changes — rebase (re-clone and re-apply) or pass force=True "
+            "for branch-wins semantics"
+        )
+    from pyspark.sql import functions as F
+
+    feed = read_changes(
+        spark, data_path, branch_index,
+        origin["branch_version"], current_version(branch_index), key=key,
+    )
+    feed = feed.persist()
+    try:
+        upserts = feed.filter(
+            F.col("_change_type").isin("insert", "update_postimage")
+        ).drop("_change_type", "_change_count")
+        deletes = feed.filter(F.col("_change_type") == "delete").select(key)
+        n_up = upserts.count()
+        n_del = deletes.count()
+        version = src_cur
+        if n_up:
+            from columnar_analytics_engine_spark.layout import (
+                merge_upsert_files,
+            )
+
+            out = merge_upsert_files(
+                spark, data_path, src_index, upserts, key
+            )
+            version = out["version"]
+        if n_del:
+            dv_tmp = (
+                f"{src_index.rstrip('/')}.mergeback_dv-{uuid.uuid4().hex[:8]}"
+            )
+            from columnar_analytics_engine_spark.deletes import (
+                compact_deletes,
+            )
+
+            delete_keys(
+                spark, data_path, dv_tmp, deletes, key,
+                index_path=src_index,
+            )
+            compact_deletes(spark, data_path, dv_tmp, src_index)
+            shutil.rmtree(dv_tmp, ignore_errors=True)
+            from columnar_analytics_engine_spark.manifest import (
+                current_version as _cv,
+            )
+
+            version = _cv(src_index)
+    finally:
+        feed.unpersist()
+    return {"upserted": n_up, "deleted": n_del, "version": version}

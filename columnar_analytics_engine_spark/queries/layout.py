@@ -788,6 +788,90 @@ def layout_branch_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def layout_branch_merge_back(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Branch → experiment → merge back (``branch.merge_back``): all of
+    a branch's work since the clone point — an update slice, shifted
+    inserts, a folded delete range — is derived from the BRANCH's own
+    change feed and applied to the source as one keyed MERGE plus one
+    keyed delete, cost bounded by what the branch changed.  The oracle
+    replays the branch's final state; after the merge back the SOURCE
+    must aggregate to exactly that, or the hash mismatches (a missed
+    feed row, a mis-paired update, or an unapplied delete all
+    surface)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from columnar_analytics_engine_spark.branch import clone_table, merge_back
+    from columnar_analytics_engine_spark.deletes import (
+        compact_deletes,
+        delete_keys,
+    )
+    from columnar_analytics_engine_spark.io import write_sorted
+    from columnar_analytics_engine_spark.layout import merge_upsert_files
+    from columnar_analytics_engine_spark.skipping import (
+        build_stats_index,
+        read_indexed,
+    )
+
+    src = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    tag = hashlib.md5(f"{sf_dir}:{os.getpid()}".encode()).hexdigest()[:12]
+    data = f"{tempfile.gettempdir()}/cae_mb_data_{tag}"
+    index = f"{tempfile.gettempdir()}/cae_mb_idx_{tag}"
+    branch = f"{tempfile.gettempdir()}/cae_mb_branch_{tag}"
+    dv = f"{tempfile.gettempdir()}/cae_mb_dv_{tag}"
+    write_sorted(src, data, ["o_orderkey"], n_files=8)
+    build_stats_index(spark, data, index)
+    if os.path.isdir(branch):
+        shutil.rmtree(branch)  # re-run idempotence, like the data write
+    clone_table(spark, index, branch)
+    updates = src.filter(F.col("o_orderkey") <= 300).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(1000.0)
+    )
+    inserts = updates.filter(F.col("o_orderkey") <= 100).select(
+        (F.col("o_orderkey") + 30_000_000).alias("o_orderkey"),
+        "o_custkey",
+        "o_totalprice",
+    )
+    merge_upsert_files(
+        spark, data, branch, updates.unionByName(inserts), "o_orderkey"
+    )
+    losers = src.filter(
+        (F.col("o_orderkey") > 300) & (F.col("o_orderkey") <= 400)
+    ).select("o_orderkey")
+    delete_keys(spark, data, dv, losers, "o_orderkey", index_path=branch)
+    compact_deletes(spark, data, dv, branch)
+    merge_back(spark, data, index, branch, "o_orderkey")
+    return read_indexed(spark, data, index).agg(
+        F.count("*").alias("n_rows"),
+        F.sum("o_orderkey").alias("sum_key"),
+        exact_sum("o_totalprice", "sum_price"),
+    )
+
+
+_MERGE_BACK_SQL = f"""
+    WITH upd AS (
+      SELECT o_orderkey, o_custkey, o_totalprice + 1000 AS o_totalprice
+      FROM orders WHERE o_orderkey <= 300
+    ),
+    final AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey > 400
+      UNION ALL
+      SELECT o_orderkey, o_totalprice FROM upd
+      UNION ALL
+      SELECT o_orderkey + 30000000, o_totalprice
+      FROM upd WHERE o_orderkey <= 100
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           {sql_exact_sum('o_totalprice', 'sum_price')}
+    FROM final
+"""
+
+
 _BRANCH_SQL = f"""
     WITH src_merged AS (
       SELECT o_orderkey,
@@ -1370,6 +1454,14 @@ QUERIES: dict[str, QuerySpec] = {
         "cluster-spec evolution: spec switch + lazy bounded convergence, "
         "full and pruned scans across both cohorts (oracle on the source)",
         ("scale", "layout", "maintenance", "index", "evolution"),
+    ),
+    "layout_branch_merge_back": QuerySpec(
+        layout_branch_merge_back,
+        _MERGE_BACK_SQL,
+        "branch work (merge + inserts + folded delete) applied back to "
+        "the source from the branch's change feed (oracle replays the "
+        "branch's final state)",
+        ("scale", "maintenance", "index", "branch", "cdf"),
     ),
     "layout_branch_divergence": QuerySpec(
         layout_branch_divergence,

@@ -146,3 +146,75 @@ def test_clone_copies_schema_sidecar_then_diverges(spark, table, tmp_path):
     assert read_evolved(spark, data, index).columns == [
         "o_orderkey", "o_custkey", "o_totalprice", "flag"
     ]
+
+
+def test_merge_back_applies_branch_changes(spark, table, tmp_path):
+    """branch → experiment → merge back: the branch's change feed since
+    the clone point (updates + inserts + folded deletes) lands on the
+    source as one keyed MERGE + one keyed delete; the source then reads
+    exactly as the branch."""
+    from columnar_analytics_engine_spark.branch import merge_back
+    from columnar_analytics_engine_spark.deletes import (
+        compact_deletes,
+        delete_keys,
+    )
+
+    data, index, src = table
+    branch = str(tmp_path / "branch_idx")
+    clone_table(spark, index, branch)
+    # branch work: update a slice, insert new keys, delete a slice
+    upd = src.filter(F.col("o_orderkey") <= 100).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(9.0)
+    )
+    ins = src.filter(F.col("o_orderkey") <= 5).select(
+        (F.col("o_orderkey") + 70_000_000).alias("o_orderkey"),
+        "o_custkey", "o_totalprice",
+    )
+    merge_upsert_files(spark, data, branch, upd.unionByName(ins), "o_orderkey")
+    dv = str(tmp_path / "branch_dv")
+    doomed = src.filter(
+        (F.col("o_orderkey") > 200) & (F.col("o_orderkey") <= 300)
+    ).select("o_orderkey")
+    delete_keys(spark, data, dv, doomed, "o_orderkey", index_path=branch)
+    compact_deletes(spark, data, dv, branch)
+    expect = _rows(read_indexed(spark, data, branch))
+
+    out = merge_back(spark, data, index, branch, "o_orderkey")
+    assert out["upserted"] > 0 and out["deleted"] > 0
+    assert _rows(read_indexed(spark, data, index)) == expect
+
+
+def test_merge_back_fast_forward_check(spark, table, tmp_path):
+    """A source that advanced since the clone refuses a blind merge
+    back (rebase or force); force=True applies branch-wins."""
+    from columnar_analytics_engine_spark.branch import merge_back
+    from columnar_analytics_engine_spark.manifest import ConcurrentWriteError
+
+    data, index, src = table
+    branch = str(tmp_path / "branch_idx")
+    clone_table(spark, index, branch)
+    # both sides move
+    upd_src = src.filter(F.col("o_orderkey") <= 50).withColumn(
+        "o_totalprice", F.lit(1.0)
+    )
+    merge_upsert_files(spark, data, index, upd_src, "o_orderkey")
+    upd_br = src.filter(F.col("o_orderkey") <= 80).withColumn(
+        "o_totalprice", F.lit(2.0)
+    )
+    merge_upsert_files(spark, data, branch, upd_br, "o_orderkey")
+
+    with pytest.raises(ConcurrentWriteError, match="advanced"):
+        merge_back(spark, data, index, branch, "o_orderkey")
+    out = merge_back(spark, data, index, branch, "o_orderkey", force=True)
+    assert out["upserted"] == upd_br.count()
+    # branch wins on the overlapping keys
+    got = read_indexed(spark, data, index)
+    assert got.filter(
+        (F.col("o_orderkey") <= 80) & (F.col("o_totalprice") != 2.0)
+    ).count() == 0
+    # not-a-branch and wrong-source guards
+    from columnar_analytics_engine_spark.branch import clone_origin
+
+    assert clone_origin(index) is None
+    with pytest.raises(ValueError, match="not a branch"):
+        merge_back(spark, data, branch, index, "o_orderkey")
