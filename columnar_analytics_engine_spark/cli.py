@@ -375,6 +375,35 @@ def cmd_changes(args: argparse.Namespace) -> None:
     }))
 
 
+def cmd_branch(args: argparse.Namespace) -> None:
+    """Zero-copy table branching (branch.py): ``clone`` a manifest
+    snapshot into a new index over the same files, ``merge-back`` a
+    branch's change feed onto its source, ``family`` lists the indexes
+    sharing the data directory (what branch-aware vacuum needs)."""
+    from columnar_analytics_engine_spark.branch import (
+        clone_table,
+        family_indexes,
+        merge_back,
+    )
+
+    if args.action == "family":
+        print(json.dumps(family_indexes(args.index)))
+        return
+    spark = get_spark(app_name="cae-branch")
+    if args.action == "clone":
+        v = clone_table(spark, args.index, args.dest, as_of=args.as_of)
+        print(json.dumps({"branch": args.dest, "version": v}))
+        return
+    if args.action == "merge-back":
+        out = merge_back(
+            spark, args.data, args.index, args.dest, args.key,
+            force=args.force,
+        )
+        print(json.dumps(out))
+        return
+    raise SystemExit(f"unknown branch action {args.action!r}")
+
+
 def cmd_catalog(args: argparse.Namespace) -> None:
     """Multi-table transaction catalog (transaction.py): ``show`` the
     committed state, ``pin`` (commit) a table at its current manifest
@@ -730,6 +759,21 @@ def main(argv: list[str] | None = None) -> None:
     hl.add_argument("--dv", help="deletion-vector table location")
     hl.add_argument("--cols", help="comma list of probe columns for depth")
     hl.set_defaults(fn=cmd_health)
+
+    br = sub.add_parser(
+        "branch",
+        help="zero-copy branching: clone / merge-back / family",
+    )
+    br.add_argument("action", choices=["clone", "merge-back", "family"])
+    br.add_argument("index", help="source stats index location")
+    br.add_argument("dest", nargs="?", help="branch index location")
+    br.add_argument("--data", help="shared parquet dataset (merge-back)")
+    br.add_argument("--key", help="snapshot-unique merge key (merge-back)")
+    br.add_argument("--as-of", type=int, default=None, dest="as_of")
+    br.add_argument("--force", action="store_true",
+                    help="merge-back even if the source advanced "
+                    "(branch-wins)")
+    br.set_defaults(fn=cmd_branch)
 
     cg = sub.add_parser(
         "changes",

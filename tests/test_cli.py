@@ -427,3 +427,39 @@ def test_cli_changes_and_cohort_report(spark, tmp_path, capsys):
     for r in rows:
         assert r["avg_depth"] >= 1.0
         assert r["spec_cols"] in ("grp", "id")
+
+
+def test_cli_branch_clone_and_merge_back(spark, tmp_path, capsys):
+    from pyspark.sql import functions as F
+
+    from columnar_analytics_engine_spark.io import write_sorted
+    from columnar_analytics_engine_spark.layout import merge_upsert_files
+    from columnar_analytics_engine_spark.skipping import (
+        build_stats_index,
+        read_indexed,
+    )
+
+    data = str(tmp_path / "data")
+    idx = str(tmp_path / "idx")
+    br = str(tmp_path / "branch")
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") * 3.0).alias("val")
+    )
+    write_sorted(df, data, ["id"], n_files=4)
+    build_stats_index(spark, data, idx)
+
+    cli.main(["branch", "clone", idx, br])
+    out = json.loads(capsys.readouterr().out)
+    assert out == {"branch": br, "version": 1}
+
+    cli.main(["branch", "family", idx])
+    fam = json.loads(capsys.readouterr().out)
+    assert br in fam and idx in [f for f in fam]
+
+    upd = df.filter(F.col("id") < 20).withColumn("val", F.lit(-1.0))
+    merge_upsert_files(spark, data, br, upd, "id")
+    cli.main(["branch", "merge-back", idx, br, "--data", data, "--key", "id"])
+    out = json.loads(capsys.readouterr().out)
+    assert out["upserted"] == 20 and out["deleted"] == 0
+    got = read_indexed(spark, data, idx)
+    assert got.filter((F.col("id") < 20) & (F.col("val") != -1.0)).count() == 0
