@@ -1059,3 +1059,53 @@ def test_stats_indexed_sink_no_readoption_after_retention(spark, tmp_path):
 
     vacuum_unindexed(spark, data, index, keep_versions=1)
     assert set(list_parquet_files(data)) == referenced_files(spark, index)
+
+
+def test_cdf_consumer_tails_streaming_sink(spark, tmp_path):
+    """Composition: a foreachBatch stats-indexed sink ingests
+    micro-batches (one manifest version per batch); an incremental
+    consumer tails the table with cdf.consume_changes, folding each
+    feed into a keyed state — the consumer's state equals the table
+    after every consumption, and it never rescans the table (the feed
+    is derived from the manifest diff alone)."""
+    from collections import Counter
+
+    from columnar_analytics_engine_spark.cdf import (
+        advance_cursor,
+        consume_changes,
+    )
+    from columnar_analytics_engine_spark.skipping import read_skipping
+    from columnar_analytics_engine_spark.streaming.maintenance import (
+        stats_indexed_sink,
+    )
+
+    data = str(tmp_path / "table")
+    index = str(tmp_path / "index")
+    cursor = str(tmp_path / "cursor")
+    process = stats_indexed_sink(
+        spark, data, index, compact_small_every=3,
+        manifest_keep_versions=8,
+    )
+    state: Counter = Counter()
+
+    def consume():
+        feed, _frm, to = consume_changes(spark, data, index, cursor)
+        if feed is None:
+            return
+        for r in feed.collect():
+            d = r.asDict()
+            t, n = d.pop("_change_type"), d.pop("_change_count")
+            state[tuple(d.values())] += n if t == "insert" else -n
+        for k in [k for k, v in state.items() if v == 0]:
+            del state[k]
+        advance_cursor(cursor, to)
+
+    for b in range(6):
+        rows = [(b * 10 + i, b) for i in range(10)]
+        process(spark.createDataFrame(rows, "k long, src long"), b)
+        consume()
+        table = Counter(
+            tuple(r)
+            for r in read_skipping(spark, data, index, "k ge 0").collect()
+        )
+        assert state == table, f"consumer diverged after batch {b}"
