@@ -271,11 +271,15 @@ def cmd_history(args: argparse.Namespace) -> None:
     from columnar_analytics_engine_spark.manifest import (
         current_version,
         list_versions,
+        publish_log,
         read_manifest,
     )
 
     spark = get_spark(app_name="cae-history")
     cur = current_version(args.index)
+    # publish journal: last publish instant per version (a version can
+    # be re-published by a catalog roll; report the latest)
+    published_at = {v: ts for v, ts in publish_log(args.index)}
     versions = []
     for v in list_versions(args.index):
         m = read_manifest(spark, args.index, as_of=v)
@@ -292,6 +296,7 @@ def cmd_history(args: argparse.Namespace) -> None:
                 "current": v == cur,
                 "files": agg["files"],
                 "rows": agg["rows"],
+                "published_at": published_at.get(v),
             }
         )
     print(json.dumps({"current": cur, "versions": versions}))

@@ -54,6 +54,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 _VER_RE = re.compile(r"^ver-(\d{8})$")
 _CURRENT = "_CURRENT"
+_HISTORY = "_HISTORY"
 _LOCK = "_PUBLISH_LOCK"
 # how long an above-current staged version dir is presumed in-flight
 # (a concurrent writer between staging and publish) before expiry may
@@ -136,11 +137,63 @@ def read_manifest(
 
 def _publish_pointer(index_path: str, version: int) -> None:
     """Atomically flip ``_CURRENT`` to ``version`` (tmp + os.replace —
-    the single indivisible step of every publish)."""
+    the single indivisible step of every publish), then journal the
+    publish instant to ``_HISTORY`` (one line per publish; every
+    pointer flip runs under the publish lock, so appends are
+    serialized).  The journal is what timestamp time travel
+    (:func:`version_at`) resolves against — bytes per publish, never
+    pruned (a year of hourly maintenance is ~200 KB)."""
     tmp = os.path.join(index_path, f"{_CURRENT}.tmp-{uuid.uuid4().hex[:8]}")
     with open(tmp, "w") as fh:
         fh.write(f"{version}\n")
     os.replace(tmp, os.path.join(index_path, _CURRENT))
+    with open(os.path.join(index_path, _HISTORY), "a") as fh:
+        fh.write(f"{version} {time.time():.6f}\n")
+
+
+def publish_log(index_path: str) -> list[tuple[int, float]]:
+    """The publish journal: ``(version, epoch_seconds)`` per pointer
+    flip, in publish order.  Empty for a pre-journal index (older
+    rounds' tables — they upgrade on their next publish)."""
+    out: list[tuple[int, float]] = []
+    try:
+        with open(os.path.join(index_path, _HISTORY)) as fh:
+            for line in fh:
+                parts = line.split()
+                if len(parts) == 2:
+                    out.append((int(parts[0]), float(parts[1])))
+    except FileNotFoundError:
+        pass
+    return out
+
+
+def version_at(index_path: str, ts: float) -> int:
+    """TIMESTAMP AS OF: the version that was PUBLISHED most recently
+    at or before ``ts`` (epoch seconds) — pass the result to any
+    ``as_of=`` reader for Delta-style timestamp time travel.  Resolved
+    from the publish journal; raises when ``ts`` predates the first
+    journaled publish (or the journal is empty), naming the earliest
+    readable instant.  The resolved version must still be RETAINED
+    (un-vacuumed) to actually read — same contract as version-number
+    time travel."""
+    log = publish_log(index_path)
+    best: int | None = None
+    earliest: float | None = None
+    for version, when in log:
+        if earliest is None or when < earliest:
+            earliest = when
+        if when <= ts:
+            best = version  # journal is in publish order: last wins
+    if best is None:
+        raise FileNotFoundError(
+            f"no publish at or before ts={ts} at {index_path}"
+            + (
+                f" (earliest journaled publish: {earliest})"
+                if earliest is not None
+                else " (no publish journal — table predates it)"
+            )
+        )
+    return best
 
 
 @contextlib.contextmanager

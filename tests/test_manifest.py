@@ -353,3 +353,41 @@ def test_optimistic_publish_hammer_no_lost_updates(spark, tmp_path):
     assert len(set(bases)) == len(bases), f"forked history: {sorted(published)}"
     # and the final pointer is one of the published versions
     assert current_version(index) in {v for _b, v in published}
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    """TIMESTAMP AS OF (Delta shape): each publish journals its
+    instant; version_at(ts) resolves the version live at ts, and
+    as_of that version reads the table as it was."""
+    import time as _time
+
+    from columnar_analytics_engine_spark.manifest import (
+        publish_log,
+        version_at,
+    )
+
+    index = str(tmp_path / "idx")
+    stamps = []
+    for name in ["a", "b", "c"]:
+        write_manifest(
+            spark, index, spark.createDataFrame([(name,)], "file string")
+        )
+        stamps.append(_time.time())
+        _time.sleep(0.05)
+    log = publish_log(index)
+    assert [v for v, _t in log] == [1, 2, 3]
+    assert all(t1 <= t2 for (_, t1), (_, t2) in zip(log, log[1:]))
+    # at each post-publish instant, the then-current version resolves
+    for i, ts in enumerate(stamps):
+        assert version_at(index, ts) == i + 1
+    assert version_at(index, _time.time()) == 3
+    assert _rows(read_manifest(spark, index, as_of=version_at(index, stamps[0]))) == [("a",)]
+    # before the first publish: a clear error naming the earliest instant
+    with pytest.raises(FileNotFoundError, match="earliest journaled"):
+        version_at(index, log[0][1] - 10.0)
+    # a staged-unpublished version never enters the journal
+    write_manifest(
+        spark, index, spark.createDataFrame([("d",)], "file string"),
+        publish=False,
+    )
+    assert [v for v, _t in publish_log(index)] == [1, 2, 3]
