@@ -108,7 +108,17 @@ def publish_generation(path: str, build) -> int:
     ``mode="append"`` — an overwrite would delete-and-recreate the
     claimed dir, reopening the allocation race), then flip the pointer
     under the publish lock.  Prior generations stay intact for
-    in-flight readers until :func:`vacuum_generations`."""
+    in-flight readers until :func:`vacuum_generations`.
+
+    The flip is MONOTONIC (mirrors ``manifest.publish_version(
+    monotonic=True)``): when two racing compactors claim generations
+    N+1 and N+2 and N+1's build finishes LAST, flipping to N+1 would
+    park the pointer on the older generation and leave the newer one
+    above it for ``vacuum_generations`` to silently reclaim — so a
+    flip that would move the pointer backwards (or nowhere) is skipped.
+    Returns the built generation number either way; the caller can
+    compare against :func:`current_generation` when it needs to know
+    whether its build is the published one."""
     gens = list_generations(path)
     gen = (gens[-1] if gens else 0) + 1
     while True:
@@ -120,6 +130,8 @@ def publish_generation(path: str, build) -> int:
     build(_gen_dir(path, gen))
     lock = f"{path.rstrip('/')}.lock"
     with mkdir_lock(lock):
+        if gen <= current_generation(path):
+            return gen  # a newer generation already published — keep it
         tmp = f"{_pointer_path(path)}.tmp-{os.getpid()}"
         with open(tmp, "w") as fh:
             fh.write(f"{gen}\n")

@@ -142,6 +142,101 @@ def clone_origin(index_path: str) -> dict | None:
         return None
 
 
+def divergence_report(
+    spark: SparkSession,
+    data_path: str,
+    branch_index: str,
+    key: str,
+) -> dict:
+    """How far a branch has diverged from its clone point, derived
+    from the branch's OWN keyed change feed — cost bounded by what the
+    branch changed, never the table.  Returns insert / update / delete
+    key counts plus version numbers.  The governance primitive behind
+    :func:`family_health`."""
+    from pyspark.sql import functions as F
+
+    from columnar_analytics_engine_spark.cdf import read_changes
+    from columnar_analytics_engine_spark.manifest import current_version
+
+    origin = clone_origin(branch_index)
+    if origin is None:
+        raise ValueError(
+            f"{branch_index} has no _CLONE_OF sidecar — not a branch"
+        )
+    cur = current_version(branch_index)
+    feed = read_changes(
+        spark, data_path, branch_index, origin["branch_version"], cur,
+        key=key,
+    )
+    counts = {
+        r["_change_type"]: r["n"]
+        for r in feed.groupBy("_change_type")
+        .agg(F.countDistinct(key).alias("n"))
+        .collect()
+    }
+    return {
+        "branch_index": os.path.abspath(branch_index),
+        "src_index": origin["src_index"],
+        "clone_src_version": origin["src_version"],
+        "branch_version": cur,
+        "inserts": counts.get("insert", 0),
+        "updates": counts.get("update_postimage", 0),
+        "deletes": counts.get("delete", 0),
+    }
+
+
+def family_health(
+    spark: SparkSession,
+    data_path: str,
+    src_index: str,
+    key: str,
+) -> list[dict]:
+    """Per-branch divergence for every registered branch of
+    ``src_index`` (the ``_BRANCHES`` sidecar), PLUS the source's own
+    movement since each clone point and the key-level CONFLICT count a
+    merge-back would face — the governance view a multi-branch 100 TB
+    table needs before deciding merge vs rebase.  All feeds are
+    change-bounded; nothing here scans the table."""
+    from pyspark.sql import functions as F
+
+    from columnar_analytics_engine_spark.cdf import read_changes
+    from columnar_analytics_engine_spark.manifest import current_version
+
+    out = []
+    src_cur = current_version(src_index)
+    for b in family_indexes(src_index):
+        if os.path.abspath(b) == os.path.abspath(src_index):
+            continue
+        rep = divergence_report(spark, data_path, b, key)
+        clone_v = rep["clone_src_version"]
+        src_changed = 0
+        conflicts = 0
+        if src_cur is not None and src_cur != clone_v:
+            src_feed = read_changes(
+                spark, data_path, src_index, clone_v, src_cur, key=key
+            ).select(F.col(key).alias("__k")).distinct()
+            br_keys = (
+                read_changes(
+                    spark, data_path, b,
+                    clone_origin(b)["branch_version"],
+                    rep["branch_version"], key=key,
+                )
+                .select(F.col(key).alias("__k"))
+                .distinct()
+            )
+            src_feed = src_feed.persist()
+            try:
+                src_changed = src_feed.count()
+                conflicts = br_keys.join(src_feed, "__k", "inner").count()
+            finally:
+                src_feed.unpersist()
+        rep["src_version"] = src_cur
+        rep["src_changed_keys"] = src_changed
+        rep["conflict_keys"] = conflicts
+        out.append(rep)
+    return sorted(out, key=lambda r: r["branch_index"])
+
+
 def merge_back(
     spark: SparkSession,
     data_path: str,
@@ -157,11 +252,18 @@ def merge_back(
     applied to the source as one keyed MERGE plus one keyed delete.
     Cost is bounded by what the branch CHANGED, never the table.
 
-    Fast-forward check: by default the merge refuses when the SOURCE
-    advanced past the clone point (its current version is no longer
-    the recorded ``src_version``) — applying the branch blindly could
-    silently overwrite source-side changes.  ``force=True`` applies
-    anyway with branch-wins-on-key-conflict semantics (documented
+    Divergence handling (three-way merge, round 14): when the SOURCE
+    advanced past the clone point, the merge computes the source's OWN
+    keyed change feed over the same interval (clone point → source
+    current) and compares key sets.  If the branch-changed keys and
+    the source-changed keys are DISJOINT, the merge proceeds without
+    ``force`` — the branch's changes apply on top of the source's
+    current state and neither side's work is lost (both feeds already
+    exist; the check is two key-set scans bounded by what each side
+    CHANGED, never the table).  If the key sets overlap, the merge
+    refuses with a :class:`manifest.ConcurrentWriteError` that names a
+    sample of the conflicting keys; ``force=True`` applies anyway with
+    branch-wins-on-key-conflict semantics (documented
     last-writer-wins, the caller has decided).  Returns
     ``{"upserted": n, "deleted": n, "version": source_version}``.
 
@@ -187,21 +289,39 @@ def merge_back(
             f"branch was cloned from {origin['src_index']}, "
             f"not {os.path.abspath(src_index)}"
         )
-    src_cur = current_version(src_index)
-    if not force and src_cur != origin["src_version"]:
-        raise ConcurrentWriteError(
-            f"source advanced from version {origin['src_version']} to "
-            f"{src_cur} since the clone; merge back would overwrite its "
-            "changes — rebase (re-clone and re-apply) or pass force=True "
-            "for branch-wins semantics"
-        )
     from pyspark.sql import functions as F
 
+    src_cur = current_version(src_index)
     feed = read_changes(
         spark, data_path, branch_index,
         origin["branch_version"], current_version(branch_index), key=key,
     )
     feed = feed.persist()
+    if not force and src_cur != origin["src_version"]:
+        # three-way merge: both sides changed since the clone point —
+        # allowed iff they touched DISJOINT key sets (each side's keyed
+        # feed is change-bounded, so this check never scans the table)
+        src_feed = read_changes(
+            spark, data_path, src_index,
+            origin["src_version"], src_cur, key=key,
+        )
+        conflicts = (
+            feed.select(F.col(key).alias("__k")).distinct()
+            .join(
+                src_feed.select(F.col(key).alias("__k")).distinct(),
+                "__k", "inner",
+            )
+        )
+        sample = sorted(r["__k"] for r in conflicts.limit(20).collect())
+        if sample:
+            feed.unpersist()
+            raise ConcurrentWriteError(
+                f"source advanced from version {origin['src_version']} to "
+                f"{src_cur} since the clone AND both sides changed "
+                f"overlapping keys (first {len(sample)}: {sample}); "
+                "rebase (re-clone and re-apply) or pass force=True for "
+                "branch-wins semantics"
+            )
     try:
         upserts = feed.filter(
             F.col("_change_type").isin("insert", "update_postimage")

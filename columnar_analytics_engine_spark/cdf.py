@@ -26,10 +26,14 @@ which makes the feed independent of HOW maintenance arranged the
 bytes — exactly what an incremental consumer wants, and what makes it
 replayable in ANSI SQL for the oracle gate.
 
-Merge-on-read deletes (``deletes.delete_keys``) are DVs, not manifest
-changes: they enter the feed when FOLDED (``deletes.compact_deletes``
-rewrites the files, the file diff captures the disappearance) — same
-contract as reading the table itself through its manifest lifecycle.
+Merge-on-read deletes enter the feed AT COMMIT TIME (round 14): a
+versioned delete (``deletes.delete_where``/``delete_keys`` with
+``index_path``) publishes a manifest version whose ``_DV_COMMITS``
+sidecar names the tombstone commit, and :func:`read_changes` nets each
+side minus that side's committed tombstones — so the table and its
+feed agree at every version (Delta's CDF contract), and the later
+physical fold (``compact_deletes``) is feed-silent because both sides
+of its file rewrite carry the same already-deleted row set.
 
 Schema evolution composes: both sides read through
 ``evolution.read_evolved`` under the CURRENT logical schema (cohort
@@ -85,6 +89,7 @@ def consume_changes(
     index_path: str,
     cursor_path: str,
     key: str | None = None,
+    dv_path: str | None = None,
 ) -> tuple[DataFrame | None, int, int]:
     """Incremental-consumer step: the net changes between the cursor's
     last consumed version and the current published one — the loop a
@@ -109,10 +114,22 @@ def consume_changes(
     if last is None:
         # first consumption: everything up to the current version is
         # "new" — emit the current snapshot as inserts so a consumer
-        # can bootstrap from the feed alone
+        # can bootstrap from the feed alone.  The snapshot subtracts
+        # the tombstones committed as of ``cur`` (sidecar-discovered
+        # DV table), so the bootstrap equals what a reader sees.
+        from columnar_analytics_engine_spark.deletes import (
+            applied_commit_ids,
+        )
         from columnar_analytics_engine_spark.evolution import read_evolved
+        from columnar_analytics_engine_spark.manifest import dv_commits
 
-        base = read_evolved(spark, data_path, index_path, as_of=cur)
+        side = dv_commits(index_path, cur)
+        dvp = dv_path or (side.get("dv_path") if side else None)
+        base = read_evolved(
+            spark, data_path, index_path, as_of=cur,
+            dv_path=dvp,
+            dv_commit_ids=applied_commit_ids(index_path, cur) if dvp else None,
+        )
         out = base.withColumn(CHANGE_TYPE, F.lit("insert")).withColumn(
             CHANGE_COUNT, F.lit(1).cast("long")
         )
@@ -120,7 +137,9 @@ def consume_changes(
     if last == cur:
         return None, last, cur
     return (
-        read_changes(spark, data_path, index_path, last, cur, key=key),
+        read_changes(
+            spark, data_path, index_path, last, cur, key=key, dv_path=dv_path
+        ),
         last,
         cur,
     )
@@ -130,8 +149,9 @@ def changed_files(
     spark: SparkSession, index_path: str, from_version: int, to_version: int
 ) -> dict[str, list[str]]:
     """The manifest file-set diff — metadata only, no data I/O.
-    Returns ``{"added": [...], "removed": [...]}`` (files only in
-    ``to_version`` / only in ``from_version``)."""
+    Returns ``{"added": [...], "removed": [...], "both": [...]}``
+    (files only in ``to_version`` / only in ``from_version`` / in
+    both)."""
     from columnar_analytics_engine_spark.manifest import read_manifest
 
     f_from = {
@@ -147,6 +167,7 @@ def changed_files(
     return {
         "added": sorted(f_to - f_from),
         "removed": sorted(f_from - f_to),
+        "both": sorted(f_from & f_to),
     }
 
 
@@ -157,6 +178,7 @@ def read_changes(
     from_version: int,
     to_version: int,
     key: str | None = None,
+    dv_path: str | None = None,
 ) -> DataFrame:
     """Net row-level changes between two retained manifest versions:
     the table's columns plus ``_change_type`` (``'insert'`` /
@@ -164,7 +186,21 @@ def read_changes(
     versions must still be retained (un-vacuumed) — the same contract
     as ``as_of`` time travel.  Scan cost is bounded by the files that
     CHANGED between the versions; files in both contribute nothing and
-    are never read.
+    are never read — EXCEPT files that picked up new deletion-vector
+    commits (below), which are read on both sides so their newly
+    hidden rows net out as deletes.
+
+    Versioned DV deletes (``deletes.delete_where(index_path=...)``)
+    surface AT COMMIT TIME: each side's rows are read minus the
+    tombstones committed as of THAT side's version (the ``_DV_COMMITS``
+    sidecar), and unchanged files carrying tombstones from commits in
+    ``(from, to]`` enter the netting on both sides — surviving rows
+    cancel, newly deleted rows come out as ``'delete'``.  So the feed
+    and the table agree at every version: a DV delete shows the moment
+    it commits, and the later physical fold is feed-silent.  The DV
+    table location is discovered from the sidecar (or passed as
+    ``dv_path``); a table that never versioned a delete skips all of
+    this (legacy file-diff-only feed).
 
     With ``key`` (a column unique per snapshot — the MERGE contract),
     a key carrying both a delete and an insert is classified as an
@@ -173,23 +209,59 @@ def read_changes(
     consumer apply updates in place instead of delete+insert.  The
     classification is one keyed window over the net diff rows — never
     data-sized."""
+    from columnar_analytics_engine_spark.deletes import (
+        _dv,
+        applied_commit_ids,
+    )
     from columnar_analytics_engine_spark.evolution import read_evolved
+    from columnar_analytics_engine_spark.manifest import dv_commits
 
     if from_version == to_version:
-        diff = {"added": [], "removed": []}
+        diff = {"added": [], "removed": [], "both": []}
     else:
         diff = changed_files(spark, index_path, from_version, to_version)
 
-    def side(files: list[str], as_of: int, cnt: int) -> DataFrame | None:
+    side_from = dv_commits(index_path, from_version)
+    side_to = dv_commits(index_path, to_version)
+    versioned_dv = side_from is not None or side_to is not None
+    if dv_path is None and versioned_dv:
+        for s in (side_to, side_from):
+            if s and s.get("dv_path"):
+                dv_path = s["dv_path"]
+                break
+    ids_from = applied_commit_ids(index_path, from_version) if versioned_dv else None
+    ids_to = applied_commit_ids(index_path, to_version) if versioned_dv else None
+    use_dv = versioned_dv and dv_path is not None
+    # unchanged files that picked up tombstones from commits in
+    # (from, to] — the only "both" files whose state changed
+    dv_delta_files: list[str] = []
+    if use_dv and diff["both"]:
+        new_commits = sorted(set(ids_to or []) - set(ids_from or []))
+        if new_commits:
+            both_set = set(diff["both"])
+            dv_delta_files = sorted(
+                {
+                    r["file"]
+                    for r in _dv(spark, dv_path)
+                    .where(F.col("_commit_id").isin(new_commits))
+                    .select("file")
+                    .distinct()
+                    .collect()
+                }
+                & both_set
+            )
+
+    def side(files: list[str], as_of: int, cnt: int, ids) -> DataFrame | None:
         if not files:
             return None
         rows = read_evolved(
-            spark, data_path, index_path, as_of=as_of, files=files
+            spark, data_path, index_path, as_of=as_of, files=files,
+            dv_path=dv_path if use_dv else None, dv_commit_ids=ids,
         )
         return rows.withColumn(CHANGE_COUNT, F.lit(cnt))
 
-    added = side(diff["added"], to_version, 1)
-    removed = side(diff["removed"], from_version, -1)
+    added = side(diff["added"] + dv_delta_files, to_version, 1, ids_to)
+    removed = side(diff["removed"] + dv_delta_files, from_version, -1, ids_from)
     if added is None and removed is None:
         base = read_evolved(spark, data_path, index_path, as_of=to_version)
         return (

@@ -81,9 +81,24 @@ def cmd_query(args: argparse.Namespace) -> None:
             if len(parts) == 3:
                 col, op, val = parts
                 clauses.append(f"{col} {op.lower()} {_predicate_literal(val)}")
-        q = Query(
-            read_skipping(spark, args.path, args.index, " and ".join(clauses))
-        )
+        as_of = getattr(args, "as_of", None)
+        as_of_ts = getattr(args, "as_of_ts", None)
+        if clauses:
+            q = Query(
+                read_skipping(
+                    spark, args.path, args.index, " and ".join(clauses),
+                    as_of=as_of, as_of_ts=as_of_ts,
+                )
+            )
+        else:
+            from columnar_analytics_engine_spark.skipping import read_indexed
+
+            q = Query(
+                read_indexed(
+                    spark, args.path, args.index,
+                    as_of=as_of, as_of_ts=as_of_ts,
+                )
+            )
     else:
         q = Query(spark.read.parquet(args.path))
     if args.select:
@@ -384,9 +399,12 @@ def cmd_branch(args: argparse.Namespace) -> None:
     """Zero-copy table branching (branch.py): ``clone`` a manifest
     snapshot into a new index over the same files, ``merge-back`` a
     branch's change feed onto its source, ``family`` lists the indexes
-    sharing the data directory (what branch-aware vacuum needs)."""
+    sharing the data directory (what branch-aware vacuum needs),
+    ``health`` reports per-branch divergence + merge-back conflict
+    keys (feed-derived, change-bounded)."""
     from columnar_analytics_engine_spark.branch import (
         clone_table,
+        family_health,
         family_indexes,
         merge_back,
     )
@@ -395,6 +413,13 @@ def cmd_branch(args: argparse.Namespace) -> None:
         print(json.dumps(family_indexes(args.index)))
         return
     spark = get_spark(app_name="cae-branch")
+    if args.action == "health":
+        if not (args.data and args.key):
+            sys.exit("error: branch health needs --data and --key")
+        print(json.dumps(
+            family_health(spark, args.data, args.index, args.key)
+        ))
+        return
     if args.action == "clone":
         v = clone_table(spark, args.index, args.dest, as_of=args.as_of)
         print(json.dumps({"branch": args.dest, "version": v}))
@@ -655,6 +680,17 @@ def main(argv: list[str] | None = None) -> None:
         help="stats-skipping index path: prune the file manifest with "
         "the --where clauses before scanning",
     )
+    q.add_argument(
+        "--as-of", type=int, default=None, dest="as_of",
+        help="VERSION AS OF: plan from this retained manifest version "
+        "(requires --index)",
+    )
+    q.add_argument(
+        "--as-of-ts", type=float, default=None, dest="as_of_ts",
+        help="TIMESTAMP AS OF (epoch seconds): plan from the version "
+        "published at or before this instant (requires --index; "
+        "resolved through the publish journal — see `history`)",
+    )
     q.set_defaults(fn=cmd_query)
 
     ix = sub.add_parser(
@@ -769,11 +805,17 @@ def main(argv: list[str] | None = None) -> None:
         "branch",
         help="zero-copy branching: clone / merge-back / family",
     )
-    br.add_argument("action", choices=["clone", "merge-back", "family"])
+    br.add_argument(
+        "action", choices=["clone", "merge-back", "family", "health"]
+    )
     br.add_argument("index", help="source stats index location")
     br.add_argument("dest", nargs="?", help="branch index location")
-    br.add_argument("--data", help="shared parquet dataset (merge-back)")
-    br.add_argument("--key", help="snapshot-unique merge key (merge-back)")
+    br.add_argument(
+        "--data", help="shared parquet dataset (merge-back / health)"
+    )
+    br.add_argument(
+        "--key", help="snapshot-unique merge key (merge-back / health)"
+    )
     br.add_argument("--as-of", type=int, default=None, dest="as_of")
     br.add_argument("--force", action="store_true",
                     help="merge-back even if the source advanced "

@@ -237,6 +237,7 @@ def read_evolved(
     as_of: int | None = None,
     files: list[str] | None = None,
     dv_path: str | None = None,
+    dv_commit_ids: list[str] | None = None,
 ) -> DataFrame:
     """The table under its CURRENT logical schema: manifest-listed
     files (optionally restricted to ``files`` — the maintenance-rewrite
@@ -250,12 +251,23 @@ def read_evolved(
     ``dv_path`` subtracts deletion vectors INSIDE each cohort scan
     (before the reconciling projection, while ``_metadata`` is still
     addressable) — the composition ``deletes.read_with_deletes`` uses
-    for evolved tables."""
-    from columnar_analytics_engine_spark.deletes import _dv, _strip_scheme
+    for evolved tables.  ``dv_commit_ids`` restricts the subtraction
+    to legacy tombstones plus those commits (the versioned-delete
+    snapshot contract, ``deletes.applied_commit_ids``); ``None``
+    subtracts everything."""
+    from columnar_analytics_engine_spark.deletes import (
+        _dv,
+        _strip_scheme,
+        filter_dv_commits,
+    )
     from columnar_analytics_engine_spark.manifest import read_manifest
     from columnar_analytics_engine_spark.skipping import read_indexed
 
-    dv = _dv(spark, dv_path) if dv_path is not None else None
+    dv = (
+        filter_dv_commits(_dv(spark, dv_path), dv_commit_ids)
+        if dv_path is not None
+        else None
+    )
 
     def minus_dv(df: DataFrame) -> DataFrame:
         if dv is None:

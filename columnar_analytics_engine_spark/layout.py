@@ -716,7 +716,20 @@ def vacuum_unindexed(
         keep = referenced_files(spark, index_path, retained or None)
         keep |= _branch_keep()
         would = [f for f in list_parquet_files(data_path) if f not in keep]
-        would += sorted(glob.glob(data_path.rstrip("/") + ".rewrite-*"))
+        # staging siblings: same others-and-age grace filter as the
+        # real run below, so preview and reality cannot disagree
+        import time as _time
+
+        from columnar_analytics_engine_spark.manifest import ORPHAN_GRACE_SEC
+
+        now = _time.time()
+        for d in sorted(glob.glob(data_path.rstrip("/") + ".rewrite-*")):
+            try:
+                if others and now - os.stat(d).st_mtime < ORPHAN_GRACE_SEC:
+                    continue  # possibly a live branch's in-flight rewrite
+            except FileNotFoundError:
+                continue
+            would.append(d)
         return would
     expire_versions(index_path, keep_versions, protect=protect_versions)
     keep = referenced_files(spark, index_path) | _branch_keep()
@@ -739,6 +752,56 @@ def vacuum_unindexed(
         shutil.rmtree(d, ignore_errors=True)
         stranded.append(d)
     return stranded
+
+
+def vacuum_expired_references(
+    spark: SparkSession,
+    index_path: str,
+    keep_versions: int = 1,
+    protect_versions: tuple[int, ...] = (),
+) -> list[str]:
+    """The NARROW retention step for an automated (per-batch) cadence:
+    expire manifest versions beyond the window and delete ONLY the data
+    files those just-expired versions referenced and no surviving
+    version still does — i.e. compaction-dropped originals leaving the
+    retention window.  Returns the deleted paths.
+
+    Unlike :func:`vacuum_unindexed` (disk-minus-referenced — the full
+    sweep an OPERATOR runs), this never touches a file the index has
+    never referenced: a parquet file appended to the data directory by
+    another writer (a backfill, a second pipeline) between index
+    updates is left alone for ``update_stats_index``'s documented
+    new-file adoption instead of being destroyed.  The coupled
+    expire+reclaim still prevents the re-adoption hazard the streaming
+    sink documents: a dropped original is deleted at exactly the
+    moment the last manifest version naming it expires, so it can
+    never be re-adopted as a "new" file and double-count."""
+    import os
+
+    from columnar_analytics_engine_spark.manifest import (
+        expire_versions,
+        list_versions,
+        referenced_files,
+        surviving_versions,
+    )
+
+    survivors = surviving_versions(
+        index_path, keep_versions, protect=protect_versions
+    )
+    expiring = [v for v in list_versions(index_path) if v not in survivors]
+    if not expiring:
+        return []
+    doomed_refs = referenced_files(spark, index_path, expiring)
+    expire_versions(index_path, keep_versions, protect=protect_versions)
+    keep = referenced_files(spark, index_path)
+    removed = []
+    for f in sorted(doomed_refs - keep):
+        try:
+            os.remove(f)
+        except FileNotFoundError:
+            continue
+        removed.append(f)
+    return removed
 
 
 def compact_small_files(

@@ -142,7 +142,28 @@ def _publish_pointer(index_path: str, version: int) -> None:
     pointer flip runs under the publish lock, so appends are
     serialized).  The journal is what timestamp time travel
     (:func:`version_at`) resolves against — bytes per publish, never
-    pruned (a year of hourly maintenance is ~200 KB)."""
+    pruned (a year of hourly maintenance is ~200 KB).
+
+    Two repairs run first, both under the same lock the caller holds:
+
+    * Journal backfill: a crash between a prior flip and its journal
+      append leaves the published version un-journaled (``version_at``
+      would resolve past it to its predecessor forever).  If the
+      currently published version is missing from the journal, a
+      best-effort entry stamped "now" is appended — timestamps between
+      the crash and this repair still resolve to the predecessor, but
+      the gap heals on the next publish instead of lasting forever.
+    * DV-commit inheritance: if the version being published has no
+      ``_DV_COMMITS`` sidecar of its own (every publish except a
+      delete commit), it inherits the outgoing version's — so
+      committed deletion-vector state carries forward through
+      maintenance rewrites instead of silently resurrecting rows."""
+    prev = current_version(index_path)
+    if prev is not None:
+        if all(v != prev for v, _ in publish_log(index_path)):
+            with open(os.path.join(index_path, _HISTORY), "a") as fh:
+                fh.write(f"{prev} {time.time():.6f}\n")
+        _inherit_dv_commits(index_path, prev, version)
     tmp = os.path.join(index_path, f"{_CURRENT}.tmp-{uuid.uuid4().hex[:8]}")
     with open(tmp, "w") as fh:
         fh.write(f"{version}\n")
@@ -196,6 +217,72 @@ def version_at(index_path: str, ts: float) -> int:
     return best
 
 
+# ---------------------------------------------------------------------------
+# Deletion-vector commit sidecar: which DV commits are part of each
+# manifest version's snapshot.  A versioned delete (``deletes.delete_
+# where``/``delete_keys`` on a maintained table) appends tombstones
+# tagged with a fresh commit id, stages a manifest version whose
+# ``_DV_COMMITS`` sidecar adds that id, and publishes — so the feed and
+# every ``as_of`` read can apply EXACTLY the tombstones committed as of
+# a version.  A version with no sidecar inherits the outgoing one at
+# flip time (see ``_publish_pointer``); a table whose versions have no
+# sidecar at all keeps the legacy contract (all tombstones apply).
+# ---------------------------------------------------------------------------
+
+_DV_COMMITS = "_DV_COMMITS"
+
+
+def dv_commits(index_path: str, version: int | None = None) -> dict | None:
+    """The DV-commit sidecar of ``version`` (default: the published
+    one): ``{"commits": [id, ...], "dv_path": abspath}`` — or ``None``
+    when the version has no sidecar (a table that never did a
+    versioned delete: every tombstone applies, the legacy contract)."""
+    import json
+
+    if version is None:
+        version = current_version(index_path)
+        if version is None:
+            return None
+    try:
+        with open(os.path.join(_ver_dir(index_path, version), _DV_COMMITS)) as fh:
+            return json.load(fh)
+    except (FileNotFoundError, ValueError):
+        return None
+
+
+def write_dv_commits(
+    index_path: str, version: int, commits: list[str], dv_path: str
+) -> None:
+    """Write a STAGED version's DV-commit sidecar (before its publish
+    — the sidecar must be in place when the pointer flips so readers
+    resolving the new version see it atomically)."""
+    import json
+
+    d = _ver_dir(index_path, version)
+    tmp = os.path.join(d, f"{_DV_COMMITS}.tmp-{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as fh:
+        json.dump(
+            {"commits": commits, "dv_path": os.path.abspath(dv_path)}, fh
+        )
+    os.replace(tmp, os.path.join(d, _DV_COMMITS))
+
+
+def _inherit_dv_commits(index_path: str, prev: int, version: int) -> None:
+    """Copy the outgoing version's DV-commit sidecar onto a new version
+    that lacks its own (runs under the publish lock, just before the
+    flip)."""
+    src = os.path.join(_ver_dir(index_path, prev), _DV_COMMITS)
+    dst_dir = _ver_dir(index_path, version)
+    dst = os.path.join(dst_dir, _DV_COMMITS)
+    if os.path.exists(dst) or not os.path.exists(src):
+        return
+    if not os.path.isdir(dst_dir):
+        return  # republish of an expired dir — nothing to inherit onto
+    tmp = os.path.join(dst_dir, f"{_DV_COMMITS}.tmp-{uuid.uuid4().hex[:8]}")
+    shutil.copyfile(src, tmp)
+    os.replace(tmp, dst)
+
+
 @contextlib.contextmanager
 def mkdir_lock(
     lock_dir: str, stale_sec: float = 30.0, timeout_sec: float = 60.0
@@ -206,22 +293,40 @@ def mkdir_lock(
     that must serialize: the manifest pointer flip and the transaction
     catalog's read-merge-write.  The section is held for microseconds
     (a small read + a rename), so contention resolves by a short spin.
-    A lock dir older than ``stale_sec`` can only be a crashed holder
-    (no live holder keeps it for 30 s) and is broken by the next
-    acquirer."""
+    A lock dir older than ``stale_sec`` is presumed a crashed holder
+    (no live holder keeps a microsecond section for 30 s).
+
+    Stale-break protocol (two invariants the naive rmdir-break lacks):
+
+    * Exactly ONE breaker wins: the break is an atomic
+      ``os.rename(lock_dir → lock_dir.broken-<uuid>)`` — a racing
+      breaker's rename fails, so two breakers can never both "clear
+      the way" around a third acquirer's fresh mkdir (the rmdir
+      version let breaker B delete the lock breaker A had just
+      re-acquired).
+    * Only the OWNER releases: each holder drops a unique token file
+      inside its lock dir and the release removes the token before
+      the rmdir.  A stalled holder whose lock was stolen finds its
+      token gone (it left with the renamed dir) and releases nothing,
+      instead of rmdir-ing the NEW holder's lock."""
     os.makedirs(os.path.dirname(lock_dir) or ".", exist_ok=True)
     deadline = time.monotonic() + timeout_sec
+    token = os.path.join(lock_dir, f"owner-{uuid.uuid4().hex}")
     while True:
         try:
             os.mkdir(lock_dir)
+            with open(token, "w") as fh:
+                fh.write(f"{os.getpid()}\n")
             break
         except FileExistsError:
             try:
                 if time.time() - os.stat(lock_dir).st_mtime > stale_sec:
-                    # crashed holder: break the lock (rmdir is atomic;
-                    # a racing breaker loses with FileNotFoundError)
+                    # crashed holder: steal with an atomic rename —
+                    # only one breaker's rename succeeds
+                    broken = f"{lock_dir}.broken-{uuid.uuid4().hex[:8]}"
                     with contextlib.suppress(OSError):
-                        os.rmdir(lock_dir)
+                        os.rename(lock_dir, broken)
+                        shutil.rmtree(broken, ignore_errors=True)
             except FileNotFoundError:
                 pass  # holder released between mkdir and stat — retry
             if time.monotonic() > deadline:
@@ -233,7 +338,11 @@ def mkdir_lock(
     try:
         yield
     finally:
+        # remove-token-then-rmdir: if the token is gone the lock was
+        # stolen (or the dir now belongs to a new holder whose token
+        # is present, failing the rmdir) — release nothing
         with contextlib.suppress(OSError):
+            os.remove(token)
             os.rmdir(lock_dir)
 
 
@@ -324,23 +433,36 @@ def write_manifest(
 
 
 def publish_version(
-    index_path: str, version: int, monotonic: bool = False
+    index_path: str,
+    version: int,
+    monotonic: bool = False,
+    expected_current: int | None = None,
 ) -> bool:
     """Publish a previously staged version (validates it exists).
     With ``monotonic=True`` the flip only happens when it moves the
     pointer FORWARD — the convergence roll a transaction commit does —
     and the read-compare-flip runs under the publish lock so two
     concurrent commits cannot interleave their flips into a backwards
-    move.  Returns whether the pointer moved."""
+    move.  ``expected_current`` adds the same optimistic-concurrency
+    check as ``write_manifest``: the flip raises
+    :class:`ConcurrentWriteError` when another writer published after
+    the caller read its base snapshot (used by the staged delete-commit
+    protocol, whose sidecar must be written between stage and flip).
+    Returns whether the pointer moved."""
     if not os.path.isdir(_ver_dir(index_path, version)):
         raise FileNotFoundError(
             f"cannot publish: version {version} not staged at {index_path}"
         )
     with publish_lock(index_path):
-        if monotonic:
-            cur = current_version(index_path)
-            if cur is not None and cur >= version:
-                return False
+        cur = current_version(index_path)
+        if expected_current is not None and cur is not None and cur != expected_current:
+            raise ConcurrentWriteError(
+                f"manifest at {index_path} moved from version "
+                f"{expected_current} to {cur} while version {version} was "
+                "being staged (left unpublished); re-read and retry"
+            )
+        if monotonic and cur is not None and cur >= version:
+            return False
         _publish_pointer(index_path, version)
     return True
 

@@ -1397,6 +1397,369 @@ def layout_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def manifest_cdf_dv_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DV deletes surface in the change feed AT COMMIT TIME (VERDICT
+    r13 item 2): write ``orders`` key-clustered (v1), tombstone keys in
+    (300, 400] as a VERSIONED delete commit (``deletes.delete_keys``
+    with ``index_path`` — publishes v2 with a ``_DV_COMMITS`` sidecar,
+    NO physical fold), then physically fold (v3).  Three oracle-checked
+    rows: the v1→v2 feed must be exactly the deleted rows (the commit,
+    not the fold, is the change), the v2→v3 feed must be EMPTY (the
+    fold rewrites already-deleted bytes — feed-silent), and the
+    merge-on-read state must agree with the feed at every step.  This
+    closes the r13 documented gap where table state and feed state
+    disagreed between DV-write and fold — Delta CDF's
+    delete-at-commit contract."""
+    import hashlib
+    import os
+    import tempfile
+
+    from columnar_analytics_engine_spark.cdf import read_changes
+    from columnar_analytics_engine_spark.deletes import (
+        compact_deletes,
+        delete_keys,
+        read_with_deletes,
+    )
+    from columnar_analytics_engine_spark.io import write_sorted
+    from columnar_analytics_engine_spark.manifest import current_version
+    from columnar_analytics_engine_spark.skipping import build_stats_index
+
+    src = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    tag = hashlib.md5(f"{sf_dir}:{os.getpid()}".encode()).hexdigest()[:12]
+    data = f"{tempfile.gettempdir()}/cae_dvc_data_{tag}"
+    index = f"{tempfile.gettempdir()}/cae_dvc_idx_{tag}"
+    dv = f"{tempfile.gettempdir()}/cae_dvc_dv_{tag}"
+    import shutil
+
+    if os.path.isdir(dv):
+        shutil.rmtree(dv)  # re-run idempotence: fresh DV per run
+    write_sorted(src, data, ["o_orderkey"], n_files=8)
+    build_stats_index(spark, data, index)
+    v1 = current_version(index)
+    losers = src.filter(
+        (F.col("o_orderkey") > 300) & (F.col("o_orderkey") <= 400)
+    ).select("o_orderkey")
+    delete_keys(spark, data, dv, losers, "o_orderkey", index_path=index)
+    v2 = current_version(index)
+    compact_deletes(spark, data, dv, index)
+    v3 = current_version(index)
+
+    # report-shaped (like branch_family_health): each step is a 1-row
+    # aggregate over a DIFFERENT logical snapshot/interval — collecting
+    # the three rows driver-side avoids unioning three near-identical
+    # DV-anti-join subtrees into one recompute-heavy plan (the
+    # duplicate-subtree lint class); each collected plan is itself
+    # change-bounded
+    def one(df: DataFrame) -> tuple:
+        r = df.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum("o_orderkey"), F.lit(0)).alias("s"),
+        ).first()
+        return int(r["n"]), int(r["s"])
+
+    n_commit, s_commit = one(read_changes(spark, data, index, v1, v2))
+    n_fold, s_fold = one(read_changes(spark, data, index, v2, v3))
+    n_state, s_state = one(
+        read_with_deletes(spark, data, dv, index_path=index)
+    )
+    return spark.createDataFrame(
+        [
+            ("commit", n_commit, s_commit),
+            ("fold", n_fold, s_fold),
+            ("state", n_state, s_state),
+        ],
+        "step string, n_rows long, sum_key long",
+    ).orderBy("step")
+
+
+_CDF_DV_SQL = """
+    SELECT 'commit' AS step, COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+    FROM orders WHERE o_orderkey > 300 AND o_orderkey <= 400
+    UNION ALL
+    SELECT 'fold', CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    UNION ALL
+    SELECT 'state', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT)
+    FROM orders WHERE NOT (o_orderkey > 300 AND o_orderkey <= 400)
+    ORDER BY step
+"""
+
+
+def layout_branch_merge_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjoint-key THREE-WAY merge-back (VERDICT r13 item 3): after
+    the clone, the SOURCE merges +1000 into keys ≤ 200 while the
+    BRANCH merges +500 into keys in (600, 900] — the source has
+    advanced past the clone point, but both sides' keyed change feeds
+    touch DISJOINT keys, so ``merge_back`` proceeds WITHOUT ``force``
+    and the merged source carries BOTH changes (nothing lost on either
+    side).  A second branch that changed keys ≤ 50 — overlapping the
+    source's movement — must be REFUSED with the conflicting keys
+    named.  The oracle replays the merged final state; the refusal is
+    surfaced as an oracle-checked flag column."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from columnar_analytics_engine_spark.branch import clone_table, merge_back
+    from columnar_analytics_engine_spark.io import write_sorted
+    from columnar_analytics_engine_spark.layout import merge_upsert_files
+    from columnar_analytics_engine_spark.manifest import ConcurrentWriteError
+    from columnar_analytics_engine_spark.skipping import (
+        build_stats_index,
+        read_indexed,
+    )
+
+    src = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    tag = hashlib.md5(f"{sf_dir}:{os.getpid()}".encode()).hexdigest()[:12]
+    data = f"{tempfile.gettempdir()}/cae_3w_data_{tag}"
+    index = f"{tempfile.gettempdir()}/cae_3w_idx_{tag}"
+    b_ok = f"{tempfile.gettempdir()}/cae_3w_bok_{tag}"
+    b_clash = f"{tempfile.gettempdir()}/cae_3w_bclash_{tag}"
+    write_sorted(src, data, ["o_orderkey"], n_files=8)
+    build_stats_index(spark, data, index)
+    for b in (b_ok, b_clash):
+        if os.path.isdir(b):
+            shutil.rmtree(b)  # re-run idempotence
+    clone_table(spark, index, b_ok)
+    clone_table(spark, index, b_clash)
+    # source advances past the clone point: +1000 on keys <= 200
+    upd_src = src.filter(F.col("o_orderkey") <= 200).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(1000.0)
+    )
+    merge_upsert_files(spark, data, index, upd_src, "o_orderkey")
+    # branch work on a DISJOINT key range: +500 on keys in (600, 900]
+    upd_br = src.filter(
+        (F.col("o_orderkey") > 600) & (F.col("o_orderkey") <= 900)
+    ).withColumn("o_totalprice", F.col("o_totalprice") + F.lit(500.0))
+    merge_upsert_files(spark, data, b_ok, upd_br, "o_orderkey")
+    merge_back(spark, data, index, b_ok, "o_orderkey")  # no force needed
+    # conflicting branch: keys <= 50 overlap the source's movement
+    upd_clash = src.filter(F.col("o_orderkey") <= 50).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(7.0)
+    )
+    merge_upsert_files(spark, data, b_clash, upd_clash, "o_orderkey")
+    try:
+        merge_back(spark, data, index, b_clash, "o_orderkey")
+        blocked = 0
+    except ConcurrentWriteError:
+        blocked = 1
+    return read_indexed(spark, data, index).agg(
+        F.count("*").alias("n_rows"),
+        F.sum("o_orderkey").alias("sum_key"),
+        exact_sum("o_totalprice", "sum_price"),
+    ).withColumn("conflict_blocked", F.lit(blocked).cast("int"))
+
+
+_MERGE_3WAY_SQL = f"""
+    WITH final AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey <= 200 THEN o_totalprice + 1000
+                  WHEN o_orderkey > 600 AND o_orderkey <= 900
+                       THEN o_totalprice + 500
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           {sql_exact_sum('o_totalprice', 'sum_price')},
+           CAST(1 AS INTEGER) AS conflict_blocked
+    FROM final
+"""
+
+
+def layout_time_travel_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMESTAMP AS OF (VERDICT r13 item 4): capture a wall-clock
+    instant between two publishes, then read the table AT that instant
+    — ``read_indexed(as_of_ts=...)`` resolves it through the publish
+    journal (``manifest.version_at``) to the version published at or
+    before it, which must aggregate exactly as the PRE-merge snapshot;
+    the current read sees the merge.  Delta's TIMESTAMP AS OF on plain
+    Parquet, threaded through the read surface (``read_indexed``,
+    ``read_skipping``, ``read_with_deletes``, CLI ``query
+    --as-of-ts``)."""
+    import hashlib
+    import os
+    import tempfile
+    import time
+
+    from columnar_analytics_engine_spark.io import write_sorted
+    from columnar_analytics_engine_spark.layout import merge_upsert_files
+    from columnar_analytics_engine_spark.skipping import (
+        build_stats_index,
+        read_indexed,
+    )
+
+    src = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    tag = hashlib.md5(f"{sf_dir}:{os.getpid()}".encode()).hexdigest()[:12]
+    data = f"{tempfile.gettempdir()}/cae_tts_data_{tag}"
+    index = f"{tempfile.gettempdir()}/cae_tts_idx_{tag}"
+    write_sorted(src, data, ["o_orderkey"], n_files=8)
+    build_stats_index(spark, data, index)
+    time.sleep(0.05)
+    t_mid = time.time()  # strictly after v1's publish instant
+    time.sleep(0.05)
+    updates = src.filter(F.col("o_orderkey") <= 300).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(1000.0)
+    )
+    inserts = updates.filter(F.col("o_orderkey") <= 100).select(
+        (F.col("o_orderkey") + 20_000_000).alias("o_orderkey"),
+        "o_custkey",
+        "o_totalprice",
+    )
+    merge_upsert_files(
+        spark, data, index, updates.unionByName(inserts), "o_orderkey"
+    )
+
+    def snap(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.count("*").alias("n_rows"),
+            F.sum("o_orderkey").alias("sum_orderkey"),
+            exact_sum("o_totalprice", "sum_price"),
+        ).select(F.lit(name).alias("snapshot"), "*")
+
+    return (
+        snap(read_indexed(spark, data, index, as_of_ts=t_mid), "at_ts")
+        .unionByName(snap(read_indexed(spark, data, index), "now"))
+        .orderBy("snapshot")
+    )
+
+
+_TIME_TRAVEL_TS_SQL = f"""
+    WITH upd AS (
+      SELECT o_orderkey, o_custkey, o_totalprice + 1000 AS o_totalprice
+      FROM orders WHERE o_orderkey <= 300
+    ),
+    merged AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey > 300
+      UNION ALL
+      SELECT o_orderkey, o_totalprice FROM upd
+      UNION ALL
+      SELECT o_orderkey + 20000000, o_totalprice
+      FROM upd WHERE o_orderkey <= 100
+    )
+    SELECT 'at_ts' AS snapshot, COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_orderkey,
+           {sql_exact_sum('o_totalprice', 'sum_price')}
+    FROM orders
+    UNION ALL
+    SELECT 'now', COUNT(*),
+           CAST(SUM(o_orderkey) AS BIGINT),
+           {sql_exact_sum('o_totalprice', 'sum_price')}
+    FROM merged
+    ORDER BY snapshot
+"""
+
+
+def branch_family_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Branch-family GOVERNANCE report (VERDICT r13 item 6): two
+    branches diverge from one source — one touches a disjoint key
+    range, one overlaps the source's own movement — and
+    ``branch.family_health`` reports, per branch, the feed-derived
+    divergence (insert/update/delete key counts), how far the source
+    moved since each clone, and the key-level CONFLICT count a
+    merge-back would face.  Every number is change-bounded (derived
+    from keyed change feeds, never a table scan) and replayed
+    relationally by the oracle."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from columnar_analytics_engine_spark.branch import (
+        clone_table,
+        family_health,
+    )
+    from columnar_analytics_engine_spark.deletes import delete_keys
+    from columnar_analytics_engine_spark.io import write_sorted
+    from columnar_analytics_engine_spark.layout import merge_upsert_files
+    from columnar_analytics_engine_spark.skipping import build_stats_index
+
+    src = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    tag = hashlib.md5(f"{sf_dir}:{os.getpid()}".encode()).hexdigest()[:12]
+    data = f"{tempfile.gettempdir()}/cae_fh_data_{tag}"
+    index = f"{tempfile.gettempdir()}/cae_fh_idx_{tag}"
+    b1 = f"{tempfile.gettempdir()}/cae_fh_b1_{tag}"
+    b2 = f"{tempfile.gettempdir()}/cae_fh_b2_{tag}"
+    dv = f"{tempfile.gettempdir()}/cae_fh_dv_{tag}"
+    write_sorted(src, data, ["o_orderkey"], n_files=8)
+    if os.path.exists(os.path.join(index, "_BRANCHES")):
+        os.remove(os.path.join(index, "_BRANCHES"))  # re-run idempotence
+    build_stats_index(spark, data, index)
+    for b in (b1, b2, dv):
+        if os.path.isdir(b):
+            shutil.rmtree(b)
+    clone_table(spark, index, b1)
+    clone_table(spark, index, b2)
+    # source moves: +1000 on keys <= 200
+    upd_src = src.filter(F.col("o_orderkey") <= 200).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(1000.0)
+    )
+    merge_upsert_files(spark, data, index, upd_src, "o_orderkey")
+    # b1: updates on a DISJOINT range (600, 900] plus a versioned DV
+    # delete of keys in (100, 120] — which DOES overlap the source
+    upd_b1 = src.filter(
+        (F.col("o_orderkey") > 600) & (F.col("o_orderkey") <= 900)
+    ).withColumn("o_totalprice", F.col("o_totalprice") + F.lit(500.0))
+    merge_upsert_files(spark, data, b1, upd_b1, "o_orderkey")
+    losers = src.filter(
+        (F.col("o_orderkey") > 100) & (F.col("o_orderkey") <= 120)
+    ).select("o_orderkey")
+    delete_keys(spark, data, dv, losers, "o_orderkey", index_path=b1)
+    # b2: fully disjoint inserts (shifted keys)
+    ins_b2 = src.filter(F.col("o_orderkey") <= 40).select(
+        (F.col("o_orderkey") + 40_000_000).alias("o_orderkey"),
+        "o_custkey",
+        "o_totalprice",
+    )
+    merge_upsert_files(spark, data, b2, ins_b2, "o_orderkey")
+    rows = family_health(spark, data, index, "o_orderkey")
+    out = spark.createDataFrame(
+        [
+            (
+                "b1" if r["branch_index"].endswith(f"cae_fh_b1_{tag}") else "b2",
+                r["inserts"], r["updates"], r["deletes"],
+                r["src_changed_keys"], r["conflict_keys"],
+            )
+            for r in rows
+        ],
+        "branch string, inserts long, updates long, deletes long, "
+        "src_changed_keys long, conflict_keys long",
+    )
+    return out.orderBy("branch")
+
+
+_FAMILY_HEALTH_SQL = """
+    WITH keys AS (SELECT DISTINCT o_orderkey FROM orders)
+    SELECT 'b1' AS branch,
+           CAST(0 AS BIGINT) AS inserts,
+           (SELECT COUNT(*) FROM keys
+             WHERE o_orderkey > 600 AND o_orderkey <= 900) AS updates,
+           (SELECT COUNT(*) FROM keys
+             WHERE o_orderkey > 100 AND o_orderkey <= 120) AS deletes,
+           (SELECT COUNT(*) FROM keys WHERE o_orderkey <= 200)
+             AS src_changed_keys,
+           (SELECT COUNT(*) FROM keys
+             WHERE o_orderkey > 100 AND o_orderkey <= 120)
+             AS conflict_keys
+    UNION ALL
+    SELECT 'b2',
+           (SELECT COUNT(*) FROM keys WHERE o_orderkey <= 40),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+           (SELECT COUNT(*) FROM keys WHERE o_orderkey <= 200),
+           CAST(0 AS BIGINT)
+    ORDER BY branch
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "layout_compact_small_files": QuerySpec(
         layout_compact_small_files,
@@ -1469,6 +1832,38 @@ QUERIES: dict[str, QuerySpec] = {
         "zero-copy manifest clone, divergent merges on shared storage, "
         "branch-aware vacuum (oracle replays both branch states)",
         ("scale", "maintenance", "index", "branch"),
+    ),
+    "manifest_cdf_dv_deletes": QuerySpec(
+        manifest_cdf_dv_deletes,
+        _CDF_DV_SQL,
+        "versioned DV delete commit: the feed shows the deletes at "
+        "COMMIT time, the physical fold is feed-silent, table state "
+        "and feed agree at every version (oracle replays all 3 steps)",
+        ("scale", "maintenance", "index", "cdf", "deletes"),
+    ),
+    "layout_branch_merge_3way": QuerySpec(
+        layout_branch_merge_3way,
+        _MERGE_3WAY_SQL,
+        "disjoint-key three-way merge-back: both sides advanced, "
+        "disjoint keys merge without force, overlapping keys refused "
+        "with the conflict set (oracle replays the merged state)",
+        ("scale", "maintenance", "index", "branch", "cdf"),
+    ),
+    "layout_time_travel_ts": QuerySpec(
+        layout_time_travel_ts,
+        _TIME_TRAVEL_TS_SQL,
+        "TIMESTAMP AS OF via the publish journal: a wall-clock instant "
+        "between two publishes reads the pre-merge snapshot (oracle "
+        "replays both states)",
+        ("scale", "maintenance", "index", "time-travel"),
+    ),
+    "branch_family_health": QuerySpec(
+        branch_family_health,
+        _FAMILY_HEALTH_SQL,
+        "branch-family governance: per-branch feed-derived divergence, "
+        "source movement, and merge-back conflict keys (oracle replays "
+        "the key-range arithmetic)",
+        ("scale", "maintenance", "index", "branch", "cdf", "governance"),
     ),
     "manifest_cdf_agg": QuerySpec(
         manifest_cdf_agg,

@@ -541,12 +541,16 @@ def read_skipping(
     predicate: str,
     bloom_path: str | None = None,
     as_of: int | None = None,
+    as_of_ts: float | None = None,
 ) -> DataFrame:
     """Read ``data_path`` under ``predicate`` touching only files the
     stats index cannot exclude.  The exact predicate is re-applied on
     the pruned scan (and pushes down into it), so the result is
     IDENTICAL to filtering the full dataset — the index only removes
-    file opens and tasks."""
+    file opens and tasks.  ``as_of``/``as_of_ts`` time-travel the plan
+    to a retained manifest version (``as_of_ts`` is epoch seconds,
+    resolved through the publish journal — ``manifest.version_at``)."""
+    as_of = _resolve_as_of(index_path, as_of, as_of_ts)
     plan = plan_skipping(
         spark, index_path, predicate, bloom_path=bloom_path, as_of=as_of
     )
@@ -580,19 +584,37 @@ def read_skipping(
     return df.where(cond) if cond is not None else df
 
 
+def _resolve_as_of(
+    index_path: str, as_of: int | None, as_of_ts: float | None
+) -> int | None:
+    """Resolve the one-of (version, timestamp) time-travel argument
+    pair to a version number (Delta's VERSION/TIMESTAMP AS OF)."""
+    if as_of_ts is None:
+        return as_of
+    if as_of is not None:
+        raise ValueError("pass as_of or as_of_ts, not both")
+    from columnar_analytics_engine_spark.manifest import version_at
+
+    return version_at(index_path, as_of_ts)
+
+
 def read_indexed(
     spark: SparkSession, data_path: str, index_path: str,
     as_of: int | None = None,
+    as_of_ts: float | None = None,
 ) -> DataFrame:
     """Read exactly the files the stats-index manifest lists — no
     predicate pruning, just the manifest's view of the table.  This is
     the safe read for a table under maintenance: directory listing can
     see stranded/pre-vacuum files, the manifest cannot.  ``as_of=N``
     time-travels: maintenance keeps dropped files on disk until vacuum,
-    so the version-N snapshot reads exactly as it was published.
+    so the version-N snapshot reads exactly as it was published;
+    ``as_of_ts=<epoch seconds>`` is TIMESTAMP AS OF, resolved through
+    the publish journal (``manifest.version_at``).
     Schema-EVOLVED tables route through ``evolution.read_evolved`` —
     a flat multi-file read would sample one cohort's physical schema
     and silently drop/null the others' columns."""
+    as_of = _resolve_as_of(index_path, as_of, as_of_ts)
     from columnar_analytics_engine_spark.evolution import read_schema_spec
     from columnar_analytics_engine_spark.manifest import read_manifest
 

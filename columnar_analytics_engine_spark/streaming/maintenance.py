@@ -148,14 +148,21 @@ def stats_indexed_sink(
 
     The stats index is a VERSIONED manifest (manifest.py): each
     micro-batch's update publishes a new version atomically.  After
-    each update the sink runs ``layout.vacuum_unindexed(keep_versions=
-    manifest_keep_versions)`` — expiring manifest versions beyond the
-    window AND deleting the data files only those versions referenced
-    (compaction-dropped originals), as one coupled step.  Expiring
-    without reclaiming would leave those originals on disk
-    unreferenced, and the next index update's new-file detection would
-    re-adopt them — duplicate rows on every read.  The window still
-    covers readers that planned several batches ago.
+    each update the sink runs ``layout.vacuum_expired_references(
+    keep_versions=manifest_keep_versions)`` — expiring manifest
+    versions beyond the window AND deleting the data files ONLY those
+    just-expired versions referenced (compaction-dropped originals),
+    as one coupled step.  Expiring without reclaiming would leave
+    those originals on disk unreferenced, and the next index update's
+    new-file detection would re-adopt them — duplicate rows on every
+    read.  The window still covers readers that planned several
+    batches ago.  The reclaim is deliberately NARROWER than
+    ``vacuum_unindexed``'s disk-minus-referenced sweep: a file another
+    writer appends to the data directory between index updates (a
+    backfill, a second pipeline) is never referenced by any version,
+    so the full sweep would destroy it before ``update_stats_index``
+    could adopt it — the narrow form preserves the adoption path; run
+    the full sweep on an operator's schedule when strays accumulate.
 
     ``compact_small_every=N`` folds small-file maintenance INTO the
     sink: every N-th batch, ``layout.compact_small_files`` bin-packs
@@ -211,13 +218,16 @@ def stats_indexed_sink(
         # on disk unreferenced — once the last retained version naming
         # them expired, update_stats_index's new-file detection
         # (disk - indexed - referenced) would RE-ADOPT them and every
-        # read would return their rows twice.  vacuum_unindexed deletes
-        # them at exactly the moment they leave the retention window.
-        from columnar_analytics_engine_spark.layout import vacuum_unindexed
+        # read would return their rows twice.  The NARROW reclaim
+        # (just-expired references only) deletes them at exactly the
+        # moment they leave the retention window while leaving
+        # never-indexed external appends alone for adoption.
+        from columnar_analytics_engine_spark.layout import (
+            vacuum_expired_references,
+        )
 
-        vacuum_unindexed(
-            spark, data_path, index_path,
-            keep_versions=manifest_keep_versions,
+        vacuum_expired_references(
+            spark, index_path, keep_versions=manifest_keep_versions,
         )
         if bloom_path is not None and bloom_cols:
             if os.path.exists(bloom_path):

@@ -218,3 +218,97 @@ def test_merge_back_fast_forward_check(spark, table, tmp_path):
     assert clone_origin(index) is None
     with pytest.raises(ValueError, match="not a branch"):
         merge_back(spark, data, branch, index, "o_orderkey")
+
+
+def test_merge_back_three_way_disjoint_succeeds(spark, table, tmp_path):
+    """Round 14: when the source advanced but both sides changed
+    DISJOINT key sets, merge_back proceeds WITHOUT force and the
+    merged source carries both sides' changes."""
+    from columnar_analytics_engine_spark.branch import merge_back
+
+    data, index, src = table
+    branch = str(tmp_path / "branch_idx")
+    clone_table(spark, index, branch)
+    upd_src = src.filter(F.col("o_orderkey") <= 50).withColumn(
+        "o_totalprice", F.lit(1.0)
+    )
+    merge_upsert_files(spark, data, index, upd_src, "o_orderkey")
+    upd_br = src.filter(
+        (F.col("o_orderkey") > 1000) & (F.col("o_orderkey") <= 1200)
+    ).withColumn("o_totalprice", F.lit(2.0))
+    merge_upsert_files(spark, data, branch, upd_br, "o_orderkey")
+    out = merge_back(spark, data, index, branch, "o_orderkey")  # no force
+    assert out["upserted"] == upd_br.count()
+    got = read_indexed(spark, data, index)
+    # both sides' changes present — nothing lost
+    assert got.filter(
+        (F.col("o_orderkey") <= 50) & (F.col("o_totalprice") != 1.0)
+    ).count() == 0
+    assert got.filter(
+        (F.col("o_orderkey") > 1000) & (F.col("o_orderkey") <= 1200)
+        & (F.col("o_totalprice") != 2.0)
+    ).count() == 0
+    assert got.count() == src.count()
+
+
+def test_merge_back_conflict_refusal_names_keys(spark, table, tmp_path):
+    from columnar_analytics_engine_spark.branch import merge_back
+    from columnar_analytics_engine_spark.manifest import ConcurrentWriteError
+
+    data, index, src = table
+    branch = str(tmp_path / "branch_idx")
+    clone_table(spark, index, branch)
+    upd_src = src.filter(F.col("o_orderkey") <= 10).withColumn(
+        "o_totalprice", F.lit(1.0)
+    )
+    merge_upsert_files(spark, data, index, upd_src, "o_orderkey")
+    upd_br = src.filter(F.col("o_orderkey") <= 10).withColumn(
+        "o_totalprice", F.lit(2.0)
+    )
+    merge_upsert_files(spark, data, branch, upd_br, "o_orderkey")
+    conflict_keys = sorted(
+        r[0] for r in upd_src.select("o_orderkey").collect()
+    )
+    with pytest.raises(ConcurrentWriteError) as ei:
+        merge_back(spark, data, index, branch, "o_orderkey")
+    msg = str(ei.value)
+    assert "overlapping keys" in msg
+    for k in conflict_keys[:3]:
+        assert str(k) in msg  # the refusal NAMES the conflicting keys
+
+
+def test_family_health_reports_divergence_and_conflicts(spark, table, tmp_path):
+    from columnar_analytics_engine_spark.branch import family_health
+    from columnar_analytics_engine_spark.deletes import delete_keys
+
+    data, index, src = table
+    b1 = str(tmp_path / "b1")
+    b2 = str(tmp_path / "b2")
+    dv = str(tmp_path / "dv")
+    clone_table(spark, index, b1)
+    clone_table(spark, index, b2)
+    upd_src = src.filter(F.col("o_orderkey") <= 100).withColumn(
+        "o_totalprice", F.lit(1.0)
+    )
+    merge_upsert_files(spark, data, index, upd_src, "o_orderkey")
+    # b1: disjoint updates + an OVERLAPPING versioned DV delete
+    upd_b1 = src.filter(
+        (F.col("o_orderkey") > 1000) & (F.col("o_orderkey") <= 1100)
+    ).withColumn("o_totalprice", F.lit(2.0))
+    merge_upsert_files(spark, data, b1, upd_b1, "o_orderkey")
+    losers = src.filter(
+        (F.col("o_orderkey") > 50) & (F.col("o_orderkey") <= 60)
+    ).select("o_orderkey")
+    delete_keys(spark, data, dv, losers, "o_orderkey", index_path=b1)
+    # b2: untouched since clone
+    health = family_health(spark, data, index, "o_orderkey")
+    by_branch = {r["branch_index"]: r for r in health}
+    r1 = by_branch[os.path.abspath(b1)]
+    assert r1["updates"] == upd_b1.count()
+    assert r1["deletes"] == losers.count()
+    assert r1["src_changed_keys"] == upd_src.count()
+    assert r1["conflict_keys"] == losers.count()  # the delete overlap
+    r2 = by_branch[os.path.abspath(b2)]
+    assert (r2["inserts"], r2["updates"], r2["deletes"]) == (0, 0, 0)
+    assert r2["src_changed_keys"] == upd_src.count()
+    assert r2["conflict_keys"] == 0

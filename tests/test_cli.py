@@ -463,3 +463,63 @@ def test_cli_branch_clone_and_merge_back(spark, tmp_path, capsys):
     assert out["upserted"] == 20 and out["deleted"] == 0
     got = read_indexed(spark, data, idx)
     assert got.filter((F.col("id") < 20) & (F.col("val") != -1.0)).count() == 0
+
+
+def test_cli_branch_health_and_as_of_ts(spark, tmp_path, capsys):
+    """Round 14: `branch health` reports feed-derived divergence and
+    conflicts; `query --as-of-ts` reads the snapshot at an instant;
+    `history` round-trips the instants it reports (version_at of each
+    published_at resolves back to that version or a later republish)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from columnar_analytics_engine_spark.io import write_sorted
+    from columnar_analytics_engine_spark.layout import merge_upsert_files
+    from columnar_analytics_engine_spark.manifest import version_at
+    from columnar_analytics_engine_spark.skipping import build_stats_index
+
+    data = str(tmp_path / "data")
+    idx = str(tmp_path / "idx")
+    br = str(tmp_path / "branch")
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") * 3.0).alias("val")
+    )
+    write_sorted(df, data, ["id"], n_files=4)
+    build_stats_index(spark, data, idx)
+    time.sleep(0.05)
+    t_mid = time.time()
+    time.sleep(0.05)
+    cli.main(["branch", "clone", idx, br])
+    capsys.readouterr()
+    upd_src = df.filter(F.col("id") < 30).withColumn("val", F.lit(-1.0))
+    merge_upsert_files(spark, data, idx, upd_src, "id")
+    upd_br = df.filter(F.col("id") >= 990).withColumn("val", F.lit(-2.0))
+    merge_upsert_files(spark, data, br, upd_br, "id")
+
+    cli.main(["branch", "health", idx, "--data", data, "--key", "id"])
+    health = json.loads(capsys.readouterr().out)
+    assert len(health) == 1
+    assert health[0]["updates"] == 10
+    assert health[0]["src_changed_keys"] == 30
+    assert health[0]["conflict_keys"] == 0
+
+    # TIMESTAMP AS OF through the CLI query surface
+    cli.main([
+        "query", data, "--index", idx, "--as-of-ts", str(t_mid),
+        "--agg", "SUM,val",
+    ])
+    out_ts = capsys.readouterr().out
+    cli.main(["query", data, "--index", idx, "--agg", "SUM,val"])
+    out_now = capsys.readouterr().out
+    base_sum = sum(i * 3.0 for i in range(1000))
+    now_sum = base_sum - sum(i * 3.0 for i in range(30)) + 30 * -1.0
+    assert str(base_sum) in out_ts
+    assert str(now_sum) in out_now
+
+    # history round-trips its instants
+    cli.main(["history", idx])
+    hist = json.loads(capsys.readouterr().out)
+    for v in hist["versions"]:
+        if v["published_at"] is not None:
+            assert version_at(idx, v["published_at"]) >= v["version"]

@@ -28,6 +28,8 @@ _SINGLE_PARTITION_ALLOW = {
     # current) + the 2-row final sort — every single-partition stage is
     # post-aggregate
     "layout_time_travel_scan": 3,
+    # TIMESTAMP AS OF twin: same union-of-two-1-row-snapshots shape
+    "layout_time_travel_ts": 3,
     # spec evolution: a union of TWO 1-row scan aggregates (full and
     # pruned) — same post-aggregate shape as time travel
     "layout_spec_evolution_scan": 2,
