@@ -267,10 +267,12 @@ def merge_back(
     last-writer-wins, the caller has decided).  Returns
     ``{"upserted": n, "deleted": n, "version": source_version}``.
 
-    Fold the branch's deletion vectors first
-    (``deletes.compact_deletes``): the feed is defined over the
-    manifest lifecycle, so unfolded tombstones are not yet changes —
-    the same contract as reading the branch's own CDF.
+    Deletion vectors: a VERSIONED delete (``delete_keys(index_path=
+    branch)``) enters the branch's feed at commit time (round 14), so
+    merge back picks it up folded or not.  Only LEGACY deletes (a
+    ``dv_path`` with no ``index_path`` — no ``_DV_COMMITS`` sidecar)
+    are invisible to the feed until ``deletes.compact_deletes`` folds
+    them — fold those first.
     """
     from columnar_analytics_engine_spark.cdf import read_changes
     from columnar_analytics_engine_spark.deletes import delete_keys
@@ -340,19 +342,23 @@ def merge_back(
             )
             version = out["version"]
         if n_del:
-            dv_tmp = (
-                f"{src_index.rstrip('/')}.mergeback_dv-{uuid.uuid4().hex[:8]}"
-            )
+            # PERSISTENT DV home inside the source index dir: the
+            # delete publishes a versioned commit whose _DV_COMMITS
+            # sidecar references this path, so it must outlive the
+            # merge (a temp table deleted here would leave the commit
+            # version's feed/as_of missing its tombstones until the
+            # fold's file diff catches up).  Folded entries clear once
+            # no retained version references their files.
+            dv_home = os.path.join(src_index, "_DV_MERGEBACK")
             from columnar_analytics_engine_spark.deletes import (
                 compact_deletes,
             )
 
             delete_keys(
-                spark, data_path, dv_tmp, deletes, key,
+                spark, data_path, dv_home, deletes, key,
                 index_path=src_index,
             )
-            compact_deletes(spark, data_path, dv_tmp, src_index)
-            shutil.rmtree(dv_tmp, ignore_errors=True)
+            compact_deletes(spark, data_path, dv_home, src_index)
             from columnar_analytics_engine_spark.manifest import (
                 current_version as _cv,
             )

@@ -355,6 +355,26 @@ def update_stats_index(
     indexed = {r["file"] for r in idx.select("file").distinct().collect()}
     known = referenced_files(spark, index_path)
     added = sorted(current - indexed - known)
+    # layout guard: on a hive-partitioned table, a candidate file whose
+    # directory structure does not match the manifest's partition
+    # scheme (e.g. a root-level backfill dropped next to batch_id=N
+    # dirs) is NOT adopted — Spark's basePath leaf-file read silently
+    # DROPS such a file's rows (indexed-but-invisible, the worst
+    # outcome), and a hive-dir file on a flat table would mutate the
+    # read schema.  The stray stays on disk for the operator to place
+    # correctly; narrow vacuum (vacuum_expired_references) never
+    # touches it.
+    def _pkeys(f: str) -> tuple[str, ...]:
+        rel = os.path.relpath(f, data_path)
+        return tuple(
+            seg.split("=", 1)[0]
+            for seg in os.path.dirname(rel).split(os.sep)
+            if "=" in seg
+        )
+
+    if indexed:
+        scheme = _pkeys(next(iter(indexed)))
+        added = [f for f in added if _pkeys(f) == scheme]
     removed = sorted(indexed - current)
     if not added and not removed:
         return {"added": 0, "removed": 0}

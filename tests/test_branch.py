@@ -312,3 +312,28 @@ def test_family_health_reports_divergence_and_conflicts(spark, table, tmp_path):
     assert (r2["inserts"], r2["updates"], r2["deletes"]) == (0, 0, 0)
     assert r2["src_changed_keys"] == upd_src.count()
     assert r2["conflict_keys"] == 0
+
+
+def test_merge_back_carries_unfolded_versioned_deletes(spark, table, tmp_path):
+    """Round 14: a VERSIONED DV delete on the branch is in the feed at
+    commit time, so merge_back applies it WITHOUT a prior fold."""
+    from columnar_analytics_engine_spark.branch import merge_back
+    from columnar_analytics_engine_spark.deletes import delete_keys
+
+    data, index, src = table
+    branch = str(tmp_path / "branch_idx")
+    dv = str(tmp_path / "dv")
+    clone_table(spark, index, branch)
+    losers = src.filter(
+        (F.col("o_orderkey") > 100) & (F.col("o_orderkey") <= 140)
+    ).select("o_orderkey")
+    n_doomed = losers.count()
+    delete_keys(spark, data, dv, losers, "o_orderkey", index_path=branch)
+    # NO compact_deletes — the tombstones are unfolded
+    out = merge_back(spark, data, index, branch, "o_orderkey")
+    assert out["deleted"] == n_doomed
+    got = read_indexed(spark, data, index)
+    assert got.count() == src.count() - n_doomed
+    assert got.filter(
+        (F.col("o_orderkey") > 100) & (F.col("o_orderkey") <= 140)
+    ).count() == 0

@@ -1109,3 +1109,57 @@ def test_cdf_consumer_tails_streaming_sink(spark, tmp_path):
             for r in read_skipping(spark, data, index, "k ge 0").collect()
         )
         assert state == table, f"consumer diverged after batch {b}"
+
+
+def test_stats_indexed_sink_preserves_external_appends(spark, tmp_path):
+    """Round 14 (ADVICE r13 #2): the sink's per-batch retention is the
+    NARROW reclaim — a parquet file another writer drops into the data
+    directory between index updates must survive every per-batch
+    vacuum (it was never referenced by any manifest version) and be
+    ADOPTED by the next update_stats_index, not destroyed; while a
+    compaction-dropped original still leaves the window on schedule."""
+    import os
+
+    from columnar_analytics_engine_spark.skipping import (
+        read_skipping,
+        update_stats_index,
+    )
+    from columnar_analytics_engine_spark.streaming.maintenance import (
+        stats_indexed_sink,
+    )
+
+    data = str(tmp_path / "table")
+    index = str(tmp_path / "index")
+    process = stats_indexed_sink(spark, data, index, manifest_keep_versions=1)
+    process(spark.createDataFrame([(0, 10), (1, 11)], "k long, v long"), 0)
+
+    def land(rows, dest_dir, name):
+        stage = str(tmp_path / f"stage_{name}")
+        spark.createDataFrame(rows, "k long, v long").coalesce(
+            1
+        ).write.mode("overwrite").parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        os.makedirs(dest_dir, exist_ok=True)
+        dest = os.path.join(dest_dir, f"{name}.parquet")
+        os.replace(os.path.join(stage, part), dest)
+        return dest
+
+    # a layout-CONSISTENT external backfill (its own batch_id dir) and
+    # a layout-INCONSISTENT stray (root-level file in a hive layout)
+    ext = land([(99, 990)], os.path.join(data, "batch_id=999"), "backfill")
+    stray = land([(7, 70)], data, "stray")
+
+    # several more micro-batches, each running the per-batch retention
+    # with the tightest window — both external files must survive (the
+    # narrow reclaim never deletes never-referenced files)
+    process(spark.createDataFrame([(2, 20)], "k long, v long"), 1)
+    process(spark.createDataFrame([(3, 30)], "k long, v long"), 2)
+    assert os.path.exists(ext), "external append destroyed by sink vacuum"
+    assert os.path.exists(stray), "stray destroyed by sink vacuum"
+
+    # adoption: the layout-consistent backfill's rows appear; the
+    # root-level stray is refused (basePath partitioned reads silently
+    # DROP such files — indexing it would be indexed-but-invisible)
+    update_stats_index(spark, data, index)
+    got = read_skipping(spark, data, index, "k ge 0")
+    assert sorted(r["k"] for r in got.collect()) == [0, 1, 2, 3, 99]
