@@ -123,11 +123,50 @@ def probe_growing_change_fixed_table(spark, tmp) -> dict:
     return out
 
 
+def probe_dv_commit_feed(spark, tmp) -> dict:
+    """Round 14: a FIXED versioned DV delete (20k keys) on 1M / 4M /
+    16M-row tables — the commit publishes a same-file-set version, so
+    the feed's DV-delta term reads only the files the tombstones touch
+    (key-clustered → a bounded file set) and wall should stay ~flat as
+    the table grows; the commit itself (tombstone scan + sidecar
+    publish) is also timed."""
+    from columnar_analytics_engine_spark.deletes import delete_keys
+    from columnar_analytics_engine_spark.manifest import current_version
+
+    out = {"probe": "cdf_dv_commit_feed_growing_table", "sizes": {}}
+    for mult, n_files in ((1, 16), (4, 64), (16, 256)):
+        rows = 1_000_000 * mult
+        data, index = _mk_table(spark, tmp, f"dv{mult}", rows, n_files)
+        dv = f"{tmp}/dv{mult}_dv"
+        v1 = current_version(index)
+        doomed = spark.range(0, 20_000).select(F.col("id").alias("k"))
+        t0 = time.perf_counter()
+        n_t = delete_keys(spark, data, dv, doomed, "k", index_path=index)
+        commit_wall = time.perf_counter() - t0
+        wall, n, fa, fr = _feed_wall(
+            spark, data, index, v1, current_version(index)
+        )
+        out["sizes"][f"{mult}x"] = {
+            "table_rows": rows,
+            "tombstones": n_t,
+            "commit_wall_s": round(commit_wall, 3),
+            "feed_wall_s": round(wall, 3),
+            "feed_rows": n,
+            "files_added": fa,
+            "files_removed": fr,
+        }
+    w1 = out["sizes"]["1x"]["feed_wall_s"]
+    w16 = out["sizes"]["16x"]["feed_wall_s"]
+    out["wall_ratio_16x_vs_1x"] = round(w16 / max(w1, 1e-9), 2)
+    return out
+
+
 def main() -> None:
     spark = get_spark(app_name="cae-probe-cdf")
     with tempfile.TemporaryDirectory(prefix="cae_cdf_probe_") as tmp:
         print(json.dumps(probe_fixed_change_growing_table(spark, tmp)))
         print(json.dumps(probe_growing_change_fixed_table(spark, tmp)))
+        print(json.dumps(probe_dv_commit_feed(spark, tmp)))
 
 
 if __name__ == "__main__":

@@ -300,3 +300,50 @@ def test_publish_generation_is_monotonic(tmp_path):
     g = publish_generation(p, build_outer)
     assert g == 1
     assert current_generation(p) == 2  # pointer stayed on the newer gen
+
+
+def test_concurrent_delete_commit_hammer_no_lost_tombstones(spark, table, tmp_path):
+    """Four threads race versioned deletes of DISJOINT key slices with
+    OCC retry loops: every slice's tombstones must end up committed
+    (named by the final sidecar) and applied — no delete lost to the
+    DV read-merge-rewrite race or to a conflicted publish.  (The DV
+    lock serializes the rewrite; the publish OCC serializes the
+    sidecar; a conflicted commit's tombstones are inert and get
+    re-added by the retry.)"""
+    import threading
+
+    from columnar_analytics_engine_spark.manifest import ConcurrentWriteError
+
+    data, index, src = table
+    dv = str(tmp_path / "dv")
+    total = src.count()
+    slices = {i: f"o_orderkey % 4 = {i} AND o_custkey <= 40" for i in range(4)}
+    expected_deleted = sum(
+        src.filter(pred).count() for pred in slices.values()
+    )
+    errs: list[str] = []
+
+    def deleter(i: int) -> None:
+        try:
+            for _ in range(25):
+                try:
+                    delete_where(
+                        spark, data, dv, slices[i], index_path=index
+                    )
+                    return
+                except ConcurrentWriteError:
+                    continue
+            errs.append(f"deleter {i} starved")
+        except Exception as e:  # pragma: no cover
+            errs.append(repr(e))
+
+    threads = [threading.Thread(target=deleter, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    got = read_with_deletes(spark, data, dv, index_path=index)
+    assert got.count() == total - expected_deleted
+    for pred in slices.values():
+        assert got.filter(pred).count() == 0
