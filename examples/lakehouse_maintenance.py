@@ -183,9 +183,66 @@ def main() -> None:
         (r["tier"], r["count"]) for r in joined.collect()
     ])
 
+    # --- round 14: versioned DV delete commit → feed at commit time ----
+    import time
+
+    from columnar_analytics_engine_spark.deletes import delete_keys
+
+    t_before_delete = time.time()
+    time.sleep(0.05)
+    v_pre = current_version(index)
+    doomed = read_indexed(spark, data, index).filter(
+        F.col("id").between(500, 520)
+    ).select("id")
+    delete_keys(spark, data, dv, doomed, "id", index_path=index)
+    v_commit = current_version(index)
+    feed = read_changes(spark, data, index, v_pre, v_commit)
+    step("versioned delete COMMIT (feed shows it before any fold)",
+         commit_version=v_commit,
+         feed_deletes=feed.filter(
+             F.col("_change_type") == "delete").count())
+    # TIMESTAMP AS OF: the instant before the delete still reads whole
+    at_ts = read_with_deletes(
+        spark, data, dv, index_path=index, as_of_ts=t_before_delete
+    ).count()
+    now = read_with_deletes(spark, data, dv, index_path=index).count()
+    step("TIMESTAMP AS OF", rows_at_ts=at_ts, rows_now=now)
+
+    # --- round 14: zero-copy branch, disjoint work, 3-way merge back ---
+    from columnar_analytics_engine_spark.branch import (
+        clone_table,
+        family_health,
+        merge_back,
+    )
+
+    branch = f"{tmp}/events_branch_idx"
+    clone_table(spark, index, branch)
+    # source and branch both advance — on DISJOINT keys
+    src_upd = read_indexed(spark, data, index).filter(
+        F.col("id") < 100
+    ).withColumn("amount", F.col("amount") + 5)
+    merge_upsert_files(spark, data, index, src_upd, "id")
+    br_upd = read_indexed(spark, data, branch).filter(
+        F.col("id").between(2000, 2100)
+    ).withColumn("amount", F.col("amount") + 9)
+    merge_upsert_files(spark, data, branch, br_upd, "id")
+    health = family_health(spark, data, index, "id")
+    step("branch family health", branches=[
+        {k: r[k] for k in ("updates", "deletes", "src_changed_keys",
+                           "conflict_keys")}
+        for r in health
+    ])
+    out = merge_back(spark, data, index, branch, "id")  # 3-way, no force
+    step("three-way merge back (disjoint keys, no force)", **out)
+
     # --- retention vacuum: the only place bytes die --------------------
-    removed = vacuum_unindexed(spark, data, index, keep_versions=1)
-    step("vacuum", reclaimed_files=len(removed),
+    from columnar_analytics_engine_spark.branch import family_indexes
+
+    removed = vacuum_unindexed(
+        spark, data, index, keep_versions=1,
+        extra_indexes=tuple(family_indexes(index)),
+    )
+    step("vacuum (branch-aware)", reclaimed_files=len(removed),
          retained_versions=list_versions(index))
     print("done:", tmp)
 
