@@ -306,3 +306,63 @@ def read_changes(
         )
         .otherwise(F.col(CHANGE_TYPE)),
     )
+
+
+def read_changes_versioned(
+    spark: SparkSession,
+    data_path: str,
+    index_path: str,
+    from_version: int,
+    to_version: int,
+    key: str | None = None,
+    dv_path: str | None = None,
+) -> DataFrame:
+    """Per-COMMIT change attribution — Delta CDF's ``_commit_version``
+    / ``_commit_timestamp`` columns: instead of netting the whole
+    interval into one anonymous delta (:func:`read_changes`), walk the
+    PUBLISHED versions in ``(from_version, to_version]`` (resolved
+    from the ``_HISTORY`` journal, so never-published orphan stages are
+    skipped) and emit each step's net feed tagged with the version
+    that published it and the journaled publish instant (epoch
+    seconds, double).  An auditor or downstream CDC replicator gets
+    exactly which maintenance commit produced each row change; a
+    feed-silent commit (compaction, fold) contributes nothing.  Cost
+    is the sum of the steps' change-bounded feeds — still never the
+    table.  Versions must all be retained, same as ``read_changes``."""
+    from columnar_analytics_engine_spark.manifest import publish_log
+
+    published_at: dict[int, float] = {}
+    order: list[int] = []
+    for v, ts in publish_log(index_path):
+        if from_version < v <= to_version and v not in published_at:
+            order.append(v)
+        if from_version < v <= to_version:
+            published_at[v] = ts  # re-publish: keep the latest instant
+    parts: list[DataFrame] = []
+    prev = from_version
+    for v in order:
+        step = read_changes(
+            spark, data_path, index_path, prev, v, key=key, dv_path=dv_path
+        )
+        parts.append(
+            step.withColumn("_commit_version", F.lit(v).cast("long"))
+            .withColumn(
+                "_commit_timestamp",
+                F.lit(published_at[v]).cast("double"),
+            )
+        )
+        prev = v
+    if not parts:
+        base = read_changes(
+            spark, data_path, index_path, to_version, to_version,
+            key=key, dv_path=dv_path,
+        )
+        return (
+            base.withColumn("_commit_version", F.lit(0).cast("long"))
+            .withColumn("_commit_timestamp", F.lit(0.0))
+            .limit(0)
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1487,6 +1487,95 @@ _CDF_DV_SQL = """
 """
 
 
+def manifest_cdf_commit_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-COMMIT change attribution (``cdf.read_changes_versioned`` —
+    Delta CDF's ``_commit_version``/``_commit_timestamp`` columns): a
+    MERGE commit, a versioned DV delete commit, and a physical fold on
+    one table; the versioned feed must attribute each row change to
+    exactly the commit that produced it — the updates to the merge
+    step, the deletes to the DELETE step (not the fold), and the fold
+    step must be feed-silent.  Report-shaped (step offsets are
+    journal-derived; timestamps are pytest-pinned monotone, not
+    hashed); the oracle replays the per-step key-range arithmetic."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from columnar_analytics_engine_spark.cdf import read_changes_versioned
+    from columnar_analytics_engine_spark.deletes import (
+        compact_deletes,
+        delete_keys,
+    )
+    from columnar_analytics_engine_spark.io import write_sorted
+    from columnar_analytics_engine_spark.layout import merge_upsert_files
+    from columnar_analytics_engine_spark.manifest import current_version
+    from columnar_analytics_engine_spark.skipping import build_stats_index
+
+    src = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    tag = hashlib.md5(f"{sf_dir}:{os.getpid()}".encode()).hexdigest()[:12]
+    data = f"{tempfile.gettempdir()}/cae_attr_data_{tag}"
+    index = f"{tempfile.gettempdir()}/cae_attr_idx_{tag}"
+    dv = f"{tempfile.gettempdir()}/cae_attr_dv_{tag}"
+    if os.path.isdir(dv):
+        shutil.rmtree(dv)  # re-run idempotence
+    write_sorted(src, data, ["o_orderkey"], n_files=8)
+    build_stats_index(spark, data, index)
+    v1 = current_version(index)
+    upd = src.filter(F.col("o_orderkey") <= 200).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(1000.0)
+    )
+    merge_upsert_files(spark, data, index, upd, "o_orderkey")
+    losers = src.filter(
+        (F.col("o_orderkey") > 300) & (F.col("o_orderkey") <= 320)
+    ).select("o_orderkey")
+    delete_keys(spark, data, dv, losers, "o_orderkey", index_path=index)
+    compact_deletes(spark, data, dv, index)
+    v_now = current_version(index)
+    feed = read_changes_versioned(
+        spark, data, index, v1, v_now, key="o_orderkey"
+    )
+    rows = (
+        feed.groupBy("_commit_version", "_change_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("o_orderkey").alias("s"),
+        )
+        .collect()
+    )
+    out = sorted(
+        (int(r["_commit_version"] - v1), r["_change_type"], int(r["n"]),
+         int(r["s"]))
+        for r in rows
+    )
+    return spark.createDataFrame(
+        out, "step int, change_type string, n_rows long, sum_key long"
+    ).orderBy("step", "change_type")
+
+
+_ATTRIBUTION_SQL = """
+    WITH upd AS (SELECT DISTINCT o_orderkey FROM orders
+                 WHERE o_orderkey <= 200),
+         del AS (SELECT DISTINCT o_orderkey FROM orders
+                 WHERE o_orderkey > 300 AND o_orderkey <= 320)
+    SELECT CAST(1 AS INTEGER) AS step,
+           'update_postimage' AS change_type,
+           COUNT(*) AS n_rows, CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+    FROM upd
+    UNION ALL
+    SELECT 1, 'update_preimage', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT)
+    FROM upd
+    UNION ALL
+    SELECT 2, 'delete', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT)
+    FROM del
+    ORDER BY step, change_type
+"""
+
+
 def layout_branch_merge_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Disjoint-key THREE-WAY merge-back (VERDICT r13 item 3): after
     the clone, the SOURCE merges +1000 into keys ≤ 200 while the
@@ -1840,6 +1929,14 @@ QUERIES: dict[str, QuerySpec] = {
         "COMMIT time, the physical fold is feed-silent, table state "
         "and feed agree at every version (oracle replays all 3 steps)",
         ("scale", "maintenance", "index", "cdf", "deletes"),
+    ),
+    "manifest_cdf_commit_attribution": QuerySpec(
+        manifest_cdf_commit_attribution,
+        _ATTRIBUTION_SQL,
+        "per-commit feed attribution (Delta's _commit_version shape): "
+        "updates land on the merge commit, deletes on the DV commit, "
+        "the fold is silent (oracle replays the per-step arithmetic)",
+        ("scale", "maintenance", "index", "cdf"),
     ),
     "layout_branch_merge_3way": QuerySpec(
         layout_branch_merge_3way,

@@ -236,3 +236,50 @@ def test_cursor_consumer_tracks_table_exactly(spark, table, tmp_path):
     # nothing new published -> None
     feed, frm, to = consume_changes(spark, data, index, cursor)
     assert feed is None and frm == to
+
+
+def test_versioned_feed_attributes_commits(spark, table, tmp_path):
+    """read_changes_versioned (round 14): per-commit attribution —
+    each step's rows carry the version that published them and a
+    monotone journaled timestamp; never-published orphan stages are
+    skipped; the concatenation of steps nets to the plain feed."""
+    from collections import Counter
+
+    from columnar_analytics_engine_spark.cdf import read_changes_versioned
+    from columnar_analytics_engine_spark.deletes import delete_keys
+    from columnar_analytics_engine_spark.manifest import write_manifest
+
+    data, index, src = table
+    dv = str(tmp_path / "dv")
+    v1 = current_version(index)
+    upd = src.filter("o_orderkey <= 50").withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(5.0)
+    )
+    merge_upsert_files(spark, data, index, upd, "o_orderkey")
+    v2 = current_version(index)
+    # an orphan STAGED version (publish=False) — must not appear as a step
+    from columnar_analytics_engine_spark.manifest import read_manifest
+
+    write_manifest(spark, index, read_manifest(spark, index), publish=False)
+    losers = src.filter("o_orderkey > 500 AND o_orderkey <= 510").select(
+        "o_orderkey"
+    )
+    delete_keys(spark, data, dv, losers, "o_orderkey", index_path=index)
+    v3 = current_version(index)
+    feed = read_changes_versioned(
+        spark, data, index, v1, v3, key="o_orderkey"
+    ).collect()
+    versions = {r["_commit_version"] for r in feed}
+    assert versions == {v2, v3}
+    # timestamps monotone with version order
+    ts = {r["_commit_version"]: r["_commit_timestamp"] for r in feed}
+    assert ts[v2] <= ts[v3]
+    # step concatenation nets to the plain interval feed
+    plain = Counter(
+        (r["o_orderkey"], r["_change_type"]) for r in
+        read_changes(spark, data, index, v1, v3, key="o_orderkey").collect()
+    )
+    stepped = Counter(
+        (r["o_orderkey"], r["_change_type"]) for r in feed
+    )
+    assert stepped == plain
