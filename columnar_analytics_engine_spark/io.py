@@ -36,6 +36,15 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# (path, mtime_ns, size) -> ns-column list.  ``read_table`` runs on
+# every query INVOCATION (the bench times 3 runs per query), and the
+# pyarrow footer open below is driver-side, single-threaded work paid
+# per call; for the fixed benchmark tables the answer only changes when
+# the file changes, so key the memo on the stat identity (guide §5:
+# keep the driver out of the per-run path).
+_NS_FIELDS_CACHE: dict[tuple[str, int, int], list[str]] = {}
+
+
 def _ns_timestamp_fields(path: str) -> list[str]:
     """Names of TIMESTAMP(NANOS) columns in a parquet file/directory.
 
@@ -46,34 +55,49 @@ def _ns_timestamp_fields(path: str) -> list[str]:
     import pyarrow.parquet as pq
     import pyarrow.types as pat
 
-    file_path = path
-    if os.path.isdir(path):
-        parts = [
-            f
-            for f in sorted(os.listdir(path))
-            if f.endswith(".parquet") and not f.startswith(("_", "."))
-        ]
-        if not parts:
+    try:
+        st = os.stat(path)
+        cache_key = (os.path.abspath(path), st.st_mtime_ns, st.st_size)
+    except OSError:
+        cache_key = None
+    if cache_key is not None and cache_key in _NS_FIELDS_CACHE:
+        return _NS_FIELDS_CACHE[cache_key]
+
+    def _compute() -> list[str]:
+        file_path = path
+        if os.path.isdir(path):
+            parts = [
+                f
+                for f in sorted(os.listdir(path))
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            ]
+            if not parts:
+                return []
+            file_path = os.path.join(path, parts[0])
+        schema = pq.read_schema(file_path)
+        ns_names = {
+            f.name
+            for f in schema
+            if pat.is_timestamp(f.type) and f.type.unit == "ns"
+        }
+        if not ns_names:
             return []
-        file_path = os.path.join(path, parts[0])
-    schema = pq.read_schema(file_path)
-    ns_names = {
-        f.name
-        for f in schema
-        if pat.is_timestamp(f.type) and f.type.unit == "ns"
-    }
-    if not ns_names:
-        return []
-    # PyArrow also reports legacy INT96 timestamps as timestamp[ns], but
-    # Spark decodes INT96 natively (nanosAsLong does not apply); only
-    # physical-INT64 TIMESTAMP(NANOS) columns need the raw-long path.
-    phys = pq.ParquetFile(file_path).schema
-    int64_cols = {
-        phys.column(i).name
-        for i in range(len(phys))
-        if phys.column(i).physical_type == "INT64"
-    }
-    return sorted(ns_names & int64_cols)
+        # PyArrow also reports legacy INT96 timestamps as timestamp[ns],
+        # but Spark decodes INT96 natively (nanosAsLong does not apply);
+        # only physical-INT64 TIMESTAMP(NANOS) columns need the raw-long
+        # path.
+        phys = pq.ParquetFile(file_path).schema
+        int64_cols = {
+            phys.column(i).name
+            for i in range(len(phys))
+            if phys.column(i).physical_type == "INT64"
+        }
+        return sorted(ns_names & int64_cols)
+
+    result = _compute()
+    if cache_key is not None:
+        _NS_FIELDS_CACHE[cache_key] = result
+    return result
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -122,6 +122,13 @@ def jaccard_pairs(
                 distinct_tokens(F.col(text_col)), lambda x: h60("j:", x)
             ).alias("toks"),
         )
+        # plan-keyed memoization (round-14; same rule containment_pairs
+        # already applied): the set table joins BOTH pair sides, and the
+        # two broadcast builds do NOT share an exchange (measured: two
+        # separate parquet scan + tokenize + h60 subtrees per run in
+        # the physical plan) — persisted, the tokenize pass runs once
+        # per input instead of twice per invocation
+        sets = _persist_once(sets)
         if broadcast_sets:
             sets = F.broadcast(sets)
         a = sets.alias("sa")
@@ -309,6 +316,20 @@ def lsh_candidates(
     trade: bounded work per bucket for a small recall loss on
     mega-clusters, which exact dedup catches anyway).  Default None
     keeps exact LSH semantics (and oracle parity).
+
+    Pair-dedup formulation note (round-14 optimization pass): two
+    shapes of the "emit each colliding pair once" step were measured at
+    sf0.1 — this ``.distinct()`` (partial agg over the 21.6M collision
+    rows, one 7.6M-pair Exchange, final agg) and a shuffle-free
+    first-colliding-band filter (each band row carries the doc's 8 band
+    keys; a pair is emitted only where no earlier band also collides).
+    The filter variant lost BOTH ways: with higher-order array
+    functions it ran interpreted (no codegen) at 10× the cost; spelled
+    as flat codegen-able CASE comparisons it was still ~1.2× slower —
+    the distinct's map-side partial aggregation shrinks the stream
+    before the exchange, while the filter pays 8 carried md5 strings
+    per row through the join on top of the same 21.6M-row stream.
+    The distinct stays; see OPTIMIZATION_r14.md.
     """
     all_bands = band_table(signatures, bands=bands, rows_per_band=rows_per_band)
     if max_bucket_size is not None:
@@ -444,6 +465,12 @@ def minhash_probe(
         )
         .distinct()
     )
+    # NOT persisted (round-14 note): each set table feeds exactly ONE
+    # verify-join side, so persisting them would not remove any
+    # duplicate work from a cold invocation — it would only move real
+    # per-run cost into a warm-up, which is caching, not optimization
+    # (the line the bench's cache accounting draws: persist_once is for
+    # frames with ≥2 consumers in one plan).
     new_sets = hashed_token_sets(new_docs, id_col=id_col, text_col=text_col)
     # candidate-bounded verify: only index docs that actually collided
     # participate — the semi-join's small side is candidate-distinct

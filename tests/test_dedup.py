@@ -76,6 +76,36 @@ def test_simhash_near_duplicates(docs):
     assert pairs[(2, 3)] == 0
 
 
+def test_jaccard_verify_sets_memoized_once(spark, docs):
+    """Round-14: the candidates-path verify set table is plan-keyed
+    persisted (it feeds BOTH pair sides of the verify join — the plan
+    showed two independent tokenize+hash subtrees per invocation).
+    The memo must register exactly one cache entry per distinct input
+    across repeated invocations, and the verified pairs are unchanged."""
+    from columnar_analytics_engine_spark.functions.caching import (
+        _persisted,
+        cache_scope,
+    )
+    from columnar_analytics_engine_spark.operators.dedup import _persist_once
+
+    with cache_scope():
+        sigs = _persist_once(minhash_signatures(docs))
+        cands = lsh_candidates(sigs)
+        first = {
+            (r["d1"], r["d2"]): r["jaccard"]
+            for r in jaccard_pairs(docs, 0.8, candidates=cands).collect()
+        }
+        n_cached = len(_persisted)
+        again = {
+            (r["d1"], r["d2"]): r["jaccard"]
+            for r in jaccard_pairs(docs, 0.8, candidates=cands).collect()
+        }
+        assert len(_persisted) == n_cached  # same plans -> no new entries
+    assert first == again
+    assert first[(0, 1)] == 1.0 and first[(2, 3)] == 1.0
+    assert all(j >= 0.8 for j in first.values())
+
+
 def test_persist_once_is_idempotent(spark, docs):
     from pyspark import StorageLevel
 
