@@ -78,14 +78,33 @@ def affine_hash_cols(col: Column, k: int) -> list[Column]:
     ]
 
 
-def affine_hash_array(col: Column, k: int) -> Column:
+def affine_hash_array(col: Column | str, k: int) -> Column:
     """The k-family as ONE array<long> Column — same values as
     :func:`affine_hash_cols` (element i == column i), but the md5 is
     evaluated once per row for the whole family: a single array-valued
     expression is one codegen unit, so the two digest sub-expressions
     are shared across all k members instead of re-inlined per column.
     At vocabulary scale (billions of distinct terms × k=32) that is the
-    difference between 2 and 64 digests per term."""
+    difference between 2 and 64 digests per term.
+
+    Given a SQL expression STRING the whole family is built as one
+    parsed ``F.expr`` instead of ~40·k py4j Column calls: profiling the
+    bench (round 15) showed DataFrame CONSTRUCTION of the MinHash
+    family dominated by py4j round trips (~0.6 s per invocation just
+    for this function at k=32), pure driver-side stall per guide §5.
+    The parsed tree repeats the two digest sub-expressions textually,
+    but whole-stage codegen's subexpression elimination collapses them
+    inside the single Project, so per-row digest work is unchanged
+    (A/B'd: cold signature build equal within noise, plan shows one
+    md5 per half in the generated code's common-subexpr block)."""
+    if isinstance(col, str):
+        x1 = f"(cast(conv(substring(md5({col}), 1, 15), 16, 10) as bigint) % {P31})"
+        x2 = f"(cast(conv(substring(md5({col}), 16, 15), 16, 10) as bigint) % {P31})"
+        members = ",".join(
+            f"((({MINHASH_A[i]} * {x1}) % {P31}) + (({MINHASH_B[i]} * {x2}) % {P31}) + {i}) % {P31}"
+            for i in range(k)
+        )
+        return F.expr(f"array({members})")
     d = F.md5(col)
     x1 = F.conv(F.substring(d, 1, 15), 16, 10).cast("long") % F.lit(P31)
     x2 = F.conv(F.substring(d, 16, 15), 16, 10).cast("long") % F.lit(P31)

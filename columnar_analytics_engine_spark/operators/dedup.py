@@ -259,11 +259,13 @@ def minhash_signatures(
     # per term instead of 2 (measured 1.7x whole-build slowdown even on
     # a 31-term vocabulary)
     vocab = tok.select("token").distinct().select(
-        "token", affine_hash_array(F.col("token"), k).alias("vs")
+        "token", affine_hash_array("token", k).alias("vs")
     )
-    mins = [
-        F.min(F.element_at("vs", i + 1)).alias(f"h{i}") for i in range(k)
-    ]
+    # expr-built aggregates: the k Column-built min(element_at(...))
+    # towers cost ~5 py4j round trips each at plan-construction time
+    # (driver-side stall, guide §5); one parsed expression per member
+    # builds the identical aggregate
+    mins = [F.expr(f"min(element_at(vs, {i + 1})) AS h{i}") for i in range(k)]
     return tok.join(vocab, "token").groupBy("doc_id").agg(*mins)
 
 
@@ -275,24 +277,29 @@ def band_table(
     """(doc_id, band_id, band_key) rows from a MinHash signature table —
     the LSH bucketing key.  Shared by the batch self-join candidates
     (:func:`lsh_candidates`) and the streaming persistent band index
-    (streaming/neardup.py)."""
-    band_rows = []
-    for j in range(bands):
-        cols = [
-            F.col(f"h{j * rows_per_band + r}").cast("string")
-            for r in range(rows_per_band)
-        ]
-        band_rows.append(
-            signatures.select(
-                "doc_id",
-                F.lit(j).alias("band_id"),
-                F.md5(F.concat_ws(",", *cols)).alias("band_key"),
-            )
+    (streaming/neardup.py).
+
+    One ``inline(array(struct(band_id, band_key), ...))`` generator
+    instead of a ``bands``-branch union (round 15): the union spelled
+    the signature subtree once PER BAND — 8 logical branches to
+    analyze, 8 scans of the (cached) signature frame to execute, and
+    ~0.6 s of py4j round trips per plan construction (guide §5 —
+    driver-side stall; §2.4 — the same table read eight times).  The
+    generator emits the identical (doc_id, band_id, band_key) row set
+    from ONE pass over the signatures; only row order differs (all
+    bands of a doc together instead of all docs of a band), which no
+    consumer observes — bands are only ever joined or grouped on."""
+    entries = ",".join(
+        "struct({j} AS band_id, md5(concat_ws(',', {cols})) AS band_key)".format(
+            j=j,
+            cols=", ".join(
+                f"cast(h{j * rows_per_band + r} as string)"
+                for r in range(rows_per_band)
+            ),
         )
-    all_bands = band_rows[0]
-    for b in band_rows[1:]:
-        all_bands = all_bands.unionByName(b)
-    return all_bands
+        for j in range(bands)
+    )
+    return signatures.select("doc_id", F.expr(f"inline(array({entries}))"))
 
 
 def lsh_candidates(

@@ -274,15 +274,34 @@ def _stats_df(
     columns: list[str] | None,
     base_path: str | None = None,
 ) -> DataFrame:
-    """Distributed footer scan → index rows (one Spark task per slice
-    of the file list; each task reads only footers)."""
+    """Footer scan → index rows.
+
+    Footer reads are pure metadata (no data pages), so the executor is
+    chosen by FILE COUNT, not data size (round 15, guide §5):
+
+    * ``len(files)`` ≤ ``SPARK_GRAFT_INDEX_DRIVER_MAX`` (default 64):
+      the driver scans the footers itself and ships the rows as one
+      Arrow-backed local relation.  Measured on the bench fixture
+      (16 files): 0.004 s driver-side vs 0.6 s warm / 9 s cold for the
+      distributed path — the distributed cost is Python-worker spin-up
+      and per-task dispatch, not footer I/O.  The driver already holds
+      the file list, so this adds no new driver data dependency.
+    * larger file lists keep the distributed ``mapInPandas`` scan (one
+      task per slice) — at 100 TB the index covers thousands of files
+      on object storage and per-footer latency dominates, exactly the
+      regime the distributed path exists for.
+
+    Both paths run the SAME scanner closure, so the row set is
+    identical; only file-list parallelization differs.  The file-list
+    frame itself is created Arrow-backed (pandas) rather than from
+    Python tuples: a tuple-list ``createDataFrame`` is Python-RDD
+    backed, and every downstream action (including the manifest's
+    ``coalesce(1)`` write) re-runs Python workers per partition —
+    measured ~3.5 s per 48-row manifest write, pure dispatch.
+    """
     import pandas as pd
 
     cols = list(columns) if columns is not None else None
-    n_slices = max(1, min(len(files), spark.sparkContext.defaultParallelism))
-    files_df = spark.createDataFrame(
-        [(f,) for f in files], schema="file string"
-    ).repartition(n_slices)
 
     field_order = [
         "file", "column", "kind", "min_int", "max_int", "min_num",
@@ -291,6 +310,31 @@ def _stats_df(
     ]
 
     footer_stats_rows = _make_footer_scanner(cols, base_path)
+
+    driver_max = int(os.environ.get("SPARK_GRAFT_INDEX_DRIVER_MAX", "64"))
+    if len(files) <= driver_max:
+        import pyarrow as pa
+
+        rows = list(footer_stats_rows(files))
+        tbl = pa.table(
+            {k: [r[k] for r in rows] for k in field_order},
+            schema=pa.schema(
+                [
+                    ("file", pa.string()), ("column", pa.string()),
+                    ("kind", pa.string()), ("min_int", pa.int64()),
+                    ("max_int", pa.int64()), ("min_num", pa.float64()),
+                    ("max_num", pa.float64()), ("min_str", pa.string()),
+                    ("max_str", pa.string()), ("null_count", pa.int64()),
+                    ("file_rows", pa.int64()), ("has_stats", pa.bool_()),
+                ]
+            ),
+        )
+        return spark.createDataFrame(tbl)
+
+    n_slices = max(1, min(len(files), spark.sparkContext.defaultParallelism))
+    files_df = spark.createDataFrame(
+        pd.DataFrame({"file": files})
+    ).repartition(n_slices)
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -753,16 +797,25 @@ def plan_skipping_join(
                 (r["_k"], *_bloom_hash_pair(_bloom_canon(r["_k"])))
                 for r in k.collect()
             ]
-            # fresh StructType: StructType.add mutates in place and
-            # returns self, so extending k.schema directly would leave
-            # phantom _h1/_h2 fields on the cached schema object
-            from pyspark.sql.types import LongType, StructField, StructType
+            # Arrow-backed local relation (round 15): a tuple-list
+            # createDataFrame is Python-RDD backed and re-runs Python
+            # workers on every action over the broadcast build — pure
+            # dispatch cost in the per-run query path (guide §5)
+            import pyarrow as pa
 
-            hashed_schema = StructType(
-                list(k.schema.fields)
-                + [StructField("_h1", LongType()), StructField("_h2", LongType())]
+            _k_type = pa.int64() if kind == "int" else pa.string()
+            k2 = spark.createDataFrame(
+                pa.table(
+                    {
+                        "_k": [r[0] for r in key_rows],
+                        "_h1": [r[1] for r in key_rows],
+                        "_h2": [r[2] for r in key_rows],
+                    },
+                    schema=pa.schema(
+                        [("_k", _k_type), ("_h1", pa.int64()), ("_h2", pa.int64())]
+                    ),
+                )
             )
-            k2 = spark.createDataFrame(key_rows, schema=hashed_schema)
             pairs = prunable.join(
                 F.broadcast(k2),
                 F.col("_k").between(F.col(lo_c), F.col(hi_c)),
@@ -1008,8 +1061,11 @@ def build_bloom_index(
     if not files:
         raise FileNotFoundError(f"no parquet files under {data_path}")
     n_slices = max(1, min(len(files), spark.sparkContext.defaultParallelism))
+    # Arrow-backed file list (not Python tuples): keeps the scan stage
+    # free of the Python-RDD source so only the mapInPandas data scan
+    # pays the Python boundary (round 15, see _stats_df)
     files_df = spark.createDataFrame(
-        [(f,) for f in files], schema="file string"
+        pd.DataFrame({"file": files})
     ).repartition(n_slices)
     bloom_rows = _make_bloom_scanner(list(columns), fpp, max_bits)
     field_order = ["file", "column", "kind", "m", "k", "n_values", "words"]
@@ -1024,7 +1080,13 @@ def build_bloom_index(
             )
 
     out = files_df.mapInPandas(scan, schema=BLOOM_SCHEMA)
-    out.coalesce(1).write.mode(mode).parquet(bloom_path)
+    # repartition(1), not coalesce(1): coalesce would collapse the
+    # mapInPandas stage into the single write task, serializing the
+    # per-file DATA scans one Python round trip at a time; the tiny
+    # extra exchange keeps the scan stage at n_slices-way parallelism
+    # (round 15, guide §2.6 — don't let the sink's 1 task starve the
+    # scan)
+    out.repartition(1).write.mode(mode).parquet(bloom_path)
     return spark.read.parquet(bloom_path).count()
 
 
@@ -1057,8 +1119,9 @@ def update_bloom_index(
         n_slices = max(
             1, min(len(added), spark.sparkContext.defaultParallelism)
         )
+        # Arrow-backed file list (round 15, see build_bloom_index)
         files_df = spark.createDataFrame(
-            [(f,) for f in added], schema="file string"
+            pd.DataFrame({"file": added})
         ).repartition(n_slices)
         bloom_rows = _make_bloom_scanner(columns, fpp, 1 << 22)
         field_order = ["file", "column", "kind", "m", "k", "n_values", "words"]

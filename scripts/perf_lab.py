@@ -1,16 +1,26 @@
 #!/usr/bin/env python
-"""Round-14 optimization lab: isolated per-query timing + plan capture.
+"""Optimization lab: isolated per-query timing + plan capture.
 
 Usage:
   python scripts/perf_lab.py plans [query ...]   # capture explain("formatted")
   python scripts/perf_lab.py time  [query ...]   # bench-methodology isolated timing
   python scripts/perf_lab.py noop  [query ...]   # noop-sink timing (guide §1.4)
+  python scripts/perf_lab.py cold  [query ...]   # cache-cold single run + warm best-of-3
 
 Timing mirrors bench.py exactly (same session factory, low_latency knob,
 cache_scope isolation, untimed warm-up, best-of-3 count()) so numbers here
 are comparable with BENCH artifacts; ``noop`` additionally times
 ``df.write.format("noop")`` which computes every column (no count pruning).
-Plans go to plans/r14/<query>_<tag>.txt.
+
+``cold`` (VERDICT r14 item 2) reports BOTH temperatures per query: the
+first execution inside a fresh ``cache_scope`` (which PAYS for building
+every ``persist_once`` entry — the cost bench.py's untimed warm-up
+absorbs) and the warm best-of-3 that matches the bench methodology.
+Future persist decisions must cite the cold number: a persist that only
+moves real work into the warm-up is caching, not optimization.
+
+Plans go to plans/r15/<query>_<tag>.txt (tag from $PERF_LAB_TAG, default
+"before").
 """
 
 from __future__ import annotations
@@ -32,9 +42,15 @@ from columnar_analytics_engine_spark.functions.caching import cache_scope  # noq
 from columnar_analytics_engine_spark.session import get_spark  # noqa: E402
 from columnar_analytics_engine_spark.queries import all_queries  # noqa: E402
 
+MODES = ("plans", "time", "noop", "cold")
+
 
 def main() -> None:
     mode = sys.argv[1] if len(sys.argv) > 1 else "time"
+    if mode not in MODES:
+        # an unrecognized first arg is almost certainly a query name —
+        # refuse instead of silently reinterpreting it (ADVICE r14)
+        raise SystemExit(f"unknown mode {mode!r}; expected one of {MODES}")
     tag = os.environ.get("PERF_LAB_TAG", "before")
     names = sys.argv[2:] or list(BENCH_QUERIES)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -43,9 +59,12 @@ def main() -> None:
         print(f"quiet-gate: loadavg={la} reached={ok} probe={_cpu_probe_ms()}ms")
     spark = get_spark(app_name="cae-perf-lab")
     qs = all_queries()
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r14")
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r15"
+    )
     os.makedirs(out_dir, exist_ok=True)
     results: dict[str, float] = {}
+    cold_results: dict[str, float] = {}
     for name in names:
         spec = qs[name]
         low_latency = BENCH_QUERIES.get(name, False)
@@ -60,14 +79,18 @@ def main() -> None:
             )
             with open(os.path.join(out_dir, f"{name}_{tag}.txt"), "w") as fh:
                 fh.write(plan)
-            print(f"{name}: plan -> plans/r14/{name}_{tag}.txt")
+            print(f"{name}: plan -> plans/r15/{name}_{tag}.txt")
             continue
         with cache_scope():
             if spec.setup is not None:
                 t0 = time.perf_counter()
                 spec.setup(spark, sf_dir)
                 print(f"{name}: setup {time.perf_counter() - t0:.3f}s")
-            spec.fn(spark, sf_dir).count()  # warm-up, builds persist_once
+            t0 = time.perf_counter()
+            n = spec.fn(spark, sf_dir).count()  # warm-up, builds persist_once
+            cold = time.perf_counter() - t0
+            if n < 0:
+                raise AssertionError(f"{name}: negative count")
             best = float("inf")
             for _ in range(N_TIMED_RUNS):
                 t0 = time.perf_counter()
@@ -75,23 +98,28 @@ def main() -> None:
                 if mode == "noop":
                     df.write.format("noop").mode("overwrite").save()
                 else:
-                    assert df.count() >= 0
+                    n = df.count()
+                    if n < 0:
+                        raise AssertionError(f"{name}: negative count")
                 best = min(best, time.perf_counter() - t0)
         results[name] = round(best, 4)
-        print(f"{name}: {best:.4f}s  ({mode})")
+        if mode == "cold":
+            cold_results[name] = round(cold, 4)
+            print(f"{name}: cold={cold:.4f}s warm_best3={best:.4f}s")
+        else:
+            print(f"{name}: {best:.4f}s  ({mode})")
     if results:
         import json
 
-        print(
-            json.dumps(
-                {
-                    "mode": mode,
-                    "queries": results,
-                    "sf_dir": sf_dir,
-                    "probe_ms_end": _cpu_probe_ms(),
-                }
-            )
-        )
+        out = {
+            "mode": mode,
+            "queries": results,
+            "sf_dir": sf_dir,
+            "probe_ms_end": _cpu_probe_ms(),
+        }
+        if cold_results:
+            out["queries_cold"] = cold_results
+        print(json.dumps(out))
 
 
 if __name__ == "__main__":
