@@ -149,8 +149,16 @@ ROLL_B1 = 1_000_003
 ROLL_B2 = 999_999_937
 
 
-def token_hash_structs(l: Column) -> Column:
-    """array<struct<a,b>> of per-token 31-bit hash pairs (one md5 each)."""
+def token_hash_structs(l: Column | str) -> Column:
+    """array<struct<a,b>> of per-token 31-bit hash pairs (one md5 each).
+
+    Given a SQL expression STRING, the whole transform is built as one
+    parsed ``F.expr`` (round 15, guide §5: the lambda-per-token Column
+    build cost ~0.1 s of py4j round trips per plan construction)."""
+    if isinstance(l, str):
+        a = f"cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint) % {P31}"
+        b = f"cast(conv(substring(md5(t), 16, 15), 16, 10) as bigint) % {P31}"
+        return F.expr(f"transform({l}, t -> named_struct('a', {a}, 'b', {b}))")
 
     def per_tok(tok: Column) -> Column:
         d = F.md5(tok)
@@ -161,8 +169,26 @@ def token_hash_structs(l: Column) -> Column:
     return F.transform(l, per_tok)
 
 
-def gram_hash_array(hl: Column, n: int) -> Column:
-    """62-bit rolling hash per n-gram position of a token-hash array."""
+def gram_hash_array(hl: Column | str, n: int) -> Column:
+    """62-bit rolling hash per n-gram position of a token-hash array.
+
+    String input builds the identical expression as one parsed
+    ``F.expr`` (round 15, same rationale as :func:`token_hash_structs`).
+    """
+    if isinstance(hl, str):
+        acc_a = f"element_at({hl}, i).a"
+        acc_b = f"element_at({hl}, i).b"
+        for j in range(1, n):
+            acc_a = f"(({acc_a}) * {ROLL_B1} + element_at({hl}, i + {j}).a) % {P31}"
+            acc_b = f"(({acc_b}) * {ROLL_B2} + element_at({hl}, i + {j}).b) % {P31}"
+        positions = (
+            f"CASE WHEN size({hl}) >= {n} "
+            f"THEN sequence(1, size({hl}) - {n - 1}) "
+            f"ELSE cast(array() as array<int>) END"
+        )
+        return F.expr(
+            f"transform({positions}, i -> ({acc_a}) * 2147483648 + ({acc_b}))"
+        )
 
     def build(i: Column) -> Column:
         acc_a = F.element_at(hl, i).getField("a")

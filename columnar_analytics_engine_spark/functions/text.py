@@ -70,8 +70,23 @@ def non_ws_char_count(text: Column) -> Column:
     return F.length(F.regexp_replace(F.trim(text), r"\s+", "")).cast("long")
 
 
-def stopword_hits(text: Column, lang: str) -> Column:
-    """Occurrences (not distinct) of ``lang`` stopwords among tokens."""
+def _sql_stopword_hits(text: str, lang: str) -> str:
+    """Spark-SQL text of :func:`stopword_hits` (str-input fast path)."""
+    words = ", ".join("'" + w.replace("'", "\\'") + "'" for w in STOPWORDS[lang])
+    return (
+        f"cast(size(filter(split(trim({text}), '\\\\s+'), "
+        f"tok -> array_contains(array({words}), tok))) as bigint)"
+    )
+
+
+def stopword_hits(text: Column | str, lang: str) -> Column:
+    """Occurrences (not distinct) of ``lang`` stopwords among tokens.
+
+    String input builds the identical expression as one parsed
+    ``F.expr`` — the lambda-based Column build costs ~15 py4j round
+    trips per language per plan construction (round 15, guide §5)."""
+    if isinstance(text, str):
+        return F.expr(_sql_stopword_hits(text, lang))
     stoplist = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
     return F.size(
         F.filter(tokens(text), lambda tok: F.array_contains(stoplist, tok))
@@ -83,17 +98,34 @@ def punct_count(text: Column) -> Column:
     return F.length(F.regexp_replace(text, r"[^.,;:!?]", "")).cast("long")
 
 
-def language_scores(text: Column) -> dict[str, Column]:
+def language_scores(text: Column | str) -> dict[str, Column]:
     return {lang: stopword_hits(text, lang) for lang in LANG_PRIORITY}
 
 
-def predict_language(text: Column) -> Column:
+def predict_language(text: Column | str) -> Column:
     """Argmax of per-language stopword evidence with the fixed
     LANG_PRIORITY tie-break — a deterministic n-gram-style language-ID
-    heuristic (lexicon-based; oracle replicates the same CASE chain)."""
+    heuristic (lexicon-based; oracle replicates the same CASE chain).
+
+    String input assembles the whole CASE chain as one parsed
+    ``F.expr`` (round 15, guide §5).  The text repeats each score
+    expression per comparison, exactly as the Column build repeats the
+    shared Column references; whole-stage codegen's subexpression
+    elimination collapses both the same way."""
+    langs = list(LANG_PRIORITY)
+    if isinstance(text, str):
+        s = {lang: _sql_stopword_hits(text, lang) for lang in langs}
+        arms = []
+        for i, lang in enumerate(langs[:-1]):
+            cond = " AND ".join(
+                f"({s[lang]}) >= ({s[other]})" for other in langs[i + 1 :]
+            )
+            arms.append(f"WHEN {cond} THEN '{lang}'")
+        return F.expr(
+            "CASE " + " ".join(arms) + f" ELSE '{langs[-1]}' END"
+        )
     scores = language_scores(text)
     expr = None
-    langs = list(LANG_PRIORITY)
     for i, lang in enumerate(langs[:-1]):
         rest = langs[i + 1 :]
         cond = None

@@ -116,19 +116,18 @@ def jaccard_pairs(
         # intersection at all.  The oracle mirrors the same integer
         # predicate, so the boundary is bit-identical cross-engine.
         num, den = _rational_threshold(threshold)
-        sets = docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.transform(
-                distinct_tokens(F.col(text_col)), lambda x: h60("j:", x)
-            ).alias("toks"),
-        )
         # plan-keyed memoization (round-14; same rule containment_pairs
         # already applied): the set table joins BOTH pair sides, and the
         # two broadcast builds do NOT share an exchange (measured: two
         # separate parquet scan + tokenize + h60 subtrees per run in
         # the physical plan) — persisted, the tokenize pass runs once
-        # per input instead of twice per invocation
-        sets = _persist_once(sets)
+        # per input instead of twice per invocation.  Built through
+        # hashed_token_sets (not an inline copy of the same expression
+        # tree) so this site, minhash_probe, and the index builder all
+        # produce ONE plan and share ONE cache entry (ADVICE r14).
+        sets = _persist_once(
+            hashed_token_sets(docs, id_col=id_col, text_col=text_col)
+        )
         if broadcast_sets:
             sets = F.broadcast(sets)
         a = sets.alias("sa")

@@ -85,9 +85,9 @@ def dedup_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select("doc_id", X.tokens(F.col("text")).alias("l")).filter(
         F.size("l") >= _PASSAGE_W
     )
-    hashed = toks.select("doc_id", token_hash_structs(F.col("l")).alias("hl"))
+    hashed = toks.select("doc_id", token_hash_structs("l").alias("hl"))
     spans = hashed.select(
-        "doc_id", F.explode(gram_hash_array(F.col("hl"), _PASSAGE_W)).alias("gh")
+        "doc_id", F.explode(gram_hash_array("hl", _PASSAGE_W)).alias("gh")
     )
     pairs = spans.groupBy("doc_id", "gh").agg(F.count("*").alias("cnt"))
     # rows are distinct (doc, gh), so COUNT over the gh partition is the
@@ -1202,10 +1202,10 @@ def dedup_passage_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(X.tokens(F.col("text")), F.array().cast("array<string>")).alias("l"),
     )
     hashed = toks.select(
-        "doc_id", token_hash_structs(F.col("l")).alias("hl")
+        "doc_id", token_hash_structs("l").alias("hl")
     )
     spans = hashed.select(
-        "doc_id", F.posexplode(gram_hash_array(F.col("hl"), _PASSAGE_W))
+        "doc_id", F.posexplode(gram_hash_array("hl", _PASSAGE_W))
     ).select("doc_id", (F.col("pos") + 1).alias("pos"), F.col("col").alias("gh"))
     stats = spans.groupBy("gh").agg(
         F.count_distinct("doc_id").alias("n_docs"), F.min("doc_id").alias("min_doc")

@@ -485,7 +485,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = t(spark, sf_dir, "documents")
     txt = F.col("text")
     n_tokens = X.token_count(txt)
-    stop_ratio = X.stopword_hits(txt, "en").cast("double") / n_tokens.cast("double")
+    stop_ratio = X.stopword_hits("text", "en").cast("double") / n_tokens.cast("double")
     diversity = X.distinct_token_count(txt).cast("double") / n_tokens.cast("double")
     punct_ratio = X.punct_count(txt).cast("double") / X.char_count(txt).cast("double")
     quality = (
@@ -505,11 +505,11 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = t(spark, sf_dir, "documents")
     txt = F.col("text")
-    scores = X.language_scores(txt)
+    scores = X.language_scores("text")
     return df.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
-        X.predict_language(txt).alias("pred_lang"),
+        X.predict_language("text").alias("pred_lang"),
         *[scores[lang].alias(f"score_{lang}") for lang in X.LANG_PRIORITY],
     )
 
@@ -1498,9 +1498,9 @@ def _passage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select("doc_id", X.tokens(F.col("text")).alias("l")).filter(
         F.size("l") >= _PR_W
     )
-    hashed = toks.select("doc_id", token_hash_structs(F.col("l")).alias("hl"))
+    hashed = toks.select("doc_id", token_hash_structs("l").alias("hl"))
     spans = hashed.select(
-        "doc_id", F.explode(gram_hash_array(F.col("hl"), _PR_W)).alias("gh")
+        "doc_id", F.explode(gram_hash_array("hl", _PR_W)).alias("gh")
     ).distinct()
     ok = (
         spans.groupBy("gh")

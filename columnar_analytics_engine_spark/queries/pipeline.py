@@ -71,7 +71,7 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # 3 + 4. quality gate and language tag
     n_tokens = X.token_count(txt)
-    stop_ratio = X.stopword_hits(txt, "en").cast("double") / n_tokens.cast("double")
+    stop_ratio = X.stopword_hits("text", "en").cast("double") / n_tokens.cast("double")
     diversity = X.distinct_token_count(txt).cast("double") / n_tokens.cast("double")
     quality = (
         F.when((n_tokens >= 30) & (stop_ratio >= 0.05) & (diversity >= 0.3), "good")
@@ -83,7 +83,7 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("quality") != "poor")
         .select(
             "doc_id",
-            X.predict_language(txt).alias("pred_lang"),
+            X.predict_language("text").alias("pred_lang"),
             "quality",
             n_tokens.alias("n_tokens"),
         )

@@ -172,8 +172,8 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select("doc_id", X.tokens(F.col("text")).alias("l")).filter(
         F.size("l") >= _CONTAM_N
     )
-    hashed = toks.select("doc_id", token_hash_structs(F.col("l")).alias("hl"))
-    sh = F.array_distinct(gram_hash_array(F.col("hl"), _CONTAM_N))
+    hashed = toks.select("doc_id", token_hash_structs("l").alias("hl"))
+    sh = F.array_distinct(gram_hash_array("hl", _CONTAM_N))
     shingled = hashed.select("doc_id", F.explode(sh).alias("gh"))
     bench = (
         shingled.filter(F.col("doc_id") % _CONTAM_BENCH_MOD == 0)
@@ -1292,7 +1292,7 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     symbol_ratio = n_symbols.cast("double") / n.cast("double")
     n_alpha = F.size(F.filter(l, lambda x: x.rlike("[A-Za-z]"))).cast("long")
     alpha_frac = n_alpha.cast("double") / n.cast("double")
-    stop_hits = X.stopword_hits(F.col("text"), "en")
+    stop_hits = X.stopword_hits("text", "en")
     keep = (
         (n >= 50)
         & (n <= 100_000)
