@@ -67,6 +67,32 @@ def morton_expr(bins: list[Column], bits: int) -> Column:
     return z
 
 
+# -- Spark-SQL text twins of scaled_bin / morton_expr (round 15) --------------
+#
+# The Column builders above cost hundreds of py4j round trips per plan
+# construction (bits × cols shift/mask terms, each term re-referencing
+# a ~8-op bin subtree) — a per-invocation driver stall (guide §5).  The
+# bucket builders assemble the identical expressions as ONE parsed
+# F.expr from these text twins; values and schemas are A/B-verified
+# equal (the repeated bin text collapses under codegen subexpression
+# elimination exactly like the shared Column references did).
+
+def _sql_scaled_bin(c: str, mn: str, mx: str, levels: int) -> str:
+    return (
+        f"least({levels}, greatest(0, cast(floor(((cast({c} as double) - {mn})"
+        f" / greatest({mx} - {mn}, 1e-300)) * {float(levels)!r}D) as bigint)))"
+    )
+
+
+def _sql_morton(bins: list[str], bits: int) -> str:
+    terms = " + ".join(
+        f"shiftleft((shiftright(({b}), {bit}) & 1), {bit * len(bins) + i})"
+        for bit in range(bits)
+        for i, b in enumerate(bins)
+    )
+    return f"cast(0 as bigint) + {terms}"
+
+
 def _with_minmax(df: DataFrame, cols: list[str]) -> DataFrame:
     """Join the exact per-column min/max (as double) alongside every
     row: one 1-row aggregate, broadcast in-plan — no driver collect."""
@@ -84,7 +110,7 @@ def with_linear_bucket(df: DataFrame, col: str, n_buckets: int) -> DataFrame:
     j = _with_minmax(df, [col])
     return j.withColumn(
         "_bucket",
-        scaled_bin(F.col(col), F.col(f"_mn_{col}"), F.col(f"_mx_{col}"), n_buckets - 1),
+        F.expr(_sql_scaled_bin(col, f"_mn_{col}", f"_mx_{col}", n_buckets - 1)),
     ).drop(f"_mn_{col}", f"_mx_{col}")
 
 
@@ -105,13 +131,12 @@ def with_zorder_bucket(
         raise ValueError("bits * len(cols) must be <= 62")
     j = _with_minmax(df, cols)
     bins = [
-        scaled_bin(
-            F.col(c), F.col(f"_mn_{c}"), F.col(f"_mx_{c}"), (1 << bits) - 1
-        )
+        _sql_scaled_bin(c, f"_mn_{c}", f"_mx_{c}", (1 << bits) - 1)
         for c in cols
     ]
     return j.withColumn(
-        "_bucket", F.shiftright(morton_expr(bins, bits), width - k)
+        "_bucket",
+        F.expr(f"shiftright({_sql_morton(bins, bits)}, {width - k})"),
     ).drop(*[f"_mn_{c}" for c in cols], *[f"_mx_{c}" for c in cols])
 
 
@@ -166,22 +191,21 @@ def zorder_frame(
     if method == "linear":
         j = _with_minmax(df, cols)
         bins = [
-            scaled_bin(
-                F.col(c), F.col(f"_mn_{c}"), F.col(f"_mx_{c}"), (1 << bits) - 1
-            )
+            _sql_scaled_bin(c, f"_mn_{c}", f"_mx_{c}", (1 << bits) - 1)
             for c in cols
         ]
         drop = [f"_mn_{c}" for c in cols] + [f"_mx_{c}" for c in cols]
+        z = F.expr(_sql_morton(bins, bits))
     elif method == "quantile":
         if bits > 8:
             raise ValueError("quantile binning caps bits at 8 (256 bins)")
         cuts = quantile_cuts(df, cols, bits)
         j = df
-        bins = [rank_bin(F.col(c), cuts[c]) for c in cols]
+        z = morton_expr([rank_bin(F.col(c), cuts[c]) for c in cols], bits)
         drop = []
     else:
         raise ValueError(f"unknown binning method {method!r}")
-    out = j.withColumn("_z", morton_expr(bins, bits))
+    out = j.withColumn("_z", z)
     if drop:
         out = out.drop(*drop)
     return (
